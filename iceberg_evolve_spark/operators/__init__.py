@@ -1,0 +1,21 @@
+"""Evolution operators, plan→DDL compilation, and executors."""
+
+from iceberg_evolve_spark.operators.evolution import (
+    AddColumn,
+    BaseEvolutionOperation,
+    DropColumn,
+    MoveColumn,
+    RenameColumn,
+    UnionSchema,
+    UpdateColumn,
+)
+
+__all__ = [
+    "BaseEvolutionOperation",
+    "AddColumn",
+    "DropColumn",
+    "UpdateColumn",
+    "RenameColumn",
+    "MoveColumn",
+    "UnionSchema",
+]

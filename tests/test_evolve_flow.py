@@ -1,0 +1,161 @@
+"""evolve() control flow + DDL compilation (reference test_schema.py /
+test_migrate.py semantics, re-targeted at the Spark DDL backend)."""
+
+import warnings
+
+import pytest
+
+from iceberg_evolve_spark.exceptions import UnsupportedSchemaEvolutionWarning
+from iceberg_evolve_spark.jsonschema import struct_from_json_schema, struct_to_json_schema
+from iceberg_evolve_spark.model import Field, ListType, PrimitiveType, StructType
+from iceberg_evolve_spark.operators.evolution import (
+    AddColumn,
+    DropColumn,
+    MoveColumn,
+    RenameColumn,
+    UpdateColumn,
+)
+from iceberg_evolve_spark.operators.executor import CollectingExecutor, compile_plan
+from iceberg_evolve_spark.schema import Schema
+
+from conftest import FIXTURES, load_fixture
+
+P = PrimitiveType
+
+
+class TestDDLCompile:
+    def test_add_column(self):
+        op = AddColumn(name="is_active", new_type=P("boolean"), doc="active flag")
+        assert op.to_sql("cat.db.users") == [
+            "ALTER TABLE cat.db.users ADD COLUMN is_active BOOLEAN COMMENT 'active flag'"
+        ]
+
+    def test_nested_add(self):
+        op = AddColumn(name="metadata.used_login", new_type=P("string"))
+        assert op.to_sql("t") == ["ALTER TABLE t ADD COLUMN metadata.used_login STRING"]
+
+    def test_drop(self):
+        assert DropColumn(name="comments").to_sql("t") == [
+            "ALTER TABLE t DROP COLUMN comments"
+        ]
+
+    def test_rename(self):
+        assert RenameColumn(name="signup", target="signup_datetime").to_sql("t") == [
+            "ALTER TABLE t RENAME COLUMN signup TO signup_datetime"
+        ]
+
+    def test_update_type(self):
+        op = UpdateColumn(name="signup", current_type=P("date"), new_type=P("timestamp"))
+        assert op.to_sql("t") == [
+            "ALTER TABLE t ALTER COLUMN signup TYPE TIMESTAMP_NTZ"
+        ]
+
+    def test_update_unsupported_emits_nothing(self):
+        op = UpdateColumn(
+            name="metadata.login_attempts",
+            current_type=ListType(13, P("int")),
+            new_type=ListType(
+                13,
+                StructType([Field(14, "timestamp", P("int")), Field(15, "success", P("boolean"))]),
+            ),
+        )
+        assert not op.is_supported
+        with pytest.warns(UnsupportedSchemaEvolutionWarning):
+            assert op.to_sql("t") == []
+
+    def test_move_first_and_after(self):
+        assert MoveColumn(name="a", position="first").to_sql("t") == [
+            "ALTER TABLE t ALTER COLUMN a FIRST"
+        ]
+        assert MoveColumn(name="a", target="b", position="after").to_sql("t") == [
+            "ALTER TABLE t ALTER COLUMN a AFTER b"
+        ]
+
+    def test_quoting(self):
+        op = AddColumn(name="weird col.sub-field", new_type=P("int"))
+        assert op.to_sql("t") == [
+            "ALTER TABLE t ADD COLUMN `weird col`.`sub-field` INT"
+        ]
+
+
+class TestEvolveFlow:
+    def test_dry_run_returns_ops_applies_nothing(self, users_current, users_new):
+        ex = CollectingExecutor("cat.db.users")
+        ops = users_current.evolve(users_new, ex, dry_run=True, quiet=True)
+        assert len(ops) == 9
+        assert ex.statements == []
+
+    def test_strict_rejects_unsupported(self, users_current, users_new):
+        ex = CollectingExecutor("cat.db.users")
+        with pytest.raises(ValueError, match="Unsupported"):
+            users_current.evolve(users_new, ex, quiet=True, strict=True)
+
+    def test_breaking_gate(self, users_current, users_new):
+        ex = CollectingExecutor("cat.db.users")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            with pytest.raises(ValueError, match="Breaking"):
+                users_current.evolve(users_new, ex, quiet=True, strict=False)
+
+    def test_full_apply_three_phases(self, users_current, users_new):
+        ex = CollectingExecutor("cat.db.users")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            users_current.evolve(
+                users_new, ex, quiet=True, strict=False, allow_breaking=True
+            )
+        stmts = ex.statements
+        # phase barriers: one refresh per non-empty phase
+        assert ex.refresh_count == 3
+        # renames first, moves last
+        assert stmts[0].startswith("ALTER TABLE cat.db.users RENAME")
+        assert stmts[1].startswith("ALTER TABLE cat.db.users RENAME")
+        assert "AFTER signup_datetime" in stmts[-1]
+        # the unsupported nested update emitted nothing
+        assert not any("login_attempts" in s and "TYPE" in s for s in stmts)
+        # the type promotion rides on the NEW name (rename committed first)
+        assert "ALTER COLUMN signup_datetime TYPE TIMESTAMP_NTZ" in " | ".join(stmts)
+
+    def test_quiet_false_displays(self, users_current, users_new, capsys):
+        ex = CollectingExecutor("t")
+        users_current.evolve(users_new, ex, dry_run=True, quiet=False)
+        out = capsys.readouterr().out
+        assert "rename_column" in out and "add_column" in out
+
+
+class TestJsonSchemaConversion:
+    def test_fixture_converts(self):
+        doc = load_fixture("users_current.json")
+        struct = struct_from_json_schema(doc)
+        names = [f.name for f in struct.fields]
+        assert "id" in names and "metadata" in names
+        by_name = {f.name: f for f in struct.fields}
+        assert by_name["id"].required  # in the fixture's required list
+        # signup_date has format date-time → timestamp
+        assert any(
+            f.type == P("timestamp") for f in struct.fields if "signup" in f.name
+        )
+
+    def test_array_and_map(self):
+        struct = struct_from_json_schema(
+            {
+                "type": "object",
+                "properties": {
+                    "tags": {"type": "array", "items": {"type": "string"}},
+                    "attrs": {
+                        "type": "object",
+                        "additionalProperties": {"type": "integer"},
+                    },
+                },
+            }
+        )
+        by_name = {f.name: f for f in struct.fields}
+        assert isinstance(by_name["tags"].type, ListType)
+        assert str(by_name["attrs"].type) == "map<string, int>"
+
+    def test_reverse_lossy_map(self, users_current):
+        out = struct_to_json_schema(users_current.struct)
+        assert out["type"] == "object"
+        assert out["properties"]["age"] == {"type": "integer"}
+        assert out["properties"]["signup"] == {"type": "string"}
+        assert "id" in out["required"]
