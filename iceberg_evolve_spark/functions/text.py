@@ -1,0 +1,142 @@
+"""Text-analysis operators for large-scale corpus pipelines.
+
+All pure ``pyspark.sql.functions`` column expressions — no UDFs — so they run
+inside whole-stage codegen and cost one narrow map stage at any scale. Every
+operator has an exact ANSI-SQL twin used by the DuckDB oracle (the formulas are
+deliberately portable: integer/double arithmetic, regex, list lambdas).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_evolve_spark.functions.hashing import hash60
+
+#: Stopword list used by quality scoring (English function words; also doubles as
+#: the "en" marker list for language ID).
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "by", "at", "it", "be", "this", "that",
+]
+
+#: Per-language marker words for the n-gram/stopword language-ID heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "is", "in", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pour", "dans", "que", "pas"],
+    "es": ["el", "los", "las", "y", "es", "una", "por", "para", "con", "no"],
+}
+
+#: Punctuation class counted by punct_ratio (keep in sync with the oracle SQL).
+PUNCT_CLASS = r"[.,!?;:]"
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space symbols.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the lowercased text (empty strings removed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != "")
+
+
+def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats + a bounded quality score.
+
+    Columns added: ``n_tokens``, ``avg_token_len``, ``punct_ratio``,
+    ``stopword_ratio``, ``quality_score``. The quality score is::
+
+        0.4 * min(1, n_tokens/100)          # enough content
+      + 0.3 * (1 - punct_ratio)             # not symbol soup
+      + 0.3 * min(1, 4 * stopword_ratio)    # natural-language-like
+
+    One narrow projection; no shuffle at any scale.
+    """
+    toks = tokens(text_col)
+    text = F.col(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    avg_tok = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n_tokens,
+    ).otherwise(F.lit(0.0))
+    quality = (
+        0.4 * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        + 0.3 * (F.lit(1.0) - punct_ratio)
+        + 0.3 * F.least(F.lit(1.0), 4.0 * stop_ratio)
+    )
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("avg_token_len", avg_tok.cast("double"))
+        .withColumn("punct_ratio", punct_ratio.cast("double"))
+        .withColumn("stopword_ratio", stop_ratio.cast("double"))
+        .withColumn("quality_score", quality.cast("double"))
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:
+    """Heuristic language ID: marker-stopword voting + a CJK-codepoint check.
+
+    Adds ``<lang>_score`` per candidate and ``out_col`` with the argmax
+    (ties broken in fixed order en > de > fr > es; zh wins on any CJK hit;
+    'und' when every score is zero). Pure projection — scales linearly.
+    """
+    toks = tokens(text_col)
+    scored = df
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        scored = scored.withColumn(
+            f"{lang}_score", F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        )
+    cjk = F.length(
+        F.regexp_replace(F.col(text_col), r"[^一-鿿]", "")
+    )
+    scored = scored.withColumn("zh_score", cjk)
+
+    best = F.greatest(*[F.col(f"{k}_score") for k in [*LANG_MARKERS, "zh"]])
+    pred = F.when(F.col("zh_score") > 0, F.lit("zh"))
+    for lang in LANG_MARKERS:  # fixed priority order for ties
+        pred = pred.when(F.col(f"{lang}_score") == best, F.lit(lang))
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return scored.withColumn(out_col, pred)
+
+
+def document_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint of the normalized text (lowercased, whitespace
+    collapsed): hex md5 plus the portable 60-bit integer form. Exact-dedup key."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn("fingerprint", F.md5(norm)).withColumn(
+        "fingerprint60", hash60(norm)
+    )
+
+
+def rolling_fingerprint(df: DataFrame, text_col: str = "text", base: int = 31, mod: int = (1 << 61) - 1) -> DataFrame:
+    """Polynomial rolling hash over whitespace tokens (h = h*base + tokhash mod m).
+
+    Order-sensitive (unlike a bag-of-words hash). Implemented as one
+    ``F.aggregate`` fold over the token array — still JVM-side, no UDF.
+    """
+    toks = tokens(text_col)
+    rolled = F.aggregate(
+        toks,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, t: (acc * base + F.abs(F.xxhash64(t)) % mod) % F.lit(mod).cast(
+            "decimal(38,0)"
+        ),
+    )
+    return df.withColumn("rolling_fp", rolled.cast("long"))
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text", out_col: str = "n_bpe_tokens") -> DataFrame:
+    """BPE-ish token count: letter runs + digit runs + single symbols
+    (a cheap, deterministic proxy for subword tokenizer cost accounting)."""
+    return df.withColumn(
+        out_col, F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0))
+    )
