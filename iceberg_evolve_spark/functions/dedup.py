@@ -109,6 +109,22 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
+def _bucket_pairs(ids: Column) -> Column:
+    """All ordered pairs (a < b) from a sorted id array — the candidate-pair
+    generator for inverted-index buckets. Stays inside codegen (nested
+    ``transform`` + ``flatten``)."""
+    n = F.size(ids)
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, n),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -123,14 +139,17 @@ def ngram_jaccard_pairs(
     materializing non-overlapping pairs. Output: (id_a, id_b, jaccard) with
     id_a < id_b.
     """
-    idx = _shingle_index(df, id_col, text_col, k, max_df)
+    idx = _shingle_index(df, id_col, text_col, k, max_df).persist()
     sizes = idx.groupBy("_id").agg(F.count("*").alias("n_sh"))
 
-    a = idx.select(F.col("_id").alias("id_a"), "sh")
-    b = idx.select(F.col("_id").alias("id_b"), "sh")
+    # Bucket pairing instead of a raw self-join: one shuffle on the shingle,
+    # pairs generated inside each (tiny, max_df-bounded) bucket — the shingle
+    # index subtree is evaluated once, not once per join side.
     common = (
-        a.join(b, "sh")
-        .filter(F.col("id_a") < F.col("id_b"))
+        idx.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
@@ -203,7 +222,9 @@ def minhash_lsh_pairs(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, k, max_df)
+    # The signature aggregation is the expensive subtree — persist it so band
+    # bucketing and pair verification both reuse it instead of recomputing.
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k, max_df).persist()
 
     band_structs = F.array(
         *[
@@ -216,21 +237,20 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select(F.col(id_col).alias("_id"), "sig", F.explode(band_structs).alias("bd"))
-    banded = banded.select("_id", "sig", F.col("bd.band").alias("band"), F.col("bd.bhash").alias("bhash"))
+    banded = sig.select(F.col(id_col).alias("_id"), F.explode(band_structs).alias("bd"))
+    banded = banded.select("_id", F.col("bd.band").alias("band"), F.col("bd.bhash").alias("bhash"))
 
-    a = banded.select(
-        F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bhash"
-    )
-    b = banded.select(
-        F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bhash"
-    )
+    # Bucket pairing on (band, bhash): one shuffle, pairs emitted inside buckets.
     cand = (
-        a.join(b, ["band", "bhash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        banded.groupBy("band", "bhash")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    cand = cand.join(sa, "id_a").join(sb, "id_b")
     agree = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
@@ -295,7 +315,7 @@ def simhash_near_dups(
     if max_hamming >= chunks:
         raise ValueError("need max_hamming < chunks for pigeonhole guarantee")
     width = bits // chunks
-    sh = simhash(df, id_col, text_col, bits)
+    sh = simhash(df, id_col, text_col, bits).persist()
     chunk_arr = F.array(
         *[
             F.struct(
@@ -307,16 +327,18 @@ def simhash_near_dups(
             for c in range(chunks)
         ]
     )
-    ch = sh.select(F.col(id_col).alias("_id"), "simhash", F.explode(chunk_arr).alias("ck"))
-    ch = ch.select("_id", "simhash", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
-    a = ch.select(F.col("_id").alias("id_a"), F.col("simhash").alias("fp_a"), "c", "v")
-    b = ch.select(F.col("_id").alias("id_b"), F.col("simhash").alias("fp_b"), "c", "v")
+    ch = sh.select(F.col(id_col).alias("_id"), F.explode(chunk_arr).alias("ck"))
+    ch = ch.select("_id", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
     cand = (
-        a.join(b, ["c", "v"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "fp_a", "fp_b")
+        ch.groupBy("c", "v")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    fa = sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"))
+    fb = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"))
+    cand = cand.join(fa, "id_a").join(fb, "id_b")
     hamming = F.bit_count(F.expr("fp_a ^ fp_b"))
     return (
         cand.withColumn("hamming", hamming.cast("int"))
@@ -338,21 +360,52 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Pairs of rows whose embedding cosine similarity >= threshold.
 
-    Exact block-join formulation: for corpora that fit a broadcast (≤ ~1 GB of
-    vectors) the right side is broadcast, making this a map-only pass over the
-    left; beyond that, switch to :func:`iceberg_evolve_spark.functions.similarity.
-    lsh_buckets`-style sign-bucketing to keep candidate counts output-linear.
-    Cosine is computed in double precision with a sequential fold (portable to
-    the DuckDB oracle).
-    """
-    from iceberg_evolve_spark.functions.similarity import cosine_sim
+    Block matrix-multiply formulation: the corpus (ids + L2-normalized float64
+    matrix) is broadcast; each Arrow batch of left rows computes a
+    ``(batch × corpus)`` BLAS matmul and emits only pairs over the threshold —
+    work is O(n²·d) FLOPs but data movement is O(n·d), and the inner loop is
+    vectorized C, ~100× faster than per-pair expression evaluation.
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
-    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    sim = cosine_sim(F.col("v_a"), F.col("v_b"))
-    return (
-        pairs.withColumn("cosine", sim)
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+    At 100 TB the same kernel runs per (left-partition × right-block) with the
+    right side tiled through a bucketed join instead of one broadcast; combine
+    with :func:`iceberg_evolve_spark.functions.similarity.lsh_bucket` sign
+    buckets to keep candidate blocks output-linear.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype="int64")
+    mat = np.array([r[1] for r in rows], dtype="float64")
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    spark = df.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_norms = spark.sparkContext.broadcast(norms)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
+
+    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rid, rmat, rnorm = b_ids.value, b_mat.value, b_norms.value
+        for pdf in batches:
+            lids = pdf[id_col].to_numpy(dtype="int64")
+            lmat = np.array(list(pdf[vec_col]), dtype="float64")
+            lnorm = np.linalg.norm(lmat, axis=1)
+            lnorm[lnorm == 0] = 1.0
+            sims = (lmat @ rmat.T) / np.outer(lnorm, rnorm)
+            li, ri = np.nonzero((sims >= threshold) & (lids[:, None] < rid[None, :]))
+            yield pd.DataFrame(
+                {"id_a": lids[li], "id_b": rid[ri], "cosine": sims[li, ri]}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(block, schema=out_schema)

@@ -1,0 +1,188 @@
+"""Extension-operator behavior tests (Spark, sf0.001)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_evolve_spark.functions.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dups,
+    word_shingles,
+)
+from iceberg_evolve_spark.functions.similarity import (
+    topk_brute_force,
+    topk_ivf,
+    topk_lsh,
+)
+from iceberg_evolve_spark.functions.text import (
+    add_text_stats,
+    document_fingerprint,
+    language_id,
+)
+from iceberg_evolve_spark.functions.multimodal import attach_fake_payload, extract_features
+from iceberg_evolve_spark.sources import load_table
+from iceberg_evolve_spark.streaming.sessionize import (
+    session_stats,
+    session_window_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+class TestDedup:
+    def test_exact_dedup_keeps_min_id(self, spark):
+        df = spark.createDataFrame(
+            [(5, "a b"), (3, "A  b"), (9, "c")], "doc_id long, text string"
+        )
+        kept = sorted(
+            r.doc_id for r in exact_dedup(df, "doc_id", normalize_col="text").collect()
+        )
+        assert kept == [3, 9]
+
+    def test_short_text_has_no_shingles(self, spark):
+        df = spark.createDataFrame([(1, "just two")], "doc_id long, text string")
+        assert df.select(F.size(word_shingles("text", 3)).alias("n")).collect()[0].n == 0
+
+    def test_jaccard_pairs_symmetric_bounded(self, docs):
+        pairs = ngram_jaccard_pairs(docs, "doc_id", threshold=0.2).collect()
+        assert pairs, "synthetic corpus contains near-dup pairs at 0.2"
+        for p in pairs:
+            assert p.id_a < p.id_b
+            assert 0.2 <= p.jaccard <= 1.0
+
+    def test_minhash_lsh_finds_true_near_dups(self, docs):
+        """LSH candidates (est >= .5) must cover the exact-Jaccard >= .7 pairs."""
+        exact = {
+            (p.id_a, p.id_b)
+            for p in ngram_jaccard_pairs(docs, "doc_id", threshold=0.7).collect()
+        }
+        approx = {
+            (p.id_a, p.id_b)
+            for p in minhash_lsh_pairs(
+                docs, "doc_id", num_hashes=16, bands=8, threshold=0.5
+            ).collect()
+        }
+        assert exact, "expect some high-sim pairs in corpus"
+        assert exact <= approx
+
+    def test_simhash_identical_texts_same_fingerprint(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon zeta")],
+            "doc_id long, text string",
+        )
+        fps = {r.doc_id: r.simhash for r in simhash(df, "doc_id").collect()}
+        assert fps[1] == fps[2]
+        assert fps[1] != fps[3]
+        pairs = simhash_near_dups(df, "doc_id", max_hamming=3).collect()
+        assert {(p.id_a, p.id_b) for p in pairs} >= {(1, 2)}
+
+    def test_embedding_near_dups_self_consistency(self, emb):
+        pairs = embedding_near_dups(emb, "vec_id", threshold=0.3).collect()
+        for p in pairs:
+            assert p.id_a < p.id_b
+            assert p.cosine >= 0.3
+
+
+class TestSimilarity:
+    def test_brute_force_self_is_top1(self, emb):
+        q = emb.filter("vec_id = 3").select("embedding").collect()[0][0]
+        top = topk_brute_force(emb, list(q), k=5).collect()
+        assert top[0].vec_id == 3
+        assert abs(top[0].cosine - 1.0) < 1e-6
+        sims = [t.cosine for t in top]
+        assert sims == sorted(sims, reverse=True)
+
+    def test_ivf_recall(self, emb):
+        q = emb.filter("vec_id = 3").select("embedding").collect()[0][0]
+        exact = [r.vec_id for r in topk_brute_force(emb, list(q), k=10).collect()]
+        approx = [
+            r.vec_id
+            for r in topk_ivf(emb, list(q), k=10, n_centroids=8, n_probe=4).collect()
+        ]
+        assert len(set(exact) & set(approx)) >= 5
+
+    def test_lsh_returns_query_bucket(self, emb):
+        q = emb.filter("vec_id = 3").select("embedding").collect()[0][0]
+        got = topk_lsh(emb, list(q), k=5, n_planes=4).collect()
+        assert got and got[0].vec_id == 3
+
+
+class TestText:
+    def test_quality_bounds(self, docs):
+        rows = add_text_stats(docs).select("quality_score").collect()
+        assert all(0.0 <= r.quality_score <= 1.0 for r in rows)
+
+    def test_lang_id_markers(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat and the dog of it"),
+                (2, "der hund und die katze ist"),
+                (3, "le chat et la maison est"),
+                (4, "el perro y la casa es una"),
+                (5, "你好 世界"),
+                (6, "zzz qqq"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.pred_lang for r in language_id(df).collect()}
+        assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh", 6: "und"}
+
+    def test_fingerprint_whitespace_invariant(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a  b\tc"), (2, "A B C")], "doc_id long, text string"
+        )
+        fps = [r.fingerprint for r in document_fingerprint(df).collect()]
+        assert fps[0] == fps[1]
+
+
+class TestSessionize:
+    def test_two_formulations_agree(self, events):
+        a = session_stats(events, gap_minutes=30)
+        b = session_window_stats(events, gap_minutes=30)
+        assert a.count() == b.count()
+        ta = sorted(
+            (r.user_id, r.n_events, r.total_value) for r in a.collect()
+        )
+        tb = sorted(
+            (r.user_id, r.n_events, r.total_value) for r in b.collect()
+        )
+        assert ta == tb
+
+    def test_gap_splits_sessions(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, 7, "2024-01-01 00:00:00", "click", 1.0, "{}"),
+                (2, 7, "2024-01-01 00:10:00", "click", 1.0, "{}"),
+                (3, 7, "2024-01-01 02:00:00", "click", 1.0, "{}"),
+            ],
+            "event_id long, user_id long, ts string, event_type string, value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = session_stats(df, gap_minutes=30).collect()
+        assert len(out) == 2
+        assert sorted(r.n_events for r in out) == [1, 2]
+
+
+class TestMultimodal:
+    def test_feature_extraction_roundtrip(self, docs):
+        feats = extract_features(attach_fake_payload(docs))
+        joined = feats.join(docs, "doc_id").select(
+            "doc_id", "byte_len", F.length("text").alias("n")
+        )
+        bad = joined.filter(F.col("byte_len") != F.col("n")).count()
+        assert bad == 0  # corpus is pure ASCII → byte_len == char count
