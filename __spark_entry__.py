@@ -294,6 +294,148 @@ SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets / ROLLUP aggregation: subtotals + grand total in one pass
+    (Spark Expand operator — one shuffle, no repeated scans)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec(F.col("o_totalprice"), 2)).cast("double").alias("total"),
+    )
+
+
+_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(22,2))) AS DOUBLE) AS total
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no pending ('P') order. The filter pushes into
+    the orders scan; the anti join broadcasts the (small) distinct key set."""
+    cust = _t(spark, sf_dir, "customer")
+    pending = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return cust.join(
+        pending, cust.c_custkey == pending.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+"""
+
+
+def nation_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregation (Spark expands to multiple aggregates)."""
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    per_nation = (
+        supp.groupBy("s_nationkey").agg(F.count_distinct("s_suppkey").alias("n_suppliers"))
+        .join(
+            cust.groupBy("c_nationkey").agg(
+                F.count_distinct("c_custkey").alias("n_customers")
+            ),
+            F.col("s_nationkey") == F.col("c_nationkey"),
+            "full_outer",
+        )
+        .withColumn("nationkey", F.coalesce("s_nationkey", "c_nationkey"))
+    )
+    return (
+        F.broadcast(nation)
+        .join(per_nation, nation.n_nationkey == per_nation.nationkey, "left")
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        )
+    )
+
+
+_DISTINCT_SQL = """
+SELECT n_nationkey, n_name,
+       COALESCE(s.n_suppliers, 0) AS n_suppliers,
+       COALESCE(c.n_customers, 0) AS n_customers
+FROM nation
+LEFT JOIN (SELECT s_nationkey, COUNT(DISTINCT s_suppkey) AS n_suppliers
+           FROM supplier GROUP BY s_nationkey) s ON s_nationkey = n_nationkey
+LEFT JOIN (SELECT c_nationkey, COUNT(DISTINCT c_custkey) AS n_customers
+           FROM customer GROUP BY c_nationkey) c ON c_nationkey = n_nationkey
+"""
+
+
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark has none): each event gets the
+    customer's most recent order at/before the event time. Oracle: DuckDB's
+    native ASOF JOIN — an independent implementation of the same semantics."""
+    from iceberg_evolve_spark.functions.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders")
+    # dedupe right side to one row per (key, ts) so ties are impossible
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    right = (
+        orders.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ts"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    out = asof_join(ev, right, on="user_id", left_ts="ts", right_ts="ts")
+    return out.select("event_id", "user_id", "o_orderkey_asof", "o_totalprice_asof")
+
+
+_ASOF_SQL = """
+WITH deduped AS (
+    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                     ORDER BY o_orderkey DESC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, o.o_orderkey AS o_orderkey_asof,
+       o.o_totalprice AS o_totalprice_asof
+FROM events e
+ASOF LEFT JOIN deduped o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
 # ---------------------------------------------------------------------------
 # Events: sessionization, windows, JSON
 # ---------------------------------------------------------------------------
@@ -836,6 +978,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_items": q10_returned_items,
+        "orders_rollup": orders_rollup,
+        "customers_without_orders": customers_without_orders,
+        "nation_distinct_counts": nation_distinct_counts,
+        "asof_latest_order": asof_latest_order,
         "top_orders_per_customer": top_orders_per_customer,
         "events_sessionize": events_sessionize,
         "events_hourly_counts": events_hourly_counts,
@@ -867,6 +1014,11 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": _Q3_SQL,
         "q5_local_supplier_volume": _Q5_SQL,
         "q6_forecast_revenue": _Q6_SQL,
+        "q10_returned_items": _Q10_SQL,
+        "orders_rollup": _ROLLUP_SQL,
+        "customers_without_orders": _ANTI_SQL,
+        "nation_distinct_counts": _DISTINCT_SQL,
+        "asof_latest_order": _ASOF_SQL,
         "top_orders_per_customer": _TOPO_SQL,
         "events_sessionize": _SESSION_SQL,
         "events_hourly_counts": _HOURLY_SQL,

@@ -1,0 +1,81 @@
+"""As-of join and skew-utility tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_evolve_spark.functions.asof import asof_join
+from iceberg_evolve_spark.functions.skew import salted_agg, salted_join
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", "2024-01-01 10:00:00", 100.0),
+            ("A", "2024-01-01 10:05:00", 101.0),
+            ("A", "2024-01-01 10:10:00", 102.0),
+            ("B", "2024-01-01 10:03:00", 50.0),
+        ],
+        "sym string, ts string, px double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+class TestAsofJoin:
+    def test_backward_semantics(self, spark, quotes):
+        trades = spark.createDataFrame(
+            [
+                ("A", "2024-01-01 10:04:00", 1),   # -> 100.0 (10:00)
+                ("A", "2024-01-01 10:05:00", 2),   # -> 101.0 (inclusive <=)
+                ("A", "2024-01-01 10:30:00", 3),   # -> 102.0 (latest)
+                ("B", "2024-01-01 10:00:00", 4),   # -> NULL (no prior quote)
+                ("B", "2024-01-01 10:04:00", 5),   # -> 50.0
+                ("C", "2024-01-01 10:00:00", 6),   # -> NULL (unknown key)
+            ],
+            "sym string, ts string, trade_id int",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {
+            r.trade_id: r.px_asof
+            for r in asof_join(trades, quotes, on="sym", right_cols=["px"]).collect()
+        }
+        assert out == {1: 100.0, 2: 101.0, 3: 102.0, 4: None, 5: 50.0, 6: None}
+
+    def test_keeps_all_left_rows_and_columns(self, spark, quotes):
+        trades = spark.createDataFrame(
+            [("A", "2024-01-01 11:00:00", 7, "note")],
+            "sym string, ts string, trade_id int, memo string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = asof_join(trades, quotes, on="sym", right_cols=["px"])
+        assert set(out.columns) == {"sym", "ts", "trade_id", "memo", "px_asof"}
+        assert out.count() == 1
+
+
+class TestSkewUtils:
+    def test_salted_agg_matches_plain(self, spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        plain = {
+            r.l_returnflag: (r.s, r.c)
+            for r in li.groupBy("l_returnflag")
+            .agg(F.sum("l_quantity").alias("s"), F.count("l_orderkey").alias("c"))
+            .collect()
+        }
+        salted = {
+            r.l_returnflag: (r.sum_l_quantity, r.count_l_orderkey)
+            for r in salted_agg(
+                li, ["l_returnflag"], {"l_quantity": "sum", "l_orderkey": "count"}
+            ).collect()
+        }
+        assert set(plain) == set(salted)
+        for k in plain:
+            assert abs(plain[k][0] - salted[k][0]) < 1e-6
+            assert plain[k][1] == salted[k][1]
+
+    def test_salted_join_matches_plain(self, spark, sf_dir):
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        plain = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+        salted = salted_join(
+            orders.withColumnRenamed("o_custkey", "k"),
+            cust.withColumnRenamed("c_custkey", "k"),
+            on="k",
+        ).count()
+        assert plain == salted
