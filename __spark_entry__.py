@@ -436,6 +436,357 @@ ASOF LEFT JOIN deduped o
 """
 
 
+def q4_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority counts over orders having at least one
+    discounted lineitem — a LEFT SEMI join (one probe, no row duplication,
+    no post-join dedup) followed by a tiny aggregation."""
+    orders = _t(spark, sf_dir, "orders")
+    disc = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        orders.join(disc, orders.o_orderkey == disc.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+GROUP BY o_orderpriority
+"""
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume. One fact-fact shuffle join
+    (lineitem ⋈ orders); every dimension (supplier, customer, nation×2) is
+    broadcast, so nation attribution adds zero extra shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(revenue.cast("double").alias("revenue"))
+    )
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY supp_nation, cust_nation
+"""
+
+
+def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional (CASE WHEN) aggregation — high/low priority
+    line counts per return flag. The CASE folds into the partial aggregate, so
+    the shuffle carries two ints per (flag, task)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+    )
+
+
+_Q12_SQL = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share per ship month. Part is broadcast;
+    both the conditional and total sums are exact decimals, so the final
+    double ratio is engine-order-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(22,4)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_share")
+        )
+    )
+
+
+_Q14_SQL = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(22,4))
+                 ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(22,4))) AS DOUBLE),
+             6) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY ship_month
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders (HAVING over a fact aggregation),
+    joined back to orders + customer. The aggregation output (few rows) drives
+    broadcast joins back to the dimensions."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec(F.col("l_quantity"), 1)).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+_Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM (SELECT l_orderkey, SUM(CAST(ROUND(l_quantity, 1) AS DECIMAL(22,1))) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING total_qty > 250) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction-of-conjunctions predicate over a part join.
+    The common p/l join key plus OR-of-ANDs residual stays inside one broadcast
+    hash join; the size/quantity brackets push into both scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_type") == "SMALL") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_type") == "MEDIUM") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_type") == "LARGE") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 50))
+    )
+    return j.filter(cond).agg(
+        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+_Q19_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(22,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_type = 'SMALL'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 20)
+   OR (p_type = 'MEDIUM' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_type = 'LARGE'  AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery shape: parts priced above their brand's
+    average. The brand average is a tiny aggregate broadcast back; the
+    comparison cross-multiplies (price·n > Σprice) so it is exact decimal
+    arithmetic — no float-average tie-break drift between engines."""
+    part = _t(spark, sf_dir, "part")
+    stats = part.groupBy(F.col("p_brand").alias("b_brand")).agg(
+        F.sum(_dec(F.col("p_retailprice"), 2)).alias("brand_total"),
+        F.count("*").alias("brand_n"),
+    )
+    return (
+        part.join(F.broadcast(stats), part.p_brand == stats.b_brand)
+        .filter(
+            _dec(F.col("p_retailprice"), 2) * F.col("brand_n") > F.col("brand_total")
+        )
+        .select("p_partkey", "p_brand", "p_retailprice")
+    )
+
+
+_ABOVE_AVG_SQL = """
+SELECT p_partkey, p_brand, p_retailprice
+FROM part p
+JOIN (SELECT p_brand AS b_brand,
+             SUM(CAST(ROUND(p_retailprice, 2) AS DECIMAL(22,2))) AS brand_total,
+             COUNT(*) AS brand_n
+      FROM part GROUP BY 1) s ON p.p_brand = s.b_brand
+WHERE CAST(ROUND(p_retailprice, 2) AS DECIMAL(22,2)) * brand_n > brand_total
+"""
+
+
+def daily_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window frame: 7-day moving average of daily revenue. Daily
+    totals are exact decimals; the frame sum stays decimal and only the final
+    ratio goes to double — deterministic across engines and partitionings.
+    Single-partition window is fine: #days ≪ #rows after the pre-aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("ship_day")).agg(
+        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)).alias("day_rev")
+    )
+    w = Window.orderBy("ship_day").rowsBetween(-6, 0)
+    return daily.select(
+        F.col("ship_day").cast("string").alias("ship_day"),
+        F.round(
+            F.sum("day_rev").over(w).cast("double") / F.count("*").over(w), 4
+        ).alias("ma7"),
+    )
+
+
+_MA7_SQL = """
+WITH daily AS (
+    SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(22,4))) AS day_rev
+    FROM lineitem GROUP BY 1
+)
+SELECT ship_day,
+       ROUND(CAST(SUM(day_rev) OVER w AS DOUBLE)
+             / COUNT(*) OVER w, 4) AS ma7
+FROM daily
+WINDOW w AS (ORDER BY ship_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window functions: NTILE(4) + CUME_DIST per nation over account
+    balance, with a total order (balance, custkey) so ties are deterministic."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+_QUARTILE_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       NTILE(4)    OVER w AS quartile,
+       ROUND(CUME_DIST() OVER w, 6) AS cdist
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+"""
+
+
+def orders_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts, status × priority. An explicit values list keeps
+    the plan a single pass (no distinct-value pre-query) and the output schema
+    stable for the driver's hash compare."""
+    orders = _t(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    piv = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderstatus", *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(p) for p in prios]
+    )
+
+
+_PIVOT_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) FILTER (o_orderpriority = '1-URGENT')        AS "1-URGENT",
+       COUNT(*) FILTER (o_orderpriority = '2-HIGH')          AS "2-HIGH",
+       COUNT(*) FILTER (o_orderpriority = '3-MEDIUM')        AS "3-MEDIUM",
+       COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+       COUNT(*) FILTER (o_orderpriority = '5-LOW')           AS "5-LOW"
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def balance_order_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: high-balance customers INTERSECT open-order customers
+    (tag 'both'), UNION ALL high-balance EXCEPT open-order (tag 'balance_only').
+    Both set ops hash on the same key, so AQE coalesces them into one exchange
+    reuse."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    open_ = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    both = rich.intersect(open_).withColumn("tag", F.lit("both"))
+    only = rich.exceptAll(open_.distinct()).withColumn("tag", F.lit("balance_only"))
+    return both.unionByName(only)
+
+
+_SETOPS_SQL = """
+WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+     open_o AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O')
+SELECT c_custkey, 'both' AS tag FROM (SELECT * FROM rich INTERSECT SELECT * FROM open_o)
+UNION ALL
+SELECT c_custkey, 'balance_only' AS tag FROM (SELECT * FROM rich EXCEPT SELECT * FROM open_o)
+"""
+
+
+def totalprice_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median / p95) of order value per status — Spark's
+    exact `percentile` (sort-based within group) vs DuckDB's quantile_cont,
+    both linear-interpolation. At 100 TB swap in approx_percentile; the exact
+    form is the oracle-checkable baseline."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+        F.count("*").alias("n"),
+    )
+
+
+_PCTL_SQL = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # Events: sessionization, windows, JSON
 # ---------------------------------------------------------------------------
@@ -978,10 +1329,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_forecast_revenue": q6_forecast_revenue,
+        "q4_priority_semijoin": q4_priority_semijoin,
+        "q7_nation_volume": q7_nation_volume,
         "q10_returned_items": q10_returned_items,
+        "q12_priority_by_flag": q12_priority_by_flag,
+        "q14_promo_share": q14_promo_share,
+        "q18_large_orders": q18_large_orders,
+        "q19_bracket_revenue": q19_bracket_revenue,
         "orders_rollup": orders_rollup,
         "customers_without_orders": customers_without_orders,
         "nation_distinct_counts": nation_distinct_counts,
+        "parts_above_brand_avg": parts_above_brand_avg,
+        "daily_revenue_moving_avg": daily_revenue_moving_avg,
+        "customer_balance_quartiles": customer_balance_quartiles,
+        "orders_pivot_priority": orders_pivot_priority,
+        "balance_order_setops": balance_order_setops,
+        "totalprice_percentiles": totalprice_percentiles,
         "asof_latest_order": asof_latest_order,
         "top_orders_per_customer": top_orders_per_customer,
         "events_sessionize": events_sessionize,
@@ -1014,10 +1377,22 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": _Q3_SQL,
         "q5_local_supplier_volume": _Q5_SQL,
         "q6_forecast_revenue": _Q6_SQL,
+        "q4_priority_semijoin": _Q4_SQL,
+        "q7_nation_volume": _Q7_SQL,
         "q10_returned_items": _Q10_SQL,
+        "q12_priority_by_flag": _Q12_SQL,
+        "q14_promo_share": _Q14_SQL,
+        "q18_large_orders": _Q18_SQL,
+        "q19_bracket_revenue": _Q19_SQL,
         "orders_rollup": _ROLLUP_SQL,
         "customers_without_orders": _ANTI_SQL,
         "nation_distinct_counts": _DISTINCT_SQL,
+        "parts_above_brand_avg": _ABOVE_AVG_SQL,
+        "daily_revenue_moving_avg": _MA7_SQL,
+        "customer_balance_quartiles": _QUARTILE_SQL,
+        "orders_pivot_priority": _PIVOT_SQL,
+        "balance_order_setops": _SETOPS_SQL,
+        "totalprice_percentiles": _PCTL_SQL,
         "asof_latest_order": _ASOF_SQL,
         "top_orders_per_customer": _TOPO_SQL,
         "events_sessionize": _SESSION_SQL,

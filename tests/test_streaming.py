@@ -104,3 +104,51 @@ class TestStreamingSessionWindow:
         plan = out._jdf.queryExecution().analyzed().toString()
         assert "EventTimeWatermark" in plan
         assert "45 minutes" in plan
+
+
+ROWS_BATCH2 = [
+    # user 1 event far in the future: advances the watermark past every
+    # earlier session's (last + gap), firing the event-time timeouts
+    (5, "2024-01-02 09:00:00", 99, "click", 0.5),
+]
+
+
+class TestStatefulSessionize:
+    def test_sessions_close_on_gap_and_timeout(self, spark, stream_dir):
+        from iceberg_evolve_spark.streaming.stateful import stateful_sessionize
+
+        src = stream_dir + "/data"
+        _write_batch(spark, src, ROWS_BATCH1, "b1")
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = stateful_sessionize(stream, gap_minutes=30, watermark_minutes=10)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stateful_out")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            _write_batch(spark, src, ROWS_BATCH2, "b2")
+            q.processAllAvailable()
+            # one more empty-ish pass so timeout-only microbatch runs
+            _write_batch(spark, src, [(6, "2024-01-02 10:00:00", 99, "x", 0.0)], "b3")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql(
+            "SELECT user_id, n_events, total_value, first_type, last_type "
+            "FROM stateful_out WHERE user_id < 99"
+        ).collect()
+        got = sorted((r.user_id, r.n_events, r.total_value, r.first_type, r.last_type) for r in rows)
+        # user 1: session (10:00,10:10)x2 clicks closed by the 12:00 event's gap
+        # OR by timeout; the 12:00 view session closed by timeout; user 2: one.
+        assert got == [
+            (1, 1, 3.0, "view", "view"),
+            (1, 2, 3.0, "click", "click"),
+            (2, 1, 4.0, "click", "click"),
+        ]
