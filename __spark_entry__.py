@@ -787,6 +787,66 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def range_join_click_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (custom operator): each 'view' event matched to every same-
+    user 'click' whose 12-hour attribution window contains it. Bucketized
+    equi-join — no per-key nested loop; see functions/range_join.py."""
+    from iceberg_evolve_spark.functions.range_join import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 12 HOURS")).alias("end"),
+    )
+    out = range_join(views, clicks, on="user_id", point_ts="ts", bucket_seconds=12 * 3600)
+    return out.select("event_id", "user_id", "click_id")
+
+
+_RANGE_SQL = """
+SELECT p.event_id, p.user_id, i.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'view') p
+JOIN (SELECT user_id, event_id, ts AS s, ts + INTERVAL 12 HOUR AS en
+      FROM events WHERE event_type = 'click') i
+  ON p.user_id = i.user_id AND i.s <= p.ts AND p.ts <= i.en
+"""
+
+
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hour and day aggregates of the
+    event stream in ONE pass via grouping sets (Spark Expand — one shuffle,
+    the scan is not repeated per resolution)."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd HH:mm:ss")
+    return (
+        ev.withColumn("hour_b", hour)
+        .withColumn("day_b", day)
+        .groupingSets(
+            [[F.col("day_b"), F.col("hour_b")], [F.col("day_b")]],
+            "day_b",
+            "hour_b",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(_dec(F.col("value"), 2)).cast("double"), 2).alias("total_value"),
+        )
+        .select("day_b", "hour_b", "n", "total_value")
+    )
+
+
+_TIME_ROLLUP_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day_b,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_b,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(22,2))) AS DOUBLE), 2) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((day_b, hour_b), (day_b))
+"""
+
+
 # ---------------------------------------------------------------------------
 # Events: sessionization, windows, JSON
 # ---------------------------------------------------------------------------
@@ -1346,6 +1406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balance_order_setops": balance_order_setops,
         "totalprice_percentiles": totalprice_percentiles,
         "asof_latest_order": asof_latest_order,
+        "range_join_click_views": range_join_click_views,
+        "events_time_rollup": events_time_rollup,
         "top_orders_per_customer": top_orders_per_customer,
         "events_sessionize": events_sessionize,
         "events_hourly_counts": events_hourly_counts,
@@ -1394,6 +1456,8 @@ def oracle_sql() -> dict[str, str]:
         "balance_order_setops": _SETOPS_SQL,
         "totalprice_percentiles": _PCTL_SQL,
         "asof_latest_order": _ASOF_SQL,
+        "range_join_click_views": _RANGE_SQL,
+        "events_time_rollup": _TIME_ROLLUP_SQL,
         "top_orders_per_customer": _TOPO_SQL,
         "events_sessionize": _SESSION_SQL,
         "events_hourly_counts": _HOURLY_SQL,

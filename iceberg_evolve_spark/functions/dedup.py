@@ -43,6 +43,18 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cluster before a CPU-heavy subtree
+    (shingling, per-token hashing). A small parquet file arrives as ONE input
+    split, which would serialize the whole hash pipeline on a single core; at
+    real scale the input already has ≥ defaultParallelism splits and this is a
+    no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _shingle_index(
     df: DataFrame, id_col: str, text_col: str, k: int, max_df: int | None
 ) -> DataFrame:
@@ -50,6 +62,7 @@ def _shingle_index(
     shingles appearing in more than ``max_df`` docs (skew + noise control at
     scale: a stop-shingle shared by millions of docs would otherwise create a
     quadratic bucket)."""
+    df = _ensure_parallelism(df)
     idx = df.select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(text_col, k)).alias("sh"),
@@ -281,7 +294,9 @@ def simhash(
     columns (all map-side combinable) → fold bits into one BIGINT. Bit tests use
     integer shifts (``shiftright``/``&``), which DuckDB reproduces exactly.
     """
-    tok = df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("t"))
+    tok = _ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("t")
+    )
     h = hash60(F.col("t"))
     aggs = [
         F.sum(

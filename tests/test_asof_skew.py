@@ -79,3 +79,42 @@ class TestSkewUtils:
             on="k",
         ).count()
         assert plain == salted
+
+
+class TestRangeJoin:
+    def test_inner_and_left_with_bucket_spans(self, spark):
+        from iceberg_evolve_spark.functions.range_join import range_join
+
+        # intervals spanning multiple buckets, inclusive bounds, and a
+        # point with no match at all
+        points = spark.createDataFrame(
+            [(1, 1, 100), (2, 1, 250), (3, 1, 900), (4, 2, 100)],
+            "pid long, k long, ts long",
+        )
+        intervals = spark.createDataFrame(
+            # [50, 260] spans buckets 0-2 at W=100; [240, 260] inside; none for k=2
+            [(10, 1, 50, 260), (11, 1, 240, 260)],
+            "iid long, k long, start long, end long",
+        )
+        inner = range_join(
+            points, intervals, on="k", point_ts="ts", bucket_seconds=100
+        )
+        got = sorted((r.pid, r.iid) for r in inner.collect())
+        assert got == [(1, 10), (2, 10), (2, 11)]
+
+        left = range_join(
+            points, intervals, on="k", point_ts="ts", bucket_seconds=100, how="left"
+        )
+        got_l = sorted((r.pid, r.iid) for r in left.collect())
+        assert got_l == [(1, 10), (2, 10), (2, 11), (3, None), (4, None)]
+
+    def test_inclusive_bounds(self, spark):
+        from iceberg_evolve_spark.functions.range_join import range_join
+
+        points = spark.createDataFrame([(1, 1, 100), (2, 1, 200)], "pid long, k long, ts long")
+        intervals = spark.createDataFrame([(9, 1, 100, 200)], "iid long, k long, start long, end long")
+        got = sorted(
+            (r.pid, r.iid)
+            for r in range_join(points, intervals, on="k", point_ts="ts", bucket_seconds=50).collect()
+        )
+        assert got == [(1, 9), (2, 9)]
