@@ -152,3 +152,50 @@ class TestStatefulSessionize:
             (1, 2, 3.0, "click", "click"),
             (2, 1, 4.0, "click", "click"),
         ]
+
+
+class TestStreamingDedup:
+    def test_dropduplicates_within_watermark(self, spark, stream_dir):
+        from iceberg_evolve_spark.streaming.dedup_stream import (
+            dedup_stream_by_content,
+            dedup_stream_exact,
+        )
+
+        src = stream_dir + "/data"
+        # event 2 duplicates event 1's id within the window; event 4 is a
+        # replay of event 1's payload under a fresh id
+        rows = [
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+            (1, "2024-01-01 10:01:00", 1, "click", 1.0),
+            (3, "2024-01-01 10:02:00", 2, "view", 2.0),
+            (4, "2024-01-01 10:03:00", 1, "click", 9.0),
+        ]
+        _write_batch(spark, src, rows, "b1")
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+        q = (
+            dedup_stream_exact(stream, key_cols=["event_id"], watermark="5 minutes")
+            .writeStream.format("memory")
+            .queryName("dedup_exact_out")
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = sorted(r.event_id for r in spark.sql("SELECT event_id FROM dedup_exact_out").collect())
+        assert got == [1, 3, 4]
+
+        # content-keyed: event_type+value fingerprint (use event_type col as content)
+        stream2 = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+        q2 = (
+            dedup_stream_by_content(stream2, content_col="event_type", watermark="5 minutes")
+            .writeStream.format("memory")
+            .queryName("dedup_content_out")
+            .outputMode("append")
+            .start()
+        )
+        q2.processAllAvailable()
+        q2.stop()
+        types = sorted(
+            r.event_type for r in spark.sql("SELECT event_type FROM dedup_content_out").collect()
+        )
+        assert types == ["click", "view"]
