@@ -28,7 +28,11 @@ import warnings
 from dataclasses import dataclass
 from typing import Any
 
-from iceberg_evolve_spark.canonical import clean_type_str, is_narrower_than
+from iceberg_evolve_spark.canonical import (
+    clean_type_str,
+    is_engine_legal_promotion,
+    is_narrower_than,
+)
 from iceberg_evolve_spark.exceptions import UnsupportedSchemaEvolutionWarning
 from iceberg_evolve_spark.model import (
     DecimalType,
@@ -208,10 +212,30 @@ class UpdateColumn(BaseEvolutionOperation):
             return []
         stmts = []
         if self.current_type != self.new_type:
-            stmts.append(
-                f"ALTER TABLE {table} ALTER COLUMN {quote_path(self.name)} "
-                f"TYPE {to_spark_ddl_type(self.new_type)}"
-            )
+            # The reference's widening lattice (is_narrower_than) classifies
+            # e.g. int→float as non-breaking, but Iceberg/Spark DDL only
+            # permits int→long, float→double and decimal precision widening —
+            # the reference itself would crash inside PyIceberg on the others
+            # (SURVEY §7.4 risk 2). Refuse to compile DDL that the engine will
+            # reject; the workaround (or the DataFrame migration backend,
+            # which CAN rewrite int→float) is in the warning.
+            if not is_engine_legal_promotion(self.current_type, self.new_type):
+                warnings.warn(
+                    f"Type change {clean_type_str(self.current_type)} → "
+                    f"{clean_type_str(self.new_type)} on {self.name!r} is not an "
+                    f"engine-legal Iceberg promotion (only int→long, "
+                    f"float→double, decimal precision widening). Workaround: "
+                    f"add a new column, backfill, drop the old one — or use "
+                    f"the DataFrame migration backend (migrate_dataframe), "
+                    f"which rewrites data and supports any cast.",
+                    UnsupportedSchemaEvolutionWarning,
+                    stacklevel=2,
+                )
+            else:
+                stmts.append(
+                    f"ALTER TABLE {table} ALTER COLUMN {quote_path(self.name)} "
+                    f"TYPE {to_spark_ddl_type(self.new_type)}"
+                )
         if self.doc is not None:
             stmts.append(
                 f"ALTER TABLE {table} ALTER COLUMN {quote_path(self.name)} "

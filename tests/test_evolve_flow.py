@@ -159,3 +159,43 @@ class TestJsonSchemaConversion:
         assert out["properties"]["age"] == {"type": "integer"}
         assert out["properties"]["signup"] == {"type": "string"}
         assert "id" in out["required"]
+
+
+class TestEngineLegalPromotionGate:
+    def test_illegal_promotion_warns_and_compiles_no_ddl(self):
+        import warnings as w
+
+        from iceberg_evolve_spark.exceptions import UnsupportedSchemaEvolutionWarning
+        from iceberg_evolve_spark.model import PrimitiveType
+        from iceberg_evolve_spark.operators.evolution import UpdateColumn
+
+        op = UpdateColumn(
+            name="x",
+            current_type=PrimitiveType("int"),
+            new_type=PrimitiveType("float"),
+        )
+        # reference lattice says int→float is non-breaking…
+        assert not op.is_breaking()
+        # …but the engine can't apply it in place: no DDL, loud warning
+        with w.catch_warnings(record=True) as ws:
+            w.simplefilter("always")
+            stmts = op.to_sql("cat.db.t")
+        assert stmts == []
+        assert any(
+            isinstance(x.message, UnsupportedSchemaEvolutionWarning)
+            and "engine-legal" in str(x.message)
+            for x in ws
+        )
+
+    def test_legal_promotion_compiles(self):
+        from iceberg_evolve_spark.model import PrimitiveType
+        from iceberg_evolve_spark.operators.evolution import UpdateColumn
+
+        op = UpdateColumn(
+            name="x",
+            current_type=PrimitiveType("int"),
+            new_type=PrimitiveType("long"),
+        )
+        assert op.to_sql("cat.db.t") == [
+            "ALTER TABLE cat.db.t ALTER COLUMN x TYPE BIGINT"
+        ]
