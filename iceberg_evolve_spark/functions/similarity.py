@@ -141,23 +141,31 @@ def topk_ivf(
     n_probe: int = 4,
     seed: int = 42,
     round_digits: int | None = 6,
+    max_iter: int = 8,
 ) -> DataFrame:
     """IVF-style approximate top-k: KMeans-cluster the corpus, search only the
     ``n_probe`` cells nearest the query.
 
     The clustering pass is offline/amortized (at 100 TB: persist ``_cell`` as a
     partition column; the probe then becomes partition pruning at the scan).
-    Falls back gracefully: probing all cells == exact search.
+    ``max_iter`` is capped low on purpose: an ANN coarse quantizer needs
+    roughly-balanced cells, not converged centroids — extra iterations buy
+    recall nothing. Falls back gracefully: probing all cells == exact search.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     import numpy as np
 
+    from iceberg_evolve_spark.functions.dedup import _ensure_parallelism
+
+    df = _ensure_parallelism(df)
     vecs = df.select(
         F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(vecs)
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="features", maxIter=max_iter
+    ).fit(vecs)
     assigned = model.transform(vecs).select(id_col, F.col("prediction").alias("_cell"))
 
     q = np.asarray(query_vec, dtype="float64")
