@@ -847,6 +847,80 @@ GROUP BY GROUPING SETS ((day_b, hour_b), (day_b))
 """
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with maximum revenue — argmax over an
+    aggregate via a rank window on the (small) aggregated result, so the fact
+    table is scanned once and the window runs on #suppliers rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    w = Window.orderBy(F.col("total_revenue").desc())
+    top = rev.withColumn("_r", F.rank().over(w)).filter(F.col("_r") == 1).drop("_r")
+    return top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+_Q15_SQL = """
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(22,4))) AS DOUBLE) AS total_revenue
+    FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: per user, did signup → click → purchase happen in
+    order? One conditional aggregation pass (min event time per stage), then
+    ordering checks — no joins, one shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    reached_click = F.col("t_signup").isNotNull() & (F.col("t_click") > F.col("t_signup"))
+    reached_purchase = reached_click & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.select(
+        "user_id",
+        F.col("t_signup").isNotNull().alias("signed_up"),
+        F.coalesce(reached_click, F.lit(False)).alias("clicked_after_signup"),
+        F.coalesce(reached_purchase, F.lit(False)).alias("purchased_after_click"),
+    )
+
+
+_FUNNEL_SQL = """
+WITH per_user AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+           MIN(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events GROUP BY user_id
+)
+SELECT user_id,
+       t_signup IS NOT NULL AS signed_up,
+       COALESCE(t_signup IS NOT NULL AND t_click > t_signup, FALSE) AS clicked_after_signup,
+       COALESCE(t_signup IS NOT NULL AND t_click > t_signup AND t_purchase > t_click, FALSE)
+           AS purchased_after_click
+FROM per_user
+"""
+
+
 # ---------------------------------------------------------------------------
 # Events: sessionization, windows, JSON
 # ---------------------------------------------------------------------------
@@ -1394,8 +1468,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "q12_priority_by_flag": q12_priority_by_flag,
         "q14_promo_share": q14_promo_share,
+        "q15_top_supplier": q15_top_supplier,
         "q18_large_orders": q18_large_orders,
         "q19_bracket_revenue": q19_bracket_revenue,
+        "events_funnel": events_funnel,
         "orders_rollup": orders_rollup,
         "customers_without_orders": customers_without_orders,
         "nation_distinct_counts": nation_distinct_counts,
@@ -1444,8 +1520,10 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_items": _Q10_SQL,
         "q12_priority_by_flag": _Q12_SQL,
         "q14_promo_share": _Q14_SQL,
+        "q15_top_supplier": _Q15_SQL,
         "q18_large_orders": _Q18_SQL,
         "q19_bracket_revenue": _Q19_SQL,
+        "events_funnel": _FUNNEL_SQL,
         "orders_rollup": _ROLLUP_SQL,
         "customers_without_orders": _ANTI_SQL,
         "nation_distinct_counts": _DISTINCT_SQL,

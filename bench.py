@@ -30,6 +30,7 @@ HEADLINE = [
     "q10_returned_items",
     "q12_priority_by_flag",
     "q14_promo_share",
+    "q15_top_supplier",
     "q18_large_orders",
     "q19_bracket_revenue",
     "orders_rollup",
@@ -44,6 +45,7 @@ HEADLINE = [
     "asof_latest_order",
     "range_join_click_views",
     "events_time_rollup",
+    "events_funnel",
     "top_orders_per_customer",
     "events_sessionize",
     "events_hourly_counts",
