@@ -921,6 +921,43 @@ FROM per_user
 """
 
 
+def orders_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized UDAF (grouped-agg pandas UDF): geometric mean of order value
+    per status. The whole group ships as one Arrow batch; body is numpy.
+    Oracle is the algebraic identity exp(avg(ln(x)))."""
+    from iceberg_evolve_spark.functions.udxf import geometric_mean
+
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(geometric_mean("o_totalprice"), 4).alias("gmean_price")
+    )
+
+
+_GEOMEAN_SQL = """
+SELECT o_orderstatus, ROUND(EXP(AVG(LN(o_totalprice))), 4) AS gmean_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (arrow-optimized, lateral join): context-window chunking of
+    each document into 32-token chunks — the LLM pre-tokenization fan-out."""
+    from iceberg_evolve_spark.functions.udxf import chunk_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_tokens(docs, 32)
+
+
+_CHUNK_SQL = f"""
+WITH tokarr AS (SELECT doc_id, {_TOKS} AS ts FROM documents)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       array_to_string(list_slice(ts, (i - 1) * 32 + 1, i * 32), ' ') AS chunk_text,
+       CAST(len(list_slice(ts, (i - 1) * 32 + 1, i * 32)) AS INT) AS n_tokens
+FROM tokarr, UNNEST(range(1, (len(ts) + 31) // 32 + 1)) AS t(i)
+WHERE len(ts) > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Events: sessionization, windows, JSON
 # ---------------------------------------------------------------------------
@@ -1472,6 +1509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q18_large_orders,
         "q19_bracket_revenue": q19_bracket_revenue,
         "events_funnel": events_funnel,
+        "orders_geomean": orders_geomean,
+        "doc_token_chunks": doc_token_chunks,
         "orders_rollup": orders_rollup,
         "customers_without_orders": customers_without_orders,
         "nation_distinct_counts": nation_distinct_counts,
@@ -1524,6 +1563,8 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_orders": _Q18_SQL,
         "q19_bracket_revenue": _Q19_SQL,
         "events_funnel": _FUNNEL_SQL,
+        "orders_geomean": _GEOMEAN_SQL,
+        "doc_token_chunks": _CHUNK_SQL,
         "orders_rollup": _ROLLUP_SQL,
         "customers_without_orders": _ANTI_SQL,
         "nation_distinct_counts": _DISTINCT_SQL,

@@ -46,6 +46,8 @@ HEADLINE = [
     "range_join_click_views",
     "events_time_rollup",
     "events_funnel",
+    "orders_geomean",
+    "doc_token_chunks",
     "top_orders_per_customer",
     "events_sessionize",
     "events_hourly_counts",

@@ -186,3 +186,58 @@ class TestMultimodal:
         )
         bad = joined.filter(F.col("byte_len") != F.col("n")).count()
         assert bad == 0  # corpus is pure ASCII → byte_len == char count
+
+
+class TestUdxf:
+    def test_sentence_split_udtf(self, spark):
+        from iceberg_evolve_spark.functions.udxf import split_sentences
+
+        docs = spark.createDataFrame(
+            [(1, "Hello there. How are you? Fine!"), (2, "One.. Two"), (3, None), (4, "...")],
+            "doc_id long, text string",
+        )
+        got = sorted(
+            (r.doc_id, r.sentence_idx, r.sentence) for r in split_sentences(docs).collect()
+        )
+        # raw-split indices survive dropped empties; None/only-punct docs emit nothing
+        assert got == [
+            (1, 1, "Hello there"),
+            (1, 2, "How are you"),
+            (1, 3, "Fine"),
+            (2, 1, "One"),
+            (2, 2, "Two"),
+        ]
+
+    def test_token_chunks_disjoint_and_tail(self, spark):
+        from iceberg_evolve_spark.functions.udxf import chunk_tokens
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "x"), (3, "")], "doc_id long, text string"
+        )
+        got = sorted(
+            (r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+            for r in chunk_tokens(docs, 2).collect()
+        )
+        assert got == [
+            (1, 1, "a b", 2),
+            (1, 2, "c d", 2),
+            (1, 3, "e", 1),
+            (2, 1, "x", 1),
+        ]
+
+    def test_geometric_mean_udaf(self, spark):
+        from iceberg_evolve_spark.functions.udxf import geometric_mean
+
+        df = spark.createDataFrame(
+            [("A", 2.0), ("A", 8.0), ("B", 5.0), ("C", -1.0)], "k string, v double"
+        )
+        import math
+
+        got = {
+            r.k: r.g
+            for r in df.groupBy("k").agg(geometric_mean("v").alias("g")).collect()
+        }
+        assert abs(got["A"] - 4.0) < 1e-9
+        assert abs(got["B"] - 5.0) < 1e-9
+        # no positive values → NaN, surfaced as SQL NULL through Arrow
+        assert got["C"] is None or math.isnan(got["C"])
