@@ -46,16 +46,25 @@ FEATURE_SCHEMA = T.StructType(
 
 def attach_fake_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Test harness: synthesize a deterministic binary payload (UTF-8 of the text)
-    plus metadata, producing the schema a real ingest would."""
+    plus metadata, producing the schema a real ingest would. Media type cycles
+    image/audio/video by id so every downstream branch gets exercised;
+    time-based media get a deterministic fake duration."""
+    mt = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    duration = F.when(
+        mt != "image", (F.length(F.col(text_col)) * 10).cast("long")
+    ).otherwise(F.lit(None).cast("long"))
     return df.select(
         F.col(id_col),
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
         F.struct(
-            F.lit("image").alias("media_type"),
+            mt.alias("media_type"),
             F.lit("fake").alias("format"),
             (F.length(F.col(text_col)) % 1024).cast("int").alias("width"),
             (F.length(F.col(text_col)) % 768).cast("int").alias("height"),
-            F.lit(None).cast("long").alias("duration_ms"),
+            duration.alias("duration_ms"),
         ).alias("media_meta"),
     )
 
@@ -98,6 +107,104 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("scale_x", T.DoubleType()),
+        T.StructField("scale_y", T.DoubleType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    meta_col: str = "media_meta",
+) -> DataFrame:
+    """Resize plumbing: Arrow-batched map over (payload, meta) → resized
+    payload + new dimensions + scale factors. The pixel work is stubbed
+    (``decode_payload`` raises); the deterministic fake passes bytes through
+    so schema/batching/partitioning are testable end-to-end. In production the
+    body calls decode → resize → re-encode on the same batch shape."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = pdf[meta_col]
+            w = metas.map(lambda m: m["width"] or 0)
+            h = metas.map(lambda m: m["height"] or 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": pdf[payload_col],  # fake: bytes pass through
+                    "width": target_w,
+                    "height": target_h,
+                    "scale_x": w.map(lambda x: target_w / x if x else 0.0).astype("float64"),
+                    "scale_y": h.map(lambda x: target_h / x if x else 0.0).astype("float64"),
+                }
+            )
+
+    return df.select(id_col, payload_col, meta_col).mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("t_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    meta_col: str = "media_meta",
+) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled timestamp of each
+    time-based payload (video/audio); images yield no rows. Fan-out happens
+    inside the Arrow batch (a pandas fill), not via per-row Python calls. The
+    fake 'frame' is a deterministic 16-byte slice of the payload at a
+    time-proportional offset — production swaps in an ffmpeg seek+decode with
+    the identical output schema."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "t_ms": [], "frame": []}
+            for did, payload, meta in zip(
+                pdf[id_col].astype("int64"), pdf[payload_col], pdf[meta_col]
+            ):
+                dur = meta["duration_ms"]
+                if dur is None or meta["media_type"] == "image" or not payload:
+                    continue
+                n = int(dur) // every_ms + 1
+                for i in range(n):
+                    t = i * every_ms
+                    off = int(len(payload) * t / (int(dur) + 1))
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(i)
+                    out["t_ms"].append(t)
+                    out["frame"].append(bytes(payload[off : off + 16]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "t_ms": pd.Series(out["t_ms"], dtype="int64"),
+                    "frame": pd.Series(out["frame"], dtype="object"),
+                }
+            )
+
+    return df.select(id_col, payload_col, meta_col).mapInPandas(run, schema=FRAME_SCHEMA)
 
 
 def extract_features_sql_equivalent(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:

@@ -241,3 +241,38 @@ class TestUdxf:
         assert abs(got["B"] - 5.0) < 1e-9
         # no positive values → NaN, surfaced as SQL NULL through Arrow
         assert got["C"] is None or math.isnan(got["C"])
+
+
+class TestMultimodalPlumbing:
+    def test_resize_and_frame_sample(self, spark):
+        from iceberg_evolve_spark.functions.multimodal import (
+            attach_fake_payload,
+            resize_images,
+            sample_frames,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "abcdefgh"), (1, "0123456789abcdef"), (2, "xy")],
+            "doc_id long, text string",
+        )
+        media = attach_fake_payload(docs)
+        metas = {r.doc_id: r.media_meta.asDict() for r in media.collect()}
+        # media type cycles by id; time-based rows get a duration
+        assert metas[0]["media_type"] == "image" and metas[0]["duration_ms"] is None
+        assert metas[1]["media_type"] == "audio" and metas[1]["duration_ms"] == 160
+        assert metas[2]["media_type"] == "video" and metas[2]["duration_ms"] == 20
+
+        rz = {r.doc_id: r for r in resize_images(media, 64, 32).collect()}
+        assert rz[0].width == 64 and rz[0].height == 32
+        assert rz[0].scale_x == 64 / 8 and rz[0].scale_y == 32 / 8
+        assert bytes(rz[1].payload) == b"0123456789abcdef"
+
+        fr = sample_frames(media, every_ms=100).collect()
+        by_doc = {}
+        for r in fr:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert 0 not in by_doc  # images produce no frames
+        # audio doc 1: duration 160ms → frames at 0 and 100
+        assert [r.t_ms for r in sorted(by_doc[1], key=lambda r: r.frame_idx)] == [0, 100]
+        # video doc 2: duration 20ms → one frame at t=0, bytes from offset 0
+        assert [(r.t_ms, bytes(r.frame)) for r in by_doc[2]] == [(0, b"xy")]
