@@ -1,0 +1,81 @@
+"""Beyond-parquet source/sink formats with model-driven schemas.
+
+CSV/JSON readers take a schema from OUR model (``Schema``) so files load with
+exact types and field order — never schema inference, which at 100 TB means a
+full extra pass over the data and nondeterministic types (JSON ints→bigint vs
+double depending on sampling).
+
+The partitioned writer is the standard lake layout step: hash/partition-column
+layout + bounded file sizes (small-file problem ⟷ giant-file problem both hurt;
+``maxRecordsPerFile`` bounds the upper end, ``repartition`` the lower).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+
+if TYPE_CHECKING:
+    from iceberg_evolve_spark.schema import Schema
+
+
+def _spark_schema(schema: "Schema | None"):
+    if schema is None:
+        return None
+    return schema.to_spark_struct()
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: "Schema | None" = None,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV with an explicit model schema (no inference pass)."""
+    reader = spark.read.options(header=str(header).lower(), **options)
+    ss = _spark_schema(schema)
+    if ss is not None:
+        reader = reader.schema(ss)
+    else:
+        reader = reader.option("inferSchema", "true")  # small files only
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: "Schema | None" = None,
+    **options: str,
+) -> DataFrame:
+    """JSON-lines with an explicit model schema (no inference pass)."""
+    reader = spark.read.options(**options)
+    ss = _spark_schema(schema)
+    if ss is not None:
+        reader = reader.schema(ss)
+    return reader.json(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Write a partition-column lake layout with bounded file sizes.
+
+    The pre-write ``repartition(partition_cols)`` routes each output partition
+    to one task — without it, every task writes a sliver of every partition
+    and the layout degenerates into the small-file problem.
+    """
+    (
+        df.repartition(*partition_cols)
+        .write.format(fmt)
+        .mode(mode)
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .partitionBy(*partition_cols)
+        .save(path)
+    )
