@@ -958,6 +958,49 @@ WHERE len(ts) > 0
 """
 
 
+def merge_customer_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics over plain DataFrames: every 7th customer gets a
+    balance bump + segment change (matched → update), and synthetic new keys
+    insert. One full-outer shuffle join + coalesce projection — the raw-lake
+    equivalent of MERGE INTO (operators/merge.py)."""
+    from iceberg_evolve_spark.operators.merge import merge_upsert
+
+    cust = _t(spark, sf_dir, "customer")
+    changed = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    inserts = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.concat(F.lit("new-"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    return merge_upsert(cust, changed.unionByName(inserts), key="c_custkey")
+
+
+_MERGE_SQL = """
+WITH u AS (
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,
+           'UPDATED' AS c_mktsegment
+    FROM customer WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT c_custkey + 1000000, 'new-' || c_name, c_nationkey, 0.0, 'NEW'
+    FROM customer WHERE c_custkey % 97 = 0
+)
+SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
+       CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name        ELSE t.c_name        END AS c_name,
+       CASE WHEN u.c_custkey IS NOT NULL THEN u.c_nationkey   ELSE t.c_nationkey   END AS c_nationkey,
+       CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal     ELSE t.c_acctbal     END AS c_acctbal,
+       CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment  ELSE t.c_mktsegment  END AS c_mktsegment
+FROM customer t FULL OUTER JOIN u ON t.c_custkey = u.c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Events: sessionization, windows, JSON
 # ---------------------------------------------------------------------------
@@ -1511,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": events_funnel,
         "orders_geomean": orders_geomean,
         "doc_token_chunks": doc_token_chunks,
+        "merge_customer_updates": merge_customer_updates,
         "orders_rollup": orders_rollup,
         "customers_without_orders": customers_without_orders,
         "nation_distinct_counts": nation_distinct_counts,
@@ -1565,6 +1609,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": _FUNNEL_SQL,
         "orders_geomean": _GEOMEAN_SQL,
         "doc_token_chunks": _CHUNK_SQL,
+        "merge_customer_updates": _MERGE_SQL,
         "orders_rollup": _ROLLUP_SQL,
         "customers_without_orders": _ANTI_SQL,
         "nation_distinct_counts": _DISTINCT_SQL,

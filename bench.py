@@ -65,6 +65,7 @@ HEADLINE = [
     "doc_fingerprint",
     "bpe_token_counts",
     "multimodal_features",
+    "merge_customer_updates",
     "schema_of_lineitem",
     "schema_diff_by_name",
     "evolve_users_diff",

@@ -57,6 +57,25 @@ def read_json(
     return reader.json(path)
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partition + sort the data before writing so parquet row-group
+    min/max statistics become *disjoint ranges* — readers then skip whole
+    files/row-groups for selective predicates on ``sort_cols`` (the poor
+    man's clustering; Iceberg/Delta call the multi-dimensional variant
+    Z-ordering). ``repartitionByRange`` gives globally disjoint files;
+    ``sortWithinPartitions`` orders rows inside each for row-group skipping."""
+    out = df.repartitionByRange(*sort_cols) if n_files is None else df.repartitionByRange(
+        n_files, *sort_cols
+    )
+    out.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -199,3 +199,32 @@ class TestEngineLegalPromotionGate:
         assert op.to_sql("cat.db.t") == [
             "ALTER TABLE cat.db.t ALTER COLUMN x TYPE BIGINT"
         ]
+
+
+class TestMergeUpsert:
+    def test_update_insert_keep_and_delete_missing(self, spark):
+        from iceberg_evolve_spark.operators.merge import merge_upsert
+
+        target = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, name string, v double"
+        )
+        updates = spark.createDataFrame(
+            [(2, "b2", 99.0), (4, "d", 40.0)], "k long, name string, v double"
+        )
+        got = sorted(tuple(r) for r in merge_upsert(target, updates, "k").collect())
+        assert got == [(1, "a", 10.0), (2, "b2", 99.0), (3, "c", 30.0), (4, "d", 40.0)]
+
+        snap = sorted(
+            tuple(r) for r in merge_upsert(target, updates, "k", delete_missing=True).collect()
+        )
+        assert snap == [(2, "b2", 99.0), (4, "d", 40.0)]
+
+    def test_schema_mismatch_rejected(self, spark):
+        from iceberg_evolve_spark.operators.merge import merge_upsert
+
+        t = spark.createDataFrame([(1, "a")], "k long, name string")
+        u = spark.createDataFrame([(1,)], "k long")
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="migrate_dataframe"):
+            merge_upsert(t, u, "k")

@@ -53,3 +53,29 @@ class TestFormats:
         assert "PartitionFilters: [isnotnull(c_nationkey" in plan
         expected = customer.filter(F.col("c_nationkey") == 3).count()
         assert one.count() == expected
+
+    def test_sorted_write_disjoint_ranges(self, spark, customer, tmp_path_factory):
+        import glob as g
+
+        import pyarrow.parquet as pq
+
+        from iceberg_evolve_spark.sources.formats import write_sorted
+
+        d = str(tmp_path_factory.mktemp("sorted"))
+        write_sorted(customer, d, ["c_custkey"], n_files=4)
+        ranges = []
+        for f in g.glob(f"{d}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            col = md.row_group(0).column(0)
+            assert col.path_in_schema == "c_custkey"
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(0).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            ranges.append((min(mins), max(maxs)))
+        ranges.sort()
+        assert len(ranges) >= 2
+        # file ranges must be disjoint → selective scans skip whole files
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2
