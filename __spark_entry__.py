@@ -1001,6 +1001,135 @@ FROM customer t FULL OUTER JOIN u ON t.c_custkey = u.c_custkey
 """
 
 
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers above the global positive-balance average
+    with no order since 2000, counted per nation. Scalar subquery (broadcast
+    one number) + anti join + aggregation. The average cross-multiplies to
+    exact decimal arithmetic so the threshold can't drift between engines."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    pos = cust.filter(F.col("c_acctbal") > 0)
+    stats = pos.agg(
+        F.sum(_dec(F.col("c_acctbal"), 2)).alias("s"), F.count("*").alias("n")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(stats))
+        .filter(_dec(F.col("c_acctbal"), 2) * F.col("n") > F.col("s"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    dormant = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return dormant.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        F.sum(_dec(F.col("c_acctbal"), 2)).cast("double").alias("totacctbal"),
+    )
+
+
+_Q22_SQL = """
+WITH stats AS (
+    SELECT SUM(CAST(ROUND(c_acctbal, 2) AS DECIMAL(22,2))) AS s, COUNT(*) AS n
+    FROM customer WHERE c_acctbal > 0
+),
+rich AS (
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer, stats
+    WHERE CAST(ROUND(c_acctbal, 2) AS DECIMAL(22,2)) * n > s
+)
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(ROUND(c_acctbal, 2) AS DECIMAL(22,2))) AS DOUBLE) AS totacctbal
+FROM rich
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+"""
+
+
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: supplier-nation revenue, kept only when the nation's
+    share exceeds 3% of the total — HAVING against a scalar aggregate of the
+    same tree. The per-nation aggregate is computed once; the global total is
+    a second tiny aggregate of it, broadcast back (no second fact scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+    per_nation = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(rev.alias("value"))
+    )
+    total = per_nation.agg(F.sum("value").alias("total"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .filter(F.col("value") * 100 > F.col("total") * 3)
+        .select(
+            "n_name",
+            F.col("value").cast("double").alias("value"),
+            F.round(F.col("value").cast("double") / F.col("total").cast("double"), 6).alias("share"),
+        )
+    )
+
+
+_Q11_SQL = """
+WITH per_nation AS (
+    SELECT n_name,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(22,4))) AS value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+), tot AS (SELECT SUM(value) AS total FROM per_nation)
+SELECT n_name, CAST(value AS DOUBLE) AS value,
+       ROUND(CAST(value AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+FROM per_nation, tot
+WHERE value * 100 > total * 3
+"""
+
+
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted — no partsupp table): per part, the supplier
+    with the lowest observed unit price. Per-group argmin via row_number over
+    the (part, supplier) aggregate; unit price is a ratio of two exact decimal
+    sums so the ordering key is engine-stable, with supplier key tie-break."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    offers = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice"), 2)).alias("ep"),
+            F.sum(_dec(F.col("l_quantity"), 1)).alias("qty"),
+        )
+        .withColumn("unit_price", F.round(F.col("ep").cast("double") / F.col("qty").cast("double"), 6))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_price").asc(), F.col("l_suppkey").asc()
+    )
+    best = offers.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return best.join(F.broadcast(part), best.l_partkey == part.p_partkey).select(
+        "p_partkey", "p_name", F.col("l_suppkey").alias("best_suppkey"), "unit_price"
+    )
+
+
+_Q2_SQL = """
+WITH offers AS (
+    SELECT l_partkey, l_suppkey,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(22,2))) AS DOUBLE)
+                 / CAST(SUM(CAST(ROUND(l_quantity, 1) AS DECIMAL(22,1))) AS DOUBLE), 6) AS unit_price
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+), best AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY l_partkey
+                                     ORDER BY unit_price ASC, l_suppkey ASC) AS rn
+        FROM offers
+    ) WHERE rn = 1
+)
+SELECT p_partkey, p_name, l_suppkey AS best_suppkey, unit_price
+FROM best JOIN part ON l_partkey = p_partkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Events: sessionization, windows, JSON
 # ---------------------------------------------------------------------------
@@ -1555,6 +1684,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_geomean": orders_geomean,
         "doc_token_chunks": doc_token_chunks,
         "merge_customer_updates": merge_customer_updates,
+        "q22_dormant_rich_customers": q22_dormant_rich_customers,
+        "nation_revenue_share": nation_revenue_share,
+        "cheapest_supplier_per_part": cheapest_supplier_per_part,
         "orders_rollup": orders_rollup,
         "customers_without_orders": customers_without_orders,
         "nation_distinct_counts": nation_distinct_counts,
@@ -1610,6 +1742,9 @@ def oracle_sql() -> dict[str, str]:
         "orders_geomean": _GEOMEAN_SQL,
         "doc_token_chunks": _CHUNK_SQL,
         "merge_customer_updates": _MERGE_SQL,
+        "q22_dormant_rich_customers": _Q22_SQL,
+        "nation_revenue_share": _Q11_SQL,
+        "cheapest_supplier_per_part": _Q2_SQL,
         "orders_rollup": _ROLLUP_SQL,
         "customers_without_orders": _ANTI_SQL,
         "nation_distinct_counts": _DISTINCT_SQL,

@@ -66,6 +66,9 @@ HEADLINE = [
     "bpe_token_counts",
     "multimodal_features",
     "merge_customer_updates",
+    "q22_dormant_rich_customers",
+    "nation_revenue_share",
+    "cheapest_supplier_per_part",
     "schema_of_lineitem",
     "schema_diff_by_name",
     "evolve_users_diff",

@@ -59,3 +59,35 @@ def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
     assert scols == ocols
     assert len(srows) == len(orows)
     assert srows == orows
+
+
+def test_sql_api_parity(spark, sf_dir):
+    """The engine is usable through plain spark.sql over registered views —
+    same results as the DataFrame formulation (same Catalyst plan space)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_evolve_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    via_sql = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(ROUND(l_quantity, 1) AS DECIMAL(22,1))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+    li = spark.table("lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    via_df = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.round(F.col("l_quantity"), 1).cast("decimal(22,1)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.count("*").alias("count_order"),
+    )
+    a = sorted(tuple(r) for r in via_sql.collect())
+    b = sorted(tuple(r) for r in via_df.collect())
+    assert a == b
