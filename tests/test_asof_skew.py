@@ -118,3 +118,51 @@ class TestRangeJoin:
             for r in range_join(points, intervals, on="k", point_ts="ts", bucket_seconds=50).collect()
         )
         assert got == [(1, 9), (2, 9)]
+
+
+class TestAsofBucketed:
+    def test_matches_plain_asof_on_random_data(self, spark):
+        import random
+
+        from iceberg_evolve_spark.functions.asof import asof_join, asof_join_bucketed
+
+        rng = random.Random(7)
+        # skewed: key 1 gets 10x the rows; ts in [0, 10_000_000)
+        lrows = [
+            (i, rng.choice([1] * 10 + [2, 3, 4]), rng.randrange(0, 10_000_000))
+            for i in range(400)
+        ]
+        rrows_raw = {}
+        for _ in range(300):
+            k = rng.choice([1] * 10 + [2, 3, 4])
+            t = rng.randrange(0, 10_000_000)
+            rrows_raw[(k, t)] = rng.random()  # dedupe (key, ts): deterministic
+        rrows = [(k, t, round(v, 6)) for (k, t), v in rrows_raw.items()]
+        left = spark.createDataFrame(lrows, "eid long, k long, ts long")
+        right = spark.createDataFrame(rrows, "k long, ts long, px double")
+
+        plain = {
+            r.eid: r.px_asof
+            for r in asof_join(left, right, on="k").collect()
+        }
+        bucketed = {
+            r.eid: r.px_asof
+            for r in asof_join_bucketed(
+                left, right, on="k", bucket_seconds=500_000
+            ).collect()
+        }
+        assert plain == bucketed
+
+    def test_bucket_width_does_not_change_result(self, spark):
+        from iceberg_evolve_spark.functions.asof import asof_join_bucketed
+
+        left = spark.createDataFrame(
+            [(1, 1, 100), (2, 1, 999_999), (3, 1, 1_000_001)], "eid long, k long, ts long"
+        )
+        right = spark.createDataFrame([(1, 50, 1.5)], "k long, ts long, px double")
+        for w in (10, 1000, 10_000_000):
+            got = {
+                r.eid: r.px_asof
+                for r in asof_join_bucketed(left, right, on="k", bucket_seconds=w).collect()
+            }
+            assert got == {1: 1.5, 2: 1.5, 3: 1.5}, w
