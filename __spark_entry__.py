@@ -1131,6 +1131,360 @@ FROM best JOIN part ON l_partkey = p_partkey
 
 
 # ---------------------------------------------------------------------------
+# TPC-H sweep completion: Q8, Q9, Q13, Q16, Q17, Q20, Q21 shapes
+# (adapted to the synthetic schema: no partsupp / commitdate / comments)
+# ---------------------------------------------------------------------------
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — share of one supplier nation's
+    revenue within a region's market for one part type, per year. One fact-fact
+    shuffle (lineitem ⋈ orders); part/customer/supplier/nation×2/region all
+    broadcast. The CASE-vs-total ratio folds into a single partial aggregate,
+    so the shuffle after the joins carries only #years rows per task."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    zero = F.lit(0).cast("decimal(22,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_rkey") == region.r_regionkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(zero)).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q8_SQL = """
+WITH vol AS (
+    SELECT year(o_orderdate) AS o_year,
+           CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(22,4)) AS v,
+           sn.n_name AS supp_nation
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region   ON cn.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE)
+             / CAST(SUM(v) AS DOUBLE), 6) AS mkt_share
+FROM vol GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: cost = 0.6·p_retailprice·l_quantity in lieu of
+    ps_supplycost): profit by supplier nation and order year over a part-name
+    pattern. part/supplier/nation broadcast; the only shuffles are
+    lineitem ⋈ orders and the tiny (nation, year) aggregate. The per-row
+    profit term is exact at 4 decimals, so the DECIMAL sum is
+    aggregation-order-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("bolt"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(_dec(amount, 4)).cast("double").alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                           - 0.6 * p_retailprice * l_quantity, 4) AS DECIMAL(22,4))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY n_name, o_year
+ORDER BY nation ASC, o_year DESC
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution via left outer join
+    (priority filter stands in for the comment filter). Orders are pre-
+    aggregated to one row per customer BEFORE the join, so the custkey shuffle
+    moves #customers rows instead of #orders; customers with no orders enter
+    as c_count = 0 through the left join + coalesce."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    ocnt = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        cust.join(ocnt, cust.c_custkey == ocnt.o_custkey, "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_Q13_SQL = """
+WITH c_orders AS (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+    GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: observed (part, supplier) pairs from lineitem
+    stand in for partsupp; negative account balance stands in for the
+    complaints filter): distinct supplier count per (brand, type, size) with a
+    NOT IN anti-join. The distinct on (partkey, suppkey) is a map-side-combined
+    shuffle; part and the excluded-supplier set broadcast."""
+    ps = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").startswith("PROMO"))
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+_Q16_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM ps JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity orders — correlated
+    per-part average via aggregate + broadcast-back self-join (the classic
+    decorrelation). The brand/size filter shrinks part to a broadcastable set;
+    the per-part averages (one row per qualifying part) broadcast back onto the
+    same filtered lineitem, so nothing big ever shuffles. avg_qty is an exact
+    DECIMAL sum over a double count — deterministic on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 10)
+    ).select("p_partkey")
+    li_f = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    pa = li_f.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        (F.sum(_dec(F.col("l_quantity"), 1)).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li_f.join(F.broadcast(pa), li_f.l_partkey == pa.pa_key)
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum(_dec(F.col("l_extendedprice"), 2)).cast("double") / 7.0, 6).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+_Q17_SQL = """
+WITH pa AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(ROUND(l_quantity, 1) AS DECIMAL(22,1))) AS DOUBLE) / count(*) AS avg_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#23' AND p_size < 10
+    GROUP BY l_partkey
+)
+SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(22,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+FROM lineitem JOIN part ON lineitem.l_partkey = p_partkey
+JOIN pa ON lineitem.l_partkey = pa.l_partkey
+WHERE p_brand = 'Brand#23' AND p_size < 10
+  AND l_quantity < 0.2 * avg_qty
+"""
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: 1996 shipped quantity per (part, supplier)
+    stands in for ps_availqty): suppliers in one nation who shipped more than
+    half of a 'small%' part's total 1996 volume. Nested aggregation — the
+    (part, supplier) rollup re-aggregates to per-part totals, which broadcast
+    back; quantities stay DECIMAL through BOTH sums so the > comparison is
+    aggregation-order-independent. Supplier⋈nation broadcasts onto the final
+    candidate set."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    small = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("small")).select(
+        "p_partkey"
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    q96 = (
+        li.join(F.broadcast(small), li.l_partkey == small.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec(F.col("l_quantity"), 1)).alias("qty"))
+    )
+    tot = q96.groupBy(F.col("l_partkey").alias("t_key")).agg(F.sum("qty").alias("total_qty"))
+    sn = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        q96.join(F.broadcast(tot), q96.l_partkey == tot.t_key)
+        .filter(F.col("qty").cast("double") > F.lit(0.5) * F.col("total_qty").cast("double"))
+        .join(F.broadcast(sn), q96.l_suppkey == sn.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+_Q20_SQL = """
+WITH q96 AS (
+    SELECT l_partkey, l_suppkey,
+           SUM(CAST(ROUND(l_quantity, 1) AS DECIMAL(22,1))) AS qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    GROUP BY l_partkey, l_suppkey
+), tot AS (
+    SELECT l_partkey, SUM(qty) AS total_qty FROM q96 GROUP BY l_partkey
+)
+SELECT DISTINCT s_suppkey, s_name
+FROM q96 JOIN tot ON q96.l_partkey = tot.l_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+  AND CAST(qty AS DOUBLE) > 0.5 * CAST(total_qty AS DOUBLE)
+ORDER BY s_suppkey
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: 'late' = shipped >90 days after the order
+    date, replacing receipt/commit dates): suppliers who were the SOLE late
+    supplier on a multi-supplier order. The EXISTS / NOT EXISTS pair
+    decorrelates into one pass: per-(order, supplier) lateness, then per-order
+    supplier/late counts, then filter late ∧ n_supp > 1 ∧ n_late = 1 — three
+    aggregations that reuse the same orderkey clustering instead of two
+    correlated self-joins of lineitem. The oracle keeps the EXISTS form to
+    prove equivalence."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), 1
+    ).otherwise(0)
+    per_os = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    per_o = per_os.groupBy(F.col("l_orderkey").alias("o_key")).agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    sn = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        per_os.filter(F.col("late") == 1)
+        .join(per_o, per_os.l_orderkey == per_o.o_key)
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(sn), F.col("l_suppkey") == sn.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+_Q21_SQL = """
+WITH l AS (
+    SELECT l_orderkey, l_suppkey,
+           max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY l_orderkey, l_suppkey
+)
+SELECT s_name, count(*) AS numwait
+FROM l l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2' AND l1.late = 1
+  AND EXISTS (SELECT 1 FROM l l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.late = 1)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
 # Events: sessionization, windows, JSON
 # ---------------------------------------------------------------------------
 
@@ -1687,6 +2041,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_dormant_rich_customers": q22_dormant_rich_customers,
         "nation_revenue_share": nation_revenue_share,
         "cheapest_supplier_per_part": cheapest_supplier_per_part,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         "orders_rollup": orders_rollup,
         "customers_without_orders": customers_without_orders,
         "nation_distinct_counts": nation_distinct_counts,
@@ -1745,6 +2106,13 @@ def oracle_sql() -> dict[str, str]:
         "q22_dormant_rich_customers": _Q22_SQL,
         "nation_revenue_share": _Q11_SQL,
         "cheapest_supplier_per_part": _Q2_SQL,
+        "q8_market_share": _Q8_SQL,
+        "q9_product_profit": _Q9_SQL,
+        "q13_customer_distribution": _Q13_SQL,
+        "q16_supplier_part_counts": _Q16_SQL,
+        "q17_small_quantity_revenue": _Q17_SQL,
+        "q20_excess_suppliers": _Q20_SQL,
+        "q21_waiting_suppliers": _Q21_SQL,
         "orders_rollup": _ROLLUP_SQL,
         "customers_without_orders": _ANTI_SQL,
         "nation_distinct_counts": _DISTINCT_SQL,
