@@ -34,7 +34,10 @@ from iceberg_evolve_spark.functions.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from iceberg_evolve_spark.functions.graph import assign_components
 from iceberg_evolve_spark.functions.hashing import SEP
+from iceberg_evolve_spark.functions.sampling import stratified_hash_sample
+from iceberg_evolve_spark.functions.sketch import kmv_distinct_estimate, kmv_estimate_sql
 from iceberg_evolve_spark.functions.similarity import cosine_sim, topk_brute_force, topk_ivf
 from iceberg_evolve_spark.functions.text import (
     BPE_TOKEN_RE,
@@ -44,6 +47,7 @@ from iceberg_evolve_spark.functions.text import (
     add_text_stats,
     document_fingerprint,
     language_id,
+    tf_idf_top_terms,
     token_count_bpe,
 )
 from iceberg_evolve_spark.functions.multimodal import attach_fake_payload, extract_features
@@ -2011,6 +2015,155 @@ FROM customer
 
 
 # ---------------------------------------------------------------------------
+# Pipeline scale ops: KMV sketch, deterministic sampling, TF-IDF,
+# near-dup clustering (LSH pairs → connected components)
+# ---------------------------------------------------------------------------
+
+KMV_K = 256
+SAMPLE_FRACTIONS = {"1-URGENT": 0.2, "5-LOW": 0.05}
+SAMPLE_DEFAULT = 0.1
+TFIDF_TOP_K = 3
+
+
+def kmv_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch of lineitem.l_partkey: per-partition k-minima
+    via bounded mapInPandas, global merge of ≤ partitions·k values — the
+    shuffle-free way to estimate a 100 TB column's cardinality. Deterministic
+    (portable md5 hash), hence oracle-checkable unlike HLL."""
+    li = _t(spark, sf_dir, "lineitem")
+    return kmv_distinct_estimate(li, F.col("l_partkey").cast("string"), k=KMV_K)
+
+
+_KMV_SQL = kmv_estimate_sql(
+    "lineitem", _H60.format(x="CAST(l_partkey AS VARCHAR)"), k=KMV_K
+)
+
+
+def orders_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: content-addressed membership
+    (hash(o_orderkey) under a per-priority integer threshold) — reproducible
+    across engines and partitionings, zero shuffle, pushdown-friendly — then
+    per-stratum sample stats."""
+    orders = _t(spark, sf_dir, "orders")
+    sampled = stratified_hash_sample(
+        orders, "o_orderpriority", "o_orderkey", SAMPLE_FRACTIONS, SAMPLE_DEFAULT
+    )
+    return (
+        sampled.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("sample_n"),
+            F.sum(_dec(F.col("o_totalprice"), 2)).cast("double").alias("sample_totalprice"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _sample_sql() -> str:
+    thr_default = int(SAMPLE_DEFAULT * (1 << 60))
+    cases = " ".join(
+        f"WHEN o_orderpriority = '{k}' THEN {int(v * (1 << 60))}"
+        for k, v in sorted(SAMPLE_FRACTIONS.items())
+    )
+    h = _H60.format(x="CAST(o_orderkey AS VARCHAR)")
+    return f"""
+SELECT o_orderpriority, count(*) AS sample_n,
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(22,2))) AS DOUBLE) AS sample_totalprice
+FROM orders
+WHERE {h} < CASE {cases} ELSE {thr_default} END
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF. One wide
+    shuffle on (doc, term); document frequency and N reuse the shrunk
+    relation; deterministic tie-break on term."""
+    docs = _t(spark, sf_dir, "documents")
+    return tf_idf_top_terms(docs, "doc_id", "text", top_k=TFIDF_TOP_K).orderBy(
+        "doc_id", "rank"
+    )
+
+
+_TFIDF_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, term, tf,
+           ROUND(tf * (ln((n_docs + 1) / (dfreq + 1)) + 1.0), 6) AS score
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term ASC) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tf, score, rank FROM ranked
+WHERE rank <= {TFIDF_TOP_K}
+ORDER BY doc_id, rank
+"""
+
+
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline ending: MinHash-LSH candidate pairs → connected
+    components (iterative min-label propagation, lineage cut per round) →
+    every document labeled with its cluster and whether it is the kept
+    representative. The oracle replays the components with a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    full = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        full,
+        "doc_id",
+        num_hashes=MINHASH_N,
+        bands=LSH_BANDS,
+        k=SHINGLE_K,
+        threshold=JACCARD_T,
+    )
+    return assign_components(docs, "doc_id", pairs).orderBy("doc_id")
+
+
+_CLUSTER_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTE},
+bands AS (
+    SELECT doc_id, seed // {MINHASH_N // LSH_BANDS} AS band,
+           md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed ASC)) AS bhash
+    FROM sigs GROUP BY doc_id, seed // {MINHASH_N // LSH_BANDS}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b USING (band, bhash)
+    WHERE a.doc_id < b.doc_id
+),
+est AS (
+    SELECT c.id_a, c.id_b,
+           SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / {MINHASH_N}.0 AS ej
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+    GROUP BY c.id_a, c.id_b
+),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM est WHERE ej >= {JACCARD_T}
+    UNION
+    SELECT id_b AS u, id_a AS v FROM est WHERE ej >= {JACCARD_T}
+),
+reach(node, lbl) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS cluster_id,
+       d.doc_id = COALESCE(c.component, d.doc_id) AS is_representative
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
 
@@ -2070,6 +2223,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_cluster_components": dedup_cluster_components,
+        "kmv_distinct_parts": kmv_distinct_parts,
+        "orders_stratified_sample": orders_stratified_sample,
+        "tfidf_top_terms": tfidf_top_terms,
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "ann_topk_ivf": ann_topk_ivf,
         "text_stats": text_stats,
@@ -2135,6 +2292,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _MINHASH_LSH_SQL,
         "dedup_simhash": _simhash_sql(SIMHASH_BITS),
         "dedup_embedding_cosine": _EMB_DEDUP_SQL,
+        "dedup_cluster_components": _CLUSTER_SQL,
+        "kmv_distinct_parts": _KMV_SQL,
+        "orders_stratified_sample": _sample_sql(),
+        "tfidf_top_terms": _TFIDF_SQL,
         "ann_topk_bruteforce": _ANN_SQL,
         # ann_topk_ivf: intentionally no oracle (approximate, model-based)
         "text_stats": _TEXT_STATS_SQL,

@@ -1,0 +1,101 @@
+"""Connected components over a DataFrame edge list — the clustering step of a
+near-duplicate-removal pipeline (LSH candidate pairs → components → one kept
+representative per component).
+
+Algorithm: iterative min-label propagation. Every node starts labeled with its
+own id; each round every node takes the minimum label among itself and its
+neighbors; converged when no label changes. Rounds needed = graph diameter —
+near-dup graphs are overwhelmingly tiny cliques/chains, so this converges in a
+handful of rounds. (For adversarially long-chain graphs at extreme scale the
+published upgrade is the large-star/small-star algorithm of Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014 — same join
+primitives, fewer rounds; min-propagation is the right default here.)
+
+Scale notes:
+
+* Each round is one shuffle join on node id + one groupBy — both partition on
+  the same key, and AQE coalesces as components collapse.
+* ``localCheckpoint`` truncates the lineage each round, otherwise the plan
+  doubles per iteration and the driver OOMs planning round ~20.
+* Convergence is detected with ``SUM(label)``: labels only ever decrease, so
+  the sum is strictly monotone while anything changes — one cheap scalar job
+  per round instead of a join-based diff.
+
+The driver-side loop is deliberate: iterative fixpoints are control flow, not
+data flow — each *iteration* is pure distributed DataFrame work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Components of the undirected graph given by ``edges``.
+
+    Returns ``(node, component)`` where ``component`` is the minimum node id in
+    the node's component. Nodes appearing only as isolated endpoints of no edge
+    are not emitted — union the full node set afterwards (see
+    ``assign_components``).
+    """
+    a = F.col(src).alias("u")
+    b = F.col(dst).alias("v")
+    sym = (
+        edges.select(a, b)
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+
+    for _ in range(max_iterations):
+        nbr = (
+            sym.join(labels, sym.u == labels.node)
+            .groupBy(F.col("v").alias("node2"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = (
+            labels.join(nbr, labels.node == nbr.node2, "left")
+            .select("node", F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"))
+        )
+        # Pointer jumping (path halving): lbl ← label(lbl). Combined with the
+        # neighbor-min step this converges in O(log diameter) rounds instead of
+        # O(diameter) — the difference between 7 and 10^4 rounds on a long
+        # chain. One extra self-join on the same node-id partitioning.
+        ptr = labels.select(F.col("node").alias("pnode"), F.col("lbl").alias("plbl"))
+        labels = (
+            labels.join(ptr, labels.lbl == ptr.pnode, "left")
+            .select("node", F.coalesce("plbl", "lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    sym.unpersist()
+    return labels.select("node", F.col("lbl").alias("component"))
+
+
+def assign_components(
+    df: DataFrame, id_col: str, edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Attach a ``cluster_id`` to every row of ``df``: the component minimum
+    for nodes touched by an edge, the node's own id for singletons. Also flags
+    the canonical representative (the minimum id) — the row a dedup pipeline
+    keeps."""
+    comp = connected_components(edges, src, dst)
+    joined = df.join(comp, df[id_col] == comp.node, "left")
+    return joined.select(
+        *[df[c] for c in df.columns],
+        F.coalesce(comp.component, df[id_col]).alias("cluster_id"),
+    ).withColumn("is_representative", F.col(id_col) == F.col("cluster_id"))

@@ -1,0 +1,103 @@
+"""Distinct-count sketching: a deterministic K-Minimum-Values (KMV) sketch.
+
+Why not ``approx_count_distinct``? Spark's HLL++ is the right default at scale,
+but its estimate is engine-internal — it cannot be oracle-checked bit-for-bit
+against another engine. KMV over the portable 60-bit md5 hash
+(:mod:`iceberg_evolve_spark.functions.hashing`) is *deterministic and
+engine-portable*: the k smallest distinct hash values (and therefore the
+estimate) are identical in Spark and DuckDB, so correctness is testable while
+the operator still demonstrates the real scale pattern — estimate the distinct
+count of a 100 TB column while moving only ``k`` values per partition.
+
+Estimator (Bar-Yossef et al., "Counting distinct elements in a data stream",
+RANDOM 2002): with U(k) = k-th smallest distinct hash mapped into [0, 1),
+``E[distinct] ≈ (k - 1) / U(k)``.
+
+Scale design: the per-partition k-minima run inside ``mapInPandas`` with a
+bounded numpy buffer (≤ 2k values live per batch step), so each of the N input
+partitions emits at most k rows — the driver-side merge then sorts ``N·k``
+values, never the raw column. No full-column distinct, no wide shuffle: this is
+what separates the sketch from ``countDistinct`` at 1000 executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_evolve_spark.functions.hashing import hash60
+
+#: 2^60 as an exact double (power of two — exact in IEEE-754).
+TWO60 = float(1 << 60)
+
+
+def _partition_k_minima(k: int):
+    """mapInPandas worker: running distinct k-minima of the ``h`` column.
+
+    Bounded memory: carries a sorted numpy array of at most k values between
+    Arrow batches.
+    """
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: "np.ndarray | None" = None
+        for pdf in batches:
+            h = pdf["h"].to_numpy()
+            cand = np.unique(h if best is None else np.concatenate([best, h]))
+            best = cand[:k]
+        yield pd.DataFrame({"h": best if best is not None else []})
+
+    return fn
+
+
+def kmv_minima(df: DataFrame, col: Column | str, k: int = 256) -> DataFrame:
+    """The k smallest distinct 60-bit hashes of ``col`` — one row per value.
+
+    Two-level: per-partition k-minima (mapInPandas, ≤ k rows out per
+    partition), then a global distinct+sort+limit over the tiny union.
+    """
+    hashed = df.select(hash60(col).alias("h"))
+    partial = hashed.mapInPandas(_partition_k_minima(k), "h long")
+    return partial.distinct().orderBy("h").limit(k)
+
+
+def kmv_distinct_estimate(df: DataFrame, col: Column | str, k: int = 256) -> DataFrame:
+    """One-row DataFrame: ``(k, n_mins, kth_hash, est_distinct)``.
+
+    If fewer than k distinct values exist, the sketch *is* the exact distinct
+    set and the estimate is the exact count.
+    """
+    mins = kmv_minima(df, col, k)
+    return mins.agg(
+        F.lit(k).alias("k"),
+        F.count(F.lit(1)).alias("n_mins"),
+        F.max("h").alias("kth_hash"),
+    ).select(
+        "k",
+        "n_mins",
+        "kth_hash",
+        F.when(F.col("n_mins") < k, F.col("n_mins").cast("double"))
+        .otherwise(
+            F.round(
+                (F.lit(k - 1) * F.lit(TWO60)) / F.col("kth_hash").cast("double"), 4
+            )
+        )
+        .alias("est_distinct"),
+    )
+
+
+def kmv_estimate_sql(table_expr: str, hash_sql: str, k: int = 256) -> str:
+    """DuckDB oracle computing the identical sketch/estimate."""
+    return f"""
+WITH mins AS (
+    SELECT DISTINCT {hash_sql} AS h FROM {table_expr} ORDER BY h LIMIT {k}
+)
+SELECT {k} AS k, count(*) AS n_mins, max(h) AS kth_hash,
+       CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+            ELSE ROUND(({k} - 1) * CAST({1 << 60} AS DOUBLE) / CAST(max(h) AS DOUBLE), 4)
+       END AS est_distinct
+FROM mins
+"""

@@ -140,3 +140,52 @@ def token_count_bpe(df: DataFrame, text_col: str = "text", out_col: str = "n_bpe
     return df.withColumn(
         out_col, F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0))
     )
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    ``score = tf · (ln((N + 1) / (df + 1)) + 1)`` (smoothed idf, scikit-learn
+    convention), rounded to 6 decimals; ties broken by term asc so output is
+    deterministic.
+
+    Scale shape: explode → (doc, term) counts is the one wide shuffle (partial
+    map-side combine shrinks it to the per-task distinct pairs); document
+    frequency re-aggregates the *already-shrunk* (doc, term) relation, not the
+    raw tokens; N joins in via a broadcast of a 1-row aggregate (no
+    ``df.count()`` on the driver — the whole pipeline stays one lazy plan). The
+    tf ⋈ idf join shuffles on term — vocabulary-sized, not corpus-sized.
+    The final per-doc top-k is a window over the (doc, term) relation.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1) / (F.col("dfreq") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .select(id_col, "term", "tf", "score", F.col("_rn").alias("rank"))
+    )

@@ -1,0 +1,178 @@
+"""Unit tests for the pipeline-scale ops: KMV sketch, deterministic sampling,
+connected components, TF-IDF."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_evolve_spark.functions.graph import assign_components, connected_components
+from iceberg_evolve_spark.functions.sampling import (
+    hash_sample,
+    smallest_k_sample,
+    stratified_hash_sample,
+)
+from iceberg_evolve_spark.functions.sketch import kmv_distinct_estimate, kmv_minima
+from iceberg_evolve_spark.functions.text import tf_idf_top_terms
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k(spark):
+    """Fewer than k distinct values → the sketch IS the distinct set."""
+    df = spark.range(0, 1000).select((F.col("id") % 37).cast("string").alias("v"))
+    row = kmv_distinct_estimate(df, F.col("v"), k=256).first()
+    assert row.n_mins == 37
+    assert row.est_distinct == 37.0
+
+
+def test_kmv_estimate_within_tolerance(spark):
+    """10k distinct values, k=256 → standard error ~1/sqrt(k) ≈ 6%."""
+    df = spark.range(0, 10_000).select(F.col("id").cast("string").alias("v"))
+    row = kmv_distinct_estimate(df, F.col("v"), k=256).first()
+    assert row.n_mins == 256
+    assert 10_000 * 0.8 < row.est_distinct < 10_000 * 1.2
+
+
+def test_kmv_duplicate_heavy_input(spark):
+    """Duplicates must not crowd out the k distinct minima (the failure mode of
+    naive TakeOrdered over raw hashes)."""
+    # 50 distinct values, each repeated 200x, badly partitioned.
+    df = (
+        spark.range(0, 10_000)
+        .repartition(16)
+        .select((F.col("id") % 50).cast("string").alias("v"))
+    )
+    mins = kmv_minima(df, F.col("v"), k=256)
+    vals = [r.h for r in mins.collect()]
+    assert len(vals) == 50 == len(set(vals))
+
+
+def test_kmv_partition_invariance(spark):
+    df = spark.range(0, 5_000).select(F.col("id").cast("string").alias("v"))
+    a = kmv_distinct_estimate(df.repartition(2), F.col("v"), k=64).first()
+    b = kmv_distinct_estimate(df.repartition(17), F.col("v"), k=64).first()
+    assert a.kth_hash == b.kth_hash and a.est_distinct == b.est_distinct
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    df = spark.range(0, 20_000).select(F.col("id"))
+    s1 = {r.id for r in hash_sample(df.repartition(3), "id", 0.1).collect()}
+    s2 = {r.id for r in hash_sample(df.repartition(31), "id", 0.1).collect()}
+    assert s1 == s2
+    # binomial(20000, 0.1): ±5 sigma ≈ ±212
+    assert 1_700 < len(s1) < 2_300
+
+
+def test_hash_sample_nested_subset(spark):
+    """Smaller fraction is a strict subset of a larger one (same key, same
+    salt) — the property that makes holdout splits stable under growth."""
+    df = spark.range(0, 5_000)
+    small = {r.id for r in hash_sample(df, "id", 0.05).collect()}
+    big = {r.id for r in hash_sample(df, "id", 0.2).collect()}
+    assert small <= big
+
+
+def test_hash_sample_salt_independence(spark):
+    df = spark.range(0, 20_000)
+    a = {r.id for r in hash_sample(df, "id", 0.1, salt="train").collect()}
+    b = {r.id for r in hash_sample(df, "id", 0.1, salt="val").collect()}
+    # overlap of two independent 10% samples ≈ 1% of rows, not 10%
+    assert len(a & b) < 0.03 * 20_000
+
+
+def test_stratified_fractions(spark):
+    df = spark.range(0, 30_000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("s")
+    )
+    out = stratified_hash_sample(df, "s", "id", {"0": 0.5, "1": 0.01}, 0.1)
+    counts = {r.s: r.n for r in out.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 4_500 < counts["0"] < 5_500
+    assert counts["1"] < 300
+    assert 700 < counts["2"] < 1_300
+
+
+def test_smallest_k_sample(spark):
+    df = spark.range(0, 10_000)
+    out1 = sorted(r.id for r in smallest_k_sample(df.repartition(4), "id", 100).collect())
+    out2 = sorted(r.id for r in smallest_k_sample(df.repartition(13), "id", 100).collect())
+    assert out1 == out2 and len(out1) == 100
+
+
+def test_bad_fraction_raises(spark):
+    df = spark.range(10)
+    with pytest.raises(ValueError):
+        hash_sample(df, "id", 1.5)
+
+
+# ---------------------------------------------------------------------------
+# Connected components
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_components_two_chains(spark):
+    # chain 1-2-3-4, chain 10-11, singleton edge 20-20 (self-loop)
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)])
+    got = {r.node: r.component for r in connected_components(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_components_long_chain_converges(spark):
+    """A 30-node path needs multiple propagation rounds (diameter ≈ 30, halved
+    per round pair) — exercises the iteration + lineage-cut path."""
+    e = _edges(spark, [(i, i + 1) for i in range(30)])
+    got = {r.node: r.component for r in connected_components(e).collect()}
+    assert set(got.values()) == {0} and len(got) == 31
+
+
+def test_components_edge_direction_irrelevant(spark):
+    a = connected_components(_edges(spark, [(5, 9)])).collect()
+    b = connected_components(_edges(spark, [(9, 5)])).collect()
+    assert {(r.node, r.component) for r in a} == {(r.node, r.component) for r in b}
+
+
+def test_assign_components_singletons(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    e = _edges(spark, [(0, 1), (1, 2)])
+    out = {r.doc_id: (r.cluster_id, r.is_representative) for r in
+           assign_components(nodes, "doc_id", e).collect()}
+    assert out[0] == (0, True) and out[1] == (0, False) and out[2] == (0, False)
+    # untouched nodes are their own singleton clusters
+    assert out[3] == (3, True) and out[5] == (5, True)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_ranks_distinguishing_terms(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "cherry cherry common"),
+            (3, "banana banana common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tf_idf_top_terms(docs, "doc_id", "text", top_k=1).collect()
+    top = {r.doc_id: r.term for r in out}
+    # 'common' appears in all docs → low idf; unique terms win.
+    assert top == {1: "apple", 2: "cherry", 3: "banana"}
+
+
+def test_tfidf_deterministic_tiebreak(spark):
+    docs = spark.createDataFrame([(1, "zebra alpha")], "doc_id long, text string")
+    out = tf_idf_top_terms(docs, "doc_id", "text", top_k=2).orderBy("rank").collect()
+    # equal scores → term asc
+    assert [r.term for r in out] == ["alpha", "zebra"]
