@@ -35,7 +35,7 @@ from iceberg_evolve_spark.functions.dedup import (
     simhash,
 )
 from iceberg_evolve_spark.functions.graph import assign_components
-from iceberg_evolve_spark.functions.hashing import SEP
+from iceberg_evolve_spark.functions.hashing import SEP, hash60
 from iceberg_evolve_spark.functions.sampling import stratified_hash_sample
 from iceberg_evolve_spark.functions.sketch import kmv_distinct_estimate, kmv_estimate_sql
 from iceberg_evolve_spark.functions.similarity import cosine_sim, topk_brute_force, topk_ivf
@@ -53,6 +53,7 @@ from iceberg_evolve_spark.functions.text import (
 from iceberg_evolve_spark.functions.multimodal import attach_fake_payload, extract_features
 from iceberg_evolve_spark.model import DecimalType, Field, PrimitiveType, StructType
 from iceberg_evolve_spark.operators.migrate_df import migrate_dataframe
+from iceberg_evolve_spark.operators.scd import scd2_intervals
 from iceberg_evolve_spark.schema import Schema
 from iceberg_evolve_spark.sources.tables import load_table
 from iceberg_evolve_spark.spark_convert import struct_from_spark
@@ -2164,6 +2165,283 @@ ORDER BY d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Pipeline compositions: keep-best dedup, train/test decontamination
+# ---------------------------------------------------------------------------
+
+SPLIT_FRACTION = 0.8
+_SPLIT_SALT = "split"
+
+#: Quality-score CTE fragment (must stay in sync with _TEXT_STATS_SQL).
+_QUALITY_CTE = f"""
+qb AS (
+    SELECT doc_id, {_TOKS} AS ts,
+           length(text) AS nc,
+           length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS np
+    FROM documents
+), qm AS (
+    SELECT doc_id, len(ts) AS n_tokens,
+           CASE WHEN nc > 0 THEN CAST(np AS DOUBLE) / nc ELSE 0.0 END AS punct_ratio,
+           CASE WHEN len(ts) > 0
+                THEN CAST(len(list_filter(ts, t -> list_contains({{stop}}, t))) AS DOUBLE) / len(ts)
+                ELSE 0.0 END AS stopword_ratio
+    FROM qb
+), quality AS (
+    SELECT doc_id,
+           ROUND(0.4 * least(1.0, n_tokens / 100.0) + 0.3 * (1.0 - punct_ratio)
+                 + 0.3 * least(1.0, 4.0 * stopword_ratio), 6) AS quality_score
+    FROM qm
+)
+"""
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup pipeline with a selection policy: LSH pairs →
+    connected components → keep the HIGHEST-QUALITY document per cluster
+    (argmax via row_number over (quality desc, doc_id asc)) — what a real
+    corpus-dedup job ships, rather than 'keep the lowest id'. One extra
+    cluster-keyed window over the clustering output."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        num_hashes=MINHASH_N,
+        bands=LSH_BANDS,
+        k=SHINGLE_K,
+        threshold=JACCARD_T,
+    )
+    clustered = assign_components(docs.select("doc_id"), "doc_id", pairs)
+    scored = add_text_stats(docs).select(
+        "doc_id", F.round("quality_score", 6).alias("quality_score")
+    )
+    j = clustered.join(scored, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "cluster_id", "quality_score", "cluster_size")
+        .orderBy("cluster_id")
+    )
+
+
+def _keep_best_sql() -> str:
+    quality = _QUALITY_CTE.format(stop=_STOP_LIST)
+    return f"""
+WITH RECURSIVE {_MINHASH_CTE},
+bands AS (
+    SELECT doc_id, seed // {MINHASH_N // LSH_BANDS} AS band,
+           md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed ASC)) AS bhash
+    FROM sigs GROUP BY doc_id, seed // {MINHASH_N // LSH_BANDS}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b USING (band, bhash)
+    WHERE a.doc_id < b.doc_id
+),
+est AS (
+    SELECT c.id_a, c.id_b,
+           SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / {MINHASH_N}.0 AS ej
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+    GROUP BY c.id_a, c.id_b
+),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM est WHERE ej >= {JACCARD_T}
+    UNION
+    SELECT id_b AS u, id_a AS v FROM est WHERE ej >= {JACCARD_T}
+),
+reach(node, lbl) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+clustered AS (
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+{quality.strip().lstrip()},
+j AS (
+    SELECT clustered.doc_id, cluster_id, quality_score
+    FROM clustered JOIN quality USING (doc_id)
+),
+r AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY quality_score DESC, doc_id ASC) AS rn,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM j
+)
+SELECT doc_id, cluster_id, quality_score, cluster_size
+FROM r WHERE rn = 1 ORDER BY cluster_id
+"""
+
+
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: deterministic 80/20 hash split of the
+    corpus, then flag train documents whose exact-text fingerprint also
+    appears in the test split. The split is a per-row integer-threshold
+    predicate (no shuffle); the contamination check is one semi-join on the
+    md5 fingerprint of the (small) test side. Per-source summary."""
+    docs = _t(spark, sf_dir, "documents")
+    split_hash = hash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit(f"{SEP}{_SPLIT_SALT}"))
+    )
+    thr = F.lit(int(SPLIT_FRACTION * (1 << 60)))
+    train = docs.filter(split_hash < thr)
+    test = docs.filter(~(split_hash < thr))
+    test_fp = test.select(F.md5("text").alias("fp")).distinct().withColumn(
+        "_cont", F.lit(1)
+    )
+    marked = train.withColumn("fp", F.md5("text")).join(
+        F.broadcast(test_fp), "fp", "left"
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.coalesce(F.col("_cont"), F.lit(0))).cast("bigint").alias("n_contaminated"),
+            F.sum(F.when(F.col("_cont").isNull(), 1).otherwise(0)).cast("bigint").alias("n_clean"),
+        )
+        .orderBy("source")
+    )
+
+
+def _decontaminate_sql() -> str:
+    thr = int(SPLIT_FRACTION * (1 << 60))
+    h = _H60.format(x=f"CAST(doc_id AS VARCHAR) || '{SEP}{_SPLIT_SALT}'")
+    return f"""
+WITH train AS (
+    SELECT source, md5(text) AS fp FROM documents WHERE {h} < {thr}
+),
+test_fp AS (
+    SELECT DISTINCT md5(text) AS fp, 1 AS cont
+    FROM documents WHERE NOT ({h} < {thr})
+),
+marked AS (
+    SELECT source, cont FROM train LEFT JOIN test_fp USING (fp)
+)
+SELECT source, count(*) AS n_train,
+       CAST(SUM(COALESCE(cont, 0)) AS BIGINT) AS n_contaminated,
+       CAST(SUM(CASE WHEN cont IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+FROM marked
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Warehouse shapes: SCD2 intervals, GROUPING SETS, unpivot
+# ---------------------------------------------------------------------------
+
+
+def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build: collapse each customer's order-priority
+    observations into validity intervals (run-length encoding over time via
+    lag/sum/lead windows — one shuffle on the entity key, no self-join).
+    The row-versioning counterpart of the schema-evolution core."""
+    orders = _t(spark, sf_dir, "orders")
+    return scd2_intervals(
+        orders,
+        key="o_custkey",
+        attrs=["o_orderpriority"],
+        ts="o_orderdate",
+        tiebreak="o_orderkey",
+    ).orderBy("o_custkey", "version")
+
+
+_SCD2_SQL = """
+WITH e AS (
+    SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+           lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+    FROM orders
+), r AS (
+    SELECT *, SUM(CASE WHEN rn = 1 OR prev IS DISTINCT FROM o_orderpriority
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                    ROWS UNBOUNDED PRECEDING) AS run
+    FROM e
+), iv AS (
+    SELECT o_custkey, o_orderpriority, run, min(o_orderdate) AS valid_from
+    FROM r GROUP BY o_custkey, o_orderpriority, run
+)
+SELECT o_custkey, o_orderpriority, valid_from,
+       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run ASC) AS valid_to,
+       CAST(run AS INT) AS version
+FROM iv
+ORDER BY o_custkey, version
+"""
+
+
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): chosen subtotal combinations
+    in ONE pass — Spark's Expand operator replicates each input row per set, so
+    there is a single scan and a single shuffle regardless of how many sets."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("o_totalprice"), 2)).cast("double").alias("total"),
+    )
+
+
+_GSETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(22,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus),
+                        (o_orderpriority), ())
+"""
+
+
+def lineitem_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt: wide metric columns → long (metric, value) — the
+    DataFrame `unpivot` lowers to Expand (scan-side row replication, no join,
+    no shuffle before the aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "value",
+    )
+    return (
+        long.groupBy("l_returnflag", "metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec(F.col("value"), 2)).cast("double").alias("total"),
+        )
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+_UNPIVOT_SQL = """
+WITH long AS (
+    SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+)
+SELECT l_returnflag, metric, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(22,2))) AS DOUBLE) AS total
+FROM long
+GROUP BY l_returnflag, metric
+ORDER BY l_returnflag, metric
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
 
@@ -2202,6 +2480,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_suppliers": q20_excess_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "orders_rollup": orders_rollup,
+        "orders_grouping_sets": orders_grouping_sets,
+        "lineitem_metrics_unpivot": lineitem_metrics_unpivot,
+        "scd2_customer_priority": scd2_customer_priority,
         "customers_without_orders": customers_without_orders,
         "nation_distinct_counts": nation_distinct_counts,
         "parts_above_brand_avg": parts_above_brand_avg,
@@ -2224,6 +2505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_cluster_components": dedup_cluster_components,
+        "dedup_keep_best": dedup_keep_best,
+        "decontaminate_docs": decontaminate_docs,
         "kmv_distinct_parts": kmv_distinct_parts,
         "orders_stratified_sample": orders_stratified_sample,
         "tfidf_top_terms": tfidf_top_terms,
@@ -2271,6 +2554,9 @@ def oracle_sql() -> dict[str, str]:
         "q20_excess_suppliers": _Q20_SQL,
         "q21_waiting_suppliers": _Q21_SQL,
         "orders_rollup": _ROLLUP_SQL,
+        "orders_grouping_sets": _GSETS_SQL,
+        "lineitem_metrics_unpivot": _UNPIVOT_SQL,
+        "scd2_customer_priority": _SCD2_SQL,
         "customers_without_orders": _ANTI_SQL,
         "nation_distinct_counts": _DISTINCT_SQL,
         "parts_above_brand_avg": _ABOVE_AVG_SQL,
@@ -2293,6 +2579,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(SIMHASH_BITS),
         "dedup_embedding_cosine": _EMB_DEDUP_SQL,
         "dedup_cluster_components": _CLUSTER_SQL,
+        "dedup_keep_best": _keep_best_sql(),
+        "decontaminate_docs": _decontaminate_sql(),
         "kmv_distinct_parts": _KMV_SQL,
         "orders_stratified_sample": _sample_sql(),
         "tfidf_top_terms": _TFIDF_SQL,

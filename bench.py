@@ -18,63 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-# Every queries() entry, in registry order — the whole contract surface is
-# benchmarked so per-round comparisons cover every operator.
-HEADLINE = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q4_priority_semijoin",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q12_priority_by_flag",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "orders_rollup",
-    "customers_without_orders",
-    "nation_distinct_counts",
-    "parts_above_brand_avg",
-    "daily_revenue_moving_avg",
-    "customer_balance_quartiles",
-    "orders_pivot_priority",
-    "balance_order_setops",
-    "totalprice_percentiles",
-    "asof_latest_order",
-    "range_join_click_views",
-    "events_time_rollup",
-    "events_funnel",
-    "orders_geomean",
-    "doc_token_chunks",
-    "top_orders_per_customer",
-    "events_sessionize",
-    "events_hourly_counts",
-    "events_json_kpis",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "ann_topk_bruteforce",
-    "ann_topk_ivf",
-    "text_stats",
-    "lang_id",
-    "doc_fingerprint",
-    "bpe_token_counts",
-    "multimodal_features",
-    "merge_customer_updates",
-    "q22_dormant_rich_customers",
-    "nation_revenue_share",
-    "cheapest_supplier_per_part",
-    "schema_of_lineitem",
-    "schema_diff_by_name",
-    "evolve_users_diff",
-    "evolve_users_plan",
-    "migrate_customer",
-]
+# The whole contract surface is benchmarked — every queries() entry, in
+# registry order — so per-round comparisons cover every operator and a newly
+# registered query can never be silently missing from the bench.
 
 
 def main() -> None:
@@ -105,7 +51,7 @@ def main() -> None:
     KMeans(k=2, seed=1, maxIter=1).fit(tiny)
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in qs:
         timings[name] = round(run(name), 3)
 
     total = round(sum(timings.values()), 3)

@@ -1,0 +1,88 @@
+"""Unit tests for SCD2 interval building and point-in-time lookup."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from iceberg_evolve_spark.operators.scd import as_of_lookup, scd2_intervals
+
+
+def _events(spark):
+    rows = [
+        # key 1: A at t1-t2, B at t3, back to A at t4 (A≠merged: non-adjacent)
+        (1, "A", datetime(2020, 1, 1), 101),
+        (1, "A", datetime(2020, 2, 1), 102),
+        (1, "B", datetime(2020, 3, 1), 103),
+        (1, "A", datetime(2020, 4, 1), 104),
+        # key 2: single observation
+        (2, "X", datetime(2020, 1, 15), 201),
+    ]
+    return spark.createDataFrame(rows, "k long, attr string, ts timestamp, seq long")
+
+
+def test_scd2_runs_and_intervals(spark):
+    out = scd2_intervals(_events(spark), "k", ["attr"], "ts", tiebreak="seq")
+    rows = {(r.k, r.version): r for r in out.collect()}
+    assert len(rows) == 4  # 3 runs for key 1, 1 for key 2
+    r1 = rows[(1, 1)]
+    assert r1.attr == "A" and r1.valid_from == datetime(2020, 1, 1)
+    assert r1.valid_to == datetime(2020, 3, 1)  # closed by the B run
+    r2 = rows[(1, 2)]
+    assert r2.attr == "B" and r2.valid_to == datetime(2020, 4, 1)
+    r3 = rows[(1, 3)]
+    assert r3.attr == "A" and r3.valid_to is None  # current
+    assert rows[(2, 1)].valid_to is None
+
+
+def test_scd2_same_ts_tiebreak_deterministic(spark):
+    rows = [
+        (1, "A", datetime(2020, 1, 1), 2),
+        (1, "B", datetime(2020, 1, 1), 1),  # same ts — seq orders B first
+    ]
+    df = spark.createDataFrame(rows, "k long, attr string, ts timestamp, seq long")
+    out = scd2_intervals(df, "k", ["attr"], "ts", tiebreak="seq").orderBy("version")
+    got = [(r.attr, r.version) for r in out.collect()]
+    assert got == [("B", 1), ("A", 2)]
+
+
+def test_scd2_null_attr_run(spark):
+    """NULL attribute values form runs too (eqNullSafe semantics)."""
+    rows = [
+        (1, None, datetime(2020, 1, 1), 1),
+        (1, None, datetime(2020, 2, 1), 2),
+        (1, "A", datetime(2020, 3, 1), 3),
+    ]
+    df = spark.createDataFrame(rows, "k long, attr string, ts timestamp, seq long")
+    out = scd2_intervals(df, "k", ["attr"], "ts", tiebreak="seq").orderBy("version")
+    got = [(r.attr, r.version) for r in out.collect()]
+    assert got == [(None, 1), ("A", 2)]
+
+
+def test_as_of_lookup(spark):
+    dim = scd2_intervals(_events(spark), "k", ["attr"], "ts", tiebreak="seq")
+    facts = spark.createDataFrame(
+        [
+            (1, datetime(2020, 1, 20)),  # inside run A v1
+            (1, datetime(2020, 3, 15)),  # inside run B
+            (1, datetime(2021, 1, 1)),   # open-ended current run A v3
+            (1, datetime(2019, 1, 1)),   # before any interval → null
+            (2, datetime(2020, 6, 1)),   # key 2 current
+        ],
+        "k long, fts timestamp",
+    )
+    out = as_of_lookup(dim, facts, "k", "fts")
+    got = {(r.k, r.fts): r.attr for r in out.collect()}
+    assert got[(1, datetime(2020, 1, 20))] == "A"
+    assert got[(1, datetime(2020, 3, 15))] == "B"
+    assert got[(1, datetime(2021, 1, 1))] == "A"
+    assert got[(1, datetime(2019, 1, 1))] is None
+    assert got[(2, datetime(2020, 6, 1))] == "X"
+
+
+def test_as_of_lookup_version_matches_interval_count(spark):
+    """Every fact inside some interval gets exactly one dimension row."""
+    dim = scd2_intervals(_events(spark), "k", ["attr"], "ts", tiebreak="seq")
+    facts = spark.createDataFrame(
+        [(1, datetime(2020, 2, 15))], "k long, fts timestamp"
+    )
+    assert as_of_lookup(dim, facts, "k", "fts").count() == 1
