@@ -1,0 +1,33 @@
+"""Physical-plan regression tests: the PLANS.md criteria, enforced.
+
+Every contract query's executed plan must be free of
+* ``BatchEvalPython`` — row-at-a-time pickled Python (the banned slow path;
+  Arrow-batched ``MapInPandas``/``FlatMapGroupsInPandas`` are the allowed
+  Python surfaces), and
+* unexpected ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` — a range or
+  inequality predicate leaking into a join condition.
+
+Known-benign exception: a BroadcastNestedLoopJoin against a broadcast
+**single-row aggregate** (corpus size N in TF-IDF) — a 1×M join with no key
+is exactly what that plan node is for.
+"""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+#: queries whose plan legitimately contains ONE single-row-broadcast NLJ
+#: (tfidf: corpus size N; q11/q22: scalar-subquery thresholds)
+_SINGLE_ROW_NLJ_OK = {"tfidf_top_terms", "nation_revenue_share", "q22_dormant_rich_customers"}
+
+_QUERIES = entry_mod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_plan_criteria(name, spark, sf_dir):
+    df = _QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
+    nlj = plan.count("BroadcastNestedLoopJoin") + plan.count("CartesianProduct")
+    allowed = 1 if name in _SINGLE_ROW_NLJ_OK else 0
+    assert nlj <= allowed, f"{name}: {nlj} nested-loop/cartesian joins in plan"
