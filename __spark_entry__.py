@@ -37,7 +37,12 @@ from iceberg_evolve_spark.functions.dedup import (
 from iceberg_evolve_spark.functions.graph import assign_components
 from iceberg_evolve_spark.functions.hashing import SEP, hash60
 from iceberg_evolve_spark.functions.sampling import stratified_hash_sample
-from iceberg_evolve_spark.functions.sketch import kmv_distinct_estimate, kmv_estimate_sql
+from iceberg_evolve_spark.functions.sketch import (
+    cms_counters,
+    cms_estimate,
+    kmv_distinct_estimate,
+    kmv_estimate_sql,
+)
 from iceberg_evolve_spark.functions.similarity import cosine_sim, topk_brute_force, topk_ivf
 from iceberg_evolve_spark.functions.text import (
     BPE_TOKEN_RE,
@@ -2165,6 +2170,59 @@ ORDER BY d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Count-Min Sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+CMS_D = 4
+CMS_W = 1024
+
+
+def cms_heavy_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter estimation with a Count-Min Sketch: the depth×width counter
+    table aggregates with map-side combine (shuffle ≤ depth·width rows per
+    task no matter the input size), then broadcasts back onto the candidate
+    keys for min-over-rows estimates. est ≥ exact always (CMS never
+    undercounts); with 25 brands in 1024 buckets, collisions are rare, so the
+    estimate is usually exact — the oracle checks both columns bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lp = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select("p_brand")
+    counters = cms_counters(lp, "p_brand", depth=CMS_D, width=CMS_W)
+    exact = lp.groupBy("p_brand").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (
+        cms_estimate(exact, counters, "p_brand", depth=CMS_D, width=CMS_W)
+        .orderBy(F.col("exact_n").desc(), F.col("p_brand").asc())
+        .limit(10)
+    )
+
+
+_CMS_SQL = f"""
+WITH lp AS (
+    SELECT p_brand FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+seeds AS (SELECT unnest(range(0, {CMS_D})) AS seed),
+counters AS (
+    SELECT seed,
+           {_H60.format(x=f"p_brand || '{SEP}' || CAST(seed AS VARCHAR)")} % {CMS_W} AS bucket,
+           count(*) AS cnt
+    FROM lp CROSS JOIN seeds
+    GROUP BY 1, 2
+),
+exact AS (SELECT p_brand, count(*) AS exact_n FROM lp GROUP BY p_brand),
+probes AS (
+    SELECT p_brand, exact_n, seed,
+           {_H60.format(x=f"p_brand || '{SEP}' || CAST(seed AS VARCHAR)")} % {CMS_W} AS bucket
+    FROM exact CROSS JOIN seeds
+)
+SELECT p_brand, exact_n, min(COALESCE(cnt, 0)) AS cms_est
+FROM probes LEFT JOIN counters USING (seed, bucket)
+GROUP BY p_brand, exact_n
+ORDER BY exact_n DESC, p_brand ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # Pipeline compositions: keep-best dedup, train/test decontamination
 # ---------------------------------------------------------------------------
 
@@ -2508,6 +2566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": dedup_keep_best,
         "decontaminate_docs": decontaminate_docs,
         "kmv_distinct_parts": kmv_distinct_parts,
+        "cms_heavy_brands": cms_heavy_brands,
         "orders_stratified_sample": orders_stratified_sample,
         "tfidf_top_terms": tfidf_top_terms,
         "ann_topk_bruteforce": ann_topk_bruteforce,
@@ -2582,6 +2641,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": _keep_best_sql(),
         "decontaminate_docs": _decontaminate_sql(),
         "kmv_distinct_parts": _KMV_SQL,
+        "cms_heavy_brands": _CMS_SQL,
         "orders_stratified_sample": _sample_sql(),
         "tfidf_top_terms": _TFIDF_SQL,
         "ann_topk_bruteforce": _ANN_SQL,

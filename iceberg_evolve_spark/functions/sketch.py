@@ -101,3 +101,86 @@ SELECT {k} AS k, count(*) AS n_mins, max(h) AS kth_hash,
        END AS est_distinct
 FROM mins
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (heavy hitters)
+# ---------------------------------------------------------------------------
+
+
+def cms_counters(
+    df: DataFrame, col: Column | str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-Min Sketch counter table: ``(seed, bucket, cnt)`` — ``depth``
+    independent hash rows of ``width`` buckets (Cormode & Muthukrishnan,
+    "An improved data stream summary: the count-min sketch", J. Algorithms
+    2005).
+
+    Scale shape: each input row expands to ``depth`` (seed, bucket) pairs via
+    a generated-column explode, then ONE aggregation with map-side combine —
+    the shuffle carries at most ``depth · width`` rows per task regardless of
+    input size. The whole sketch is ``depth · width`` rows: broadcastable,
+    mergeable (counters add), and deterministic over the portable hash, so a
+    DuckDB oracle can rebuild it bit-for-bit.
+    """
+    from iceberg_evolve_spark.functions.hashing import hash60_seeded
+
+    c = F.col(col) if isinstance(col, str) else col
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("seed"),
+                (hash60_seeded(c, s) % width).alias("bucket"),
+            )
+            for s in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.seed", "p.bucket")
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame,
+    counters: DataFrame,
+    key_col: Column | str,
+    depth: int = 4,
+    width: int = 1024,
+    out_col: str = "cms_est",
+) -> DataFrame:
+    """Point-estimate each key's frequency: ``min`` over the depth counter
+    rows the key hashes into. Overestimates only (collisions add, never
+    subtract): ``est ≥ true`` always, ``est ≤ true + εN`` w.h.p.
+
+    The counter table is tiny (depth·width rows) → broadcast to the keys side;
+    per-key work is a broadcast join + a min."""
+    from iceberg_evolve_spark.functions.hashing import hash60_seeded
+
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    probes = keys.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("_seed"),
+                        (hash60_seeded(c, s) % width).alias("_bucket"),
+                    )
+                    for s in range(depth)
+                ]
+            )
+        ).alias("_p"),
+    ).select("*", "_p._seed", "_p._bucket").drop("_p")
+    joined = probes.join(
+        F.broadcast(counters),
+        (probes._seed == counters.seed) & (probes._bucket == counters.bucket),
+        "left",
+    )
+    group_cols = [col for col in keys.columns]
+    return (
+        joined.groupBy(*group_cols)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
+    )

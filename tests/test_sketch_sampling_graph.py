@@ -176,3 +176,57 @@ def test_tfidf_deterministic_tiebreak(spark):
     out = tf_idf_top_terms(docs, "doc_id", "text", top_k=2).orderBy("rank").collect()
     # equal scores → term asc
     assert [r.term for r in out] == ["alpha", "zebra"]
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_undercounts(spark):
+    from iceberg_evolve_spark.functions.sketch import cms_counters, cms_estimate
+
+    # 1000 keys, zipf-ish: key k appears (k % 50) + 1 times
+    df = spark.range(0, 1000).selectExpr(
+        "explode(sequence(1, CAST(id % 50 AS INT) + 1)) AS rep",
+        "CAST(id AS STRING) AS k",
+    ).select("k")
+    counters = cms_counters(df, "k", depth=4, width=64)  # deliberately tiny width
+    exact = df.groupBy("k").count().withColumnRenamed("count", "exact_n")
+    est = cms_estimate(exact, counters, "k", depth=4, width=64)
+    rows = est.collect()
+    assert len(rows) == 1000
+    assert all(r.cms_est >= r.exact_n for r in rows)  # CMS property
+    # and with a tiny width there must be SOME collisions (test is meaningful)
+    assert any(r.cms_est > r.exact_n for r in rows)
+
+
+def test_cms_exact_with_wide_sketch(spark):
+    from iceberg_evolve_spark.functions.sketch import cms_counters, cms_estimate
+
+    df = spark.range(0, 100).select(F.col("id").cast("string").alias("k"))
+    counters = cms_counters(df, "k", depth=4, width=4096)
+    exact = df.groupBy("k").count().withColumnRenamed("count", "exact_n")
+    est = cms_estimate(exact, counters, "k", depth=4, width=4096)
+    # 100 distinct keys in 4×4096 buckets: min-over-depth collision odds ~0
+    assert all(r.cms_est == r.exact_n for r in est.collect())
+
+
+def test_cms_counters_mergeable(spark):
+    """Counters from two halves of the data sum to the full-data counters —
+    the property that lets sketches build incrementally per partition/day."""
+    from iceberg_evolve_spark.functions.sketch import cms_counters
+
+    df = spark.range(0, 2000).select((F.col("id") % 97).cast("string").alias("k"))
+    a = cms_counters(df.filter(F.col("id") < 1000), "k", depth=2, width=32)
+    b = cms_counters(df.filter(F.col("id") >= 1000), "k", depth=2, width=32)
+    full = cms_counters(df, "k", depth=2, width=32)
+    merged = (
+        a.union(b)
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    diff = merged.join(full, ["seed", "bucket"], "full").filter(
+        ~merged.cnt.eqNullSafe(full.cnt)
+    )
+    assert diff.count() == 0

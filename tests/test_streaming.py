@@ -199,3 +199,67 @@ class TestStreamingDedup:
             r.event_type for r in spark.sql("SELECT event_type FROM dedup_content_out").collect()
         )
         assert types == ["click", "view"]
+
+
+class TestStreamStaticEnrichment:
+    def _run_append_stream(self, spark, src, transform, out_name):
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "10")
+            .parquet(src)
+        )
+        q = (
+            transform(stream)
+            .writeStream.format("memory")
+            .queryName(out_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.sql(f"SELECT * FROM {out_name}")
+
+    def test_enrich_stream_with_static_dim(self, spark, stream_dir):
+        from iceberg_evolve_spark.streaming.enrich import enrich_stream
+
+        _write_batch(spark, stream_dir + "/data", ROWS_BATCH1, "b1")
+        dim = spark.createDataFrame(
+            [(1, "gold"), (2, "silver")], "user_id long, tier string"
+        )
+        got = self._run_append_stream(
+            spark,
+            stream_dir + "/data",
+            lambda s: enrich_stream(s, dim, "user_id"),
+            "enrich_out",
+        ).collect()
+        tiers = {r.event_id: r.tier for r in got}
+        assert tiers == {1: "gold", 2: "gold", 3: "gold", 4: "silver"}
+
+    def test_enrich_stream_point_in_time_scd2(self, spark, stream_dir):
+        """Events pick the dimension row valid at THEIR timestamp: user 1 was
+        'bronze' until 11:00, 'gold' after — the 10:00/10:10 clicks must see
+        bronze, the 12:00 view gold."""
+        from iceberg_evolve_spark.streaming.enrich import enrich_stream_point_in_time
+
+        _write_batch(spark, stream_dir + "/data", ROWS_BATCH1, "b1")
+        dim = spark.createDataFrame(
+            [
+                (1, "bronze", "2024-01-01 00:00:00", "2024-01-01 11:00:00"),
+                (1, "gold", "2024-01-01 11:00:00", None),
+                (2, "silver", "2024-01-01 00:00:00", None),
+            ],
+            "user_id long, tier string, valid_from string, valid_to string",
+        ).select(
+            "user_id",
+            "tier",
+            F.col("valid_from").cast("timestamp").alias("valid_from"),
+            F.col("valid_to").cast("timestamp").alias("valid_to"),
+        )
+        got = self._run_append_stream(
+            spark,
+            stream_dir + "/data",
+            lambda s: enrich_stream_point_in_time(s, dim, "user_id", "ts"),
+            "pit_out",
+        ).collect()
+        tiers = {r.event_id: r.tier for r in got}
+        assert tiers == {1: "bronze", 2: "bronze", 3: "gold", 4: "silver"}
