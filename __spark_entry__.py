@@ -2170,6 +2170,82 @@ ORDER BY d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Data profiling: histogram + single-pass column profile
+# ---------------------------------------------------------------------------
+
+HIST_STEP = 25_000.0
+HIST_BUCKETS = 20
+
+
+def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: bucket index is pure per-row
+    arithmetic (floor(x/step) clamped) so binning composes with pushdown and
+    costs one aggregation — the distribution-profiling primitive."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.round(F.col("o_totalprice"), 2) / F.lit(HIST_STEP)),
+        F.lit(HIST_BUCKETS - 1),
+    ).cast("bigint")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec(F.col("o_totalprice"), 2)).cast("double").alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_HIST_SQL = f"""
+SELECT LEAST(CAST(FLOOR(ROUND(o_totalprice, 2) / {HIST_STEP}) AS BIGINT), {HIST_BUCKETS - 1}) AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(22,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass numeric data-profiling: count / nulls / exact distinct /
+    min / max for every profiled column in ONE scan (multi-aggregate, then a
+    driver-side stack to long form). The multi-countDistinct expands the
+    aggregate but still reads the table once — at 100 TB that one-scan
+    property is the whole point of a profiler."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("double").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("double").alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n, n_nulls, n_distinct, min_val, max_val)"
+    ).orderBy("column_name")
+
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, COUNT({c}) AS n,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS DOUBLE) AS min_val, CAST(MAX({c}) AS DOUBLE) AS max_val
+FROM lineitem"""
+    for c in _PROFILE_COLS
+) + "\nORDER BY column_name"
+
+
+# ---------------------------------------------------------------------------
 # Count-Min Sketch heavy hitters
 # ---------------------------------------------------------------------------
 
@@ -2567,6 +2643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": decontaminate_docs,
         "kmv_distinct_parts": kmv_distinct_parts,
         "cms_heavy_brands": cms_heavy_brands,
+        "orders_price_histogram": orders_price_histogram,
+        "lineitem_profile": lineitem_profile,
         "orders_stratified_sample": orders_stratified_sample,
         "tfidf_top_terms": tfidf_top_terms,
         "ann_topk_bruteforce": ann_topk_bruteforce,
@@ -2642,6 +2720,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_docs": _decontaminate_sql(),
         "kmv_distinct_parts": _KMV_SQL,
         "cms_heavy_brands": _CMS_SQL,
+        "orders_price_histogram": _HIST_SQL,
+        "lineitem_profile": _PROFILE_SQL,
         "orders_stratified_sample": _sample_sql(),
         "tfidf_top_terms": _TFIDF_SQL,
         "ann_topk_bruteforce": _ANN_SQL,

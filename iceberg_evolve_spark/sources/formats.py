@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 if TYPE_CHECKING:
     from iceberg_evolve_spark.schema import Schema
@@ -98,3 +99,38 @@ def write_partitioned(
         .partitionBy(*partition_cols)
         .save(path)
     )
+
+
+def read_json_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: "Schema",
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE ingestion with a dead-letter split: returns
+    ``(good_rows, quarantined_raw_lines)``.
+
+    Malformed lines neither fail the job (FAILFAST) nor vanish (DROPMALFORMED)
+    — they land in the quarantine frame as raw text for reprocessing, the
+    production pattern for untrusted 100 TB input feeds.
+
+    The frame is cached before splitting: Spark refuses to filter on only the
+    corrupt-record column of a lazily parsed JSON relation (the parser would
+    need to re-run with different required columns), and the cache also makes
+    the two branches share one parse of the input.
+    """
+    from pyspark.sql.types import StringType
+
+    ss = schema.to_spark_struct().add(corrupt_col, StringType())
+    df = (
+        spark.read.schema(ss)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+        .cache()
+    )
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw")
+    )
+    return good, bad

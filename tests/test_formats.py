@@ -79,3 +79,51 @@ class TestFormats:
         # file ranges must be disjoint → selective scans skip whole files
         for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
             assert hi1 < lo2
+
+
+class TestQuarantine:
+    def test_json_quarantine_splits_good_and_bad(self, spark, tmp_path_factory):
+        from iceberg_evolve_spark.sources.formats import read_json_quarantine
+
+        d = tmp_path_factory.mktemp("dlq")
+        f = d / "data.jsonl"
+        f.write_text(
+            '{"id": 1, "name": "ok"}\n'
+            'this is not json at all\n'
+            '{"id": 2, "name": "also ok"}\n'
+            '{"id": "NaNaNaN", "name": 3}\n'  # type mismatch → corrupt
+        )
+        from iceberg_evolve_spark.model import Field, PrimitiveType, StructType
+        from iceberg_evolve_spark.schema import Schema
+
+        schema = Schema(
+            StructType(
+                [
+                    Field(1, "id", PrimitiveType("long")),
+                    Field(2, "name", PrimitiveType("string")),
+                ]
+            )
+        )
+        good, bad = read_json_quarantine(spark, str(d), schema)
+        assert sorted(r.id for r in good.collect()) == [1, 2]
+        raws = [r.raw for r in bad.collect()]
+        assert len(raws) == 2
+        assert any("not json" in r for r in raws)
+
+    def test_json_quarantine_all_good(self, spark, tmp_path_factory):
+        from iceberg_evolve_spark.sources.formats import read_json_quarantine
+        from iceberg_evolve_spark.model import Field, PrimitiveType, StructType
+        from iceberg_evolve_spark.schema import Schema
+
+        d = tmp_path_factory.mktemp("dlq2")
+        (d / "ok.jsonl").write_text('{"id": 7, "name": "x"}\n')
+        schema = Schema(
+            StructType(
+                [
+                    Field(1, "id", PrimitiveType("long")),
+                    Field(2, "name", PrimitiveType("string")),
+                ]
+            )
+        )
+        good, bad = read_json_quarantine(spark, str(d), schema)
+        assert good.count() == 1 and bad.count() == 0

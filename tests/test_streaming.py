@@ -263,3 +263,68 @@ class TestStreamStaticEnrichment:
         ).collect()
         tiers = {r.event_id: r.tier for r in got}
         assert tiers == {1: "bronze", 2: "bronze", 3: "gold", 4: "silver"}
+
+
+class TestStreamStreamJoin:
+    def test_attribution_join_matches_batch(self, spark, stream_dir):
+        """Click→view attribution as a true stream-stream join: both sides are
+        unbounded file streams; watermark + interval bound the state."""
+        from iceberg_evolve_spark.streaming.join import attribute_within_window
+
+        clicks = [
+            (1, "2024-01-01 10:00:00", 1, "click", 0.0),
+            (2, "2024-01-01 11:00:00", 2, "click", 0.0),
+        ]
+        views = [
+            (10, "2024-01-01 10:10:00", 1, "view", 1.0),  # within 30m of click 1
+            (11, "2024-01-01 10:50:00", 1, "view", 2.0),  # outside 30m
+            (12, "2024-01-01 11:05:00", 2, "view", 3.0),  # within 30m of click 2
+            (13, "2024-01-01 11:05:00", 3, "view", 4.0),  # no click for user 3
+        ]
+        _write_batch(spark, stream_dir + "/clicks", clicks, "c1")
+        _write_batch(spark, stream_dir + "/views", views, "v1")
+
+        cs = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "10")
+            .parquet(stream_dir + "/clicks")
+        )
+        vs = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "10")
+            .parquet(stream_dir + "/views")
+        )
+        joined = attribute_within_window(
+            cs, vs, key="user_id", window_minutes=30, watermark_minutes=60
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("attr_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT l_event_id, r_event_id FROM attr_out").collect()
+        pairs = sorted((r.l_event_id, r.r_event_id) for r in got)
+        assert pairs == [(1, 10), (2, 12)]
+
+    def test_attribution_join_batch_equivalence(self, spark):
+        """The same operator applied to bounded DataFrames gives the join the
+        streaming run produced (stream-stream inner join is exactly the batch
+        interval join, incrementalized)."""
+        from iceberg_evolve_spark.streaming.join import attribute_within_window
+
+        mk = lambda rows: spark.createDataFrame(
+            [(i, ts, u, t, v) for i, ts, u, t, v in rows],
+            "event_id long, ts string, user_id long, event_type string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        clicks = mk([(1, "2024-01-01 10:00:00", 1, "click", 0.0)])
+        views = mk(
+            [
+                (10, "2024-01-01 10:10:00", 1, "view", 1.0),
+                (11, "2024-01-01 10:31:00", 1, "view", 2.0),
+            ]
+        )
+        out = attribute_within_window(clicks, views, key="user_id", window_minutes=30)
+        assert [(r.l_event_id, r.r_event_id) for r in out.collect()] == [(1, 10)]
