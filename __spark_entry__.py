@@ -2170,6 +2170,48 @@ ORDER BY d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Cohort retention
+# ---------------------------------------------------------------------------
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week, counted
+    in each subsequent week they were active. Two aggregations over the same
+    (user, week) relation — the distinct pass shrinks events to user-weeks
+    FIRST, so the heavier joins/groupings touch the reduced relation; the
+    first-week table joins back on user (same clustering). Offsets are exact
+    integers (both engines truncate weeks to Monday, so differences are
+    multiples of 7 days)."""
+    ev = _t(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    first = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        weeks.join(first, "user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_COHORT_SQL = """
+WITH weeks AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events),
+firstw AS (SELECT user_id, min(wk) AS cohort_week FROM weeks GROUP BY user_id)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, wk) / 7 AS INT) AS week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM weeks JOIN firstw USING (user_id)
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+# ---------------------------------------------------------------------------
 # Data profiling: histogram + single-pass column profile
 # ---------------------------------------------------------------------------
 
@@ -2645,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_brands": cms_heavy_brands,
         "orders_price_histogram": orders_price_histogram,
         "lineitem_profile": lineitem_profile,
+        "events_retention_cohorts": events_retention_cohorts,
         "orders_stratified_sample": orders_stratified_sample,
         "tfidf_top_terms": tfidf_top_terms,
         "ann_topk_bruteforce": ann_topk_bruteforce,
@@ -2722,6 +2765,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_brands": _CMS_SQL,
         "orders_price_histogram": _HIST_SQL,
         "lineitem_profile": _PROFILE_SQL,
+        "events_retention_cohorts": _COHORT_SQL,
         "orders_stratified_sample": _sample_sql(),
         "tfidf_top_terms": _TFIDF_SQL,
         "ann_topk_bruteforce": _ANN_SQL,
