@@ -38,7 +38,7 @@ from iceberg_evolve_spark.functions.graph import assign_components
 from iceberg_evolve_spark.functions.hashing import SEP, hash60
 from iceberg_evolve_spark.functions.sampling import stratified_hash_sample
 from iceberg_evolve_spark.functions.sketch import (
-    cms_counters,
+    cms_counters_weighted,
     cms_estimate,
     kmv_distinct_estimate,
     kmv_estimate_sql,
@@ -2305,8 +2305,12 @@ def cms_heavy_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     lp = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select("p_brand")
-    counters = cms_counters(lp, "p_brand", depth=CMS_D, width=CMS_W)
     exact = lp.groupBy("p_brand").agg(F.count(F.lit(1)).alias("exact_n"))
+    # Counters are linear in multiplicity → build them from the per-key rollup
+    # (bit-identical to raw-row counters, one scan instead of two). The raw
+    # builder (cms_counters) is what a stream with unaggregatable key
+    # cardinality would use.
+    counters = cms_counters_weighted(exact, "p_brand", "exact_n", depth=CMS_D, width=CMS_W)
     return (
         cms_estimate(exact, counters, "p_brand", depth=CMS_D, width=CMS_W)
         .orderBy(F.col("exact_n").desc(), F.col("p_brand").asc())

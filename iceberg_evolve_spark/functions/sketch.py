@@ -184,3 +184,39 @@ def cms_estimate(
         joined.groupBy(*group_cols)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
     )
+
+
+def cms_counters_weighted(
+    df: DataFrame,
+    key_col: Column | str,
+    weight_col: Column | str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """CMS counters from a pre-aggregated ``(key, count)`` relation.
+
+    Counters are linear in row multiplicity, so summing weights here produces
+    *bit-identical* counters to :func:`cms_counters` over the raw rows — at the
+    cost of one explode over #distinct-keys rows instead of #rows. Use when an
+    exact per-key rollup already exists (merging daily rollups into a sketch);
+    use the raw variant when keys are too many to aggregate exactly — which is
+    the sketch's reason to exist."""
+    from iceberg_evolve_spark.functions.hashing import hash60_seeded
+
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("seed"),
+                (hash60_seeded(c, s) % width).alias("bucket"),
+            )
+            for s in range(depth)
+        ]
+    )
+    return (
+        df.select(w.alias("_w"), F.explode(pairs).alias("p"))
+        .select("_w", "p.seed", "p.bucket")
+        .groupBy("seed", "bucket")
+        .agg(F.sum("_w").alias("cnt"))
+    )

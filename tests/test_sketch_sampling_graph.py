@@ -230,3 +230,18 @@ def test_cms_counters_mergeable(spark):
         ~merged.cnt.eqNullSafe(full.cnt)
     )
     assert diff.count() == 0
+
+
+def test_cms_weighted_equals_raw(spark):
+    """Weighted counters over the per-key rollup are bit-identical to raw-row
+    counters (linearity)."""
+    from iceberg_evolve_spark.functions.sketch import cms_counters, cms_counters_weighted
+
+    df = spark.range(0, 3000).select((F.col("id") % 40).cast("string").alias("k"))
+    raw = cms_counters(df, "k", depth=3, width=64)
+    rollup = df.groupBy("k").count()
+    weighted = cms_counters_weighted(rollup, "k", "count", depth=3, width=64)
+    diff = raw.join(weighted, ["seed", "bucket"], "full").filter(
+        ~raw.cnt.eqNullSafe(weighted.cnt)
+    )
+    assert diff.count() == 0
