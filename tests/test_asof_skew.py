@@ -166,3 +166,40 @@ class TestAsofBucketed:
                 for r in asof_join_bucketed(left, right, on="k", bucket_seconds=w).collect()
             }
             assert got == {1: 1.5, 2: 1.5, 3: 1.5}, w
+
+
+class TestCogroupAsof:
+    def test_cogroup_asof_matches_window_asof(self, spark):
+        """The cogrouped-applyInPandas alignment agrees with the JVM window
+        formulation on random-ish data."""
+        from datetime import datetime, timedelta
+
+        from iceberg_evolve_spark.functions.asof import asof_join
+        from iceberg_evolve_spark.functions.udxf import cogroup_asof_align
+
+        base = datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [(i % 7, base + timedelta(minutes=3 * i), i) for i in range(200)],
+            "k long, ts timestamp, lval long",
+        )
+        right = spark.createDataFrame(
+            [(i % 7, base + timedelta(minutes=5 * i), 10 * i) for i in range(80)],
+            "k long, ts timestamp, rval long",
+        )
+        got = cogroup_asof_align(left, right, "k", right_cols=("rval",))
+        want = asof_join(left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["rval"])
+        g = {(r.k, r.ts): r.rval for r in got.collect()}
+        w = {(r.k, r.ts): r.rval_asof for r in want.collect()}
+        assert g == w and len(g) == 200
+
+    def test_cogroup_asof_no_right_rows(self, spark):
+        from datetime import datetime
+
+        from iceberg_evolve_spark.functions.udxf import cogroup_asof_align
+
+        left = spark.createDataFrame(
+            [(1, datetime(2024, 1, 1), 5)], "k long, ts timestamp, lval long"
+        )
+        right = spark.createDataFrame([], "k long, ts timestamp, rval long")
+        rows = cogroup_asof_align(left, right, "k", right_cols=("rval",)).collect()
+        assert len(rows) == 1 and rows[0].rval is None
