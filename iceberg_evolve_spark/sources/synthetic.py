@@ -88,3 +88,47 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticDocsReader:
         return SyntheticDocsReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Streaming flavor: the same corpus as an unbounded micro-batched stream
+# ---------------------------------------------------------------------------
+
+try:  # SimpleDataSourceStreamReader: PySpark >= 4.0
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+except ImportError:  # pragma: no cover
+    SimpleDataSourceStreamReader = None  # type: ignore[assignment]
+
+
+if SimpleDataSourceStreamReader is not None:
+
+    class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+        """Offset-tracked micro-batch reader over the same deterministic
+        corpus: the offset is simply the next doc_id, so exactly-once replay
+        (``readBetweenOffsets``) is a pure recomputation — the custom-source
+        analogue of a replayable log. Emits ``batch_rows`` docs per batch up
+        to ``rows`` total, then empty batches."""
+
+        def __init__(self, options: dict):
+            self.batch_rows = int(options.get("batch_rows", 100))
+            self.max_rows = int(options.get("rows", 1000))
+            self.seed = int(options.get("seed", 42))
+
+        def initialOffset(self) -> dict:
+            return {"next": 0}
+
+        def read(self, start: dict):
+            s = int(start["next"])
+            e = min(s + self.batch_rows, self.max_rows)
+            rows = iter([make_doc(self.seed, i) for i in range(s, e)])
+            return rows, {"next": e}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            return iter(
+                [make_doc(self.seed, i) for i in range(int(start["next"]), int(end["next"]))]
+            )
+
+    def _simple_stream_reader(self, schema):  # noqa: ANN001
+        return SyntheticDocsStreamReader(self.options)
+
+    SyntheticDocsDataSource.simpleStreamReader = _simple_stream_reader  # type: ignore[attr-defined]

@@ -31,3 +31,24 @@ def test_plan_criteria(name, spark, sf_dir):
     nlj = plan.count("BroadcastNestedLoopJoin") + plan.count("CartesianProduct")
     allowed = 1 if name in _SINGLE_ROW_NLJ_OK else 0
     assert nlj <= allowed, f"{name}: {nlj} nested-loop/cartesian joins in plan"
+
+
+def test_q6_filters_push_to_scan(spark, sf_dir):
+    """Q6's ship-date range must reach the parquet scan (PushedFilters) and the
+    scan must read only referenced columns (pruned ReadSchema)."""
+    df = _QUERIES["q6_forecast_revenue"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:300]
+    read_schema = plan.split("ReadSchema:")[1][:400]
+    assert "l_extendedprice" in read_schema
+    for unneeded in ("l_orderkey", "l_comment", "l_partkey"):
+        assert unneeded not in read_schema, f"unpruned column {unneeded}"
+
+
+def test_sampler_filter_precedes_aggregate(spark, sf_dir):
+    """The stratified sampler must be a scan-side Filter — its only exchange is
+    the post-sample aggregate."""
+    df = _QUERIES["orders_stratified_sample"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1

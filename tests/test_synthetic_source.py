@@ -60,3 +60,36 @@ class TestSyntheticSource:
         assert 0 < deduped.count() <= 300
         scored = add_text_stats(df)
         assert scored.filter(F.col("quality_score").isNull()).count() == 0
+
+
+class TestSyntheticStreamSource:
+    def test_streaming_reader_emits_full_corpus(self, registered):
+        import time
+
+        df = (
+            registered.readStream.format("synthetic_docs")
+            .option("rows", 250)
+            .option("batch_rows", 100)
+            .option("seed", 5)
+            .load()
+        )
+        q = (
+            df.writeStream.format("memory")
+            .queryName("synth_stream")
+            .outputMode("append")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if registered.sql("SELECT count(*) n FROM synth_stream").first().n >= 250:
+                    break
+                time.sleep(0.5)
+            got = registered.sql("SELECT * FROM synth_stream").collect()
+        finally:
+            q.stop()
+        assert len(got) == 250
+        # identical rows to the batch flavor / pure function (replayable log)
+        want = {make_doc(5, i) for i in range(250)}
+        assert {tuple(r) for r in got} == want
