@@ -86,3 +86,54 @@ def test_as_of_lookup_version_matches_interval_count(spark):
         [(1, datetime(2020, 2, 15))], "k long, fts timestamp"
     )
     assert as_of_lookup(dim, facts, "k", "fts").count() == 1
+
+
+class TestScd2Properties:
+    """Property-based invariants over randomized event streams."""
+
+    def test_intervals_partition_the_timeline(self, spark):
+        from hypothesis import given, settings, strategies as st
+
+        @st.composite
+        def event_stream(draw):
+            n = draw(st.integers(min_value=1, max_value=30))
+            rows = []
+            for i in range(n):
+                key = draw(st.integers(min_value=1, max_value=3))
+                day = draw(st.integers(min_value=0, max_value=60))
+                attr = draw(st.sampled_from(["A", "B", "C"]))
+                rows.append((key, attr, day, i))
+            return rows
+
+        @settings(max_examples=15, deadline=None)
+        @given(event_stream())
+        def check(rows):
+            from datetime import datetime, timedelta
+
+            base = datetime(2024, 1, 1)
+            df = spark.createDataFrame(
+                [(k, a, base + timedelta(days=d), s) for k, a, d, s in rows],
+                "k long, attr string, ts timestamp, seq long",
+            )
+            iv = scd2_intervals(df, "k", ["attr"], "ts", tiebreak="seq").collect()
+            by_key = {}
+            for r in iv:
+                by_key.setdefault(r.k, []).append(r)
+            all_ts = {}
+            for k, a, d, s in rows:
+                all_ts.setdefault(k, set()).add(base + timedelta(days=d))
+            for k, ivs in by_key.items():
+                ivs.sort(key=lambda r: r.version)
+                # versions are 1..n dense
+                assert [r.version for r in ivs] == list(range(1, len(ivs) + 1))
+                # first interval starts at the key's first event
+                assert ivs[0].valid_from == min(all_ts[k])
+                # contiguous: valid_to == next valid_from; last is open
+                for a_iv, b_iv in zip(ivs, ivs[1:]):
+                    assert a_iv.valid_to == b_iv.valid_from
+                assert ivs[-1].valid_to is None
+                # adjacent runs always differ in attr (maximal runs)
+                for a_iv, b_iv in zip(ivs, ivs[1:]):
+                    assert a_iv.attr != b_iv.attr
+
+        check()
