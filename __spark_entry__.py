@@ -2170,6 +2170,46 @@ ORDER BY d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Embedding centroids (mean pooling per label)
+# ---------------------------------------------------------------------------
+
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (mean pooling) — the prototype-vector step
+    of classification / clustering pipelines. posexplode → (label, dim) sum is
+    ONE shuffle carrying labels·dims aggregate rows (map-side combine folds
+    the 500·64 element stream down before the exchange); float32 → double is
+    exact, and per-element rounding to DECIMAL makes each dimension's sum
+    aggregation-order-independent."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    return (
+        e.groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum(_dec(F.col("v").cast("double"), 6)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_val")
+        )
+        .orderBy("label", "dim")
+    )
+
+
+_CENTROID_SQL = """
+WITH e AS (
+    SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS ord
+    FROM embeddings
+)
+SELECT label, CAST(ord - 1 AS INT) AS dim,
+       ROUND(CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE), 6) AS DECIMAL(22,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_val
+FROM e GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+
+# ---------------------------------------------------------------------------
 # Cohort retention
 # ---------------------------------------------------------------------------
 
@@ -2692,6 +2732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_price_histogram": orders_price_histogram,
         "lineitem_profile": lineitem_profile,
         "events_retention_cohorts": events_retention_cohorts,
+        "embedding_label_centroids": embedding_label_centroids,
         "orders_stratified_sample": orders_stratified_sample,
         "tfidf_top_terms": tfidf_top_terms,
         "ann_topk_bruteforce": ann_topk_bruteforce,
@@ -2770,6 +2811,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_histogram": _HIST_SQL,
         "lineitem_profile": _PROFILE_SQL,
         "events_retention_cohorts": _COHORT_SQL,
+        "embedding_label_centroids": _CENTROID_SQL,
         "orders_stratified_sample": _sample_sql(),
         "tfidf_top_terms": _TFIDF_SQL,
         "ann_topk_bruteforce": _ANN_SQL,
