@@ -2624,6 +2624,23 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus),
 """
 
 
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation: all 2^n subtotal combinations in one Expand pass —
+    completes the rollup / grouping-sets / cube family."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("o_totalprice"), 2)).cast("double").alias("total"),
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(22,2))) AS DOUBLE) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def lineitem_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot / melt: wide metric columns → long (metric, value) — the
     DataFrame `unpivot` lowers to Expand (scan-side row replication, no join,
@@ -2701,6 +2718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "orders_rollup": orders_rollup,
         "orders_grouping_sets": orders_grouping_sets,
+        "orders_cube": orders_cube,
         "lineitem_metrics_unpivot": lineitem_metrics_unpivot,
         "scd2_customer_priority": scd2_customer_priority,
         "customers_without_orders": customers_without_orders,
@@ -2780,6 +2798,7 @@ def oracle_sql() -> dict[str, str]:
         "q21_waiting_suppliers": _Q21_SQL,
         "orders_rollup": _ROLLUP_SQL,
         "orders_grouping_sets": _GSETS_SQL,
+        "orders_cube": _CUBE_SQL,
         "lineitem_metrics_unpivot": _UNPIVOT_SQL,
         "scd2_customer_priority": _SCD2_SQL,
         "customers_without_orders": _ANTI_SQL,
