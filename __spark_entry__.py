@@ -58,7 +58,7 @@ from iceberg_evolve_spark.functions.text import (
 from iceberg_evolve_spark.functions.multimodal import attach_fake_payload, extract_features
 from iceberg_evolve_spark.model import DecimalType, Field, PrimitiveType, StructType
 from iceberg_evolve_spark.operators.migrate_df import migrate_dataframe
-from iceberg_evolve_spark.operators.scd import scd2_intervals
+from iceberg_evolve_spark.operators.scd import as_of_lookup, scd2_intervals
 from iceberg_evolve_spark.schema import Schema
 from iceberg_evolve_spark.sources.tables import load_table
 from iceberg_evolve_spark.spark_convert import struct_from_spark
@@ -2170,6 +2170,71 @@ ORDER BY d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Point-in-time enrichment (events × SCD2 intervals)
+# ---------------------------------------------------------------------------
+
+
+def events_point_in_time_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each event picks the SCD2 dimension row whose
+    validity interval contains the event's own timestamp (training-serving-skew
+    defense — features reflect the dimension as it was, not as it is). The
+    interval join is key-equality-dominated (equi-join on the entity key with a
+    residual range filter), so Catalyst plans a hash join, not a nested loop.
+    Disjoint intervals guarantee ≤1 match per event."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("o_custkey"), "ts"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    dim = scd2_intervals(
+        orders,
+        key="o_custkey",
+        attrs=["o_orderpriority"],
+        ts="o_orderdate",
+        tiebreak="o_orderkey",
+    )
+    return (
+        as_of_lookup(dim, ev, "o_custkey", "ts")
+        .select(
+            "event_id",
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderpriority").alias("priority_at_event"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_PIT_SQL = """
+WITH e AS (
+    SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+           lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+    FROM orders
+), r AS (
+    SELECT *, SUM(CASE WHEN rn = 1 OR prev IS DISTINCT FROM o_orderpriority
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                    ROWS UNBOUNDED PRECEDING) AS run
+    FROM e
+), iv AS (
+    SELECT o_custkey, o_orderpriority, run, min(o_orderdate) AS valid_from
+    FROM r GROUP BY o_custkey, o_orderpriority, run
+), dim AS (
+    SELECT o_custkey, o_orderpriority, valid_from,
+           lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run ASC) AS valid_to
+    FROM iv
+)
+SELECT ev.event_id, ev.user_id, dim.o_orderpriority AS priority_at_event
+FROM events ev LEFT JOIN dim
+  ON ev.user_id = dim.o_custkey
+ AND ev.ts >= dim.valid_from
+ AND (dim.valid_to IS NULL OR ev.ts < dim.valid_to)
+ORDER BY ev.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Embedding centroids (mean pooling per label)
 # ---------------------------------------------------------------------------
 
@@ -2721,6 +2786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cube": orders_cube,
         "lineitem_metrics_unpivot": lineitem_metrics_unpivot,
         "scd2_customer_priority": scd2_customer_priority,
+        "events_point_in_time_enrich": events_point_in_time_enrich,
         "customers_without_orders": customers_without_orders,
         "nation_distinct_counts": nation_distinct_counts,
         "parts_above_brand_avg": parts_above_brand_avg,
@@ -2801,6 +2867,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_cube": _CUBE_SQL,
         "lineitem_metrics_unpivot": _UNPIVOT_SQL,
         "scd2_customer_priority": _SCD2_SQL,
+        "events_point_in_time_enrich": _PIT_SQL,
         "customers_without_orders": _ANTI_SQL,
         "nation_distinct_counts": _DISTINCT_SQL,
         "parts_above_brand_avg": _ABOVE_AVG_SQL,
