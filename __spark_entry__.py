@@ -529,8 +529,8 @@ def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q12_SQL = """
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_returnflag
 """
@@ -2754,7 +2754,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order matters: the driver's correctness oracle checks the FIRST
+    # 50 entries. Round 2 ordering: (a) the 26 entries that fell past round 1's
+    # window (similarity/text/sketch/sampling/multimodal/schema families),
+    # (b) q12 whose oracle cast was fixed this round, (c) queries added in
+    # round 2, (d) the remaining round-1 entries, all already hash-verified in
+    # CORRECTNESS_r01.json.
     return {
+        # (a) oracle-unchecked in round 1 — must land in the driver window.
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_cluster_components": dedup_cluster_components,
+        "dedup_keep_best": dedup_keep_best,
+        "decontaminate_docs": decontaminate_docs,
+        "kmv_distinct_parts": kmv_distinct_parts,
+        "cms_heavy_brands": cms_heavy_brands,
+        "orders_price_histogram": orders_price_histogram,
+        "lineitem_profile": lineitem_profile,
+        "events_retention_cohorts": events_retention_cohorts,
+        "embedding_label_centroids": embedding_label_centroids,
+        "orders_stratified_sample": orders_stratified_sample,
+        "tfidf_top_terms": tfidf_top_terms,
+        "ann_topk_bruteforce": ann_topk_bruteforce,
+        "ann_topk_ivf": ann_topk_ivf,
+        "text_stats": text_stats,
+        "lang_id": lang_id,
+        "doc_fingerprint": doc_fingerprint,
+        "bpe_token_counts": bpe_token_counts,
+        "multimodal_features": multimodal_features,
+        "schema_of_lineitem": schema_of_lineitem,
+        "schema_diff_by_name": schema_diff_by_name,
+        "evolve_users_diff": evolve_users_diff,
+        "evolve_users_plan": evolve_users_plan,
+        "migrate_customer": migrate_customer,
+        # (b) oracle fixed this round (BIGINT cast) — needs a recheck.
+        "q12_priority_by_flag": q12_priority_by_flag,
+        # (c) new round-2 queries go here, before the already-verified tail.
+        # (d) round-1 entries hash-verified in CORRECTNESS_r01.json.
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -2762,7 +2799,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_priority_semijoin": q4_priority_semijoin,
         "q7_nation_volume": q7_nation_volume,
         "q10_returned_items": q10_returned_items,
-        "q12_priority_by_flag": q12_priority_by_flag,
         "q14_promo_share": q14_promo_share,
         "q15_top_supplier": q15_top_supplier,
         "q18_large_orders": q18_large_orders,
@@ -2805,32 +2841,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_signatures": dedup_minhash_signatures,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_simhash": dedup_simhash,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
-        "dedup_cluster_components": dedup_cluster_components,
-        "dedup_keep_best": dedup_keep_best,
-        "decontaminate_docs": decontaminate_docs,
-        "kmv_distinct_parts": kmv_distinct_parts,
-        "cms_heavy_brands": cms_heavy_brands,
-        "orders_price_histogram": orders_price_histogram,
-        "lineitem_profile": lineitem_profile,
-        "events_retention_cohorts": events_retention_cohorts,
-        "embedding_label_centroids": embedding_label_centroids,
-        "orders_stratified_sample": orders_stratified_sample,
-        "tfidf_top_terms": tfidf_top_terms,
-        "ann_topk_bruteforce": ann_topk_bruteforce,
-        "ann_topk_ivf": ann_topk_ivf,
-        "text_stats": text_stats,
-        "lang_id": lang_id,
-        "doc_fingerprint": doc_fingerprint,
-        "bpe_token_counts": bpe_token_counts,
-        "multimodal_features": multimodal_features,
-        "schema_of_lineitem": schema_of_lineitem,
-        "schema_diff_by_name": schema_diff_by_name,
-        "evolve_users_diff": evolve_users_diff,
-        "evolve_users_plan": evolve_users_plan,
-        "migrate_customer": migrate_customer,
     }
 
 
