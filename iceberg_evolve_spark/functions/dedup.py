@@ -367,24 +367,128 @@ def simhash_near_dups(
 # ---------------------------------------------------------------------------
 
 
+_PAIR_SCHEMA = "id_a long, id_b long, cosine double"
+
+
+def _normalized_matrix(pdf, id_col: str, vec_col: str):
+    """ids (int64) + row-L2-normalized float64 matrix from a pandas frame."""
+    import numpy as np
+
+    ids = pdf[id_col].to_numpy(dtype="int64")
+    mat = np.array(list(pdf[vec_col]), dtype="float64")
+    if mat.ndim != 2:  # zero rows
+        mat = mat.reshape(0, 0)
+    norms = np.linalg.norm(mat, axis=1) if len(mat) else np.ones(0)
+    norms = np.where(norms == 0, 1.0, norms)
+    return ids, mat / norms[:, None]
+
+
+def _pairs_frame(ids_l, mat_l, ids_r, mat_r, threshold, within: bool):
+    """Thresholded cosine pairs between two normalized blocks as a pandas frame.
+
+    ``within=True`` means both blocks are the same set (emit the strict upper
+    triangle); otherwise every (left, right) combination is a distinct pair.
+    Output ids are ordered ``id_a < id_b`` in both cases.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if len(ids_l) == 0 or len(ids_r) == 0:
+        return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
+    sims = mat_l @ mat_r.T
+    mask = sims >= threshold
+    if within:
+        mask &= ids_l[:, None] < ids_r[None, :]
+    li, ri = np.nonzero(mask)
+    a, b = ids_l[li], ids_r[ri]
+    return pd.DataFrame(
+        {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b), "cosine": sims[li, ri]}
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str,
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    blocks: int = 8,
+    strategy: str = "tiled",
+    broadcast_limit: int = 100_000,
 ) -> DataFrame:
-    """Pairs of rows whose embedding cosine similarity >= threshold.
+    """EXACT pairs of rows whose embedding cosine similarity >= threshold.
 
-    Block matrix-multiply formulation: the corpus (ids + L2-normalized float64
-    matrix) is broadcast; each Arrow batch of left rows computes a
-    ``(batch × corpus)`` BLAS matmul and emits only pairs over the threshold —
-    work is O(n²·d) FLOPs but data movement is O(n·d), and the inner loop is
-    vectorized C, ~100× faster than per-pair expression evaluation.
+    ``strategy='tiled'`` (default, the 100 TB path): hash each row into one of
+    ``blocks`` blocks, replicate it to the ``blocks`` block-pair groups (i, j)
+    it participates in, and run one BLAS matmul per group via grouped
+    ``applyInPandas``. Every unordered pair lands in exactly one group, so the
+    result is exact; no row ever reaches the driver, and per-task memory is two
+    blocks (2·n/blocks rows) regardless of corpus size — size ``blocks`` so a
+    block fits an executor. Shuffle volume is n·blocks vector rows; the O(n²·d)
+    FLOPs inherent to exact all-pairs run as vectorized C inside each group.
 
-    At 100 TB the same kernel runs per (left-partition × right-block) with the
-    right side tiled through a bucketed join instead of one broadcast; combine
-    with :func:`iceberg_evolve_spark.functions.similarity.lsh_bucket` sign
-    buckets to keep candidate blocks output-linear.
+    ``strategy='broadcast'`` is the small-corpus fast path (single broadcast of
+    the collected corpus, one map stage, no shuffle) and refuses corpora larger
+    than ``broadcast_limit`` rows. ``strategy='auto'`` picks by a count.
+
+    For approximate-but-output-linear candidate generation at extreme scale see
+    :func:`embedding_near_dups_lsh`.
+    """
+    if strategy == "auto":
+        strategy = "broadcast" if df.count() <= broadcast_limit else "tiled"
+    if strategy == "broadcast":
+        return _embedding_near_dups_broadcast(
+            df, id_col, vec_col, threshold, broadcast_limit
+        )
+    if strategy != "tiled":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    B = blocks
+    blk = F.pmod(F.xxhash64(F.col("_id")), F.lit(B)).cast("int")
+    # Group keys this row participates in: (min(b, o), max(b, o)) for every
+    # other block o — B keys, each unordered block pair exactly once.
+    keys = F.transform(
+        F.sequence(F.lit(0), F.lit(B - 1)),
+        lambda o: F.struct(
+            F.least(F.col("_blk"), o).alias("i"),
+            F.greatest(F.col("_blk"), o).alias("j"),
+        ),
+    )
+    exploded = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .withColumn("_blk", blk)
+        .withColumn("_g", F.explode(keys))
+        .select("_id", "_vec", "_blk", F.col("_g.i").alias("_gi"), F.col("_g.j").alias("_gj"))
+    )
+
+    threshold_ = threshold
+
+    def per_group(key, pdf):
+        i, j = key
+        if i == j:
+            ids, mat = _normalized_matrix(pdf, "_id", "_vec")
+            return _pairs_frame(ids, mat, ids, mat, threshold_, within=True)
+        left = pdf[pdf["_blk"] == i]
+        right = pdf[pdf["_blk"] == j]
+        ids_l, mat_l = _normalized_matrix(left, "_id", "_vec")
+        ids_r, mat_r = _normalized_matrix(right, "_id", "_vec")
+        return _pairs_frame(ids_l, mat_l, ids_r, mat_r, threshold_, within=False)
+
+    return exploded.groupBy("_gi", "_gj").applyInPandas(per_group, schema=_PAIR_SCHEMA)
+
+
+def _embedding_near_dups_broadcast(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    broadcast_limit: int,
+) -> DataFrame:
+    """Small-corpus fast path: broadcast the whole corpus, one map stage.
+
+    Collects ids + vectors to the driver — guarded by ``broadcast_limit`` so it
+    cannot silently become a driver OOM at scale (use the tiled strategy there).
     """
     from typing import Iterator
 
@@ -392,15 +496,18 @@ def embedding_near_dups(
     import pandas as pd
     from pyspark.sql import types as T
 
-    rows = df.select(id_col, vec_col).collect()
+    rows = df.select(id_col, vec_col).limit(broadcast_limit + 1).collect()
+    if len(rows) > broadcast_limit:
+        raise ValueError(
+            f"corpus exceeds broadcast_limit={broadcast_limit}; use strategy='tiled'"
+        )
     ids = np.array([r[0] for r in rows], dtype="int64")
     mat = np.array([r[1] for r in rows], dtype="float64")
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
     spark = df.sparkSession
     b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-    b_norms = spark.sparkContext.broadcast(norms)
+    b_mat = spark.sparkContext.broadcast(mat / norms[:, None])
 
     out_schema = T.StructType(
         [
@@ -411,16 +518,75 @@ def embedding_near_dups(
     )
 
     def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rid, rmat, rnorm = b_ids.value, b_mat.value, b_norms.value
+        rid, rmat = b_ids.value, b_mat.value
         for pdf in batches:
-            lids = pdf[id_col].to_numpy(dtype="int64")
-            lmat = np.array(list(pdf[vec_col]), dtype="float64")
-            lnorm = np.linalg.norm(lmat, axis=1)
-            lnorm[lnorm == 0] = 1.0
-            sims = (lmat @ rmat.T) / np.outer(lnorm, rnorm)
+            lids, lmat = _normalized_matrix(pdf, id_col, vec_col)
+            sims = lmat @ rmat.T
             li, ri = np.nonzero((sims >= threshold) & (lids[:, None] < rid[None, :]))
             yield pd.DataFrame(
                 {"id_a": lids[li], "id_b": rid[ri], "cosine": sims[li, ri]}
             )
 
     return df.select(id_col, vec_col).mapInPandas(block, schema=out_schema)
+
+
+def embedding_near_dups_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    dims: int | None = None,
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    n_tables: int = 4,
+) -> DataFrame:
+    """APPROXIMATE cosine near-dup pairs, output-linear at any scale.
+
+    Candidate pairs are generated only inside sign-LSH buckets
+    (:func:`iceberg_evolve_spark.functions.similarity.lsh_bucket`), with
+    ``n_tables`` independent hyperplane sets to recover recall (a pair is a
+    candidate if it collides in ANY table). Per (table, bucket) group the same
+    BLAS kernel verifies exact cosine, and duplicates across tables are dropped.
+    Unlike the exact tiled strategy this never compares vectors in different
+    buckets — work is Σ bucket² instead of n², the classic LSH trade: recall
+    (tested against the exact path) for a corpus-size-independent guarantee.
+    """
+    if dims is None:
+        from pyspark.sql import types as T
+
+        field = df.schema[vec_col]
+        if not isinstance(field.dataType, T.ArrayType):
+            raise ValueError(f"{vec_col} must be an array column")
+        dims_row = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+        dims = int(dims_row[0]["d"]) if dims_row else 0
+
+    from iceberg_evolve_spark.functions.similarity import lsh_bucket
+
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                lsh_bucket(F.col("_vec"), dims, n_planes, seed=f"nd{t}").alias("b"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    exploded = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .withColumn("_tb", F.explode(tables))
+        .select("_id", "_vec", F.col("_tb.t").alias("_t"), F.col("_tb.b").alias("_b"))
+    )
+
+    threshold_ = threshold
+
+    def per_bucket(key, pdf):
+        ids, mat = _normalized_matrix(pdf, "_id", "_vec")
+        return _pairs_frame(ids, mat, ids, mat, threshold_, within=True)
+
+    pairs = exploded.groupBy("_t", "_b").applyInPandas(per_bucket, schema=_PAIR_SCHEMA)
+    # A pair colliding in several tables is emitted once per collision — keep one.
+    w = Window.partitionBy("id_a", "id_b").orderBy(F.col("cosine").desc())
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

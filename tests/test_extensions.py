@@ -98,6 +98,55 @@ class TestDedup:
             assert p.id_a < p.id_b
             assert p.cosine >= 0.3
 
+    def test_embedding_tiled_equals_broadcast(self, emb):
+        """The blocked exact strategy must agree pair-for-pair with the
+        broadcast fast path (same kernel, different distribution)."""
+        tiled = embedding_near_dups(emb, "vec_id", threshold=0.3, blocks=5)
+        bcast = embedding_near_dups(emb, "vec_id", threshold=0.3, strategy="broadcast")
+        t = {(p.id_a, p.id_b): round(p.cosine, 9) for p in tiled.collect()}
+        b = {(p.id_a, p.id_b): round(p.cosine, 9) for p in bcast.collect()}
+        assert t == b and t
+
+    def test_embedding_tiled_no_driver_materialization(self, emb, monkeypatch):
+        """Building the tiled plan must never collect the corpus to the driver
+        (the round-1 scale-killer)."""
+        from pyspark.sql import DataFrame as _DF
+
+        def boom(self, *a, **k):
+            raise AssertionError("driver-side collect during plan construction")
+
+        monkeypatch.setattr(_DF, "collect", boom)
+        monkeypatch.setattr(_DF, "toPandas", boom, raising=False)
+        df = embedding_near_dups(emb, "vec_id", threshold=0.3)
+        plan = df._jdf.queryExecution().toString()
+        assert "FlatMapGroupsInPandas" in plan
+
+    def test_embedding_broadcast_refuses_oversized_corpus(self, emb):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="broadcast_limit"):
+            embedding_near_dups(
+                emb, "vec_id", threshold=0.3, strategy="broadcast", broadcast_limit=3
+            ).collect()
+
+    def test_embedding_lsh_recall_and_precision(self, emb):
+        """LSH candidates are a subset of the exact pairs (same verify kernel)
+        with usable recall at multi-table settings."""
+        from iceberg_evolve_spark.functions.dedup import embedding_near_dups_lsh
+
+        exact = {
+            (p.id_a, p.id_b)
+            for p in embedding_near_dups(emb, "vec_id", threshold=0.3).collect()
+        }
+        approx = {
+            (p.id_a, p.id_b)
+            for p in embedding_near_dups_lsh(
+                emb, "vec_id", threshold=0.3, n_planes=3, n_tables=6
+            ).collect()
+        }
+        assert approx <= exact
+        assert exact and len(approx) / len(exact) >= 0.5
+
 
 class TestSimilarity:
     def test_brute_force_self_is_top1(self, emb):
