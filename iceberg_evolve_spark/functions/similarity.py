@@ -131,6 +131,136 @@ def topk_lsh(
     )
 
 
+def _fit_quantizer(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int,
+    seed: int,
+    max_iter: int,
+):
+    """Fit the IVF coarse quantizer (MLlib KMeans) and return it with its
+    centroid matrix. ``max_iter`` is capped low on purpose: an ANN coarse
+    quantizer needs roughly-balanced cells, not converged centroids — extra
+    iterations buy recall nothing."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    import numpy as np
+
+    from iceberg_evolve_spark.functions.dedup import _ensure_parallelism
+
+    df = _ensure_parallelism(df)
+    vecs = df.withColumn(
+        "_features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="_features", maxIter=max_iter
+    ).fit(vecs)
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    return vecs, model, centers
+
+
+class IVFIndex:
+    """An OFFLINE-built IVF index: the corpus stored partitioned by its coarse
+    cell, plus the (tiny, driver-held) centroid matrix.
+
+    This is the split the 100 TB deployment needs: :func:`build_ivf_index` runs
+    once per corpus version (the expensive iterative KMeans scan), writing the
+    data physically partitioned by ``_cell``; :meth:`probe` is then a pure
+    read-side query whose plan is a partition-pruned parquet scan + TopK —
+    no model fit, no full-corpus scan, sub-second at any corpus size. The
+    centroid matrix is n_centroids × d floats, small enough for the driver
+    (metadata, not data).
+    """
+
+    def __init__(self, spark, path: str, centroids, id_col: str, vec_col: str):
+        import numpy as np
+
+        self.spark = spark
+        self.path = path
+        self.centroids = np.asarray(centroids, dtype="float64")
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @property
+    def assigned(self) -> DataFrame:
+        """Corpus + ``_cell`` partition column, read from the partitioned store."""
+        return self.spark.read.parquet(self.path)
+
+    def probe(
+        self,
+        query_vec: list[float],
+        k: int = 10,
+        n_probe: int = 4,
+        round_digits: int | None = 6,
+    ) -> DataFrame:
+        """Approximate top-k: scan only the ``n_probe`` cells nearest the query.
+
+        Cell selection is a driver-side argmin over the centroid matrix; the
+        DataFrame plan filters on the ``_cell`` partition column, so Spark
+        prunes non-probed partitions at the file listing — the scan touches
+        ~n_probe/n_centroids of the corpus. Probing all cells == exact search.
+        """
+        import numpy as np
+
+        q = np.asarray(query_vec, dtype="float64")
+        dists = np.linalg.norm(self.centroids - q[None, :], axis=1)
+        cells = [int(c) for c in np.argsort(dists)[:n_probe]]
+
+        qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+        sim = cosine_sim(F.col(self.vec_col), qcol)
+        if round_digits is not None:
+            sim = F.round(sim, round_digits)
+        return (
+            self.assigned.filter(F.col("_cell").isin(cells))
+            .select(F.col(self.id_col), sim.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(self.id_col).asc())
+            .limit(k)
+        )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 8,
+) -> IVFIndex:
+    """Build and persist an IVF index: fit the coarse quantizer, assign every
+    vector a ``_cell``, and write the corpus to ``path`` physically partitioned
+    by cell (the offline half of :class:`IVFIndex`). Centroids are stored next
+    to the data (``_ivf_centroids.json``) so :func:`load_ivf_index` can reopen
+    the index without refitting."""
+    import json
+    import os
+
+    vecs, model, centers = _fit_quantizer(df, vec_col, n_centroids, seed, max_iter)
+    assigned = model.transform(vecs).select(
+        *df.columns, F.col("prediction").alias("_cell")
+    )
+    assigned.write.mode("overwrite").partitionBy("_cell").parquet(path)
+    meta = {
+        "centroids": [[float(x) for x in c] for c in centers],
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
+        json.dump(meta, f)
+    return IVFIndex(df.sparkSession, path, centers, id_col, vec_col)
+
+
+def load_ivf_index(spark, path: str) -> IVFIndex:
+    """Reopen an index built by :func:`build_ivf_index` (no refit)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as f:
+        meta = json.load(f)
+    return IVFIndex(spark, path, meta["centroids"], meta["id_col"], meta["vec_col"])
+
+
 def topk_ivf(
     df: DataFrame,
     query_vec: list[float],
@@ -143,46 +273,27 @@ def topk_ivf(
     round_digits: int | None = 6,
     max_iter: int = 8,
 ) -> DataFrame:
-    """IVF-style approximate top-k: KMeans-cluster the corpus, search only the
-    ``n_probe`` cells nearest the query.
-
-    The clustering pass is offline/amortized (at 100 TB: persist ``_cell`` as a
-    partition column; the probe then becomes partition pruning at the scan).
-    ``max_iter`` is capped low on purpose: an ANN coarse quantizer needs
-    roughly-balanced cells, not converged centroids — extra iterations buy
-    recall nothing. Falls back gracefully: probing all cells == exact search.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    """One-shot IVF top-k (fit + probe in a single call) for ad-hoc use on
+    corpora that are not worth indexing. Anything served repeatedly should use
+    :func:`build_ivf_index` once and :meth:`IVFIndex.probe` per query — that
+    keeps the iterative KMeans scan out of the query path entirely."""
     import numpy as np
 
-    from iceberg_evolve_spark.functions.dedup import _ensure_parallelism
-
-    df = _ensure_parallelism(df)
-    vecs = df.select(
-        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    vecs, model, centers = _fit_quantizer(df, vec_col, n_centroids, seed, max_iter)
+    assigned = model.transform(vecs).select(
+        id_col, F.col(vec_col), F.col("prediction").alias("_cell")
     )
-    model = KMeans(
-        k=n_centroids, seed=seed, featuresCol="features", maxIter=max_iter
-    ).fit(vecs)
-    assigned = model.transform(vecs).select(id_col, F.col("prediction").alias("_cell"))
 
     q = np.asarray(query_vec, dtype="float64")
-    centers = model.clusterCenters()
-
-    def cell_dist(c):
-        return float(np.linalg.norm(np.asarray(c) - q))
-
-    probe = sorted(range(len(centers)), key=lambda i: cell_dist(centers[i]))[:n_probe]
+    dists = np.linalg.norm(centers - q[None, :], axis=1)
+    probe = [int(c) for c in np.argsort(dists)[:n_probe]]
 
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine_sim(F.col(vec_col), qcol)
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     return (
-        df.join(assigned, id_col)
-        .filter(F.col("_cell").isin(probe))
+        assigned.filter(F.col("_cell").isin(probe))
         .select(F.col(id_col), sim.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)

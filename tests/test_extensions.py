@@ -157,6 +157,48 @@ class TestSimilarity:
         sims = [t.cosine for t in top]
         assert sims == sorted(sims, reverse=True)
 
+    def test_ivf_index_build_probe(self, emb, tmp_path):
+        """Offline build + online probe: the probe plan must be a
+        partition-pruned scan of the _cell-partitioned store with no KMeans
+        stage, and results must match the one-shot topk_ivf at the same
+        settings (same quantizer seed)."""
+        from iceberg_evolve_spark.functions.similarity import (
+            build_ivf_index,
+            load_ivf_index,
+        )
+
+        q = emb.filter("vec_id = 3").select("embedding").collect()[0][0]
+        path = str(tmp_path / "ivf")
+        index = build_ivf_index(emb, path, "vec_id", "embedding", n_centroids=8)
+
+        probe_df = index.probe(list(q), k=10, n_probe=4)
+        plan = probe_df._jdf.queryExecution().toString()
+        assert "KMeans" not in plan  # fit happened offline, not in the query
+        physical = probe_df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in physical and "_cell" in physical
+
+        oneshot = topk_ivf(emb, list(q), k=10, n_centroids=8, n_probe=4)
+        assert [(r.vec_id, r.cosine) for r in probe_df.collect()] == [
+            (r.vec_id, r.cosine) for r in oneshot.collect()
+        ]
+
+        # Reopen without refit: same centroids, same answer.
+        reopened = load_ivf_index(emb.sparkSession, path)
+        assert [(r.vec_id, r.cosine) for r in reopened.probe(list(q), k=10, n_probe=4).collect()] == [
+            (r.vec_id, r.cosine) for r in probe_df.collect()
+        ]
+
+    def test_ivf_index_probe_all_cells_is_exact(self, emb, tmp_path):
+        from iceberg_evolve_spark.functions.similarity import build_ivf_index
+
+        q = emb.filter("vec_id = 3").select("embedding").collect()[0][0]
+        index = build_ivf_index(
+            emb, str(tmp_path / "ivf"), "vec_id", "embedding", n_centroids=8
+        )
+        exact = [r.vec_id for r in topk_brute_force(emb, list(q), k=10).collect()]
+        full = [r.vec_id for r in index.probe(list(q), k=10, n_probe=8).collect()]
+        assert full == exact
+
     def test_ivf_recall(self, emb):
         q = emb.filter("vec_id = 3").select("embedding").collect()[0][0]
         exact = [r.vec_id for r in topk_brute_force(emb, list(q), k=10).collect()]
