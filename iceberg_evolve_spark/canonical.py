@@ -39,11 +39,13 @@ WIDENING = {
     "double": {"decimal"},
 }
 
-#: Promotions Iceberg (and Spark ALTER COLUMN TYPE) actually allows.
+#: Promotions Iceberg (and Spark ALTER COLUMN TYPE) actually allows in place.
+#: date→timestamp is deliberately absent: Iceberg format v2 rejects it (it is a
+#: v3-only promotion), so compiling it to DDL would fail at apply time even
+#: though the diff classifies it as a non-breaking widening.
 ENGINE_LEGAL_PROMOTIONS = {
     "int": {"long"},
     "float": {"double"},
-    "date": {"timestamp"},
 }
 
 

@@ -21,6 +21,29 @@ from pyspark.sql import functions as F
 from iceberg_evolve_spark.functions.hashing import hash60, hash60_seeded
 from iceberg_evolve_spark.functions.text import tokens
 
+
+def unpersist_intermediates(df: DataFrame) -> int:
+    """Release cached subtrees pinned by the near-dup builders
+    (:func:`ngram_jaccard_pairs`, :func:`minhash_lsh_pairs`,
+    :func:`simhash_near_dups`).
+
+    Those builders persist their expensive shared subtree (shingle index /
+    signatures / fingerprints) because the returned lazy plan reads it more
+    than once; Spark's cache manager pins such entries until explicitly
+    unpersisted, so repeated calls in a long-lived session accumulate executor
+    storage. Call this once the returned plan has been materialized
+    (collected / written). Returns the number of cache entries released.
+    """
+    handles = getattr(df, "_persisted_intermediates", ())
+    for h in handles:
+        h.unpersist()
+    return len(handles)
+
+
+def _attach_intermediates(out: DataFrame, *handles: DataFrame) -> DataFrame:
+    out._persisted_intermediates = handles
+    return out
+
 # ---------------------------------------------------------------------------
 # Shingling
 # ---------------------------------------------------------------------------
@@ -178,7 +201,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
+    return _attach_intermediates(out, idx)
 
 
 # ---------------------------------------------------------------------------
@@ -270,11 +293,12 @@ def minhash_lsh_pairs(
             lambda eq: eq,
         )
     )
-    return (
+    out = (
         cand.withColumn("est_jaccard", (agree / F.lit(num_hashes)).cast("double"))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+    return _attach_intermediates(out, sig)
 
 
 # ---------------------------------------------------------------------------
@@ -355,11 +379,12 @@ def simhash_near_dups(
     fb = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"))
     cand = cand.join(fa, "id_a").join(fb, "id_b")
     hamming = F.bit_count(F.expr("fp_a ^ fp_b"))
-    return (
+    out = (
         cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    return _attach_intermediates(out, sh)
 
 
 # ---------------------------------------------------------------------------

@@ -60,7 +60,12 @@ def range_join(
         return col.cast("long")
 
     w = F.lit(bucket_seconds)
-    p = points.withColumn("_bkt", (secs(points, point_ts) / w).cast("long"))
+    # Surrogate row id for the left-join bookkeeping: matched rows are
+    # identified by _rid, never by value equality over the point columns —
+    # null-unsafe column comparison would re-emit matched rows whose payload
+    # contains a NULL (a row is never "equal" to itself through a NULL).
+    p0 = points.withColumn("_rid", F.monotonically_increasing_id())
+    p = p0.withColumn("_bkt", (secs(p0, point_ts) / w).cast("long"))
     i = intervals.withColumn(
         "_bkt",
         F.explode(
@@ -79,14 +84,13 @@ def range_join(
     out_cols = [p[c] for c in points.columns] + [
         i[c] for c in intervals.columns if c != on
     ]
-    joined = p.join(i, cond, "inner").select(*out_cols)
+    joined = p.join(i, cond, "inner").select(p["_rid"], *out_cols)
     if how == "inner":
-        return joined
-    # left: re-attach unmatched points with nulls. The anti join reuses the
-    # same bucketed equi-key, so no extra shuffle shape appears.
-    matched_keys = joined.select(*[F.col(c) for c in points.columns]).distinct()
-    unmatched = points.join(matched_keys, points.columns, "left_anti")
+        return joined.drop("_rid")
+    # left: re-attach unmatched points with nulls, identified by _rid.
+    matched_ids = joined.select("_rid").distinct()
+    unmatched = p0.join(matched_ids, "_rid", "left_anti")
     for c in intervals.columns:
         if c != on:
             unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
-    return joined.unionByName(unmatched)
+    return joined.drop("_rid").unionByName(unmatched.drop("_rid"))

@@ -17,9 +17,10 @@ from __future__ import annotations
 
 import math
 import os
-import shutil
 
 from pyspark.sql import SparkSession
+
+from iceberg_evolve_spark.sources import swap as _swap
 
 
 def dir_stats(path: str) -> tuple[int, int]:
@@ -42,6 +43,7 @@ def compact(
 ) -> int:
     """Rewrite the parquet dir at ``path`` into ~``target_mb`` files.
     Returns the new file count."""
+    _swap.recover(path)  # heal a half-finished swap from a crash
     _, total = dir_stats(path)
     n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
@@ -51,8 +53,5 @@ def compact(
     else:
         out = df.repartition(n_files)
     out.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "._compact_old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    _swap.swap(tmp, path)
     return dir_stats(path)[0]

@@ -18,18 +18,42 @@ shape is identical.
 from __future__ import annotations
 
 import os
-import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_evolve_spark.sources import swap as _swap
 
 
-def upsert_batch_writer(spark: SparkSession, target_path: str, key: str):
+def upsert_batch_writer(
+    spark: SparkSession,
+    target_path: str,
+    key: str,
+    order_col: str | None = None,
+):
     """Build a ``foreachBatch`` function that merges every micro-batch into
-    the parquet snapshot at ``target_path`` by ``key``."""
+    the parquet snapshot at ``target_path`` by ``key``.
+
+    A micro-batch can carry several rows for one key. With ``order_col`` the
+    winner is deterministic — the row with the greatest ``order_col`` (an
+    event-time / sequence column), ties broken arbitrarily-but-stably by the
+    key ordering of the remaining columns. Without it, which row survives is
+    UNDEFINED (Spark's ``dropDuplicates`` keeps an arbitrary one); pass an
+    ordering column whenever replay determinism matters.
+    """
     from iceberg_evolve_spark.operators.merge import merge_upsert
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.dropDuplicates([key])  # within-batch last-writer guard
+        if order_col is not None:
+            w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+            batch_df = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            batch_df = batch_df.dropDuplicates([key])  # arbitrary within-batch winner
+        _swap.recover(target_path)  # heal a half-finished swap from a crash
         if os.path.isdir(target_path):
             target = spark.read.parquet(target_path)
             merged = merge_upsert(target, batch_df.select(target.columns), key)
@@ -37,11 +61,7 @@ def upsert_batch_writer(spark: SparkSession, target_path: str, key: str):
             merged = batch_df
         tmp = target_path.rstrip("/") + f"._batch_{batch_id}_tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        old = target_path.rstrip("/") + "._old"
-        if os.path.isdir(target_path):
-            os.rename(target_path, old)
-        os.rename(tmp, target_path)
-        shutil.rmtree(old, ignore_errors=True)
+        _swap.swap(tmp, target_path)
 
     return write
 
@@ -51,12 +71,13 @@ def run_upsert_stream(
     target_path: str,
     key: str,
     checkpoint: str,
+    order_col: str | None = None,
 ):
     """Start the stream with the idempotent upsert sink. The checkpoint dir
     makes batch replay use stable batch_ids across restarts."""
     return (
         stream.writeStream.foreachBatch(
-            upsert_batch_writer(stream.sparkSession, target_path, key)
+            upsert_batch_writer(stream.sparkSession, target_path, key, order_col)
         )
         .option("checkpointLocation", checkpoint)
         .outputMode("update")

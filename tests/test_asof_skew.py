@@ -108,6 +108,24 @@ class TestRangeJoin:
         got_l = sorted((r.pid, r.iid) for r in left.collect())
         assert got_l == [(1, 10), (2, 10), (2, 11), (3, None), (4, None)]
 
+    def test_left_null_payload_not_duplicated(self, spark):
+        """Regression: a matched point carrying a NULL payload column must not
+        be re-emitted as unmatched (null-unsafe anti-join bug)."""
+        from iceberg_evolve_spark.functions.range_join import range_join
+
+        points = spark.createDataFrame(
+            [(1, 1, 100, None), (2, 1, 100, "x"), (3, 1, 900, None)],
+            "pid long, k long, ts long, payload string",
+        )
+        intervals = spark.createDataFrame(
+            [(10, 1, 50, 200)], "iid long, k long, start long, end long"
+        )
+        left = range_join(
+            points, intervals, on="k", point_ts="ts", bucket_seconds=100, how="left"
+        )
+        got = sorted((r.pid, r.iid) for r in left.collect())
+        assert got == [(1, 10), (2, 10), (3, None)]
+
     def test_inclusive_bounds(self, spark):
         from iceberg_evolve_spark.functions.range_join import range_join
 

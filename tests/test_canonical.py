@@ -63,6 +63,10 @@ class TestWideningLattice:
         assert not is_engine_legal_promotion(P("int"), P("float"))
         assert is_engine_legal_promotion(P("int"), P("long"))
         assert is_engine_legal_promotion(P("float"), P("double"))
+        # date→timestamp is a widening per the reference fixtures, but Iceberg
+        # format v2 rejects the in-place promotion (v3-only) — must not compile.
+        assert is_narrower_than(P("date"), P("timestamp"))
+        assert not is_engine_legal_promotion(P("date"), P("timestamp"))
 
 
 class TestCanonicalization:

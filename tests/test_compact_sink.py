@@ -51,3 +51,51 @@ class TestUpsertSink:
             q.stop()
         got = sorted(tuple(r) for r in spark.read.parquet(tgt).collect())
         assert got == [(1, "a"), (2, "b2"), (3, "c")]
+
+    def test_within_batch_winner_is_deterministic_with_order_col(self, spark, tmp_path_factory):
+        """One micro-batch carrying several updates for a key must persist the
+        row with the greatest order column, not an arbitrary one."""
+        base = str(tmp_path_factory.mktemp("sinkdet"))
+        src, tgt, ckpt = f"{base}/src", f"{base}/tgt", f"{base}/ckpt"
+        os.makedirs(src)
+        df = spark.createDataFrame(
+            [(1, 10, "old"), (1, 30, "newest"), (1, 20, "mid"), (2, 5, "only")],
+            "k long, seq long, v string",
+        )
+        stage = f"{base}/_stage"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], f"{src}/b1.parquet")
+        stream = spark.readStream.schema("k long, seq long, v string").parquet(src)
+        q = run_upsert_stream(stream, tgt, key="k", checkpoint=ckpt, order_col="seq")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {r.k: r.v for r in spark.read.parquet(tgt).collect()}
+        assert got == {1: "newest", 2: "only"}
+
+
+class TestSwapRecovery:
+    def test_recover_restores_half_finished_swap(self, spark, tmp_path):
+        """Crash window: live dir moved aside, replacement not yet installed —
+        recover() must bring the previous snapshot back instead of letting the
+        next batch treat the target as empty."""
+        from iceberg_evolve_spark.sources import swap
+
+        tgt = str(tmp_path / "tgt")
+        spark.range(5).write.parquet(tgt)
+        # simulate the crash: target renamed aside, new dir never arrived
+        os.rename(tgt, tgt + "._old")
+        assert swap.recover(tgt) is True
+        assert spark.read.parquet(tgt).count() == 5
+        assert swap.recover(tgt) is False  # idempotent no-op when healthy
+
+    def test_swap_installs_and_cleans(self, spark, tmp_path):
+        from iceberg_evolve_spark.sources import swap
+
+        tgt, tmp = str(tmp_path / "tgt"), str(tmp_path / "new")
+        spark.range(3).write.parquet(tgt)
+        spark.range(7).write.parquet(tmp)
+        swap.swap(tmp, tgt)
+        assert spark.read.parquet(tgt).count() == 7
+        assert not os.path.exists(tgt + "._old")

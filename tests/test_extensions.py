@@ -92,6 +92,25 @@ class TestDedup:
         pairs = simhash_near_dups(df, "doc_id", max_hamming=3).collect()
         assert {(p.id_a, p.id_b) for p in pairs} >= {(1, 2)}
 
+    def test_unpersist_intermediates_releases_cache(self, docs):
+        """The near-dup builders pin their shared subtree in the cache; the
+        helper must release exactly those entries after materialization."""
+        from iceberg_evolve_spark.functions.dedup import (
+            minhash_lsh_pairs,
+            unpersist_intermediates,
+        )
+
+        out = minhash_lsh_pairs(docs, "doc_id", num_hashes=8, bands=4)
+        out.count()  # materialize (intermediates now cached)
+        handles = out._persisted_intermediates
+        assert all(h.storageLevel.useMemory or h.storageLevel.useDisk for h in handles)
+        assert unpersist_intermediates(out) == len(handles) > 0
+        assert all(
+            not (h.storageLevel.useMemory or h.storageLevel.useDisk) for h in handles
+        )
+        # plain DataFrames are a no-op
+        assert unpersist_intermediates(docs) == 0
+
     def test_embedding_near_dups_self_consistency(self, emb):
         pairs = embedding_near_dups(emb, "vec_id", threshold=0.3).collect()
         for p in pairs:
