@@ -249,6 +249,7 @@ class SchemaDiff:
             DropColumn,
             MoveColumn,
             RenameColumn,
+            SetNullability,
             UpdateColumn,
         )
 
@@ -294,6 +295,14 @@ class SchemaDiff:
                         new_type=c.new.type,
                         doc=c.new.doc,
                     )
+                )
+        # required/optional flips (only present when the diff ran with
+        # include_required_changes=True) compile in the update phase too —
+        # they reference post-rename names like every other update.
+        for c in self.changed:
+            if c.kind == "required_changed":
+                updates.append(
+                    SetNullability(name=c.path, required=c.new.required)
                 )
 
         for c in self.added:

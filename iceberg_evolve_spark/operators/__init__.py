@@ -6,6 +6,7 @@ from iceberg_evolve_spark.operators.evolution import (
     DropColumn,
     MoveColumn,
     RenameColumn,
+    SetNullability,
     UnionSchema,
     UpdateColumn,
 )
@@ -17,5 +18,6 @@ __all__ = [
     "UpdateColumn",
     "RenameColumn",
     "MoveColumn",
+    "SetNullability",
     "UnionSchema",
 ]

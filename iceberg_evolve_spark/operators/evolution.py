@@ -302,6 +302,49 @@ class MoveColumn(BaseEvolutionOperation):
 
 
 @dataclass
+class SetNullability(BaseEvolutionOperation):
+    """Flip a column between optional and required.
+
+    No reference counterpart: the reference silently ignores required/optional
+    flips (``SURVEY.md §1.1``); the diff here detects them
+    (``include_required_changes=True``) and this op completes the path to DDL.
+
+    ``required=False`` compiles to ``DROP NOT NULL`` — always safe (widens the
+    value set). ``required=True`` compiles to ``SET NOT NULL`` and is a
+    BREAKING change: Iceberg refuses to promote an optional column to required
+    (existing data may hold nulls) unless incompatible changes are explicitly
+    allowed, so the op both reports breaking and warns at compile time.
+    """
+
+    required: bool = False
+
+    op_name = "set_nullability"
+
+    def is_breaking(self) -> bool:
+        return self.required
+
+    def to_sql(self, table: str) -> list[str]:
+        col = quote_path(self.name)
+        if not self.required:
+            return [f"ALTER TABLE {table} ALTER COLUMN {col} DROP NOT NULL"]
+        warnings.warn(
+            f"Making {self.name!r} required (SET NOT NULL) is rejected by "
+            f"Iceberg unless the table provably holds no nulls and "
+            f"incompatible changes are allowed; backfill nulls first.",
+            UnsupportedSchemaEvolutionWarning,
+            stacklevel=2,
+        )
+        return [f"ALTER TABLE {table} ALTER COLUMN {col} SET NOT NULL"]
+
+    def to_serializable_dict(self) -> dict[str, Any]:
+        return {
+            "op": "set_nullability",
+            "name": self.name,
+            "required": self.required,
+        }
+
+
+@dataclass
 class UnionSchema(BaseEvolutionOperation):
     """Merge a whole schema into the table by name.
 

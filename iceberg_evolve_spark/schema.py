@@ -114,9 +114,19 @@ class Schema:
 
         return struct_to_spark(self.struct)
 
-    def diff(self, new: Schema, *, match_by: str = "id") -> SchemaDiff:
+    def diff(
+        self,
+        new: Schema,
+        *,
+        match_by: str = "id",
+        include_required_changes: bool = False,
+    ) -> SchemaDiff:
         if match_by == "id":
-            return SchemaDiff.from_schemas(self.struct, new.struct)
+            return SchemaDiff.from_schemas(
+                self.struct,
+                new.struct,
+                include_required_changes=include_required_changes,
+            )
         if match_by == "name":
             return SchemaDiff.union_by_name(self.struct, new.struct)
         raise ValueError(f"match_by must be 'id' or 'name', got {match_by!r}")
@@ -141,6 +151,7 @@ class Schema:
         strict: bool = True,
         allow_breaking: bool = False,
         match_by: str = "id",
+        include_required_changes: bool = False,
         return_applied_schema: bool = False,
     ) -> "Schema | list":
         """Diff ``self`` → ``new``, gate, then apply in three phases.
@@ -156,11 +167,16 @@ class Schema:
             DropColumn,
             MoveColumn,
             RenameColumn,
+            SetNullability,
             UnionSchema,
             UpdateColumn,
         )
 
-        diff = self.diff(new, match_by=match_by)
+        diff = self.diff(
+            new,
+            match_by=match_by,
+            include_required_changes=include_required_changes,
+        )
         ops = diff.to_evolution_operations()
 
         if any(isinstance(op, UnionSchema) for op in ops):
@@ -202,7 +218,7 @@ class Schema:
         phase2 = [
             op
             for op in ops
-            if isinstance(op, (AddColumn, UpdateColumn, DropColumn))
+            if isinstance(op, (AddColumn, UpdateColumn, DropColumn, SetNullability))
         ]
         phase3 = [op for op in ops if isinstance(op, MoveColumn)]
 

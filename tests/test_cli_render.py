@@ -73,8 +73,12 @@ class TestCliDiff:
         )
         assert res.returncode == 0, res.stderr
         stmts = [l for l in res.stdout.splitlines() if l.startswith("ALTER")]
-        assert len(stmts) == 8
+        # 7 statements: the signup date→timestamp promotion no longer compiles
+        # (not engine-legal on Iceberg v2), leaving 2 renames, 2 adds, 2 drops,
+        # 1 move.
+        assert len(stmts) == 7
         assert stmts[0].startswith("ALTER TABLE cat.db.users RENAME")
+        assert not any("TYPE TIMESTAMP" in s for s in stmts)
 
 
 class TestRenderers:

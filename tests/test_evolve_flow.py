@@ -45,10 +45,16 @@ class TestDDLCompile:
         ]
 
     def test_update_type(self):
+        op = UpdateColumn(name="x", current_type=P("int"), new_type=P("long"))
+        assert op.to_sql("t") == ["ALTER TABLE t ALTER COLUMN x TYPE BIGINT"]
+
+    def test_update_type_date_to_timestamp_refused(self):
+        # Not engine-legal on Iceberg v2 (v3-only promotion): warn, no DDL.
         op = UpdateColumn(name="signup", current_type=P("date"), new_type=P("timestamp"))
-        assert op.to_sql("t") == [
-            "ALTER TABLE t ALTER COLUMN signup TYPE TIMESTAMP_NTZ"
-        ]
+        with warnings.catch_warnings(record=True) as ws:
+            warnings.simplefilter("always")
+            assert op.to_sql("t") == []
+        assert any("engine-legal" in str(x.message) for x in ws)
 
     def test_update_unsupported_emits_nothing(self):
         op = UpdateColumn(
@@ -113,8 +119,9 @@ class TestEvolveFlow:
         assert "AFTER signup_datetime" in stmts[-1]
         # the unsupported nested update emitted nothing
         assert not any("login_attempts" in s and "TYPE" in s for s in stmts)
-        # the type promotion rides on the NEW name (rename committed first)
-        assert "ALTER COLUMN signup_datetime TYPE TIMESTAMP_NTZ" in " | ".join(stmts)
+        # date→timestamp is NOT an engine-legal in-place promotion (Iceberg v2
+        # rejects it; v3-only) — the op must warn and emit no TYPE statement.
+        assert not any("signup_datetime TYPE" in s for s in stmts)
 
     def test_quiet_false_displays(self, users_current, users_new, capsys):
         ex = CollectingExecutor("t")
@@ -199,6 +206,77 @@ class TestEngineLegalPromotionGate:
         assert op.to_sql("cat.db.t") == [
             "ALTER TABLE cat.db.t ALTER COLUMN x TYPE BIGINT"
         ]
+
+
+class TestSetNullability:
+    def _schemas(self):
+        cur = Schema(
+            StructType(
+                [
+                    Field(1, "id", PrimitiveType("long"), required=True),
+                    Field(2, "note", PrimitiveType("string"), required=False),
+                ]
+            )
+        )
+        new = Schema(
+            StructType(
+                [
+                    Field(1, "id", PrimitiveType("long"), required=False),
+                    Field(2, "note", PrimitiveType("string"), required=True),
+                ]
+            )
+        )
+        return cur, new
+
+    def test_planned_from_required_changed_and_compiled(self):
+        from iceberg_evolve_spark.operators.evolution import SetNullability
+
+        cur, new = self._schemas()
+        diff = cur.diff(new, include_required_changes=True)
+        ops = diff.to_evolution_operations()
+        flips = [op for op in ops if isinstance(op, SetNullability)]
+        assert {(op.name, op.required) for op in flips} == {
+            ("id", False),
+            ("note", True),
+        }
+        drop = next(op for op in flips if not op.required)
+        assert not drop.is_breaking()
+        assert drop.to_sql("cat.db.t") == [
+            "ALTER TABLE cat.db.t ALTER COLUMN id DROP NOT NULL"
+        ]
+        seto = next(op for op in flips if op.required)
+        assert seto.is_breaking()
+        with warnings.catch_warnings(record=True) as ws:
+            warnings.simplefilter("always")
+            assert seto.to_sql("cat.db.t") == [
+                "ALTER TABLE cat.db.t ALTER COLUMN note SET NOT NULL"
+            ]
+        assert any("backfill" in str(x.message) for x in ws)
+
+    def test_evolve_applies_flips_through_executor(self):
+        cur, new = self._schemas()
+        ex = CollectingExecutor("cat.db.t")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            cur.evolve(
+                new,
+                ex,
+                quiet=True,
+                allow_breaking=True,  # SET NOT NULL is breaking
+                include_required_changes=True,
+            )
+        assert "ALTER TABLE cat.db.t ALTER COLUMN id DROP NOT NULL" in ex.statements
+        assert "ALTER TABLE cat.db.t ALTER COLUMN note SET NOT NULL" in ex.statements
+
+    def test_breaking_gate_blocks_set_not_null(self):
+        cur, new = self._schemas()
+        ex = CollectingExecutor("cat.db.t")
+        with pytest.raises(ValueError, match="Breaking operations"):
+            cur.evolve(new, ex, quiet=True, include_required_changes=True)
+
+    def test_flips_off_by_default_for_reference_parity(self):
+        cur, new = self._schemas()
+        assert cur.diff(new).is_empty()
 
 
 class TestMergeUpsert:
