@@ -86,14 +86,116 @@ def connected_components(
     return labels.select("node", F.col("lbl").alias("component"))
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Components via alternating large-star / small-star rounds (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+    opt-in for ADVERSARIAL graphs.
+
+    Min-label propagation (:func:`connected_components`) is the right default
+    for near-dup graphs (tiny cliques), but its work per round is proportional
+    to the full edge list for the whole run. The star algorithm instead
+    rewires the graph itself toward stars rooted at component minima:
+
+    * large-star: per node ``u``, hook every LARGER neighbor to
+      ``m = min(Γ(u) ∪ {u})``;
+    * small-star: per node ``u`` (over edges directed large→small), hook the
+      smaller neighbors and ``u`` to ``m``.
+
+    Both are one shuffle on the node id; the edge set provably shrinks toward
+    the star form in O(log² n) rounds regardless of diameter, and long chains
+    collapse geometrically. Convergence = edge set unchanged (count +
+    order-independent hash checksum). Output contract matches
+    :func:`connected_components`: ``(node, component-min)`` for every node
+    incident to an edge.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def checksum(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # sum in decimal: summing 64-bit hashes overflows BIGINT (ANSI)
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = None
+    for _ in range(max_iterations):
+        # --- large-star: key by each endpoint (symmetric view) ---
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m_of = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        m_of = m_of.select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+        large = (
+            sym.join(m_of, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # --- small-star: direct edges large→small, key by the larger node ---
+        d = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        m2 = d.groupBy("u").agg(F.min("v").alias("m"))
+        hooked = (
+            d.join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m2.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        e = hooked
+        cur = checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+
+    # Converged: stars rooted at component minima — (larger node → root).
+    members = e.select(
+        F.greatest("u", "v").alias("node"), F.least("u", "v").alias("component")
+    ).distinct()
+    # Same output contract as connected_components: every node incident to any
+    # input edge appears, including self-loop-only nodes (dropped from the
+    # star edge set by the u != v filter) as their own singleton component.
+    all_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    return all_nodes.join(members, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
+    )
+
+
 def assign_components(
-    df: DataFrame, id_col: str, edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+    df: DataFrame,
+    id_col: str,
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """Attach a ``cluster_id`` to every row of ``df``: the component minimum
     for nodes touched by an edge, the node's own id for singletons. Also flags
     the canonical representative (the minimum id) — the row a dedup pipeline
-    keeps."""
-    comp = connected_components(edges, src, dst)
+    keeps. ``algorithm='star'`` switches to the large-star/small-star variant
+    for graphs with adversarially long chains."""
+    if algorithm == "minlabel":
+        comp = connected_components(edges, src, dst)
+    elif algorithm == "star":
+        comp = connected_components_star(edges, src, dst)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     joined = df.join(comp, df[id_col] == comp.node, "left")
     return joined.select(
         *[df[c] for c in df.columns],

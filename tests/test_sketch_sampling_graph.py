@@ -151,6 +151,52 @@ def test_assign_components_singletons(spark):
     assert out[3] == (3, True) and out[5] == (5, True)
 
 
+def test_star_matches_minlabel_on_shapes(spark):
+    """Large-star/small-star must agree with min-label propagation on chains,
+    cliques, self-loops, and direction-flipped edges."""
+    from iceberg_evolve_spark.functions.graph import connected_components_star
+
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)],
+        [(i, i + 1) for i in range(30)],  # long chain: the adversarial case
+        [(a, b) for a in range(5) for b in range(5) if a < b],  # clique
+        [(9, 5), (5, 9), (7, 7)],
+    ]
+    for pairs in cases:
+        e = _edges(spark, pairs)
+        ml = {(r.node, r.component) for r in connected_components(e).collect()}
+        st = {(r.node, r.component) for r in connected_components_star(e).collect()}
+        assert st == ml, pairs
+
+
+def test_star_matches_minlabel_on_random_graphs(spark):
+    """Property check: on random sparse graphs the two algorithms produce the
+    identical (node → component-min) mapping."""
+    import random
+
+    from iceberg_evolve_spark.functions.graph import connected_components_star
+
+    rng = random.Random(42)
+    for trial in range(5):
+        n = rng.randint(10, 60)
+        m = rng.randint(5, 2 * n)
+        pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        e = _edges(spark, pairs)
+        ml = {(r.node, r.component) for r in connected_components(e).collect()}
+        st = {(r.node, r.component) for r in connected_components_star(e).collect()}
+        assert st == ml, (trial, pairs)
+
+
+def test_assign_components_star_algorithm(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    e = _edges(spark, [(0, 1), (1, 2)])
+    out = {
+        r.doc_id: r.cluster_id
+        for r in assign_components(nodes, "doc_id", e, algorithm="star").collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4}
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF
 # ---------------------------------------------------------------------------
