@@ -43,7 +43,12 @@ from iceberg_evolve_spark.functions.sketch import (
     kmv_distinct_estimate,
     kmv_estimate_sql,
 )
-from iceberg_evolve_spark.functions.similarity import cosine_sim, topk_brute_force, topk_ivf
+from iceberg_evolve_spark.functions.similarity import (
+    cosine_sim,
+    topk_brute_force,
+    topk_ivf,
+    topk_lsh,
+)
 from iceberg_evolve_spark.functions.text import (
     BPE_TOKEN_RE,
     LANG_MARKERS,
@@ -1752,6 +1757,166 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index.probe(_query_vec(spark, sf_dir), k=ANN_K, n_probe=4)
 
 
+# --- sign-LSH family: hash-derived hyperplanes are engine-portable, so the
+# --- DuckDB oracle recomputes the identical planes in Python and inlines them.
+
+ANN_LSH_PLANES = 6
+ND_LSH_PLANES = 3
+ND_LSH_TABLES = 6
+
+
+def _hyperplane(seed: str, p: int, d: int) -> float:
+    """Python replica of similarity.lsh_bucket's plane components:
+    (hash60('<seed>|p|d') % 2001 - 1000) / 1000 — identical IEEE double."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+def _bucket_sql(vec: str, seed: str, n_planes: int, dims: int = EMB_DIM) -> str:
+    """DuckDB expression: the packed sign-bucket id of array column ``vec``."""
+    terms = []
+    for p in range(n_planes):
+        plane = "[" + ", ".join(repr(_hyperplane(seed, p, d)) for d in range(dims)) + "]"
+        dot = (
+            f"list_reduce(list_transform(range(1, {dims} + 1), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({plane})[i]), (x, y) -> x + y)"
+        )
+        terms.append(f"CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bucket ANN: score only vectors in the query's LSH bucket. At scale
+    the bucket is a stored partition column (scan pruned to ~1/2^planes of the
+    corpus); the deterministic hyperplanes mean no model object exists at all —
+    the oracle recomputes the buckets bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return topk_lsh(emb, _query_vec(spark, sf_dir), k=ANN_K, n_planes=ANN_LSH_PLANES)
+
+
+def _ann_lsh_sql() -> str:
+    b = _bucket_sql("e.embedding", "hp", ANN_LSH_PLANES)
+    qb = _bucket_sql("q.qv", "hp", ANN_LSH_PLANES)
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, ROUND({_cosine_sql('e.embedding', 'q.qv')}, 6) AS cosine
+FROM embeddings e, q
+WHERE {b} = {qb}
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT {ANN_K}
+"""
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-linear embedding near-dup: candidate pairs only inside sign-LSH
+    buckets across ND_LSH_TABLES independent tables, verified by the exact
+    BLAS kernel. The extreme-scale complement to the exact tiled strategy."""
+    from iceberg_evolve_spark.functions.dedup import embedding_near_dups_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dups_lsh(
+        emb,
+        "vec_id",
+        "embedding",
+        dims=EMB_DIM,
+        threshold=0.3,
+        n_planes=ND_LSH_PLANES,
+        n_tables=ND_LSH_TABLES,
+    )
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+def _emb_lsh_sql() -> str:
+    bcols = ", ".join(
+        f"{_bucket_sql('embedding', f'nd{t}', ND_LSH_PLANES)} AS b{t}"
+        for t in range(ND_LSH_TABLES)
+    )
+    collide = " OR ".join(f"a.b{t} = c.b{t}" for t in range(ND_LSH_TABLES))
+    cos = _cosine_sql("ea.embedding", "eb.embedding")
+    return f"""
+WITH bks AS (SELECT vec_id, {bcols} FROM embeddings),
+cand AS (
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b
+    FROM bks a JOIN bks c ON a.vec_id < c.vec_id AND ({collide})
+)
+SELECT id_a, id_b, ROUND({cos}, 6) AS cosine
+FROM cand
+JOIN embeddings ea ON ea.vec_id = id_a
+JOIN embeddings eb ON eb.vec_id = id_b
+WHERE {cos} >= 0.3
+"""
+
+
+def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same near-dup clustering pipeline as dedup_cluster_components, driven by
+    the large-star/small-star algorithm (Kiveris et al., SoCC 2014) — identical
+    output by construction, rounds bounded at O(log² n) even on adversarial
+    chain graphs where plain propagation needs diameter rounds."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    full = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        full,
+        "doc_id",
+        num_hashes=MINHASH_N,
+        bands=LSH_BANDS,
+        k=SHINGLE_K,
+        threshold=JACCARD_T,
+    )
+    return assign_components(docs, "doc_id", pairs, algorithm="star").orderBy("doc_id")
+
+
+def evolve_required_flips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SetNullability planning end-to-end: diff two schemas differing only in
+    required flags (include_required_changes=True), plan ops, compile DDL.
+    Emits one row per planned flip with its breaking classification."""
+    import warnings as _w
+
+    from iceberg_evolve_spark.model import Field as _F
+    from iceberg_evolve_spark.model import PrimitiveType as _P
+    from iceberg_evolve_spark.model import StructType as _S
+    from iceberg_evolve_spark.operators.evolution import SetNullability
+
+    cur = Schema(
+        _S(
+            [
+                _F(1, "id", _P("long"), required=True),
+                _F(2, "note", _P("string"), required=False),
+                _F(3, "score", _P("double"), required=False),
+            ]
+        )
+    )
+    new = Schema(
+        _S(
+            [
+                _F(1, "id", _P("long"), required=False),
+                _F(2, "note", _P("string"), required=True),
+                _F(3, "score", _P("double"), required=False),
+            ]
+        )
+    )
+    ops = cur.diff(new, include_required_changes=True).to_evolution_operations()
+    rows = []
+    for op in ops:
+        if isinstance(op, SetNullability):
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")
+                ddl = op.to_sql("cat.db.t")[0]
+            rows.append((op.name, op.required, op.is_breaking(), ddl))
+    return spark.createDataFrame(
+        sorted(rows), "name string, required boolean, breaking boolean, ddl string"
+    )
+
+
+_REQUIRED_FLIPS_SQL = """
+SELECT * FROM (VALUES
+    ('id', false, false, 'ALTER TABLE cat.db.t ALTER COLUMN id DROP NOT NULL'),
+    ('note', true, true, 'ALTER TABLE cat.db.t ALTER COLUMN note SET NOT NULL')
+) AS t(name, required, breaking, ddl)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -2805,7 +2970,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "migrate_customer": migrate_customer,
         # (b) oracle fixed this round (BIGINT cast) — needs a recheck.
         "q12_priority_by_flag": q12_priority_by_flag,
-        # (c) new round-2 queries go here, before the already-verified tail.
+        # (c) new round-2 queries, before the already-verified tail.
+        "ann_topk_lsh": ann_topk_lsh,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
+        "dedup_cluster_star": dedup_cluster_star,
+        "evolve_required_flips": evolve_required_flips,
         # (d) round-1 entries hash-verified in CORRECTNESS_r01.json.
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -2927,6 +3096,10 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _TFIDF_SQL,
         "ann_topk_bruteforce": _ANN_SQL,
         # ann_topk_ivf: intentionally no oracle (approximate, model-based)
+        "ann_topk_lsh": _ann_lsh_sql(),
+        "dedup_embedding_lsh": _emb_lsh_sql(),
+        "dedup_cluster_star": _CLUSTER_SQL,
+        "evolve_required_flips": _REQUIRED_FLIPS_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "lang_id": _lang_sql(),
         "doc_fingerprint": _FP_SQL,
