@@ -1765,20 +1765,17 @@ ND_LSH_PLANES = 3
 ND_LSH_TABLES = 6
 
 
-def _hyperplane(seed: str, p: int, d: int) -> float:
-    """Python replica of similarity.lsh_bucket's plane components:
-    (hash60('<seed>|p|d') % 2001 - 1000) / 1000 — identical IEEE double."""
-    import hashlib
-
-    h = int(hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()[:15], 16)
-    return (h % 2001 - 1000) / 1000.0
-
-
 def _bucket_sql(vec: str, seed: str, n_planes: int, dims: int = EMB_DIM) -> str:
-    """DuckDB expression: the packed sign-bucket id of array column ``vec``."""
+    """DuckDB expression: the packed sign-bucket id of array column ``vec``.
+    Plane components come from the SAME driver-side function the Spark plan
+    embeds as literals, so parity is by construction."""
+    from iceberg_evolve_spark.functions.similarity import hyperplane_component
+
     terms = []
     for p in range(n_planes):
-        plane = "[" + ", ".join(repr(_hyperplane(seed, p, d)) for d in range(dims)) + "]"
+        plane = "[" + ", ".join(
+            repr(hyperplane_component(seed, p, d)) for d in range(dims)
+        ) + "]"
         dot = (
             f"list_reduce(list_transform(range(1, {dims} + 1), "
             f"i -> CAST({vec}[i] AS DOUBLE) * ({plane})[i]), (x, y) -> x + y)"

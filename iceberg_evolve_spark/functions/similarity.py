@@ -19,9 +19,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from iceberg_evolve_spark.functions.hashing import hash60
-
-
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ as a sequential double fold (portable summation order)."""
     return F.aggregate(
@@ -70,24 +67,35 @@ def topk_brute_force(
     )
 
 
+def hyperplane_component(seed: str, p: int, d: int) -> float:
+    """Deterministic hyperplane component ``hp[p][d] =
+    (hash60('<seed>|p|d') % 2001 - 1000) / 1000`` ∈ [-1, 1], computed
+    driver-side (hashlib md5 — identical value to the in-plan ``hash60``
+    expression, and reproducible by any engine for oracle checks)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
 def lsh_bucket(
     vec_col: Column, dims: int, n_planes: int = 8, seed: str = "hp"
 ) -> Column:
     """Sign-bucket id from ``n_planes`` deterministic pseudo-random hyperplanes.
 
-    Hyperplane components are derived from the portable hash —
-    ``hp[p][d] = (hash60('<seed>|p|d') % 2001 - 1000) / 1000`` ∈ [-1, 1] — so no
-    model object needs storing/broadcasting, any engine can recompute them, and
-    the bucket id of a vector is stable across runs and engines. Bucket id packs
-    the sign bits: Σ (dot(v, hp_p) > 0) << p.
+    Hyperplane components are hash-derived constants
+    (:func:`hyperplane_component`) — no model object needs
+    storing/broadcasting, any engine can recompute them, and the bucket id of
+    a vector is stable across runs and engines. They are materialized as
+    double LITERALS here (not per-row hash expressions: n_planes × dims md5
+    calls per row would dominate the scan). Bucket id packs the sign bits:
+    Σ (dot(v, hp_p) > 0) << p.
     """
     bucket = F.lit(0)
     for p in range(n_planes):
         plane = F.array(
             *[
-                (
-                    (hash60(F.lit(f"{seed}|{p}|{d}")) % 2001 - 1000) / F.lit(1000.0)
-                ).cast("double")
+                F.lit(hyperplane_component(seed, p, d))
                 for d in range(dims)
             ]
         )
