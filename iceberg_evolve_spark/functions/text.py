@@ -108,6 +108,39 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang
     return scored.withColumn(out_col, pred)
 
 
+#: Redaction patterns — deliberately the portable regex subset (no lookaround,
+#: no backrefs) so Java (Spark) and RE2 (DuckDB, Go) engines match identically.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\d{3}-\d{4}",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "redacted",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Scrub PII-shaped substrings before a corpus enters training.
+
+    Patterns apply SEQUENTIALLY in dict order, each replacing its matches with
+    ``[PII]``; per-pattern counts are taken on the text as that pattern sees it
+    (post-prior-redactions), summed into ``n_redactions``. Pure projection —
+    one codegen'd pass, no shuffle, linear at any scale. Patterns must stay in
+    the Java∩RE2 regex subset so external engines reproduce the result.
+    """
+    pats = patterns or PII_PATTERNS
+    cur = F.col(text_col)
+    total = F.lit(0)
+    for pat in pats.values():
+        total = total + F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+        cur = F.regexp_replace(cur, pat, "[PII]")
+    return df.withColumn(out_col, cur).withColumn(
+        "n_redactions", total.cast("int")
+    )
+
+
 def document_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprint of the normalized text (lowercased, whitespace
     collapsed): hex md5 plus the portable 60-bit integer form. Exact-dedup key."""

@@ -238,6 +238,22 @@ class TestText:
         rows = add_text_stats(docs).select("quality_score").collect()
         assert all(0.0 <= r.quality_score <= 1.0 for r in rows)
 
+    def test_redact_pii_counts_and_replaces(self, spark):
+        from iceberg_evolve_spark.functions.text import redact_pii
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail a.b+c@x-corp.co.uk or call 555-1234 now"),
+                (2, "two mails: p@q.io and r@s.org"),
+                (3, "nothing sensitive here"),
+            ],
+            "id long, text string",
+        )
+        got = {r.id: (r.n_redactions, r.redacted) for r in redact_pii(df).collect()}
+        assert got[1] == (2, "mail [PII] or call [PII] now")
+        assert got[2] == (2, "two mails: [PII] and [PII]")
+        assert got[3] == (0, "nothing sensitive here")
+
     def test_lang_id_markers(self, spark):
         df = spark.createDataFrame(
             [
