@@ -2870,6 +2870,135 @@ ORDER BY source
 """
 
 
+def decontaminate_overlap_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded contamination: instead of the exact-fingerprint yes/no, each
+    train document reports the FRACTION of its distinct word 3-grams that
+    occur anywhere in the held-out split — the n-gram-overlap decontamination
+    rule used for real eval sets. Shape: explode train shingles (one shuffle),
+    broadcast-semi-join the (smaller) test shingle vocabulary, per-doc ratio.
+    Top 50 most-contaminated train docs."""
+    from iceberg_evolve_spark.functions.dedup import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    split_hash = hash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit(f"{SEP}{_SPLIT_SALT}"))
+    )
+    thr = F.lit(int(SPLIT_FRACTION * (1 << 60)))
+    train = docs.filter(split_hash < thr)
+    test = docs.filter(~(split_hash < thr))
+
+    train_sh = train.select(
+        "doc_id", F.explode(word_shingles("text", SHINGLE_K)).alias("sh")
+    )
+    test_vocab = (
+        test.select(F.explode(word_shingles("text", SHINGLE_K)).alias("sh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    rate = (
+        train_sh.join(F.broadcast(test_vocab), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias("n_overlap"),
+        )
+        .withColumn(
+            "overlap_rate", F.round(F.col("n_overlap") / F.col("n_ngrams"), 6)
+        )
+    )
+    return rate.orderBy(F.col("overlap_rate").desc(), F.col("doc_id").asc()).limit(50)
+
+
+def _overlap_rate_sql() -> str:
+    thr = int(SPLIT_FRACTION * (1 << 60))
+    h = _H60.format(x=f"CAST(doc_id AS VARCHAR) || '{SEP}{_SPLIT_SALT}'")
+    grams = (
+        f"list_distinct(list_transform(range(1, len(ts) - {SHINGLE_K} + 2), "
+        f"i -> array_to_string(list_slice(ts, i, i + {SHINGLE_K} - 1), ' ')))"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+sh AS (
+    SELECT doc_id, unnest({grams}) AS sh FROM toks WHERE len(ts) >= {SHINGLE_K}
+),
+train_sh AS (SELECT * FROM sh WHERE {h} < {thr}),
+test_vocab AS (SELECT DISTINCT sh FROM sh WHERE NOT ({h} < {thr})),
+rate AS (
+    SELECT t.doc_id, count(*) AS n_ngrams,
+           CAST(SUM(CASE WHEN v.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+    FROM train_sh t LEFT JOIN test_vocab v USING (sh)
+    GROUP BY t.doc_id
+)
+SELECT doc_id, n_ngrams, n_overlap,
+       ROUND(CAST(n_overlap AS DOUBLE) / n_ngrams, 6) AS overlap_rate
+FROM rate
+ORDER BY overlap_rate DESC, doc_id ASC
+LIMIT 50
+"""
+
+
+def docs_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: per document, the fraction of word
+    3-grams that repeat an earlier occurrence. Pure projection."""
+    from iceberg_evolve_spark.functions.text import ngram_repetition
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_repetition(docs, "text", k=SHINGLE_K)
+    return out.select(
+        "doc_id", "n_ngrams", F.round("dup_ngram_frac", 6).alias("dup_ngram_frac")
+    )
+
+
+_REPETITION_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+grams AS (
+    SELECT doc_id,
+           CASE WHEN len(ts) >= {SHINGLE_K}
+                THEN list_transform(range(1, len(ts) - {SHINGLE_K} + 2),
+                     i -> array_to_string(list_slice(ts, i, i + {SHINGLE_K} - 1), ' '))
+                ELSE [] END AS gs
+    FROM toks
+)
+SELECT doc_id, len(gs) AS n_ngrams,
+       CASE WHEN len(gs) > 0
+            THEN ROUND(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs), 6)
+            ELSE 0.0 END AS dup_ngram_frac
+FROM grams
+"""
+
+
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (the example-construction step before
+    training): within each source, documents fill a cumulative token axis in
+    doc_id order; seq_id = floor(start/budget). One window per source key —
+    scale-safe because the window partitions by the group, never globally."""
+    from iceberg_evolve_spark.functions.text import pack_token_sequences
+
+    PACK_BUDGET = 512
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.withColumn(
+        "n_tokens", F.size(F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != ""))
+    )
+    packed = pack_token_sequences(with_tokens, "doc_id", "source", "n_tokens", PACK_BUDGET)
+    return packed.select("doc_id", "source", "n_tokens", "seq_offset", "seq_id")
+
+
+_PACK_SQL = f"""
+WITH t AS (
+    SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents
+), c AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT)
+               AS seq_offset
+    FROM t
+)
+SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens, seq_offset,
+       CAST(FLOOR(seq_offset / 512.0) AS BIGINT) AS seq_id
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # Warehouse shapes: SCD2 intervals, GROUPING SETS, unpivot
 # ---------------------------------------------------------------------------
@@ -3048,6 +3177,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evolve_required_flips": evolve_required_flips,
         "docs_pii_redaction": docs_pii_redaction,
         "docs_quality_gate": docs_quality_gate,
+        "docs_repetition_score": docs_repetition_score,
+        "docs_pack_sequences": docs_pack_sequences,
+        "decontaminate_overlap_rate": decontaminate_overlap_rate,
         # (d) round-1 entries hash-verified in CORRECTNESS_r01.json.
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -3175,6 +3307,9 @@ def oracle_sql() -> dict[str, str]:
         "evolve_required_flips": _REQUIRED_FLIPS_SQL,
         "docs_pii_redaction": _PII_SQL,
         "docs_quality_gate": _quality_gate_sql(),
+        "docs_repetition_score": _REPETITION_SQL,
+        "docs_pack_sequences": _PACK_SQL,
+        "decontaminate_overlap_rate": _overlap_rate_sql(),
         "text_stats": _TEXT_STATS_SQL,
         "lang_id": _lang_sql(),
         "doc_fingerprint": _FP_SQL,

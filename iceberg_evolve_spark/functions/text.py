@@ -8,7 +8,7 @@ deliberately portable: integer/double arithmetic, regex, list lambdas).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from iceberg_evolve_spark.functions.hashing import hash60
@@ -106,6 +106,60 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang
         pred = pred.when(F.col(f"{lang}_score") == best, F.lit(lang))
     pred = F.when(best == 0, F.lit("und")).otherwise(pred)
     return scored.withColumn(out_col, pred)
+
+
+def ngram_repetition(
+    df: DataFrame, text_col: str = "text", k: int = 3, out_col: str = "dup_ngram_frac"
+) -> DataFrame:
+    """Repetition score (the Gopher-rules quality signal): the fraction of
+    word ``k``-grams that are repeats of an earlier occurrence —
+    ``1 - distinct/total``. Boilerplate, chart spam, and degenerate generations
+    score high; natural prose scores near 0. Pure codegen projection
+    (sequence/transform/array_distinct), no shuffle, linear at any scale.
+    Adds ``n_ngrams`` and ``out_col``; documents shorter than ``k`` tokens get
+    0 n-grams and fraction 0.0."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    positions = F.when(
+        n >= k, F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(positions, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    total = F.size(grams)
+    frac = F.when(
+        total > 0, 1.0 - F.size(F.array_distinct(grams)) / total
+    ).otherwise(F.lit(0.0))
+    return df.withColumn("n_ngrams", total).withColumn(
+        out_col, frac.cast("double")
+    )
+
+
+def pack_token_sequences(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Assign documents to training sequences by token budget — the packing
+    step before example construction.
+
+    Within each ``group_col`` partition, documents are laid out in ``id_col``
+    order along a cumulative token axis; a document's sequence id is
+    ``floor(start_offset / budget)`` of its own start. This is contiguous-fill
+    packing: deterministic, one window over the group key (scale-safe — the
+    window partitions by group, never globally), and exactly reproducible in
+    SQL. A document longer than ``budget`` still lands in one sequence (real
+    pipelines split it first). Adds ``seq_id`` and ``seq_offset``.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(F.col(token_col)).over(w) - F.col(token_col)).cast("long")
+    return df.withColumn("seq_offset", start).withColumn(
+        "seq_id", F.floor(F.col("seq_offset") / F.lit(budget)).cast("long")
+    )
 
 
 #: Redaction patterns — deliberately the portable regex subset (no lookaround,

@@ -238,6 +238,38 @@ class TestText:
         rows = add_text_stats(docs).select("quality_score").collect()
         assert all(0.0 <= r.quality_score <= 1.0 for r in rows)
 
+    def test_ngram_repetition_scores(self, spark):
+        from iceberg_evolve_spark.functions.text import ngram_repetition
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c a b c a b c"),  # heavy 3-gram repetition
+                (2, "one two three four five"),  # all distinct
+                (3, "xy"),  # shorter than k: zero n-grams
+            ],
+            "id long, text string",
+        )
+        got = {r.id: (r.n_ngrams, round(r.dup_ngram_frac, 6)) for r in
+               ngram_repetition(df, "text", k=3).collect()}
+        # doc 1: 7 grams, 3 distinct ("a b c","b c a","c a b") → 4/7 repeats
+        assert got[1] == (7, round(1 - 3 / 7, 6))
+        assert got[2] == (3, 0.0)
+        assert got[3] == (0, 0.0)
+
+    def test_pack_token_sequences_budget(self, spark):
+        from iceberg_evolve_spark.functions.text import pack_token_sequences
+
+        df = spark.createDataFrame(
+            [(i, "g", 40) for i in range(10)] + [(100, "h", 250), (101, "h", 100)],
+            "id long, grp string, toks int",
+        )
+        got = {r.id: (r.seq_offset, r.seq_id) for r in
+               pack_token_sequences(df, "id", "grp", "toks", budget=100).collect()}
+        # group g: offsets 0,40,80,120,... → seq ids 0,0,0,1,1,2,2,2,3,3
+        assert [got[i][1] for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+        # group h packs independently
+        assert got[100] == (0, 0) and got[101] == (250, 2)
+
     def test_redact_pii_counts_and_replaces(self, spark):
         from iceberg_evolve_spark.functions.text import redact_pii
 
