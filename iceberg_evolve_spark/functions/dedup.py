@@ -66,16 +66,7 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Spread a narrow input across the cluster before a CPU-heavy subtree
-    (shingling, per-token hashing). A small parquet file arrives as ONE input
-    split, which would serialize the whole hash pipeline on a single core; at
-    real scale the input already has ≥ defaultParallelism splits and this is a
-    no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from iceberg_evolve_spark.functions.parallel import ensure_parallelism as _ensure_parallelism
 
 
 def _shingle_index(

@@ -248,7 +248,12 @@ def build_ivf_index(
     assigned = model.transform(vecs).select(
         *df.columns, F.col("prediction").alias("_cell")
     )
-    assigned.write.mode("overwrite").partitionBy("_cell").parquet(path)
+    # One file per cell: co-locate each cell's rows before the partitioned
+    # write, otherwise every task emits a sliver into every cell directory
+    # (tasks × cells small files — the layout a probe then pays to list).
+    assigned.repartition("_cell").write.mode("overwrite").partitionBy(
+        "_cell"
+    ).parquet(path)
     meta = {
         "centroids": [[float(x) for x in c] for c in centers],
         "id_col": id_col,

@@ -53,6 +53,9 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     One narrow projection; no shuffle at any scale.
     """
+    from iceberg_evolve_spark.functions.parallel import ensure_parallelism
+
+    df = ensure_parallelism(df)
     toks = tokens(text_col)
     text = F.col(text_col)
     n_tokens = F.size(toks)
@@ -88,6 +91,9 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang
     (ties broken in fixed order en > de > fr > es; zh wins on any CJK hit;
     'und' when every score is zero). Pure projection — scales linearly.
     """
+    from iceberg_evolve_spark.functions.parallel import ensure_parallelism
+
+    df = ensure_parallelism(df)
     toks = tokens(text_col)
     scored = df
     for lang, markers in LANG_MARKERS.items():
@@ -118,6 +124,9 @@ def ngram_repetition(
     (sequence/transform/array_distinct), no shuffle, linear at any scale.
     Adds ``n_ngrams`` and ``out_col``; documents shorter than ``k`` tokens get
     0 n-grams and fraction 0.0."""
+    from iceberg_evolve_spark.functions.parallel import ensure_parallelism
+
+    df = ensure_parallelism(df)
     toks = tokens(text_col)
     n = F.size(toks)
     positions = F.when(
