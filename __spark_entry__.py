@@ -60,7 +60,10 @@ from iceberg_evolve_spark.functions.text import (
     tf_idf_top_terms,
     token_count_bpe,
 )
+from iceberg_evolve_spark.functions.audio import decode_wav_features, synth_wav_payload
+from iceberg_evolve_spark.functions.embedding import quantize_int8_exploded
 from iceberg_evolve_spark.functions.multimodal import attach_fake_payload, extract_features
+from iceberg_evolve_spark.functions.parallel import ensure_parallelism
 from iceberg_evolve_spark.model import DecimalType, Field, PrimitiveType, StructType
 from iceberg_evolve_spark.operators.migrate_df import migrate_dataframe
 from iceberg_evolve_spark.operators.scd import as_of_lookup, scd2_intervals
@@ -2119,6 +2122,64 @@ FROM documents
 """
 
 
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (round-2 upgrade of the round-1 stub): synthesize a
+    genuine RIFF/WAVE PCM16 binary per document (hand-packed header, square
+    wave with id-derived parameters), then decode it with the stdlib ``wave``
+    parser + numpy analysis inside Arrow batches. The square wave gives every
+    acoustic feature an exact closed form, so the oracle verifies the decoded
+    peak/rms/zero-crossing values bit-for-bit — decode with a hard signal,
+    not plumbing."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+    return decode_wav_features(synth_wav_payload(docs))
+
+
+# Closed forms for the synthesized square wave (see functions/audio.py
+# synth_params): n = 400 + id%400 samples @8 kHz, amplitude 1000 + id%20000,
+# half-period 2 + id%30. Peak = rms = amplitude exactly; zero crossings =
+# (n-1) // half; 44-byte canonical WAV header.
+_AUDIO_SQL = """
+SELECT doc_id,
+       CAST(44 + 2 * (400 + doc_id % 400) AS BIGINT) AS byte_len,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(400 + doc_id % 400 AS BIGINT) AS n_samples,
+       CAST((400 + doc_id % 400) * 125 AS BIGINT) AS duration_us,
+       CAST(1000 + doc_id % 20000 AS INTEGER) AS peak,
+       CAST(1000 + doc_id % 20000 AS DOUBLE) AS rms,
+       CAST((400 + doc_id % 400 - 1) // (2 + doc_id % 30) AS BIGINT) AS zero_crossings
+FROM documents
+"""
+
+
+def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column (FAISS-SQ8 layout):
+    4× smaller ANN scans with error ≤ scale/2 per component. Pure projection +
+    posexplode — no shuffle; every step is one IEEE-double op so the oracle
+    matches bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantize_int8_exploded(emb, "vec_id", "embedding")
+
+
+# Same op sequence as functions/embedding.py: float32 abs-max (exact in
+# double), one division by 127.0, one fused divide-add-floor per component.
+_QUANT_SQL = """
+WITH scaled AS (
+    SELECT vec_id,
+           CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0 AS scale,
+           embedding
+    FROM embeddings
+)
+SELECT vec_id,
+       CAST(i - 1 AS INTEGER) AS dim_idx,
+       CAST(CASE WHEN scale = 0.0 THEN 0
+            ELSE greatest(-127, least(127, floor(CAST(embedding[i] AS DOUBLE) / scale + 0.5)))
+       END AS INTEGER) AS q,
+       scale
+FROM scaled, unnest(range(1, len(embedding) + 1)) AS t(i)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Core engine surfaced as queries: schema introspection, diff, plan, migration
 # ---------------------------------------------------------------------------
@@ -3180,6 +3241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition_score": docs_repetition_score,
         "docs_pack_sequences": docs_pack_sequences,
         "decontaminate_overlap_rate": decontaminate_overlap_rate,
+        "multimodal_audio_decode": multimodal_audio_decode,
+        "embeddings_quantize_int8": embeddings_quantize_int8,
         # (d) round-1 entries hash-verified in CORRECTNESS_r01.json.
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -3315,6 +3378,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _FP_SQL,
         "bpe_token_counts": _BPE_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
+        "multimodal_audio_decode": _AUDIO_SQL,
+        "embeddings_quantize_int8": _QUANT_SQL,
         "schema_of_lineitem": _SCHEMA_SQL,
         "schema_diff_by_name": _SCHEMA_DIFF_SQL,
         "evolve_users_diff": _USERS_DIFF_SQL,

@@ -1,0 +1,87 @@
+"""Embedding-vector preprocessing: int8 scalar quantization and norms.
+
+At 100 TB the embedding column dominates storage and shuffle width: a 1024-dim
+float32 vector is 4 KiB/row, so a quantized int8 copy (1 KiB + one double
+scale) cuts ANN scan and shuffle bytes 4× with a bounded reconstruction error
+of ``scale/2`` per component. This is the standard serving layout (FAISS
+``SQ8``); the IVF index in :mod:`.similarity` can store quantized vectors per
+cell and re-rank the top candidates against the float originals.
+
+Everything here is elementwise column arithmetic — project + ``posexplode``
+only, no shuffle, no UDFs — and every operation is a single IEEE-double op so
+the DuckDB oracle reproduces results bit-for-bit:
+
+- ``m = max_i |v_i|`` (float32 max is order-independent; float→double exact)
+- ``scale = m / 127.0`` (one double division)
+- ``q_i = clamp(floor(v_i / scale + 0.5), -127, 127)`` ("round half toward
+  +inf" — identical op sequence in both engines, no half-even tie ambiguity)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Symmetric int8 range. 127 (not 128) so the negative crest is representable.
+Q_MAX = 127
+
+
+def _abs_max(vec: Column) -> Column:
+    return F.array_max(F.transform(vec, lambda x: F.abs(x))).cast("double")
+
+
+def quantize_int8_exploded(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-component int8 quantization in exploded (id, dim_idx, q, scale) form.
+
+    The exploded layout exists for bit-exact cross-engine comparison; use
+    :func:`quantize_int8` for the packed array form a table would store.
+    All-zero vectors get scale 0.0 and q == 0 everywhere.
+    """
+    scale = _abs_max(F.col(vec_col)) / F.lit(127.0)
+    out = df.select(
+        F.col(id_col).alias("vec_id"),
+        scale.alias("scale"),
+        F.posexplode(vec_col).alias("dim_idx", "v"),
+    )
+    q = F.when(F.col("scale") == 0.0, F.lit(0)).otherwise(
+        F.greatest(
+            F.lit(-Q_MAX),
+            F.least(
+                F.lit(Q_MAX),
+                F.floor(F.col("v").cast("double") / F.col("scale") + F.lit(0.5)).cast("int"),
+            ),
+        )
+    )
+    return out.select(
+        "vec_id",
+        "dim_idx",
+        q.cast("int").alias("q"),
+        "scale",
+    )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Packed form: (id, q array<tinyint>, scale double). One projection."""
+    scale = _abs_max(F.col(vec_col)) / F.lit(127.0)
+    df = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"), scale.alias("scale"))
+    q = F.when(F.col("scale") == 0.0, F.transform("v", lambda x: F.lit(0).cast("tinyint"))).otherwise(
+        F.transform(
+            "v",
+            lambda x: F.greatest(
+                F.lit(-Q_MAX),
+                F.least(F.lit(Q_MAX), F.floor(x.cast("double") / F.col("scale") + F.lit(0.5))),
+            ).cast("tinyint"),
+        )
+    )
+    return df.select("vec_id", q.alias("q"), "scale")
+
+
+def dequantize(df: DataFrame, q_col: str = "q", scale_col: str = "scale") -> DataFrame:
+    """Reconstruct approximate float components: v̂_i = q_i * scale."""
+    return df.withColumn(
+        "v_hat", F.transform(q_col, lambda x: x.cast("double") * F.col(scale_col))
+    )
