@@ -195,6 +195,58 @@ def ngram_jaccard_pairs(
     return _attach_intermediates(out, idx)
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directional near-subset detection: ``containment(A→B) = |sh_A ∩ sh_B|
+    / |sh_A|``. A short document pasted inside a longer one scores high
+    containment but LOW Jaccard (the union is dominated by the long doc), so
+    symmetric dedup misses it — this is the operator that catches quote-
+    expansion and template-wrapping duplication.
+
+    Same single-shuffle inverted-index shape as :func:`ngram_jaccard_pairs`
+    (one shingle shuffle, bucket pairing in codegen, ``max_df`` skew cap);
+    each unordered candidate pair emits up to two directed rows
+    (src contained-in dst). Output: (src_id, dst_id, containment).
+    """
+    idx = _shingle_index(df, id_col, text_col, k, max_df).persist()
+    sizes = idx.groupBy("_id").agg(F.count("*").alias("n_sh"))
+    common = (
+        idx.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    both = common.join(
+        sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a"
+    ).join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+    directed = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src_id"),
+                    F.col("id_b").alias("dst_id"),
+                    (F.col("n_common") / F.col("n_a")).cast("double").alias("containment"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src_id"),
+                    F.col("id_a").alias("dst_id"),
+                    (F.col("n_common") / F.col("n_b")).cast("double").alias("containment"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.src_id", "d.dst_id", "d.containment")
+    out = directed.filter(F.col("containment") >= threshold)
+    return _attach_intermediates(out, idx)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -78,3 +78,85 @@ def hash_sample_sql(key_expr: str, fraction: float, salt: str = "") -> str:
     if salt:
         e = f"{e} || '{SEP}{salt}'"
     return f"{hash60_sql(e)} < {_threshold(fraction)}"
+
+
+def domain_mixture_sample(
+    df: DataFrame,
+    domain: str,
+    key: Column | str,
+    weights: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Resample a corpus toward a target domain mixture (the data-mixing step
+    of training-set construction: "40% web, 30% code, ...").
+
+    Domains absent from ``weights`` are dropped. The sample keeps every listed
+    domain's rows at the largest feasible scale ``s = min_d(n_d / w_d)`` — the
+    domain that binds keeps ALL its rows and the over-represented ones are
+    hash-downsampled to ``s·w_d`` expected rows, so the output composition
+    matches ``weights`` up to binomial noise while no row is upsampled.
+
+    Selection is content-addressed (portable hash threshold), so the row set
+    is engine- and parallelism-independent. Scale shape: one map-side-combined
+    count per domain (output is |domains| rows), thresholds derived on that
+    tiny relation and broadcast back; the corpus itself is touched by exactly
+    one narrow filter — no corpus shuffle.
+    """
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty map of positive weights")
+    w_col: Column = F.lit(None).cast("double")
+    for value, w in sorted(weights.items()):
+        w_col = F.when(F.col(domain) == value, F.lit(float(w))).otherwise(w_col)
+    counts = (
+        df.groupBy(domain)
+        .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        .withColumn("_w", w_col)
+        .filter(F.col("_w").isNotNull())
+    )
+    scale = counts.agg(F.min(F.col("_n") / F.col("_w")).alias("_s"))
+    thr = (
+        counts.join(F.broadcast(scale))
+        .select(
+            domain,
+            F.floor(
+                F.least(F.lit(1.0), F.col("_s") * F.col("_w") / F.col("_n"))
+                * F.lit(float(TWO60_INT))
+            )
+            .cast("bigint")
+            .alias("_thr"),
+        )
+    )
+    return (
+        df.join(F.broadcast(thr), domain)
+        .filter(hash60(_keyed(key, salt)) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+def shard_assignments(
+    df: DataFrame, key: Column | str, n_shards: int, salt: str = ""
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-order layout:
+    every row gets a content-addressed ``shard`` (uniform via the portable
+    hash) and a dense ``pos_in_shard`` following the hash order, so the
+    resulting read order is a reproducible permutation of the corpus —
+    independent of input partitioning, stable under re-runs.
+
+    One shuffle (the per-shard window). Choose ``n_shards`` so a shard fits an
+    executor (corpus_bytes / ~1 GiB); shards are hash-balanced so the window
+    partitions are uniform by construction — no skew handling needed.
+    """
+    from pyspark.sql import Window
+
+    k = F.col(key) if isinstance(key, str) else key
+    h = hash60(_keyed(key, salt))
+    out = df.withColumn("_h", h).withColumn(
+        "shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int")
+    )
+    # Secondary sort on the key: 60-bit hashes do collide at 10^10-row scale,
+    # and the position must stay deterministic when they do.
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), k.cast("string").asc())
+    return (
+        out.withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+        .drop("_h")
+    )

@@ -285,3 +285,81 @@ def tf_idf_top_terms(
         .filter(F.col("_rn") <= top_k)
         .select(id_col, "term", "tf", "score", F.col("_rn").alias("rank"))
     )
+
+
+def remove_repeated_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Corpus-level boilerplate removal (CCNet-style, segment granularity).
+
+    Splits every document into non-overlapping ``k``-token segments, drops the
+    segments that occur in >= ``min_docs`` *distinct* documents (headers,
+    footers, license banners, templated spans — the text that inflates
+    cross-document duplication without adding training signal), and reassembles
+    the surviving segments in their original order.
+
+    Output: (id, n_segments, n_removed, clean_text); documents whose every
+    segment was boilerplate survive with ``clean_text = ''``.
+
+    Scale shape: the segment split is array arithmetic inside codegen (no
+    explode until the segment relation is needed); the doc-frequency pass is
+    ONE shuffle on the segment hash with map-side partial aggregation, and its
+    output (the boilerplate set) is vocabulary-sized, so it broadcasts back as
+    a hash-anti-join — the corpus itself shuffles once more, on the id, for
+    reassembly. No step is quadratic in corpus size; skew is bounded because a
+    segment's duplicate count caps at the corpus doc count and the heavy
+    groups collapse map-side.
+    """
+    from iceberg_evolve_spark.functions.parallel import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    toks = tokens(text_col)
+    n_seg = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    # NB: sequence(0, -1) infers a DESCENDING step in Spark, so the zero-token
+    # case must short-circuit to an empty array explicitly.
+    seg_idx_arr = F.when(n_seg > 0, F.sequence(F.lit(0), n_seg - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    with_chunks = df.select(
+        F.col(id_col),
+        F.transform(
+            seg_idx_arr,
+            lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+        ).alias("_segs"),
+    )
+    seg = with_chunks.select(
+        id_col, F.posexplode("_segs").alias("seg_idx", "seg")
+    )
+    boilerplate = (
+        seg.groupBy("seg")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("seg")
+    )
+    kept = seg.join(F.broadcast(boilerplate), "seg", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = with_chunks.select(id_col, F.size("_segs").alias("n_segments"))
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_segments",
+            (F.col("n_segments") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -1,0 +1,120 @@
+"""Behavioral tests for the round-2 training-pipeline operators: boilerplate
+segment removal, domain-mixture sampling, shard layout, containment dedup."""
+
+from pyspark.sql import functions as F
+
+from iceberg_evolve_spark.functions.dedup import (
+    ngram_containment_pairs,
+    ngram_jaccard_pairs,
+)
+from iceberg_evolve_spark.functions.sampling import (
+    domain_mixture_sample,
+    shard_assignments,
+)
+from iceberg_evolve_spark.functions.text import remove_repeated_segments
+
+BOILER = "all rights reserved contact us"  # exactly 5 tokens
+
+
+class TestBoilerplateRemoval:
+    def _df(self, spark):
+        rows = [
+            (1, f"{BOILER} alpha beta gamma delta epsilon"),
+            (2, f"{BOILER} zeta eta theta iota kappa"),
+            (3, f"{BOILER} lam mu nu xi omicron"),
+            (4, "pi rho sigma tau upsilon phi chi psi omega one"),
+            (5, BOILER),  # pure boilerplate
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_shared_segment_removed_unique_kept(self, spark):
+        out = {
+            r["doc_id"]: r
+            for r in remove_repeated_segments(self._df(spark), k=5, min_docs=3).collect()
+        }
+        assert out[1]["clean_text"] == "alpha beta gamma delta epsilon"
+        assert out[1]["n_segments"] == 2 and out[1]["n_removed"] == 1
+        # doc 4 shares nothing: untouched
+        assert out[4]["n_removed"] == 0
+        assert out[4]["clean_text"].startswith("pi rho sigma tau upsilon")
+        # doc 5 is pure boilerplate: survives with empty text
+        assert out[5]["clean_text"] == "" and out[5]["n_removed"] == 1
+
+    def test_order_preserved(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e " + BOILER + " f g h i j")], "doc_id long, text string"
+        )
+        # boilerplate segment sits in the middle; neighbors must rejoin in order
+        other = spark.createDataFrame(
+            [(2, BOILER + " x1 x2 x3 x4 x5"), (3, BOILER + " y1 y2 y3 y4 y5")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["clean_text"]
+            for r in remove_repeated_segments(df.union(other), k=5, min_docs=3).collect()
+        }
+        assert out[1] == "a b c d e f g h i j"
+
+
+class TestDomainMixture:
+    def _docs(self, spark):
+        rows = [(i, "big" if i < 300 else ("small" if i < 360 else "drop")) for i in range(400)]
+        return spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def test_binding_domain_kept_whole_and_unlisted_dropped(self, spark):
+        out = domain_mixture_sample(
+            self._docs(spark), "lang", "doc_id", {"big": 0.5, "small": 0.5}
+        )
+        counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        # small binds (60/0.5=120 < 300/0.5=600): all 60 rows kept
+        assert counts["small"] == 60
+        # big is hash-downsampled toward 60 expected rows
+        assert 30 <= counts["big"] <= 90
+        assert "drop" not in counts
+
+    def test_partitioning_invariance(self, spark):
+        docs = self._docs(spark)
+        a = sorted(
+            r["doc_id"]
+            for r in domain_mixture_sample(docs, "lang", "doc_id", {"big": 0.7, "small": 0.3}).collect()
+        )
+        b = sorted(
+            r["doc_id"]
+            for r in domain_mixture_sample(
+                docs.repartition(13), "lang", "doc_id", {"big": 0.7, "small": 0.3}
+            ).collect()
+        )
+        assert a == b
+
+
+class TestShardAssignments:
+    def test_dense_positions_and_determinism(self, spark):
+        df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+        out = shard_assignments(df, "doc_id", n_shards=8)
+        rows = out.collect()
+        assert all(0 <= r["shard"] < 8 for r in rows)
+        by_shard: dict[int, list[int]] = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+        for positions in by_shard.values():
+            assert sorted(positions) == list(range(1, len(positions) + 1))
+        again = sorted(
+            (r["doc_id"], r["shard"], r["pos_in_shard"])
+            for r in shard_assignments(df.repartition(17), "doc_id", n_shards=8).collect()
+        )
+        assert again == sorted((r["doc_id"], r["shard"], r["pos_in_shard"]) for r in rows)
+
+
+class TestContainment:
+    def test_subset_caught_by_containment_not_jaccard(self, spark):
+        short = "one two three four five six"
+        long = short + " seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen"
+        df = spark.createDataFrame(
+            [(1, short), (2, long)], "doc_id long, text string"
+        )
+        cont = ngram_containment_pairs(df, "doc_id", k=3, threshold=0.9).collect()
+        directed = {(r["src_id"], r["dst_id"]): r["containment"] for r in cont}
+        assert directed[(1, 2)] == 1.0  # short fully contained in long
+        assert (2, 1) not in directed  # long is not contained in short
+        jac = ngram_jaccard_pairs(df, "doc_id", k=3, threshold=0.5).collect()
+        assert jac == []  # symmetric measure misses the subset pair
