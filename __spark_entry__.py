@@ -63,11 +63,12 @@ from iceberg_evolve_spark.functions.text import (
     add_text_stats,
     document_fingerprint,
     language_id,
+    quality_percentile_prune,
     remove_repeated_segments,
     tf_idf_top_terms,
     token_count_bpe,
 )
-from iceberg_evolve_spark.functions.audio import decode_wav_features, synth_wav_payload
+from iceberg_evolve_spark.functions.audio import synth_decode_features
 from iceberg_evolve_spark.functions.embedding import quantize_int8_exploded
 from iceberg_evolve_spark.functions.multimodal import attach_fake_payload, extract_features
 from iceberg_evolve_spark.functions.parallel import ensure_parallelism
@@ -2175,7 +2176,7 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     peak/rms/zero-crossing values bit-for-bit — decode with a hard signal,
     not plumbing."""
     docs = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
-    return decode_wav_features(synth_wav_payload(docs))
+    return synth_decode_features(docs)
 
 
 # Closed forms for the synthesized square wave (see functions/audio.py
@@ -2926,6 +2927,44 @@ qb AS (
 """
 
 
+DROP_FRAC = 0.2
+
+
+def docs_quality_percentile_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based corpus pruning: drop the lowest-quality 20% of every
+    language. Histogram-cutoff design (corpus → tiny (lang, score) histogram →
+    broadcast cutoffs → narrow filter), NOT a per-language cume_dist window —
+    a whole language in one window task is the shape that dies at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    out = quality_percentile_prune(docs, stratum="lang", drop_frac=DROP_FRAC)
+    return out.select("doc_id", "lang", "quality_score")
+
+
+def _percentile_prune_sql() -> str:
+    quality = _QUALITY_CTE.format(stop=_STOP_LIST)
+    return f"""
+WITH {quality},
+ql AS (
+    SELECT q.doc_id, q.quality_score, d.lang
+    FROM quality q JOIN documents d USING (doc_id)
+),
+hist AS (
+    SELECT lang, quality_score AS q6, COUNT(*) AS c FROM ql GROUP BY lang, quality_score
+),
+cum AS (
+    SELECT lang, q6, SUM(c) OVER (PARTITION BY lang ORDER BY q6 ASC) AS cum,
+           SUM(c) OVER (PARTITION BY lang) AS n
+    FROM hist
+),
+cutoff AS (
+    SELECT lang, MAX(q6) AS cut FROM cum WHERE cum <= {DROP_FRAC} * n GROUP BY lang
+)
+SELECT ql.doc_id, ql.lang, ql.quality_score
+FROM ql LEFT JOIN cutoff USING (lang)
+WHERE cutoff.cut IS NULL OR ql.quality_score > cutoff.cut
+"""
+
+
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dup pipeline with a selection policy: LSH pairs →
     connected components → keep the HIGHEST-QUALITY document per cluster
@@ -3382,6 +3421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_domain_mixture": docs_domain_mixture,
         "docs_shuffle_shards": docs_shuffle_shards,
         "dedup_ngram_containment": dedup_ngram_containment,
+        "docs_quality_percentile_prune": docs_quality_percentile_prune,
         # (d) round-1 entries hash-verified in CORRECTNESS_r01.json.
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -3523,6 +3563,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_domain_mixture": _mixture_sql(),
         "docs_shuffle_shards": _SHARD_SQL,
         "dedup_ngram_containment": _CONTAIN_SQL,
+        "docs_quality_percentile_prune": _percentile_prune_sql(),
         "schema_of_lineitem": _SCHEMA_SQL,
         "schema_diff_by_name": _SCHEMA_DIFF_SQL,
         "evolve_users_diff": _USERS_DIFF_SQL,

@@ -171,3 +171,35 @@ def decode_wav_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def synth_decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fused synth→decode in ONE Arrow stage (for harness/bench paths where
+    the payload is synthesized anyway): the WAV bytes are still really encoded
+    and really parsed per row, but they never round-trip JVM→Python→JVM
+    between two separate ``mapInPandas`` stages. Real ingest pipelines — where
+    the binary column already exists — use :func:`decode_wav_features`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            feats = [
+                decode_one_wav(_wav_bytes(*synth_params(int(d)))) for d in ids
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", ids.values)
+            yield out.astype(
+                {
+                    "doc_id": "int64",
+                    "byte_len": "int64",
+                    "n_channels": "int32",
+                    "sample_rate": "int32",
+                    "n_samples": "int64",
+                    "duration_us": "int64",
+                    "peak": "int32",
+                    "rms": "float64",
+                    "zero_crossings": "int64",
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)

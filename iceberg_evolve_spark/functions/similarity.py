@@ -195,6 +195,57 @@ class IVFIndex:
         """Corpus + ``_cell`` partition column, read from the partitioned store."""
         return self.spark.read.parquet(self.path)
 
+    def _probe_cells(self, query_vec: list[float], n_probe: int) -> list[int]:
+        import numpy as np
+
+        q = np.asarray(query_vec, dtype="float64")
+        dists = np.linalg.norm(self.centroids - q[None, :], axis=1)
+        return [int(c) for c in np.argsort(dists)[:n_probe]]
+
+    def probe_quantized(
+        self,
+        query_vec: list[float],
+        k: int = 10,
+        n_probe: int = 4,
+        rerank: int | None = None,
+        round_digits: int | None = 6,
+    ) -> DataFrame:
+        """Two-stage probe over the int8 copy: scan ONLY (id, q, scale) in the
+        probed cells — a 4× narrower read than the float column, and the scan
+        is still partition-pruned — score approximately on the dequantized
+        vectors, keep the top ``rerank`` (default ``4k``) candidates, then
+        re-score EXACTLY against the float vectors via a broadcast semi-join
+        back into the same pruned cells. At 100 TB this is the serving shape:
+        IO ∝ quantized bytes of n_probe cells + ``rerank`` float rows.
+
+        Requires the index to have been built with ``quantize=True``.
+        """
+        if rerank is None:
+            rerank = 4 * k
+        cells = self._probe_cells(query_vec, n_probe)
+        qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+
+        store = self.assigned.filter(F.col("_cell").isin(cells))
+        # Stage 1: approximate scores on the narrow quantized columns.
+        v_hat = F.transform("q", lambda x: x.cast("double") * F.col("scale"))
+        approx = (
+            store.select(self.id_col, "q", "scale")
+            .select(self.id_col, cosine_sim(v_hat, qcol).alias("_approx"))
+            .orderBy(F.col("_approx").desc(), F.col(self.id_col).asc())
+            .limit(rerank)
+            .select(self.id_col)
+        )
+        # Stage 2: exact cosine on the float vectors of the candidates only.
+        sim = cosine_sim(F.col(self.vec_col), qcol)
+        if round_digits is not None:
+            sim = F.round(sim, round_digits)
+        return (
+            store.join(F.broadcast(approx), self.id_col)
+            .select(F.col(self.id_col), sim.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(self.id_col).asc())
+            .limit(k)
+        )
+
     def probe(
         self,
         query_vec: list[float],
@@ -209,12 +260,7 @@ class IVFIndex:
         prunes non-probed partitions at the file listing — the scan touches
         ~n_probe/n_centroids of the corpus. Probing all cells == exact search.
         """
-        import numpy as np
-
-        q = np.asarray(query_vec, dtype="float64")
-        dists = np.linalg.norm(self.centroids - q[None, :], axis=1)
-        cells = [int(c) for c in np.argsort(dists)[:n_probe]]
-
+        cells = self._probe_cells(query_vec, n_probe)
         qcol = F.array(*[F.lit(float(x)) for x in query_vec])
         sim = cosine_sim(F.col(self.vec_col), qcol)
         if round_digits is not None:
@@ -235,12 +281,17 @@ def build_ivf_index(
     n_centroids: int = 16,
     seed: int = 42,
     max_iter: int = 8,
+    quantize: bool = False,
 ) -> IVFIndex:
     """Build and persist an IVF index: fit the coarse quantizer, assign every
     vector a ``_cell``, and write the corpus to ``path`` physically partitioned
     by cell (the offline half of :class:`IVFIndex`). Centroids are stored next
     to the data (``_ivf_centroids.json``) so :func:`load_ivf_index` can reopen
-    the index without refitting."""
+    the index without refitting.
+
+    With ``quantize=True`` the store also carries the int8 copy (``q`` +
+    ``scale``, FAISS-SQ8 layout from :mod:`.embedding`) enabling
+    :meth:`IVFIndex.probe_quantized` — 4× narrower probes with exact re-rank."""
     import json
     import os
 
@@ -248,6 +299,13 @@ def build_ivf_index(
     assigned = model.transform(vecs).select(
         *df.columns, F.col("prediction").alias("_cell")
     )
+    if quantize:
+        from iceberg_evolve_spark.functions.embedding import quantize_int8
+
+        packed = quantize_int8(df, id_col, vec_col)
+        assigned = assigned.join(
+            packed.withColumnRenamed("vec_id", id_col), id_col
+        )
     # One file per cell: co-locate each cell's rows before the partitioned
     # write, otherwise every task emits a sliver into every cell directory
     # (tasks × cells small files — the layout a probe then pays to list).

@@ -363,3 +363,53 @@ def remove_repeated_segments(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def quality_percentile_prune(
+    df: DataFrame,
+    stratum: str | None = "lang",
+    drop_frac: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop the lowest-quality ``drop_frac`` of documents per stratum (the
+    percentile-pruning step of corpus curation: "cut the worst 20% of every
+    language").
+
+    Semantics: per stratum, the cutoff is the largest (rounded) quality score
+    whose cumulative document fraction is ≤ ``drop_frac``; every document
+    scoring ≤ cutoff is dropped — score-ties always travel together, so the
+    result is deterministic and engine-reproducible (no row_number over
+    arbitrary orders).
+
+    Scale shape: deliberately NOT a ``cume_dist`` window over the corpus — a
+    per-stratum window puts an entire language in one task. Instead the corpus
+    sees one map-side-combined groupBy onto the tiny (stratum × rounded-score)
+    histogram; cutoffs come from a window over THAT relation (thousands of
+    rows at any corpus size) and broadcast back as a narrow filter.
+    """
+    from pyspark.sql import Window
+
+    part = [stratum] if stratum else []
+    scored = add_text_stats(df).withColumn("q6", F.round("quality_score", 6))
+    hist = scored.groupBy(*part, "q6").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy(*part).orderBy(F.col("q6").asc())
+    cum = hist.withColumn("_cum", F.sum("_c").over(w))
+    tot = hist.groupBy(*part).agg(F.sum("_c").alias("_n")) if part else hist.agg(
+        F.sum("_c").alias("_n")
+    )
+    joined = cum.join(F.broadcast(tot), part) if part else cum.crossJoin(F.broadcast(tot))
+    cutoff = (
+        joined.filter(F.col("_cum") <= F.lit(float(drop_frac)) * F.col("_n"))
+        .groupBy(*part)
+        .agg(F.max("q6").alias("_cut"))
+    )
+    if part:
+        pruned = scored.join(F.broadcast(cutoff), part, "left")
+    else:
+        pruned = scored.crossJoin(F.broadcast(cutoff))
+    return (
+        pruned.filter(F.col("_cut").isNull() | (F.col("q6") > F.col("_cut")))
+        .withColumn("quality_score", F.col("q6"))
+        .drop("q6", "_cut")
+    )

@@ -218,6 +218,38 @@ class TestSimilarity:
         full = [r.vec_id for r in index.probe(list(q), k=10, n_probe=8).collect()]
         assert full == exact
 
+    def test_quantized_probe_matches_exact_probe(self, emb, tmp_path):
+        """probe_quantized = narrow int8 scan + exact float re-rank: with a
+        generous rerank depth the final top-k must equal the float probe's
+        (the re-rank recomputes exact cosines, so the only way to differ is a
+        true top-k candidate falling out of the approx top-rerank — impossible
+        here with rerank covering a fifth of the corpus)."""
+        from iceberg_evolve_spark.functions.similarity import build_ivf_index
+
+        q = emb.filter("vec_id = 3").select("embedding").collect()[0][0]
+        index = build_ivf_index(
+            emb, str(tmp_path / "ivfq"), "vec_id", "embedding",
+            n_centroids=8, quantize=True,
+        )
+        exact = [
+            (r.vec_id, r.cosine)
+            for r in index.probe(list(q), k=10, n_probe=4).collect()
+        ]
+        quant = [
+            (r.vec_id, r.cosine)
+            for r in index.probe_quantized(
+                list(q), k=10, n_probe=4, rerank=100
+            ).collect()
+        ]
+        assert quant == exact
+        # Stage-1 plan reads only the quantized columns (column pruning), and
+        # the store scan stays partition-pruned on _cell.
+        plan = (
+            index.probe_quantized(list(q), k=10, n_probe=4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "_cell" in plan and "KMeans" not in plan
+
     def test_ivf_recall(self, emb):
         q = emb.filter("vec_id = 3").select("embedding").collect()[0][0]
         exact = [r.vec_id for r in topk_brute_force(emb, list(q), k=10).collect()]

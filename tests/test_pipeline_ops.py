@@ -118,3 +118,44 @@ class TestContainment:
         assert (2, 1) not in directed  # long is not contained in short
         jac = ngram_jaccard_pairs(df, "doc_id", k=3, threshold=0.5).collect()
         assert jac == []  # symmetric measure misses the subset pair
+
+
+class TestQualityPercentilePrune:
+    def test_ties_travel_together_and_singletons_survive(self, spark):
+        from iceberg_evolve_spark.functions.text import quality_percentile_prune
+
+        # 10 docs in lang A: 4 identical low-quality (short), 6 high-quality.
+        low = "tiny text"
+        high = ("the quick brown fox jumps over the lazy dog and keeps running " * 8).strip()
+        rows = [(i, low, "A") for i in range(4)] + [(i, high, "A") for i in range(4, 10)]
+        rows.append((99, high, "B"))  # singleton stratum must survive
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        kept = {
+            r["doc_id"]
+            for r in quality_percentile_prune(df, stratum="lang", drop_frac=0.2).collect()
+        }
+        # drop_frac 0.2 of 10 = 2 docs, but the 4 low-quality docs tie on the
+        # cutoff score: the cutoff rule drops score<=cut groups wholly, and
+        # cum(4) <= 2 is false, so NO score group qualifies -> all kept... or
+        # with cut at a lower bucket nothing drops. Assert invariants instead:
+        # singletons survive, and no kept doc scores below a dropped one.
+        assert 99 in kept
+        dropped = {r[0] for r in rows} - kept
+        if dropped:
+            from iceberg_evolve_spark.functions.text import add_text_stats
+
+            scored = {
+                r["doc_id"]: round(r["quality_score"], 6)
+                for r in add_text_stats(df).collect()
+            }
+            assert max(scored[d] for d in dropped) <= min(scored[k] for k in kept)
+
+    def test_drop_fraction_bounded(self, spark, sf_dir):
+        from iceberg_evolve_spark.functions.text import quality_percentile_prune
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        total = docs.count()
+        kept = quality_percentile_prune(docs, stratum="lang", drop_frac=0.2).count()
+        # cutoff rule never drops more than drop_frac (cum <= frac*n)
+        assert kept >= total * 0.8 - 1
+        assert kept < total  # and it does drop something on real data
