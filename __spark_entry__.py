@@ -63,6 +63,9 @@ from iceberg_evolve_spark.functions.text import (
     add_text_stats,
     document_fingerprint,
     language_id,
+    build_vocab,
+    ngram_novelty,
+    oov_rate,
     quality_percentile_prune,
     remove_repeated_segments,
     tf_idf_top_terms,
@@ -2927,6 +2930,54 @@ qb AS (
 """
 
 
+VOCAB_SIZE = 50
+
+
+def docs_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage diagnostic: fit a top-50 frequency vocab (count desc,
+    token asc — deterministic), broadcast it, and score every document's
+    out-of-vocabulary rate. Corpus cost: one token count (vocab-sized output)
+    + one per-doc aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, vocab_size=VOCAB_SIZE)
+    return oov_rate(docs, vocab)
+
+
+_VOCAB_OOV_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+vocab AS (SELECT token FROM counts ORDER BY n DESC, token ASC LIMIT {VOCAB_SIZE})
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE 1 END) AS DOUBLE)
+             / COUNT(*), 6) AS oov_rate
+FROM tok GROUP BY doc_id
+"""
+
+
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-contribution scoring: the fraction of a document's distinct
+    3-grams first seen (by ingestion id order) in that document. Catches
+    mosaic duplicates that pairwise dedup can't. Two shuffles: min-id per gram,
+    then the gram join back."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(docs, "doc_id", "text", k=SHINGLE_K)
+
+
+_NOVELTY_SQL = f"""
+WITH {_SHINGLE_CTE},
+first_seen AS (SELECT sh, MIN(doc_id) AS first FROM sh GROUP BY sh)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.first = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN f.first = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS novelty
+FROM sh s JOIN first_seen f USING (sh)
+GROUP BY s.doc_id
+"""
+
+
 DROP_FRAC = 0.2
 
 
@@ -3422,6 +3473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_shuffle_shards": docs_shuffle_shards,
         "dedup_ngram_containment": dedup_ngram_containment,
         "docs_quality_percentile_prune": docs_quality_percentile_prune,
+        "docs_vocab_oov": docs_vocab_oov,
+        "docs_ngram_novelty": docs_ngram_novelty,
         # (d) round-1 entries hash-verified in CORRECTNESS_r01.json.
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -3564,6 +3617,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_shuffle_shards": _SHARD_SQL,
         "dedup_ngram_containment": _CONTAIN_SQL,
         "docs_quality_percentile_prune": _percentile_prune_sql(),
+        "docs_vocab_oov": _VOCAB_OOV_SQL,
+        "docs_ngram_novelty": _NOVELTY_SQL,
         "schema_of_lineitem": _SCHEMA_SQL,
         "schema_diff_by_name": _SCHEMA_DIFF_SQL,
         "evolve_users_diff": _USERS_DIFF_SQL,

@@ -413,3 +413,96 @@ def quality_percentile_prune(
         .withColumn("quality_score", F.col("q6"))
         .drop("q6", "_cut")
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Tokenizer-fitting primitive: the ``vocab_size`` most frequent tokens with
+    deterministic ranking (count desc, token asc). One map-side-combined token
+    count (vocabulary-sized output, not corpus-sized), then a driver-light
+    TakeOrdered for the top-V. Output: (token, n, rank)."""
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    # The single-partition rank window runs over the vocabulary relation (tiny
+    # by construction), never the corpus.
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= vocab_size)
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a fitted vocab — the
+    coverage diagnostic run before committing to a tokenizer. The vocab
+    broadcasts (it is vocab-sized); the corpus sees one explode + one groupBy
+    on the id (map-side combinable). Output: (id, n_tokens, n_oov, oov_rate)."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    flagged = toks.join(
+        F.broadcast(vocab.select(F.col("token"), F.lit(1).alias("_in"))),
+        "token",
+        "left",
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round((F.col("n_oov") / F.col("n_tokens")).cast("double"), 6),
+        )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct word ``k``-grams
+    whose FIRST corpus occurrence (by ascending id — ingestion order) is this
+    document. Streaming-ingest curation uses this to score marginal
+    contribution: a doc whose every n-gram already appeared earlier adds no
+    new content even if no single earlier doc duplicates it (a mosaic dup —
+    invisible to pairwise dedup).
+
+    Shape: distinct (doc, gram) explode → min(id) per gram (one shuffle,
+    map-side combinable) → join back on the gram (second shuffle) → per-doc
+    ratio. Output: (id, n_grams, n_novel, novelty).
+    """
+    from iceberg_evolve_spark.functions.dedup import word_shingles
+    from iceberg_evolve_spark.functions.parallel import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    grams = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("gram")
+    )
+    first_seen = grams.groupBy("gram").agg(F.min(id_col).alias("_first"))
+    joined = grams.join(first_seen, "gram")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("_first") == F.col(id_col), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.round((F.col("n_novel") / F.col("n_grams")).cast("double"), 6),
+        )
+    )

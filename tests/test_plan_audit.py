@@ -17,8 +17,15 @@ import pytest
 import __spark_entry__ as entry_mod
 
 #: queries whose plan legitimately contains ONE single-row-broadcast NLJ
-#: (tfidf: corpus size N; q11/q22: scalar-subquery thresholds)
-_SINGLE_ROW_NLJ_OK = {"tfidf_top_terms", "nation_revenue_share", "q22_dormant_rich_customers"}
+#: (tfidf: corpus size N; q11/q22: scalar-subquery thresholds; mixture: the
+#: 1-row feasible-scale aggregate joined onto the |domains|-row count relation
+#: — the corpus itself sees only a broadcast hash join + filter)
+_SINGLE_ROW_NLJ_OK = {
+    "tfidf_top_terms",
+    "nation_revenue_share",
+    "q22_dormant_rich_customers",
+    "docs_domain_mixture",
+}
 
 _QUERIES = entry_mod.queries()
 

@@ -328,3 +328,62 @@ class TestStreamStreamJoin:
         )
         out = attribute_within_window(clicks, views, key="user_id", window_minutes=30)
         assert [(r.l_event_id, r.r_event_id) for r in out.collect()] == [(1, 10)]
+
+
+class TestStreamingCMS:
+    """Incremental Count-Min maintenance: the streamed sketch must equal the
+    batch sketch over the union of all micro-batches (counter linearity), and
+    a replayed batch_id must be a no-op (marker-based idempotence)."""
+
+    def test_streamed_counters_match_batch(self, spark, stream_dir):
+        import tempfile
+
+        from iceberg_evolve_spark.functions.sketch import cms_counters
+        from iceberg_evolve_spark.streaming.sketch_sink import run_cms_stream
+
+        batch2 = [
+            (5, "2024-01-01 11:00:00", 3, "view", 1.0),
+            (6, "2024-01-01 11:30:00", 3, "click", 2.0),
+            (7, "2024-01-01 11:45:00", 1, "click", 2.5),
+        ]
+        _write_batch(spark, stream_dir, ROWS_BATCH1, "b1")
+        _write_batch(spark, stream_dir, batch2, "b2")
+        target = tempfile.mkdtemp(prefix="cms_snap_") + "/sketch"
+        ckpt = tempfile.mkdtemp(prefix="cms_ckpt_")
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")  # force >= 2 micro-batches
+            .parquet(stream_dir)
+        )
+        q = run_cms_stream(stream, target, "event_type", ckpt, depth=3, width=64)
+        q.awaitTermination(120)
+
+        streamed = {
+            (r["seed"], r["bucket"]): r["cnt"]
+            for r in spark.read.parquet(target).collect()
+        }
+        all_rows = spark.read.schema(EVENTS_SCHEMA).parquet(stream_dir)
+        expected = {
+            (r["seed"], r["bucket"]): r["cnt"]
+            for r in cms_counters(all_rows, "event_type", depth=3, width=64).collect()
+        }
+        assert streamed == expected
+
+    def test_replayed_batch_is_noop(self, spark):
+        import tempfile
+
+        from iceberg_evolve_spark.streaming.sketch_sink import cms_batch_writer
+
+        target = tempfile.mkdtemp(prefix="cms_replay_") + "/sketch"
+        writer = cms_batch_writer(spark, target, "event_type", depth=3, width=64)
+        df = spark.createDataFrame(
+            [(1, "click"), (2, "view")], "event_id long, event_type string"
+        )
+        writer(df, 0)
+        once = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+        writer(df, 0)  # at-least-once replay of the same batch
+        twice = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+        assert once == twice
+        writer(df, 1)  # a genuinely new batch still merges
+        thrice = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+        assert thrice != once
