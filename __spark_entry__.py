@@ -72,7 +72,10 @@ from iceberg_evolve_spark.functions.text import (
     token_count_bpe,
 )
 from iceberg_evolve_spark.functions.audio import synth_decode_features
-from iceberg_evolve_spark.functions.embedding import quantize_int8_exploded
+from iceberg_evolve_spark.functions.embedding import (
+    quantize_int8_exploded,
+    random_projection,
+)
 from iceberg_evolve_spark.functions.multimodal import attach_fake_payload, extract_features
 from iceberg_evolve_spark.functions.parallel import ensure_parallelism
 from iceberg_evolve_spark.model import DecimalType, Field, PrimitiveType, StructType
@@ -2228,6 +2231,32 @@ FROM scaled, unnest(range(1, len(embedding) + 1)) AS t(i)
 """
 
 
+RP_OUT_DIMS = 8
+
+
+def embeddings_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64→8 dims with a hash-derived literal matrix —
+    shrinks vector width before all-pairs stages. One narrow projection, no
+    shuffle; fixed-order multiply-add chains make the doubles bit-identical
+    across engines (exploded output for array-free hashing)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = random_projection(emb, in_dims=EMB_DIM, out_dims=RP_OUT_DIMS)
+    return out.select("vec_id", F.posexplode("y").alias("dim_idx", "y"))
+
+
+def _rp_sql() -> str:
+    from iceberg_evolve_spark.functions.embedding import projection_component
+
+    exprs = []
+    for j in range(RP_OUT_DIMS):
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {projection_component('rp', j, i)!r}"
+            for i in range(EMB_DIM)
+        )
+        exprs.append(f"SELECT vec_id, {j} AS dim_idx, 0.0 + {terms} AS y FROM embeddings")
+    return " UNION ALL ".join(exprs)
+
+
 def docs_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus boilerplate removal at segment granularity: drop
     5-token segments occurring in >= 3 distinct documents (the templated spans
@@ -3468,6 +3497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_overlap_rate": decontaminate_overlap_rate,
         "multimodal_audio_decode": multimodal_audio_decode,
         "embeddings_quantize_int8": embeddings_quantize_int8,
+        "embeddings_random_projection": embeddings_random_projection,
         "docs_boilerplate_removal": docs_boilerplate_removal,
         "docs_domain_mixture": docs_domain_mixture,
         "docs_shuffle_shards": docs_shuffle_shards,
@@ -3612,6 +3642,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _MULTIMODAL_SQL,
         "multimodal_audio_decode": _AUDIO_SQL,
         "embeddings_quantize_int8": _QUANT_SQL,
+        "embeddings_random_projection": _rp_sql(),
         "docs_boilerplate_removal": _BOILER_SQL,
         "docs_domain_mixture": _mixture_sql(),
         "docs_shuffle_shards": _SHARD_SQL,

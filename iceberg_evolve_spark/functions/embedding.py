@@ -85,3 +85,48 @@ def dequantize(df: DataFrame, q_col: str = "q", scale_col: str = "scale") -> Dat
     return df.withColumn(
         "v_hat", F.transform(q_col, lambda x: x.cast("double") * F.col(scale_col))
     )
+
+
+def projection_component(seed: str, out_dim: int, in_dim: int) -> float:
+    """Deterministic projection-matrix entry in [-1, 1] — same md5 derivation
+    as :func:`..similarity.hyperplane_component`, so any engine can rebuild
+    the matrix bit-for-bit (no stored model, no broadcast)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{seed}|{out_dim}|{in_dim}".encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+def random_projection(
+    df: DataFrame,
+    in_dims: int,
+    out_dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "rp",
+) -> DataFrame:
+    """Johnson–Lindenstrauss-style dimensionality reduction with a
+    hash-derived LITERAL matrix: ``y_j = Σ_i v_i · R[j][i]``.
+
+    The matrix is materialized as double literals at plan-build time (the
+    same discipline as the LSH hyperplanes — per-row hash expressions would
+    dominate the scan), each output component is one fixed-order
+    multiply-add chain, and the whole operator is a single narrow projection:
+    no shuffle, no model object, reproducible on any engine. Use it to shrink
+    embedding width before expensive all-pairs stages (the blocked-tiling
+    near-dup or brute-force ANN cost scales linearly in dims).
+
+    Output: (id, y array<double> of length ``out_dims``).
+    """
+    comps = []
+    for j in range(out_dims):
+        term = F.lit(0.0)
+        for i in range(in_dims):
+            term = term + F.col(vec_col).getItem(i).cast("double") * F.lit(
+                projection_component(seed, j, i)
+            )
+        comps.append(term.alias(f"_y{j}"))
+    out = df.select(F.col(id_col).alias("vec_id"), *comps)
+    return out.select(
+        "vec_id", F.array(*[F.col(f"_y{j}") for j in range(out_dims)]).alias("y")
+    )

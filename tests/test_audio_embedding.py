@@ -108,3 +108,35 @@ class TestQuantizeInt8:
             .count()
         )
         assert diff == 0
+
+
+class TestRandomProjection:
+    def test_matches_numpy_and_partitioning_invariant(self, spark, sf_dir):
+        import numpy as np
+
+        from iceberg_evolve_spark.functions.embedding import (
+            projection_component,
+            random_projection,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(10)
+        rows = emb.collect()
+        out = {
+            r["vec_id"]: r["y"]
+            for r in random_projection(emb, in_dims=64, out_dims=4).collect()
+        }
+        R = np.array(
+            [[projection_component("rp", j, i) for i in range(64)] for j in range(4)]
+        )
+        for r in rows:
+            v = np.array(r["embedding"], dtype=np.float64)
+            want = R @ v
+            got = np.array(out[r["vec_id"]])
+            assert np.allclose(got, want, atol=1e-9)
+        again = {
+            r["vec_id"]: r["y"]
+            for r in random_projection(
+                emb.repartition(7), in_dims=64, out_dims=4
+            ).collect()
+        }
+        assert again == out
