@@ -159,3 +159,55 @@ class TestQualityPercentilePrune:
         # cutoff rule never drops more than drop_frac (cum <= frac*n)
         assert kept >= total * 0.8 - 1
         assert kept < total  # and it does drop something on real data
+
+
+class TestCrossOperatorProperties:
+    """Relationships that must hold between the dedup measures."""
+
+    def test_containment_dominates_jaccard(self, spark, sf_dir):
+        """For any pair, max-direction containment >= Jaccard (the union is at
+        least as large as either side), and both derive from the same
+        intersection counts."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        jac = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, "doc_id", k=3, threshold=0.3).collect()
+        }
+        cont = {}
+        for r in ngram_containment_pairs(docs, "doc_id", k=3, threshold=0.0).collect():
+            key = (min(r["src_id"], r["dst_id"]), max(r["src_id"], r["dst_id"]))
+            cont[key] = max(cont.get(key, 0.0), r["containment"])
+        for pair, j in jac.items():
+            assert pair in cont
+            assert cont[pair] >= j - 1e-9
+
+    def test_novelty_of_first_document_is_total(self, spark):
+        from iceberg_evolve_spark.functions.text import ngram_novelty
+
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "alpha beta gamma delta epsilon zeta"),  # verbatim copy
+                (3, "totally different words appear here now"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in ngram_novelty(df, k=3).collect()}
+        assert out[1]["novelty"] == 1.0  # first occurrence owns every gram
+        assert out[2]["novelty"] == 0.0  # the copy contributes nothing
+        assert out[3]["novelty"] == 1.0
+
+    def test_mixture_then_shards_compose(self, spark, sf_dir):
+        """The pipeline shape a training run uses: mixture-resample, then lay
+        out shards — shard balance must hold on the sampled subset."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        mixed = domain_mixture_sample(
+            docs, "lang", "doc_id", {"en": 0.5, "de": 0.25, "fr": 0.25}
+        )
+        sharded = shard_assignments(mixed, "doc_id", n_shards=4)
+        sizes = [
+            r["n"]
+            for r in sharded.groupBy("shard").agg(F.count("*").alias("n")).collect()
+        ]
+        assert len(sizes) == 4
+        assert max(sizes) <= 2 * min(sizes)  # hash balance at this scale
