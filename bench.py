@@ -49,6 +49,12 @@ def main() -> None:
         [([0.0, 0.0],), ([1.0, 1.0],), ([2.0, 2.0],)], "v array<double>"
     ).select(array_to_vector(F.col("v")).alias("features"))
     KMeans(k=2, seed=1, maxIter=1).fit(tiny)
+    # ... and spawn one Arrow Python worker per core (interpreter + pandas
+    # import is a one-time cost; without this the first WIDE mapInPandas query
+    # gets billed ~30 cold starts)
+    spark.range(0, int(CPUS), 1, int(CPUS)).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in qs:

@@ -134,13 +134,22 @@ def domain_mixture_sample(
 
 
 def shard_assignments(
-    df: DataFrame, key: Column | str, n_shards: int, salt: str = ""
+    df: DataFrame,
+    key: Column | str,
+    n_shards: int,
+    salt: str = "",
+    order_by: list[Column] | None = None,
 ) -> DataFrame:
     """Deterministic global shuffle + sharding for training-order layout:
     every row gets a content-addressed ``shard`` (uniform via the portable
     hash) and a dense ``pos_in_shard`` following the hash order, so the
     resulting read order is a reproducible permutation of the corpus —
     independent of input partitioning, stable under re-runs.
+
+    ``order_by`` overrides the within-shard order for curriculum layouts
+    (e.g. ``[F.col("quality_score").desc()]`` feeds each shard its cleanest
+    documents first); the hash + key stay as trailing tie-breaks so the
+    position remains fully deterministic.
 
     One shuffle (the per-shard window). Choose ``n_shards`` so a shard fits an
     executor (corpus_bytes / ~1 GiB); shards are hash-balanced so the window
@@ -155,7 +164,8 @@ def shard_assignments(
     )
     # Secondary sort on the key: 60-bit hashes do collide at 10^10-row scale,
     # and the position must stay deterministic when they do.
-    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), k.cast("string").asc())
+    order = list(order_by or []) + [F.col("_h").asc(), k.cast("string").asc()]
+    w = Window.partitionBy("shard").orderBy(*order)
     return (
         out.withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
         .drop("_h")

@@ -211,3 +211,22 @@ class TestCrossOperatorProperties:
         ]
         assert len(sizes) == 4
         assert max(sizes) <= 2 * min(sizes)  # hash balance at this scale
+
+
+class TestCurriculumShards:
+    def test_order_by_controls_within_shard_order(self, spark, sf_dir):
+        from iceberg_evolve_spark.functions.text import add_text_stats
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        scored = add_text_stats(docs).select(
+            "doc_id", F.round("quality_score", 6).alias("q")
+        )
+        sharded = shard_assignments(
+            scored, "doc_id", n_shards=4, order_by=[F.col("q").desc()]
+        ).collect()
+        by_shard: dict[int, list] = {}
+        for r in sharded:
+            by_shard.setdefault(r["shard"], []).append((r["pos_in_shard"], r["q"]))
+        for rows in by_shard.values():
+            qs = [q for _, q in sorted(rows)]
+            assert qs == sorted(qs, reverse=True)  # cleanest docs first
