@@ -2249,11 +2249,16 @@ def _rp_sql() -> str:
 
     exprs = []
     for j in range(RP_OUT_DIMS):
-        terms = " + ".join(
-            f"CAST(embedding[{i + 1}] AS DOUBLE) * {projection_component('rp', j, i)!r}"
-            for i in range(EMB_DIM)
+        plane = "[" + ", ".join(
+            repr(projection_component("rp", j, i)) for i in range(EMB_DIM)
+        ) + "]"
+        # list_prepend(0.0, ...) reproduces the Spark fold's association
+        # exactly: ((0.0 + t_1) + t_2) + ...
+        y = (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {EMB_DIM} + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({plane})[i])), (x, t) -> x + t)"
         )
-        exprs.append(f"SELECT vec_id, {j} AS dim_idx, 0.0 + {terms} AS y FROM embeddings")
+        exprs.append(f"SELECT vec_id, {j} AS dim_idx, {y} AS y FROM embeddings")
     return " UNION ALL ".join(exprs)
 
 

@@ -118,14 +118,23 @@ def random_projection(
 
     Output: (id, y array<double> of length ``out_dims``).
     """
+    # Literal ARRAYS + a sequential aggregate fold, not an unrolled 512-term
+    # "+" chain: the unrolled form made Catalyst analysis/codegen the dominant
+    # cost (seconds per plan). The fold keeps the identical left-to-right
+    # association — ((0 + t_0) + t_1) + … — so values are bit-unchanged.
     comps = []
     for j in range(out_dims):
-        term = F.lit(0.0)
-        for i in range(in_dims):
-            term = term + F.col(vec_col).getItem(i).cast("double") * F.lit(
-                projection_component(seed, j, i)
-            )
-        comps.append(term.alias(f"_y{j}"))
+        plane = F.array(
+            *[F.lit(projection_component(seed, j, i)) for i in range(in_dims)]
+        )
+        y = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), plane, lambda x, r: x.cast("double") * r
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        comps.append(y.alias(f"_y{j}"))
     out = df.select(F.col(id_col).alias("vec_id"), *comps)
     return out.select(
         "vec_id", F.array(*[F.col(f"_y{j}") for j in range(out_dims)]).alias("y")
