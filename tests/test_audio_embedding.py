@@ -140,3 +140,26 @@ class TestRandomProjection:
             ).collect()
         }
         assert again == out
+
+
+class TestWavCodecProperties:
+    def test_roundtrip_closed_forms_hold_for_all_params(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            n=st.integers(min_value=1, max_value=4000),
+            a=st.integers(min_value=1, max_value=32767),
+            h=st.integers(min_value=1, max_value=500),
+        )
+        def check(n, a, h):
+            f = decode_one_wav(_wav_bytes(n, a, h))
+            assert f["n_samples"] == n
+            assert f["peak"] == a
+            assert f["rms"] == float(a)
+            assert f["zero_crossings"] == (n - 1) // h
+            assert f["byte_len"] == 44 + 2 * n
+            assert f["duration_us"] == n * 1_000_000 // SAMPLE_RATE
+
+        check()
