@@ -59,3 +59,33 @@ def test_sampler_filter_precedes_aggregate(spark, sf_dir):
     df = _QUERIES["orders_stratified_sample"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_quantize_is_shuffle_free_and_pruned(spark, sf_dir):
+    """Int8 quantization must be a pure projection: zero Exchange, and the
+    scan pruned to (vec_id, embedding) — the label column never read."""
+    df = _QUERIES["embeddings_quantize_int8"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema:")[1][:200]
+    assert "embedding" in read_schema and "label" not in read_schema
+
+
+def test_shards_single_exchange(spark, sf_dir):
+    """Shard layout costs exactly one shuffle (the per-shard window)."""
+    df = _QUERIES["docs_shuffle_shards"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "struct<doc_id:bigint>" in plan  # text column never read
+
+
+def test_mixture_corpus_side_is_broadcast_joined(spark, sf_dir):
+    """The corpus in the mixture sampler must flow through a broadcast hash
+    join + filter — every Exchange in the plan belongs to the tiny per-domain
+    count relations, so the corpus-side scan feeds no hashpartitioning
+    Exchange directly."""
+    df = _QUERIES["docs_domain_mixture"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # corpus scan reads only the three output columns
+    assert "struct<doc_id:bigint,lang:string,source:string>" in plan
