@@ -1791,24 +1791,81 @@ LIMIT {ANN_K}
 
 _IVF_INDEX_CACHE: dict[str, object] = {}
 
+IVF_CELLS = 16
+IVF_PROBE = 4
+IVF_SEED = "ivf"
 
-def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate path — no SQL oracle; recall vs brute force is asserted in
-    tests. The index is built OFFLINE (once per sf_dir): the corpus is written
-    physically partitioned by its IVF cell, so the probe below is a
-    partition-pruned parquet scan + TopK with no model fit in its plan — the
-    shape a 100 TB serving path needs."""
-    import tempfile
 
+def _ivf_index(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir, per process) the OFFLINE deterministic IVF
+    index: corpus written physically partitioned by ``_cell``. Index dirs are
+    removed at interpreter exit (they are caches, not outputs)."""
     from iceberg_evolve_spark.functions.similarity import build_ivf_index
 
     index = _IVF_INDEX_CACHE.get(sf_dir)
     if index is None:
+        import atexit
+        import shutil
+        import tempfile
+
         path = tempfile.mkdtemp(prefix="ivf_index_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         emb = _t(spark, sf_dir, "embeddings")
-        index = build_ivf_index(emb, path, "vec_id", "embedding", n_centroids=16)
+        index = build_ivf_index(
+            emb, path, "vec_id", "embedding", n_centroids=IVF_CELLS, method="sample"
+        )
         _IVF_INDEX_CACHE[sf_dir] = index
-    return index.probe(_query_vec(spark, sf_dir), k=ANN_K, n_probe=4)
+    return index
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe over the offline index: a partition-pruned parquet scan
+    (``_cell IN probed``) + TopK, no model fit in the plan — the 100 TB
+    serving shape. Centroids are a deterministic md5-ordered corpus sample
+    (``similarity.sample_centroids``), so — unlike KMeans IVF — the DuckDB
+    oracle replays centroid pick, cell assignment, probe selection, and
+    scoring bit-for-bit."""
+    return _ivf_index(spark, sf_dir).probe(
+        _query_vec(spark, sf_dir), k=ANN_K, n_probe=IVF_PROBE
+    )
+
+
+_L2_SQL = (
+    "list_reduce(list_transform(range(1, {d} + 1), "
+    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+    "(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+
+def _ivf_sql() -> str:
+    """DuckDB replay of the whole IVF path. Parity is by construction: the
+    centroid sample is ORDER BY md5('ivf|'||id) LIMIT k in both engines; the
+    squared-L2 folds share Spark's association order (0.0 + t1 == t1); the
+    Spark argmin (array_position of array_min = first minimum) equals
+    row_number() ORDER BY dist, cell; probe selection sorts the same doubles."""
+    dist_ec = _L2_SQL.format(a="e.embedding", b="c.cv", d=EMB_DIM)
+    dist_qc = _L2_SQL.format(a="q.qv", b="c.cv", d=EMB_DIM)
+    h = f"md5('{IVF_SEED}|' || CAST(vec_id AS VARCHAR))"
+    return f"""
+WITH cent AS (
+    SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS cell, embedding AS cv
+    FROM (SELECT vec_id, embedding FROM embeddings ORDER BY {h}, vec_id LIMIT {IVF_CELLS})
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (
+    SELECT c.cell FROM cent c, q ORDER BY {dist_qc} ASC, c.cell ASC LIMIT {IVF_PROBE}
+),
+assigned AS (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist_ec} ASC, c.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+)
+SELECT a.vec_id, ROUND({_cosine_sql('a.embedding', 'q.qv')}, 6) AS cosine
+FROM assigned a, q
+WHERE a.rn = 1 AND a.cell IN (SELECT cell FROM probe)
+ORDER BY cosine DESC, a.vec_id ASC
+LIMIT {ANN_K}
+"""
 
 
 # --- sign-LSH family: hash-derived hyperplanes are engine-portable, so the
@@ -3694,7 +3751,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_stratified_sample": _sample_sql(),
         "tfidf_top_terms": _TFIDF_SQL,
         "ann_topk_bruteforce": _ANN_SQL,
-        # ann_topk_ivf: intentionally no oracle (approximate, model-based)
+        "ann_topk_ivf": _ivf_sql(),
         "ann_topk_lsh": _ann_lsh_sql(),
         "dedup_embedding_lsh": _emb_lsh_sql(),
         "dedup_cluster_star": _CLUSTER_SQL,

@@ -139,6 +139,85 @@ def topk_lsh(
     )
 
 
+def sample_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: str = "ivf",
+) -> list[list[float]]:
+    """Engine-portable deterministic centroid selection: the ``n_centroids``
+    corpus vectors whose rows have the smallest ``md5('<seed>|' || id)``
+    (ties by id), in hash order — cell ``c`` is the ``c``-th such vector.
+
+    This is a KMeans *random init* frozen at iteration zero: centroids are
+    in-distribution (unlike hash-derived hypercube points), cells are
+    roughly balanced for non-degenerate corpora, and — the property KMeans
+    cannot offer — any engine can recompute the exact same centroid set
+    with one ORDER BY md5(...) LIMIT k, making cell assignment and probe
+    fully oracle-checkable. The same trick as the LSH hyperplanes
+    (:func:`hyperplane_component`) and the JL matrix, applied to IVF.
+
+    The collect is ``n_centroids × dims`` floats — index *metadata*, same
+    scale class as the centroid matrix any IVF serving tier holds.
+    """
+    rows = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(
+            F.md5(F.concat(F.lit(seed + "|"), F.col("_id").cast("string"))),
+            F.col("_id"),
+        )
+        .limit(n_centroids)
+        .collect()
+    )
+    return [[float(x) for x in r["_v"]] for r in rows]
+
+
+def l2sq_to_literal(vec_col: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance of an array column to a LITERAL centroid, as a
+    sequential double fold: ``0.0 + (v1-c1)² + (v2-c2)² + ...`` — the exact
+    association order DuckDB's ``list_reduce`` and a plain Python loop
+    produce, so all three engines compute bit-identical doubles."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(
+            vec_col,
+            c,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid cell id (argmin of squared L2, first match wins on
+    ties) as a pure Catalyst projection over literal centroids — no model
+    object, no join; the assignment an oracle can replay row-for-row."""
+    dists = F.array(*[l2sq_to_literal(vec_col, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _l2sq_py(v: list[float], c: list[float]) -> float:
+    """Driver-side mirror of :func:`l2sq_to_literal` — same sequential fold
+    order, so probe-cell selection agrees with the in-plan doubles exactly."""
+    acc = 0.0
+    for x, y in zip(v, c):
+        d = float(x) - float(y)
+        acc = acc + d * d
+    return acc
+
+
+def nearest_cells(
+    query_vec: list[float], centroids: list[list[float]], n_probe: int
+) -> list[int]:
+    """The ``n_probe`` cells nearest the query (ties by cell id), computed
+    with the fold-order arithmetic of :func:`_l2sq_py` for oracle parity."""
+    dists = [_l2sq_py(query_vec, c) for c in centroids]
+    order = sorted(range(len(centroids)), key=lambda c: (dists[c], c))
+    return order[:n_probe]
+
+
 def _fit_quantizer(
     df: DataFrame,
     vec_col: str,
@@ -182,11 +261,9 @@ class IVFIndex:
     """
 
     def __init__(self, spark, path: str, centroids, id_col: str, vec_col: str):
-        import numpy as np
-
         self.spark = spark
         self.path = path
-        self.centroids = np.asarray(centroids, dtype="float64")
+        self.centroids = [[float(x) for x in c] for c in centroids]
         self.id_col = id_col
         self.vec_col = vec_col
 
@@ -196,11 +273,7 @@ class IVFIndex:
         return self.spark.read.parquet(self.path)
 
     def _probe_cells(self, query_vec: list[float], n_probe: int) -> list[int]:
-        import numpy as np
-
-        q = np.asarray(query_vec, dtype="float64")
-        dists = np.linalg.norm(self.centroids - q[None, :], axis=1)
-        return [int(c) for c in np.argsort(dists)[:n_probe]]
+        return nearest_cells(query_vec, self.centroids, n_probe)
 
     def probe_quantized(
         self,
@@ -282,12 +355,19 @@ def build_ivf_index(
     seed: int = 42,
     max_iter: int = 8,
     quantize: bool = False,
+    method: str = "sample",
 ) -> IVFIndex:
-    """Build and persist an IVF index: fit the coarse quantizer, assign every
+    """Build and persist an IVF index: pick the coarse centroids, assign every
     vector a ``_cell``, and write the corpus to ``path`` physically partitioned
     by cell (the offline half of :class:`IVFIndex`). Centroids are stored next
     to the data (``_ivf_centroids.json``) so :func:`load_ivf_index` can reopen
     the index without refitting.
+
+    ``method='sample'`` (default) uses :func:`sample_centroids` — deterministic,
+    engine-portable, assignment is a pure Catalyst projection, and the whole
+    build+probe is replayable by a SQL oracle. ``method='kmeans'`` is the
+    opt-in refinement (MLlib fit; better cell balance on clustered corpora,
+    but a model-dependent assignment no other engine can replay).
 
     With ``quantize=True`` the store also carries the int8 copy (``q`` +
     ``scale``, FAISS-SQ8 layout from :mod:`.embedding`) enabling
@@ -295,10 +375,20 @@ def build_ivf_index(
     import json
     import os
 
-    vecs, model, centers = _fit_quantizer(df, vec_col, n_centroids, seed, max_iter)
-    assigned = model.transform(vecs).select(
-        *df.columns, F.col("prediction").alias("_cell")
-    )
+    if method == "sample":
+        centers = sample_centroids(df, id_col, vec_col, n_centroids)
+        assigned = df.select(
+            *df.columns, assign_cell(F.col(vec_col), centers).alias("_cell")
+        )
+    elif method == "kmeans":
+        vecs, model, centers = _fit_quantizer(
+            df, vec_col, n_centroids, seed, max_iter
+        )
+        assigned = model.transform(vecs).select(
+            *df.columns, F.col("prediction").alias("_cell")
+        )
+    else:
+        raise ValueError(f"unknown IVF method {method!r}; use 'sample' or 'kmeans'")
     if quantize:
         from iceberg_evolve_spark.functions.embedding import quantize_int8
 
@@ -343,21 +433,30 @@ def topk_ivf(
     seed: int = 42,
     round_digits: int | None = 6,
     max_iter: int = 8,
+    method: str = "sample",
 ) -> DataFrame:
-    """One-shot IVF top-k (fit + probe in a single call) for ad-hoc use on
-    corpora that are not worth indexing. Anything served repeatedly should use
-    :func:`build_ivf_index` once and :meth:`IVFIndex.probe` per query — that
-    keeps the iterative KMeans scan out of the query path entirely."""
-    import numpy as np
+    """One-shot IVF top-k (centroid pick + probe in a single call) for ad-hoc
+    use on corpora that are not worth indexing. Anything served repeatedly
+    should use :func:`build_ivf_index` once and :meth:`IVFIndex.probe` per
+    query — that keeps the full-corpus centroid scan out of the query path."""
+    if method == "sample":
+        centers = sample_centroids(df, id_col, vec_col, n_centroids)
+        assigned = df.select(
+            id_col,
+            F.col(vec_col),
+            assign_cell(F.col(vec_col), centers).alias("_cell"),
+        )
+    elif method == "kmeans":
+        vecs, model, centers = _fit_quantizer(
+            df, vec_col, n_centroids, seed, max_iter
+        )
+        assigned = model.transform(vecs).select(
+            id_col, F.col(vec_col), F.col("prediction").alias("_cell")
+        )
+    else:
+        raise ValueError(f"unknown IVF method {method!r}; use 'sample' or 'kmeans'")
 
-    vecs, model, centers = _fit_quantizer(df, vec_col, n_centroids, seed, max_iter)
-    assigned = model.transform(vecs).select(
-        id_col, F.col(vec_col), F.col("prediction").alias("_cell")
-    )
-
-    q = np.asarray(query_vec, dtype="float64")
-    dists = np.linalg.norm(centers - q[None, :], axis=1)
-    probe = [int(c) for c in np.argsort(dists)[:n_probe]]
+    probe = nearest_cells(query_vec, [list(map(float, c)) for c in centers], n_probe)
 
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine_sim(F.col(vec_col), qcol)
