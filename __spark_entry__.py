@@ -2260,6 +2260,55 @@ FROM documents
 """
 
 
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (round-3: retires the round-1 image stub): synthesize
+    a genuine 24-bit BMP per document (hand-packed BITMAPFILE/INFO headers,
+    bottom-up padded BGR rows, two-column pattern whose colors shift per row),
+    then parse it with an independent struct-based reader in the same Arrow
+    stage. Every feature is an exact integer closed form of the id — the
+    top-left pixel doubles as the bottom-up row-order witness — so the oracle
+    verifies the decode bit-for-bit. See functions/image.py."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+    from iceberg_evolve_spark.functions.image import synth_decode_features as bmp_feats
+
+    return bmp_feats(docs)
+
+
+def _image_sql() -> str:
+    """Closed forms for the synthesized BMP (functions/image.py synth_params):
+    w = 8+id%9, h = 4+id%5, left/right channel bases are small multiples of the
+    id mod 256, pixel channel = (base + image_row) % 256. Row stride pads to 4
+    bytes; per-channel sum folds over the h rows exactly as integers."""
+
+    def chan_sum(c1: str, c2: str) -> str:
+        return (
+            f"CAST(list_reduce(list_transform(range(0, h), y -> "
+            f"(({c1} + y) % 256) * (w // 2) + (({c2} + y) % 256) * (w - w // 2)), "
+            f"(a, b) -> a + b) AS BIGINT)"
+        )
+
+    return f"""
+WITH p AS (
+    SELECT doc_id,
+           8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h,
+           doc_id % 256 AS r1, (doc_id * 3) % 256 AS g1, (doc_id * 7) % 256 AS b1,
+           (doc_id * 11) % 256 AS r2, (doc_id * 13) % 256 AS g2, (doc_id * 17) % 256 AS b2
+    FROM documents
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(54 + h * ((3 * w + 3) // 4 * 4) AS BIGINT) AS byte_len,
+       {chan_sum('r1', 'r2')} AS sum_r,
+       {chan_sum('g1', 'g2')} AS sum_g,
+       {chan_sum('b1', 'b2')} AS sum_b,
+       CAST(r1 AS INTEGER) AS first_px_r,
+       CAST(g1 AS INTEGER) AS first_px_g,
+       CAST(b1 AS INTEGER) AS first_px_b
+FROM p
+"""
+
+
 def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding column (FAISS-SQ8 layout):
     4× smaller ANN scans with error ≤ scale/2 per component. Pure projection +
@@ -3621,6 +3670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_sequences": docs_pack_sequences,
         "decontaminate_overlap_rate": decontaminate_overlap_rate,
         "multimodal_audio_decode": multimodal_audio_decode,
+        "multimodal_image_decode": multimodal_image_decode,
         "embeddings_quantize_int8": embeddings_quantize_int8,
         "embeddings_random_projection": embeddings_random_projection,
         "docs_boilerplate_removal": docs_boilerplate_removal,
@@ -3767,6 +3817,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_counts": _BPE_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
         "multimodal_audio_decode": _AUDIO_SQL,
+        "multimodal_image_decode": _image_sql(),
         "embeddings_quantize_int8": _QUANT_SQL,
         "embeddings_random_projection": _rp_sql(),
         "docs_boilerplate_removal": _BOILER_SQL,

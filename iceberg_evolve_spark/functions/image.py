@@ -1,0 +1,228 @@
+"""Real image decode over binary media columns — no external libraries.
+
+The round-1/2 image path was stubbed (``multimodal.decode_payload``) because no
+imaging package ships in this environment. Like audio (:mod:`.audio`), images
+do not actually need one: 24-bit uncompressed BMP is a documented public format
+(BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up padded BGR rows) simple enough
+to encode AND independently parse with ``struct`` alone:
+
+- :func:`synth_bmp_payload` writes REAL ``.bmp`` bytes — header and pixel rows
+  hand-assembled with ``struct.pack`` — containing a deterministic two-column
+  color pattern whose colors shift per image row (so the decoder's handling of
+  BMP's bottom-up row storage is actually exercised, not vacuously correct).
+- :func:`decode_bmp_features` parses those bytes with a SEPARATE struct-based
+  reader (header field by header field: magic, pixel offset, dimensions, bpp,
+  compression, 4-byte row padding) inside ``mapInPandas`` Arrow batches.
+
+Every extracted feature — dimensions, file size, per-channel pixel sums, the
+top-left pixel — is an exact integer closed form of the row id, so the
+driver's DuckDB oracle verifies the decode bit-for-bit. The top-left pixel is
+the row-order witness: the image's first row is the LAST row stored in the
+file, so a decoder that forgets bottom-up order reports the wrong value.
+
+Scale notes (same as multimodal.py/audio.py): payload rows are large and
+skewed; Arrow batch size is governed by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` — cap it when payloads are
+MB-scale. The decode is embarrassingly parallel (per-row, no shuffle).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def synth_params(doc_id: int) -> tuple[int, int, tuple[int, int, int], tuple[int, int, int]]:
+    """(width, height, left RGB, right RGB) for a given id — all integer-exact
+    functions of the id, shared by encoder, tests, and the oracle SQL. Width
+    spans 8..16 so the BMP 4-byte row padding takes every phase (3w % 4)."""
+    w = 8 + (doc_id % 9)
+    h = 4 + (doc_id % 5)
+    left = (doc_id % 256, (doc_id * 3) % 256, (doc_id * 7) % 256)
+    right = ((doc_id * 11) % 256, (doc_id * 13) % 256, (doc_id * 17) % 256)
+    return w, h, left, right
+
+
+def _bmp_bytes(w: int, h: int, left: tuple[int, int, int], right: tuple[int, int, int]) -> bytes:
+    """Hand-assembled 24-bit uncompressed BMP: 14-byte file header + 40-byte
+    info header + bottom-up, 4-byte-padded BGR rows.
+
+    Pixel (x, y) of the *image* (y=0 is the top row) is ``left`` shifted by y
+    if x < w//2 else ``right`` shifted by y, each channel ``(c + y) % 256``.
+    BMP stores rows bottom-up, so image row ``h-1`` is written first.
+    """
+    stride = (3 * w + 3) // 4 * 4
+    data_size = stride * h
+    header = struct.pack(
+        "<2sIHHI",
+        b"BM",
+        14 + 40 + data_size,  # file size
+        0,
+        0,
+        14 + 40,              # pixel data offset
+    ) + struct.pack(
+        "<IiiHHIIiiII",
+        40,                   # info header size
+        w,
+        h,                    # positive height = bottom-up rows
+        1,                    # planes
+        24,                   # bits per pixel
+        0,                    # BI_RGB (uncompressed)
+        data_size,
+        2835,                 # 72 DPI in px/metre
+        2835,
+        0,
+        0,
+    )
+    half = w // 2
+    rows = []
+    pad = b"\x00" * (stride - 3 * w)
+    for y in range(h - 1, -1, -1):  # bottom-up storage order
+        row = bytearray()
+        for x in range(w):
+            r, g, b = left if x < half else right
+            row += bytes((((b + y) % 256), ((g + y) % 256), ((r + y) % 256)))  # BGR
+        rows.append(bytes(row) + pad)
+    return header + b"".join(rows)
+
+
+BMP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def synth_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) -> (id, payload) with a real BMP binary per row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [_bmp_bytes(*synth_params(int(d))) for d in ids],
+                }
+            )
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(run, schema=BMP_SCHEMA)
+
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("first_px_r", T.IntegerType()),
+        T.StructField("first_px_g", T.IntegerType()),
+        T.StructField("first_px_b", T.IntegerType()),
+    ]
+)
+
+
+def decode_one_bmp(payload: bytes) -> dict:
+    """Decode a single BMP via an independent struct-based parser.
+
+    Walks the public format for real: validates the magic, reads the pixel
+    offset from the file header and the geometry/bpp/compression from the
+    info header, then iterates the padded BGR rows in file (bottom-up) order.
+    Shares no code with :func:`_bmp_bytes` — the encoder packs, this unpacks.
+    """
+    magic, file_size, _, _, px_offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    (
+        hdr_size,
+        width,
+        height,
+        planes,
+        bpp,
+        compression,
+    ) = struct.unpack_from("<IiiHHI", payload, 14)
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant: hdr={hdr_size} bpp={bpp} comp={compression}")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (3 * width + 3) // 4 * 4
+    sum_r = sum_g = sum_b = 0
+    first = (0, 0, 0)
+    for file_row in range(height):
+        # map the file's row index to the image's row index
+        y = (height - 1 - file_row) if bottom_up else file_row
+        base = px_offset + file_row * stride
+        for x in range(width):
+            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            sum_r += r
+            sum_g += g
+            sum_b += b
+            if y == 0 and x == 0:
+                first = (r, g, b)
+    return {
+        "width": width,
+        "height": height,
+        "byte_len": len(payload),
+        "sum_r": sum_r,
+        "sum_g": sum_g,
+        "sum_b": sum_b,
+        "first_px_r": first[0],
+        "first_px_g": first[1],
+        "first_px_b": first[2],
+    }
+
+
+_FEATURE_DTYPES = {
+    "doc_id": "int64",
+    "width": "int32",
+    "height": "int32",
+    "byte_len": "int64",
+    "sum_r": "int64",
+    "sum_g": "int64",
+    "sum_b": "int64",
+    "first_px_r": "int32",
+    "first_px_g": "int32",
+    "first_px_b": "int32",
+}
+
+
+def decode_bmp_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched BMP decode: (id, payload) -> pixel feature row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_one_bmp(p) for p in pdf[payload_col]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf[id_col].astype("int64").values)
+            yield out.astype(_FEATURE_DTYPES)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
+
+
+def synth_decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fused synth→decode in ONE Arrow stage (harness/bench path, mirroring
+    :func:`audio.synth_decode_features`): the BMP bytes are really encoded and
+    really parsed per row but never round-trip JVM→Python→JVM between two
+    ``mapInPandas`` stages. Real ingest — where the binary column already
+    exists — uses :func:`decode_bmp_features`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            feats = [decode_one_bmp(_bmp_bytes(*synth_params(int(d)))) for d in ids]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", ids.values)
+            yield out.astype(_FEATURE_DTYPES)
+
+    return df.select(id_col).mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)

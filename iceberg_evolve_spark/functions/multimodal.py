@@ -70,11 +70,22 @@ def attach_fake_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "
 
 
 def decode_payload(payload: bytes, media_meta: dict) -> "object":
-    """Real decode entry point — image/audio libs are not present in this
-    container, so this is an explicit stub (SURVEY.md extension mandate)."""
+    """Real decode entry point. Image (24-bit BMP) and audio (RIFF/WAVE PCM)
+    have genuine stdlib/struct decoders in this repo (:mod:`.image`,
+    :mod:`.audio`); video remains an explicit stub — true container formats
+    (mp4/mkv) need a demuxer this environment does not ship."""
+    mt = (media_meta or {}).get("media_type")
+    if mt == "image":
+        from iceberg_evolve_spark.functions.image import decode_one_bmp
+
+        return decode_one_bmp(payload)
+    if mt == "audio":
+        from iceberg_evolve_spark.functions.audio import decode_one_wav
+
+        return decode_one_wav(payload)
     raise NotImplementedError(
-        "media decoding requires imaging/audio libraries not present in this "
-        "environment; wire Pillow/torchaudio/ffmpeg here in production"
+        "video decoding requires a container demuxer (ffmpeg) not present in "
+        "this environment; wire it here in production"
     )
 
 

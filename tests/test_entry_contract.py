@@ -42,7 +42,7 @@ def test_every_query_has_oracle_or_documented_absence():
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(os_) <= set(qs)
     missing = set(qs) - set(os_)
-    assert missing == {"ann_topk_ivf"}  # approximate, model-based: rows-only
+    assert missing == set()  # every entry is oracle-checked (r3: IVF included)
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries()))

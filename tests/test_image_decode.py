@@ -1,0 +1,102 @@
+"""Tests for the real BMP image decode path (functions/image.py)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from iceberg_evolve_spark.functions.image import (
+    _bmp_bytes,
+    decode_one_bmp,
+    synth_decode_features,
+    synth_params,
+)
+
+
+def _closed_forms(doc_id: int) -> dict:
+    w, h, (r1, g1, b1), (r2, g2, b2) = synth_params(doc_id)
+    half = w // 2
+    stride = (3 * w + 3) // 4 * 4
+
+    def s(c1: int, c2: int) -> int:
+        return sum(((c1 + y) % 256) * half + ((c2 + y) % 256) * (w - half) for y in range(h))
+
+    return {
+        "width": w,
+        "height": h,
+        "byte_len": 54 + h * stride,
+        "sum_r": s(r1, r2),
+        "sum_g": s(g1, g2),
+        "sum_b": s(b1, b2),
+        "first_px_r": r1,
+        "first_px_g": g1,
+        "first_px_b": b1,
+    }
+
+
+class TestBmpCodec:
+    def test_header_is_canonical_bmp(self):
+        payload = _bmp_bytes(*synth_params(7))
+        assert payload[:2] == b"BM"
+        file_size, _, _, offset = struct.unpack_from("<IHHI", payload, 2)
+        assert file_size == len(payload)
+        assert offset == 54
+        hdr, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+        assert (hdr, planes, bpp, comp) == (40, 1, 24, 0)
+
+    @pytest.mark.parametrize("doc_id", [0, 1, 5, 8, 17, 255, 256, 9999])
+    def test_decode_matches_closed_forms(self, doc_id):
+        feats = decode_one_bmp(_bmp_bytes(*synth_params(doc_id)))
+        assert feats == _closed_forms(doc_id)
+
+    def test_bottom_up_row_order_is_honored(self):
+        # Rows differ per y; a decoder ignoring bottom-up storage would report
+        # image row h-1's colors as the top-left pixel.
+        w, h, left, right = synth_params(3)
+        assert h > 1
+        feats = decode_one_bmp(_bmp_bytes(w, h, left, right))
+        assert feats["first_px_r"] == left[0]  # not (left[0] + h - 1) % 256
+        assert feats["first_px_r"] != (left[0] + h - 1) % 256
+
+    def test_decode_rejects_garbage(self):
+        with pytest.raises(ValueError):
+            decode_one_bmp(b"NOTABMP" + b"\x00" * 64)
+
+    def test_padding_every_phase(self):
+        # widths 8..16 cover all four (3w % 4) padding phases
+        strides = set()
+        for doc_id in range(9):
+            w, h, left, right = synth_params(doc_id)
+            strides.add(((3 * w + 3) // 4 * 4) - 3 * w)
+            assert decode_one_bmp(_bmp_bytes(w, h, left, right))["width"] == w
+        assert strides == {0, 1, 2, 3}
+
+    def test_spark_pipeline(self, spark):
+        df = spark.range(0, 64).withColumnRenamed("id", "doc_id")
+        rows = {r["doc_id"]: r.asDict() for r in synth_decode_features(df).collect()}
+        assert len(rows) == 64
+        for doc_id in (0, 13, 63):
+            expect = _closed_forms(doc_id)
+            got = {k: v for k, v in rows[doc_id].items() if k != "doc_id"}
+            assert got == expect
+
+
+class TestDecodePayloadRouting:
+    def test_image_and_audio_route_to_real_decoders(self):
+        from iceberg_evolve_spark.functions.multimodal import decode_payload
+
+        img = decode_payload(_bmp_bytes(*synth_params(5)), {"media_type": "image"})
+        assert img["width"] == synth_params(5)[0]
+
+        from iceberg_evolve_spark.functions.audio import _wav_bytes
+        from iceberg_evolve_spark.functions.audio import synth_params as wav_params
+
+        aud = decode_payload(_wav_bytes(*wav_params(5)), {"media_type": "audio"})
+        assert aud["sample_rate"] == 8000
+
+    def test_video_still_stubbed(self):
+        from iceberg_evolve_spark.functions.multimodal import decode_payload
+
+        with pytest.raises(NotImplementedError):
+            decode_payload(b"\x00\x00\x00\x18ftypmp42", {"media_type": "video"})
