@@ -2309,6 +2309,135 @@ FROM p
 """
 
 
+# ---------------------------------------------------------------------------
+# Skew hardening: salted aggregation / salted join over an adversarially
+# skewed key, end-to-end under the oracle (functions/skew.py)
+# ---------------------------------------------------------------------------
+
+ZIPF_KEY_CAP = 1000
+ZIPF_TIER_HOT = 3
+ZIPF_TIER_WARM = 50
+_TWO60 = float(1 << 60)
+
+
+def _zipf_key() -> Column:
+    """Adversarially skewed deterministic key over lineitem rows:
+    ``u = hash60('zk|orderkey|linenumber') / 2^60 ~ U[0,1)``, then
+    ``key = least(floor(1/(u + 1e-12)), cap)`` — an inverse-power transform
+    giving P(key=k) ≈ 1/(k(k+1)): the hottest key owns ~half the table, the
+    single-reducer poison AQE alone can't fix for aggregation. Portable: both
+    engines compute identical doubles (same hash, cast, divide, floor)."""
+    u = hash60(
+        F.concat(
+            F.lit("zk|"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("|"),
+            F.col("l_linenumber").cast("string"),
+        )
+    ).cast("double") / F.lit(_TWO60)
+    return F.least(
+        F.floor(F.lit(1.0) / (u + F.lit(1e-12))).cast("bigint"),
+        F.lit(ZIPF_KEY_CAP).cast("bigint"),
+    )
+
+
+def _zipf_key_sql() -> str:
+    h = hash60_sql(
+        "'zk|' || CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)"
+    )
+    return (
+        f"LEAST(CAST(FLOOR(1.0 / (CAST({h} AS DOUBLE) / {float(1 << 60)!r} + 1e-12)) "
+        f"AS BIGINT), {ZIPF_KEY_CAP})"
+    )
+
+
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation through ``skew.salted_agg``: partials over
+    (key, salt) spread the hottest key across 32 reducers, then a cheap
+    (cap+1)-row merge. Sums run in DECIMAL so the two-phase merge is
+    order-independent and the oracle's one-phase GROUP BY matches exactly —
+    the correctness proof that salting changes the schedule, not the answer."""
+    from iceberg_evolve_spark.functions.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        _zipf_key().alias("hot_key"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    out = salted_agg(
+        keyed, ["hot_key"], {"price": "sum", "hot_key": "count"}, salt_buckets=32
+    )
+    return out.select(
+        "hot_key",
+        F.col("sum_price").cast("double").alias("sum_price"),
+        F.col("count_hot_key").alias("n"),
+    )
+
+
+def _skew_agg_sql() -> str:
+    return f"""
+WITH k AS (
+    SELECT {_zipf_key_sql()} AS hot_key,
+           CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+    FROM lineitem
+)
+SELECT hot_key, CAST(SUM(price) AS DOUBLE) AS sum_price, COUNT(*) AS n
+FROM k GROUP BY hot_key
+"""
+
+
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-fact join through ``skew.salted_join``: the fact side's hot key
+    is salted 16 ways and the dim side replicated 16×, so no reducer owns the
+    hot key alone — the remedy when the dim is too big to broadcast but cheap
+    to replicate. Output re-aggregated per tier; DECIMAL sums keep it exact."""
+    from iceberg_evolve_spark.functions.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        _zipf_key().alias("hot_key"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    dim = spark.range(1, ZIPF_KEY_CAP + 1).select(
+        F.col("id").alias("hot_key"),
+        F.when(F.col("id") <= ZIPF_TIER_HOT, F.lit("hot"))
+        .when(F.col("id") <= ZIPF_TIER_WARM, F.lit("warm"))
+        .otherwise(F.lit("cold"))
+        .alias("tier"),
+    )
+    joined = salted_join(keyed, dim, on="hot_key", salt_buckets=16)
+    return (
+        joined.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price").cast("double").alias("sum_price"),
+            F.countDistinct("hot_key").alias("n_keys"),
+        )
+        .orderBy("tier")
+    )
+
+
+def _skew_join_sql() -> str:
+    return f"""
+WITH k AS (
+    SELECT {_zipf_key_sql()} AS hot_key,
+           CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+    FROM lineitem
+),
+dim AS (
+    SELECT range AS hot_key,
+           CASE WHEN range <= {ZIPF_TIER_HOT} THEN 'hot'
+                WHEN range <= {ZIPF_TIER_WARM} THEN 'warm'
+                ELSE 'cold' END AS tier
+    FROM range(1, {ZIPF_KEY_CAP + 1})
+)
+SELECT tier, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS sum_price,
+       COUNT(DISTINCT hot_key) AS n_keys
+FROM k JOIN dim USING (hot_key)
+GROUP BY tier ORDER BY tier
+"""
+
+
 def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding column (FAISS-SQ8 layout):
     4× smaller ANN scans with error ≤ scale/2 per component. Pure projection +
@@ -3671,6 +3800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_overlap_rate": decontaminate_overlap_rate,
         "multimodal_audio_decode": multimodal_audio_decode,
         "multimodal_image_decode": multimodal_image_decode,
+        "skew_salted_agg": skew_salted_agg,
+        "skew_salted_join": skew_salted_join,
         "embeddings_quantize_int8": embeddings_quantize_int8,
         "embeddings_random_projection": embeddings_random_projection,
         "docs_boilerplate_removal": docs_boilerplate_removal,
@@ -3818,6 +3949,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _MULTIMODAL_SQL,
         "multimodal_audio_decode": _AUDIO_SQL,
         "multimodal_image_decode": _image_sql(),
+        "skew_salted_agg": _skew_agg_sql(),
+        "skew_salted_join": _skew_join_sql(),
         "embeddings_quantize_int8": _QUANT_SQL,
         "embeddings_random_projection": _rp_sql(),
         "docs_boilerplate_removal": _BOILER_SQL,

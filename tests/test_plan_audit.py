@@ -79,6 +79,41 @@ def test_shards_single_exchange(spark, sf_dir):
     assert "struct<doc_id:bigint>" in plan  # text column never read
 
 
+def test_salted_agg_is_two_phase_with_salt(spark, sf_dir):
+    """The skewed aggregation must run two aggregate phases: partials keyed by
+    (hot_key, _salt) — the hot key split across 32 reducers — then the merge
+    keyed by hot_key alone. The salt must appear in the first phase's grouping
+    and be gone from the output."""
+    df = _QUERIES["skew_salted_agg"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan, "salt column missing from the physical plan"
+    # two distinct hash-aggregate groupings: (hot_key, _salt) then (hot_key)
+    assert plan.count("Exchange hashpartitioning") >= 2
+    assert "_salt" not in df.columns
+
+
+def test_salted_join_keys_include_salt(spark, sf_dir):
+    """The skewed join must join on (hot_key, _salt) — the replicated dim meets
+    each salt shard separately — and the salt must not leak to the output."""
+    df = _QUERIES["skew_salted_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    joins = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert any("_salt" in ln and "hot_key" in ln for ln in joins), joins
+    assert "_salt" not in df.columns
+
+
+def test_ivf_probe_is_partition_pruned(spark, sf_dir):
+    """The IVF probe plan must contain no model fit and prune the cell
+    partitions at the scan: the _cell filter is a partition filter over the
+    cell-partitioned store, not a post-scan filter over the full corpus."""
+    import __spark_entry__ as e
+
+    df = e.queries()["ann_topk_ivf"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_cell" in plan.split("PartitionFilters:")[1][:200]
+    assert "Exchange" not in plan  # scan + local TopK + driver merge only
+
+
 def test_mixture_corpus_side_is_broadcast_joined(spark, sf_dir):
     """The corpus in the mixture sampler must flow through a broadcast hash
     join + filter — every Exchange in the plan belongs to the tiny per-domain
