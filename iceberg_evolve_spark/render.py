@@ -43,7 +43,9 @@ def _c(text: str, color: str, use_color: bool) -> str:
 
 def render_type(t: IcebergType, name: str = "", prefix: str = "") -> list[str]:
     """Recursive plain tree of a type (reference ``render_type``/``type_to_tree``,
-    ``utils.py:261-315``)."""
+    ``utils.py:261-315``). Children render relative to their parent and are
+    re-indented with the parent's continuation prefix — the only way the box
+    drawing stays aligned for nested list/struct combinations."""
     label = f"{name}: " if name else ""
     if isinstance(t, (PrimitiveType, DecimalType)):
         return [f"{prefix}{label}{t}"]
@@ -52,15 +54,17 @@ def render_type(t: IcebergType, name: str = "", prefix: str = "") -> list[str]:
         for i, f in enumerate(t.fields):
             last = i == len(t.fields) - 1
             branch = "└─ " if last else "├─ "
-            child_prefix = prefix + ("   " if last else "│  ")
+            cont = "   " if last else "│  "
             sub = render_type(f.type, f.name, "")
             lines.append(f"{prefix}{branch}{sub[0]}")
-            for extra in render_type(f.type, f.name, child_prefix)[1:]:
-                lines.append(extra)
+            lines.extend(f"{prefix}{cont}{extra}" for extra in sub[1:])
         return lines
     if isinstance(t, ListType):
-        sub = render_type(t.element, "element", prefix + "   ")
-        return [f"{prefix}{label}list", f"{prefix}└─ {sub[0].strip()}"] + sub[1:]
+        sub = render_type(t.element, "element", "")
+        return (
+            [f"{prefix}{label}list", f"{prefix}└─ {sub[0]}"]
+            + [f"{prefix}   {extra}" for extra in sub[1:]]
+        )
     if isinstance(t, MapType):
         return (
             [f"{prefix}{label}map"]
