@@ -2741,6 +2741,485 @@ FROM customer
 
 
 # ---------------------------------------------------------------------------
+# The 12 previously entry-less operators (VERDICT r2 item 3): S2, S4, S5,
+# R1-R3, C1-C3, T1, T2, X2 — each surfaced as a deterministic driver-side
+# DataFrame so the DuckDB oracle hash-verifies the behavior, exactly like the
+# other schema-family entries. All are metadata-scale (rows = schema fields /
+# rendered lines / DDL statements), so driver-side createDataFrame is the
+# right execution shape at any data scale.
+# ---------------------------------------------------------------------------
+
+
+def schema_s3_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: ``Schema.from_s3`` exercised through an injected boto3 stub that
+    returns the golden fixture bytes exactly as S3 would (this sandbox has no
+    network; the parse/error path is the reference-parity surface,
+    reference ``schema.py`` S3 loader). Output: the loaded schema as rows."""
+    import io
+    import sys
+    import types
+
+    from iceberg_evolve_spark.canonical import clean_type_str
+
+    with open(os.path.join(FIXTURES, "users_current.iceberg.json"), "rb") as fh:
+        payload = fh.read()
+
+    class _Object:
+        def __init__(self, bucket: str, key: str) -> None:
+            self.bucket, self.key = bucket, key
+
+        def get(self):
+            return {"Body": io.BytesIO(payload)}
+
+    class _Resource:
+        def Object(self, bucket: str, key: str) -> "_Object":
+            return _Object(bucket, key)
+
+    stub = types.ModuleType("boto3")
+    stub.resource = lambda name: _Resource()
+    prior = sys.modules.get("boto3")
+    sys.modules["boto3"] = stub
+    try:
+        schema = Schema.from_s3("test-bucket", "users_current.iceberg.json")
+    finally:
+        if prior is None:
+            del sys.modules["boto3"]
+        else:  # pragma: no cover - real boto3 present
+            sys.modules["boto3"] = prior
+    rows = [
+        (f.field_id, f.name, clean_type_str(f.type), f.required)
+        for f in schema.fields
+    ]
+    return spark.createDataFrame(
+        rows, "field_id int, name string, type string, required boolean"
+    )
+
+
+def schema_json_schema_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: catalog→JSON-Schema flavor (``catalog.load_table_schema``, reference
+    ``catalog.py:16-44`` lossy type map) over the live customer table."""
+    from iceberg_evolve_spark.catalog import load_table_schema
+
+    doc = load_table_schema(
+        spark, "customer", parquet_path=os.path.join(sf_dir, "customer.parquet")
+    )
+    rows = [
+        (i + 1, name, spec["type"], name in doc["required"])
+        for i, (name, spec) in enumerate(doc["properties"].items())
+    ]
+    return spark.createDataFrame(
+        rows, "ordinal int, property string, json_type string, required boolean"
+    )
+
+
+def schema_serialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+S6: live supplier schema → Iceberg metadata JSON on disk
+    (``Schema.to_file``) → reparse (``Schema.from_file``); emits the round-trip
+    result. Proves serialize and deserialize agree byte-for-byte on types."""
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.canonical import clean_type_str
+
+    src = Schema.from_spark_struct(_t(spark, sf_dir, "supplier").schema)
+    tmp = tempfile.mkdtemp(prefix="ies-serialize-")
+    try:
+        path = os.path.join(tmp, "supplier.iceberg.json")
+        src.to_file(path)
+        back = Schema.from_file(path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    rows = [
+        (f.field_id, f.name, clean_type_str(f.type), f.required)
+        for f in back.fields
+    ]
+    return spark.createDataFrame(
+        rows, "field_id int, name string, type string, required boolean"
+    )
+
+
+def _users_fixture_diff() -> "SchemaDiff":
+    cur = Schema.from_file(os.path.join(FIXTURES, "users_current.iceberg.json"))
+    new = Schema.from_file(os.path.join(FIXTURES, "users_new.iceberg.json"))
+    return cur.diff(new)
+
+
+def render_diff_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: ``SchemaDiffRenderer`` over the golden fixture diff, color off —
+    the rendered lines (nested suppression included) as ordered rows
+    (reference ``renderer.py:23-30``)."""
+    from iceberg_evolve_spark.render import SchemaDiffRenderer
+
+    lines = SchemaDiffRenderer(_users_fixture_diff(), use_color=False).lines()
+    rows = [(i + 1, line) for i, line in enumerate(lines)]
+    return spark.createDataFrame(rows, "line_no int, line string")
+
+
+def render_ops_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: ``EvolutionOperationsRenderer`` over the fixture op plan — dotted
+    (nested) ops filtered, type-grouped, warning block for unsupported ops
+    (reference ``renderer.py:138,149-152,162-174``)."""
+    from iceberg_evolve_spark.render import EvolutionOperationsRenderer
+
+    ops = _users_fixture_diff().to_evolution_operations()
+    lines = EvolutionOperationsRenderer(ops, use_color=False).lines()
+    rows = [(i + 1, line) for i, line in enumerate(lines)]
+    return spark.createDataFrame(rows, "line_no int, line string")
+
+
+def render_type_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3: ``render_type`` box-drawing tree (reference ``utils.py:261-315``)
+    over a nested type built by the T1 SQL-type parser — exercising both the
+    parser's ID allocation and the recursive renderer in one entry."""
+    from iceberg_evolve_spark.render import render_type
+    from iceberg_evolve_spark.sqltypes import parse_sql_type
+
+    t = parse_sql_type(
+        "struct<id: long, tags: array<string>, "
+        "meta: struct<k: string, attempts: list<int>>, "
+        "scores: map<string, double>>"
+    )
+    lines = render_type(t, name="payload")
+    rows = [(i + 1, line) for i, line in enumerate(lines)]
+    return spark.createDataFrame(rows, "line_no int, line string")
+
+
+def _capture_cli(argv: list[str]) -> str:
+    """Run the in-process CLI entrypoint (same code path as the console) and
+    return its stdout."""
+    import contextlib
+    import io
+
+    from iceberg_evolve_spark.cli import main as cli_main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(argv)
+    if rc != 0:  # pragma: no cover - defensive
+        raise RuntimeError(f"cli exited {rc}: {argv}")
+    return buf.getvalue()
+
+
+def cli_diff_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: ``diff --json`` — the op plan as machine-readable dicts (works here;
+    the reference's ``--json`` crashes on a missing ``to_dict``, its
+    ``cli.py:59``)."""
+    import json as _json
+
+    out = _capture_cli(
+        [
+            "diff",
+            os.path.join(FIXTURES, "users_current.iceberg.json"),
+            os.path.join(FIXTURES, "users_new.iceberg.json"),
+            "--json",
+        ]
+    )
+    ops = _json.loads(out)
+    rows = [(i + 1, op["op"], op["name"]) for i, op in enumerate(ops)]
+    return spark.createDataFrame(rows, "seq int, op string, name string")
+
+
+def cli_evolve_sql_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: ``evolve --sql-only`` — compiled ALTER TABLE DDL via the full CLI
+    path (gates + phases + CollectingExecutor), no catalog touched."""
+    out = _capture_cli(
+        [
+            "evolve",
+            "--table",
+            "cat.db.users",
+            "--schema-path",
+            os.path.join(FIXTURES, "users_new.iceberg.json"),
+            "--current-schema",
+            os.path.join(FIXTURES, "users_current.iceberg.json"),
+            "--sql-only",
+            "--quiet",
+            "--no-strict",
+            "--allow-breaking",
+        ]
+    )
+    stmts = [l for l in out.splitlines() if l.startswith("ALTER")]
+    rows = [(i + 1, s) for i, s in enumerate(stmts)]
+    return spark.createDataFrame(rows, "seq int, stmt string")
+
+
+def cli_serialize_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: ``serialize --parquet`` — snapshot a parquet file's schema to
+    Iceberg metadata JSON, then reparse the written file (proving the artifact
+    on disk, not just the in-memory dict)."""
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.canonical import clean_type_str
+
+    tmp = tempfile.mkdtemp(prefix="ies-cli-serialize-")
+    try:
+        out_path = os.path.join(tmp, "region.iceberg.json")
+        _capture_cli(
+            [
+                "serialize",
+                "--parquet",
+                os.path.join(sf_dir, "region.parquet"),
+                "-o",
+                out_path,
+            ]
+        )
+        schema = Schema.from_file(out_path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    rows = [(f.field_id, f.name, clean_type_str(f.type)) for f in schema.fields]
+    return spark.createDataFrame(rows, "field_id int, name string, type string")
+
+
+def sqltype_parse_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: the SQL-ish type-string parser + IDAllocator (reference
+    ``utils.py:43-110,149-155``) over a battery of inputs sharing one
+    allocator — canonical re-rendered form plus how many nested IDs each
+    parse allocated (deterministic sequence)."""
+    from iceberg_evolve_spark.canonical import clean_type_str
+    from iceberg_evolve_spark.model import IDAllocator
+    from iceberg_evolve_spark.sqltypes import parse_sql_type
+
+    inputs = [
+        "string",
+        "INTEGER",
+        "bool",
+        "decimal(12, 2)",
+        "array<string>",
+        "list<decimal(5,2)>",
+        "map<string, array<int>>",
+        "struct<a: int, b: struct<c: long, d: timestamp>>",
+    ]
+    alloc = IDAllocator()
+    rows = []
+    for i, s in enumerate(inputs):
+        before = alloc.next_id
+        t = parse_sql_type(s, alloc)
+        rows.append((i + 1, s, clean_type_str(t), alloc.next_id - before))
+    return spark.createDataFrame(
+        rows, "seq int, input string, parsed string, ids_allocated int"
+    )
+
+
+def jsonschema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: JSON-Schema ↔ Iceberg struct, both directions (reference
+    ``catalog.py:16-44`` + JSON-schema ingestion): the users JSON-Schema
+    fixture → struct (fresh IDs), then that struct → JSON-Schema again —
+    per-field rows tagged with direction."""
+    import json as _json
+
+    from iceberg_evolve_spark.canonical import clean_type_str
+    from iceberg_evolve_spark.jsonschema import (
+        struct_from_json_schema,
+        struct_to_json_schema,
+    )
+
+    with open(os.path.join(FIXTURES, "users_current.json")) as fh:
+        doc = _json.load(fh)
+    struct = struct_from_json_schema(doc)
+    fwd = [
+        ("from_json_schema", f.field_id, f.name, clean_type_str(f.type))
+        for f in struct.fields
+    ]
+    back = struct_to_json_schema(struct)
+    rev = [
+        ("to_json_schema", i + 1, name, spec["type"])
+        for i, (name, spec) in enumerate(back["properties"].items())
+    ]
+    return spark.createDataFrame(
+        fwd + rev, "direction string, ordinal int, name string, type string"
+    )
+
+
+def evolve_compiled_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: the executor shim driven by the real three-phase ``Schema.evolve``
+    loop — ``CollectingExecutor`` records per-phase DDL batches and refresh
+    barriers (reference control flow ``schema.py:233-272``)."""
+    from iceberg_evolve_spark.operators.executor import CollectingExecutor
+
+    cur = Schema.from_file(os.path.join(FIXTURES, "users_current.iceberg.json"))
+    new = Schema.from_file(os.path.join(FIXTURES, "users_new.iceberg.json"))
+    ex = CollectingExecutor("cat.db.users")
+    cur.evolve(new, ex, quiet=True, strict=False, allow_breaking=True, dry_run=False)
+    rows = [(i + 1, s) for i, s in enumerate(ex.statements)]
+    rows.append((0, f"refresh_barriers={ex.refresh_count}"))
+    return spark.createDataFrame(rows, "seq int, stmt string")
+
+
+# Oracle twins for the 12 metadata entries: the expected outputs are closed-form
+# constants fixed by the reference's behavior on the golden fixtures (FIXTURES.md
+# A.2, reference cli/renderer/utils semantics), so each oracle is a VALUES
+# literal — the strongest possible check (exact rows, no reimplementation).
+
+_S3_SOURCE_SQL = """
+SELECT * FROM (VALUES
+    (1, 'id', 'string', TRUE),
+    (2, 'age', 'int', TRUE),
+    (3, 'signup', 'date', FALSE),
+    (4, 'email_address', 'string', FALSE),
+    (5, 'metadata',
+     'struct<browser: string, location: struct<city: string, country: string>, login_attempts: list<int>>',
+     FALSE),
+    (6, 'comments', 'string', FALSE),
+    (7, 'username', 'string', FALSE)
+) AS t(field_id, name, type, required)
+"""
+
+_JSON_SCHEMA_DICT_SQL = """
+SELECT CAST(ordinal_position AS INT) AS ordinal, column_name AS property,
+       CASE data_type
+            WHEN 'BIGINT' THEN 'integer' WHEN 'INTEGER' THEN 'integer'
+            WHEN 'DOUBLE' THEN 'number' WHEN 'FLOAT' THEN 'number'
+            WHEN 'VARCHAR' THEN 'string' WHEN 'TIMESTAMP' THEN 'string'
+            WHEN 'BOOLEAN' THEN 'boolean' ELSE 'string' END AS json_type,
+       FALSE AS required
+FROM information_schema.columns WHERE table_name = 'customer'
+"""
+
+_SERIALIZE_ROUNDTRIP_SQL = """
+SELECT CAST(ordinal_position AS INT) AS field_id, column_name AS name,
+       CASE data_type
+            WHEN 'BIGINT' THEN 'long' WHEN 'INTEGER' THEN 'int'
+            WHEN 'DOUBLE' THEN 'double' WHEN 'FLOAT' THEN 'float'
+            WHEN 'VARCHAR' THEN 'string' WHEN 'TIMESTAMP' THEN 'timestamp'
+            ELSE lower(data_type) END AS type,
+       FALSE AS required
+FROM information_schema.columns WHERE table_name = 'supplier'
+"""
+
+_RENDER_DIFF_SQL = """
+SELECT * FROM (VALUES
+    (1, 'ADDED'),
+    (2, '├─ is_active: boolean'),
+    (3, '└─ metadata.used_login: string'),
+    (4, ''),
+    (5, 'REMOVED'),
+    (6, '├─ comments: string'),
+    (7, '└─ metadata.browser: string'),
+    (8, ''),
+    (9, 'CHANGED'),
+    (10, '├─ signup renamed to: signup_datetime'),
+    (11, '├─ signup_datetime from: date to: timestamp'),
+    (12, '├─ email_address renamed to: email'),
+    (13, '├─ metadata.login_attempts from: list<int> to: list<struct<timestamp: int, success: boolean>>'),
+    (14, '└─ username moved after: signup_datetime'),
+    (15, '')
+) AS t(line_no, line)
+"""
+
+_RENDER_OPS_SQL = """
+SELECT * FROM (VALUES
+    (1, 'rename_column(name=signup, to=signup_datetime)'),
+    (2, 'rename_column(name=email_address, to=email)'),
+    (3, ''),
+    (4, 'update_column(name=signup_datetime, from=date, to=timestamp)'),
+    (5, ''),
+    (6, 'add_column(name=is_active, type=boolean)'),
+    (7, ''),
+    (8, 'drop_column(name=comments)'),
+    (9, ''),
+    (10, 'move_column(name=username, position=after, target=signup_datetime)'),
+    (11, ''),
+    (12, 'WARNING: unsupported operations were planned:'),
+    (13, '  - update_column(name=metadata.login_attempts, from=list<int>, to=list<struct<timestamp: int, success: boolean>>)')
+) AS t(line_no, line)
+"""
+
+_RENDER_TYPE_SQL = """
+SELECT * FROM (VALUES
+    (1, 'payload: struct'),
+    (2, '├─ id: long'),
+    (3, '├─ tags: list'),
+    (4, '│  └─ element: string'),
+    (5, '├─ meta: struct'),
+    (6, '│  ├─ k: string'),
+    (7, '│  └─ attempts: list'),
+    (8, '│     └─ element: int'),
+    (9, '└─ scores: map'),
+    (10, '   ├─ key: string'),
+    (11, '   └─ value: double')
+) AS t(line_no, line)
+"""
+
+_CLI_DIFF_JSON_SQL = """
+SELECT * FROM (VALUES
+    (1, 'rename_column', 'signup'),
+    (2, 'rename_column', 'email_address'),
+    (3, 'update_column', 'signup_datetime'),
+    (4, 'update_column', 'metadata.login_attempts'),
+    (5, 'add_column', 'is_active'),
+    (6, 'add_column', 'metadata.used_login'),
+    (7, 'drop_column', 'comments'),
+    (8, 'drop_column', 'metadata.browser'),
+    (9, 'move_column', 'username')
+) AS t(seq, op, name)
+"""
+
+_CLI_EVOLVE_SQL = """
+SELECT * FROM (VALUES
+    (1, 'ALTER TABLE cat.db.users RENAME COLUMN signup TO signup_datetime;'),
+    (2, 'ALTER TABLE cat.db.users RENAME COLUMN email_address TO email;'),
+    (3, 'ALTER TABLE cat.db.users ADD COLUMN is_active BOOLEAN;'),
+    (4, 'ALTER TABLE cat.db.users ADD COLUMN metadata.used_login STRING;'),
+    (5, 'ALTER TABLE cat.db.users DROP COLUMN comments;'),
+    (6, 'ALTER TABLE cat.db.users DROP COLUMN metadata.browser;'),
+    (7, 'ALTER TABLE cat.db.users ALTER COLUMN username AFTER signup_datetime;')
+) AS t(seq, stmt)
+"""
+
+_CLI_SERIALIZE_SQL = """
+SELECT CAST(ordinal_position AS INT) AS field_id, column_name AS name,
+       CASE data_type
+            WHEN 'BIGINT' THEN 'long' WHEN 'INTEGER' THEN 'int'
+            WHEN 'DOUBLE' THEN 'double' WHEN 'VARCHAR' THEN 'string'
+            ELSE lower(data_type) END AS type
+FROM information_schema.columns WHERE table_name = 'region'
+"""
+
+_SQLTYPE_PARSE_SQL = """
+SELECT * FROM (VALUES
+    (1, 'string', 'string', 0),
+    (2, 'INTEGER', 'int', 0),
+    (3, 'bool', 'boolean', 0),
+    (4, 'decimal(12, 2)', 'decimal(12, 2)', 0),
+    (5, 'array<string>', 'list<string>', 1),
+    (6, 'list<decimal(5,2)>', 'list<decimal(5, 2)>', 1),
+    (7, 'map<string, array<int>>', 'map<string, list<int>>', 3),
+    (8, 'struct<a: int, b: struct<c: long, d: timestamp>>',
+        'struct<a: int, b: struct<c: long, d: timestamp>>', 4)
+) AS t(seq, input, parsed, ids_allocated)
+"""
+
+_JSONSCHEMA_RT_SQL = """
+SELECT * FROM (VALUES
+    ('from_json_schema', 1, 'id', 'string'),
+    ('from_json_schema', 2, 'age', 'int'),
+    ('from_json_schema', 3, 'signup_date', 'timestamp'),
+    ('from_json_schema', 4, 'email_address', 'string'),
+    ('from_json_schema', 5, 'metadata',
+     'struct<browser: string, location: struct<city: string, country: string>, login_attempts: list<int>>'),
+    ('to_json_schema', 1, 'id', 'string'),
+    ('to_json_schema', 2, 'age', 'integer'),
+    ('to_json_schema', 3, 'signup_date', 'string'),
+    ('to_json_schema', 4, 'email_address', 'string'),
+    ('to_json_schema', 5, 'metadata', 'object')
+) AS t(direction, ordinal, name, type)
+"""
+
+_COMPILED_DDL_SQL = """
+SELECT * FROM (VALUES
+    (1, 'ALTER TABLE cat.db.users RENAME COLUMN signup TO signup_datetime'),
+    (2, 'ALTER TABLE cat.db.users RENAME COLUMN email_address TO email'),
+    (3, 'ALTER TABLE cat.db.users ADD COLUMN is_active BOOLEAN'),
+    (4, 'ALTER TABLE cat.db.users ADD COLUMN metadata.used_login STRING'),
+    (5, 'ALTER TABLE cat.db.users DROP COLUMN comments'),
+    (6, 'ALTER TABLE cat.db.users DROP COLUMN metadata.browser'),
+    (7, 'ALTER TABLE cat.db.users ALTER COLUMN username AFTER signup_datetime'),
+    (0, 'refresh_barriers=3')
+) AS t(seq, stmt)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Pipeline scale ops: KMV sketch, deterministic sampling, TF-IDF,
 # near-dup clustering (LSH pairs → connected components)
 # ---------------------------------------------------------------------------
@@ -3753,13 +4232,90 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness oracle checks the FIRST
-    # 50 entries. Round 2 ordering: (a) the 26 entries that fell past round 1's
-    # window (similarity/text/sketch/sampling/multimodal/schema families),
-    # (b) q12 whose oracle cast was fixed this round, (c) queries added in
-    # round 2, (d) the remaining round-1 entries, all already hash-verified in
-    # CORRECTNESS_r01.json.
+    # 50 entries. Round-3 window (see COVERAGE.md for the schedule):
+    # (a) the 12 operators that had no entry before this round (VERDICT item 3),
+    # (b) the 4 entries never/not-yet hash-verified: ann_topk_ivf (deterministic
+    #     centroids replace the unverifiable KMeans path this round) and the 3
+    #     round-3 additions (image decode, salted agg/join),
+    # (c) 34 of the 46 round-1-verified tail entries, highest-risk first — every
+    #     entry that touches event timestamps (the testdata's ts column changed
+    #     from TIMESTAMP(NANOS)-as-long to TIMESTAMP_NTZ this round) or complex
+    #     window/join machinery,
+    # (d) past the window: the 12 most-stable pure-relational tail entries
+    #     (scheduled first for round 4's window) and the 49 entries hash-verified
+    #     in CORRECTNESS_r02.json. Everything is still locally verified vs DuckDB
+    #     by tests/test_entry_contract.py every round regardless of window slot.
     return {
-        # (a) oracle-unchecked in round 1 — must land in the driver window.
+        # (a) previously entry-less operators: S2 S4 S5 R1 R2 R3 C1 C2 C3 T1 T2 X2
+        "schema_s3_source": schema_s3_source,
+        "schema_json_schema_dict": schema_json_schema_dict,
+        "schema_serialize_roundtrip": schema_serialize_roundtrip,
+        "render_diff_tree": render_diff_tree,
+        "render_ops_plan": render_ops_plan,
+        "render_type_tree": render_type_tree,
+        "cli_diff_json": cli_diff_json,
+        "cli_evolve_sql_only": cli_evolve_sql_only,
+        "cli_serialize_parquet": cli_serialize_parquet,
+        "sqltype_parse_table": sqltype_parse_table,
+        "jsonschema_roundtrip": jsonschema_roundtrip,
+        "evolve_compiled_ddl": evolve_compiled_ddl,
+        # (b) never hash-verified before this round
+        "ann_topk_ivf": ann_topk_ivf,
+        "multimodal_image_decode": multimodal_image_decode,
+        "skew_salted_agg": skew_salted_agg,
+        "skew_salted_join": skew_salted_join,
+        # (c) r01-verified tail, re-verified against round-3 code — ts-sensitive
+        # and window/join-heavy entries first
+        "events_sessionize": events_sessionize,
+        "events_hourly_counts": events_hourly_counts,
+        "events_time_rollup": events_time_rollup,
+        "events_json_kpis": events_json_kpis,
+        "events_funnel": events_funnel,
+        "events_point_in_time_enrich": events_point_in_time_enrich,
+        "scd2_customer_priority": scd2_customer_priority,
+        "asof_latest_order": asof_latest_order,
+        "range_join_click_views": range_join_click_views,
+        "top_orders_per_customer": top_orders_per_customer,
+        "daily_revenue_moving_avg": daily_revenue_moving_avg,
+        "orders_rollup": orders_rollup,
+        "orders_grouping_sets": orders_grouping_sets,
+        "orders_cube": orders_cube,
+        "lineitem_metrics_unpivot": lineitem_metrics_unpivot,
+        "merge_customer_updates": merge_customer_updates,
+        "doc_token_chunks": doc_token_chunks,
+        "orders_geomean": orders_geomean,
+        "q10_returned_items": q10_returned_items,
+        "q15_top_supplier": q15_top_supplier,
+        "q18_large_orders": q18_large_orders,
+        "q22_dormant_rich_customers": q22_dormant_rich_customers,
+        "nation_revenue_share": nation_revenue_share,
+        "cheapest_supplier_per_part": cheapest_supplier_per_part,
+        "customers_without_orders": customers_without_orders,
+        "nation_distinct_counts": nation_distinct_counts,
+        "parts_above_brand_avg": parts_above_brand_avg,
+        "customer_balance_quartiles": customer_balance_quartiles,
+        "orders_pivot_priority": orders_pivot_priority,
+        "balance_order_setops": balance_order_setops,
+        "totalprice_percentiles": totalprice_percentiles,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_signatures": dedup_minhash_signatures,
+        # ---- driver window boundary (50) ----
+        # (d1) most-stable pure-relational tail (r01-verified; first in line for
+        # round 4's window)
+        "q4_priority_semijoin": q4_priority_semijoin,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_share": q14_promo_share,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_bracket_revenue": q19_bracket_revenue,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        # (d2) hash-verified in CORRECTNESS_r02.json
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -3775,7 +4331,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_stratified_sample": orders_stratified_sample,
         "tfidf_top_terms": tfidf_top_terms,
         "ann_topk_bruteforce": ann_topk_bruteforce,
-        "ann_topk_ivf": ann_topk_ivf,
         "text_stats": text_stats,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
@@ -3786,9 +4341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evolve_users_diff": evolve_users_diff,
         "evolve_users_plan": evolve_users_plan,
         "migrate_customer": migrate_customer,
-        # (b) oracle fixed this round (BIGINT cast) — needs a recheck.
         "q12_priority_by_flag": q12_priority_by_flag,
-        # (c) new round-2 queries, before the already-verified tail.
         "ann_topk_lsh": ann_topk_lsh,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "dedup_cluster_star": dedup_cluster_star,
@@ -3799,9 +4352,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_sequences": docs_pack_sequences,
         "decontaminate_overlap_rate": decontaminate_overlap_rate,
         "multimodal_audio_decode": multimodal_audio_decode,
-        "multimodal_image_decode": multimodal_image_decode,
-        "skew_salted_agg": skew_salted_agg,
-        "skew_salted_join": skew_salted_join,
         "embeddings_quantize_int8": embeddings_quantize_int8,
         "embeddings_random_projection": embeddings_random_projection,
         "docs_boilerplate_removal": docs_boilerplate_removal,
@@ -3812,56 +4362,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_vocab_oov": docs_vocab_oov,
         "docs_ngram_novelty": docs_ngram_novelty,
         "corpus_health_by_source": corpus_health_by_source,
-        # (d) round-1 entries hash-verified in CORRECTNESS_r01.json.
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q4_priority_semijoin": q4_priority_semijoin,
-        "q7_nation_volume": q7_nation_volume,
-        "q10_returned_items": q10_returned_items,
-        "q14_promo_share": q14_promo_share,
-        "q15_top_supplier": q15_top_supplier,
-        "q18_large_orders": q18_large_orders,
-        "q19_bracket_revenue": q19_bracket_revenue,
-        "events_funnel": events_funnel,
-        "orders_geomean": orders_geomean,
-        "doc_token_chunks": doc_token_chunks,
-        "merge_customer_updates": merge_customer_updates,
-        "q22_dormant_rich_customers": q22_dormant_rich_customers,
-        "nation_revenue_share": nation_revenue_share,
-        "cheapest_supplier_per_part": cheapest_supplier_per_part,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q16_supplier_part_counts": q16_supplier_part_counts,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q20_excess_suppliers": q20_excess_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "orders_rollup": orders_rollup,
-        "orders_grouping_sets": orders_grouping_sets,
-        "orders_cube": orders_cube,
-        "lineitem_metrics_unpivot": lineitem_metrics_unpivot,
-        "scd2_customer_priority": scd2_customer_priority,
-        "events_point_in_time_enrich": events_point_in_time_enrich,
-        "customers_without_orders": customers_without_orders,
-        "nation_distinct_counts": nation_distinct_counts,
-        "parts_above_brand_avg": parts_above_brand_avg,
-        "daily_revenue_moving_avg": daily_revenue_moving_avg,
-        "customer_balance_quartiles": customer_balance_quartiles,
-        "orders_pivot_priority": orders_pivot_priority,
-        "balance_order_setops": balance_order_setops,
-        "totalprice_percentiles": totalprice_percentiles,
-        "asof_latest_order": asof_latest_order,
-        "range_join_click_views": range_join_click_views,
-        "events_time_rollup": events_time_rollup,
-        "top_orders_per_customer": top_orders_per_customer,
-        "events_sessionize": events_sessionize,
-        "events_hourly_counts": events_hourly_counts,
-        "events_json_kpis": events_json_kpis,
-        "dedup_exact": dedup_exact,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_minhash_signatures": dedup_minhash_signatures,
     }
 
 
@@ -3968,4 +4471,16 @@ def oracle_sql() -> dict[str, str]:
         "evolve_users_diff": _USERS_DIFF_SQL,
         "evolve_users_plan": _USERS_PLAN_SQL,
         "migrate_customer": _MIGRATE_SQL,
+        "schema_s3_source": _S3_SOURCE_SQL,
+        "schema_json_schema_dict": _JSON_SCHEMA_DICT_SQL,
+        "schema_serialize_roundtrip": _SERIALIZE_ROUNDTRIP_SQL,
+        "render_diff_tree": _RENDER_DIFF_SQL,
+        "render_ops_plan": _RENDER_OPS_SQL,
+        "render_type_tree": _RENDER_TYPE_SQL,
+        "cli_diff_json": _CLI_DIFF_JSON_SQL,
+        "cli_evolve_sql_only": _CLI_EVOLVE_SQL,
+        "cli_serialize_parquet": _CLI_SERIALIZE_SQL,
+        "sqltype_parse_table": _SQLTYPE_PARSE_SQL,
+        "jsonschema_roundtrip": _JSONSCHEMA_RT_SQL,
+        "evolve_compiled_ddl": _COMPILED_DDL_SQL,
     }

@@ -2,14 +2,27 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Execution uses the noop sink (full pipeline runs, nothing returned to the
-driver) so timings measure the engine, not result transfer. One warm query
-first so JVM/codegen warmup isn't billed to the first measured query.
+driver) so timings measure the engine, not result transfer.
+
+Methodology (round 3):
+
+* Warmup touches all tables, codegen paths, the Arrow Python workers, and the
+  one-time MLlib class load, so none of those are billed to a measured query.
+* The offline IVF index build is timed SEPARATELY and reported as the
+  pseudo-query ``ann_ivf_build_offline`` — ``ann_topk_ivf`` then measures the
+  serving path only (partition-pruned probe), which is the number the
+  100 TB serving-shape claim rests on.
+* Every query runs N=3 times and the MEDIAN is reported (BASELINE.md documents
+  ±25% run-to-run noise on this box; n=1 cross-round deltas were unreadable).
+  Passes are whole-registry sweeps, not back-to-back repeats, so cache warmth
+  is the steady-state kind, not the just-ran kind.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -17,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 # The whole contract surface is benchmarked — every queries() entry, in
 # registry order — so per-round comparisons cover every operator and a newly
@@ -39,10 +53,7 @@ def main() -> None:
         return time.time() - t0
 
     # warmup: touch all tables + codegen paths once; also fit a 3-row KMeans so
-    # one-time MLlib class loading isn't billed to the IVF query. The
-    # documents/embeddings scans + shingle/hash codegen get the same treatment
-    # (the registry rotation means a dedup query now runs first and would
-    # otherwise absorb every first-touch cost).
+    # one-time MLlib class loading isn't billed anywhere it doesn't belong.
     run("q1_pricing_summary")
     run("dedup_minhash_signatures")
     run("ann_topk_bruteforce")
@@ -61,9 +72,19 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in qs:
-        timings[name] = round(run(name), 3)
+    # Offline IVF index build, timed as its own line item (build once; the
+    # measured ann_topk_ivf passes below hit the warm index = serving path).
+    t0 = time.time()
+    entry_mod._ivf_index(spark, SF_DIR)
+    ivf_build_sec = round(time.time() - t0, 3)
+
+    samples: dict[str, list[float]] = {name: [] for name in qs}
+    for _ in range(N_RUNS):
+        for name in qs:
+            samples[name].append(run(name))
+
+    timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
+    timings["ann_ivf_build_offline"] = ivf_build_sec
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -76,6 +97,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "cpus": int(CPUS),
+                "runs_per_query": N_RUNS,
+                "aggregation": "median",
             }
         )
     )

@@ -32,7 +32,12 @@ def sessionize(
     the previous event exceeds ``gap_minutes``. Adds ``session_id`` (1-based,
     per user)."""
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    # TIMESTAMP_NTZ (what naive parquet timestamps read as) has no direct long
+    # cast; hop through TIMESTAMP — a no-op for LTZ, and with the session TZ
+    # pinned to UTC the NTZ mapping is stable. Gaps are differences, so any
+    # fixed offset cancels anyway.
+    epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    gap = epoch(ts_col) - F.lag(epoch(ts_col)).over(w)
     new_session = F.when(
         gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
     ).otherwise(F.lit(0))
@@ -52,7 +57,10 @@ def session_stats(
     s = sessionize(df, user_col, ts_col, gap_minutes)
     return s.groupBy(user_col, "session_id").agg(
         F.count("*").alias("n_events"),
-        (F.max(F.col(ts_col).cast("long")) - F.min(F.col(ts_col).cast("long"))).alias(
+        (
+            F.max(F.col(ts_col).cast("timestamp").cast("long"))
+            - F.min(F.col(ts_col).cast("timestamp").cast("long"))
+        ).alias(
             "span_sec"
         ),
         F.round(F.sum("value"), 6).alias("total_value"),
