@@ -70,10 +70,11 @@ def attach_fake_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "
 
 
 def decode_payload(payload: bytes, media_meta: dict) -> "object":
-    """Real decode entry point. Image (24-bit BMP) and audio (RIFF/WAVE PCM)
-    have genuine stdlib/struct decoders in this repo (:mod:`.image`,
-    :mod:`.audio`); video remains an explicit stub — true container formats
-    (mp4/mkv) need a demuxer this environment does not ship."""
+    """Real decode entry point. Image (24-bit BMP), audio (RIFF/WAVE PCM), and
+    video (uncompressed RIFF/AVI) have genuine stdlib/struct decoders in this
+    repo (:mod:`.image`, :mod:`.audio`, :mod:`.video`); codec-compressed video
+    containers (mp4/mkv/H.264) remain an explicit stub — they need a demuxer +
+    codec this environment does not ship."""
     mt = (media_meta or {}).get("media_type")
     if mt == "image":
         from iceberg_evolve_spark.functions.image import decode_one_bmp
@@ -83,9 +84,14 @@ def decode_payload(payload: bytes, media_meta: dict) -> "object":
         from iceberg_evolve_spark.functions.audio import decode_one_wav
 
         return decode_one_wav(payload)
+    if mt == "video" and payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from iceberg_evolve_spark.functions.video import decode_one_avi
+
+        return decode_one_avi(payload)
     raise NotImplementedError(
-        "video decoding requires a container demuxer (ffmpeg) not present in "
-        "this environment; wire it here in production"
+        "codec-compressed video (mp4/mkv) needs a demuxer (ffmpeg) not present "
+        "in this environment; uncompressed RIFF/AVI decodes for real above — "
+        "wire the codec path here in production"
     )
 
 

@@ -1,0 +1,140 @@
+"""Tests for the real AVI video decode path (functions/video.py)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from iceberg_evolve_spark.functions.video import (
+    USEC_PER_FRAME,
+    _avi_bytes,
+    _row_bytes,
+    decode_one_avi,
+    frame_colors,
+    synth_decode_features,
+    synth_params,
+)
+
+
+def _closed_forms(doc_id: int) -> dict:
+    w, h, n = synth_params(doc_id)
+    d = _row_bytes(w) * h
+    b0, g0, r0 = frame_colors(doc_id, 0)
+    bl, gl, rl = frame_colors(doc_id, n - 1)
+    return {
+        "byte_len": 232 + n * (24 + d),
+        "width": w,
+        "height": h,
+        "n_frames": n,
+        "usec_per_frame": USEC_PER_FRAME,
+        "topleft_b": (b0 + 128) % 256,
+        "topleft_g": (g0 + 128) % 256,
+        "topleft_r": (r0 + 128) % 256,
+        "sum_b_first": w * ((h - 1) * b0 + (b0 + 128) % 256),
+        "sum_b_last": w * ((h - 1) * bl + (bl + 128) % 256),
+        "motion": abs(bl - b0) + abs(gl - g0) + abs(rl - r0),
+    }
+
+
+class TestAviCodec:
+    def test_container_is_canonical_riff_avi(self):
+        payload = _avi_bytes(7, *synth_params(7))
+        assert payload[:4] == b"RIFF"
+        (riff_size,) = struct.unpack_from("<I", payload, 4)
+        assert riff_size == len(payload) - 8  # RIFF size excludes its own header
+        assert payload[8:12] == b"AVI "
+        # first LIST is hdrl and its first chunk is a 56-byte avih
+        assert payload[12:16] == b"LIST" and payload[20:24] == b"hdrl"
+        assert payload[24:28] == b"avih"
+        (avih_size,) = struct.unpack_from("<I", payload, 28)
+        assert avih_size == 56
+
+    @pytest.mark.parametrize("doc_id", [0, 1, 5, 8, 17, 255, 256, 9999])
+    def test_decode_matches_closed_forms(self, doc_id):
+        feats = decode_one_avi(_avi_bytes(doc_id, *synth_params(doc_id)))
+        assert feats == _closed_forms(doc_id)
+
+    def test_bottom_up_row_order_is_honored(self):
+        # The top image row is stored LAST (bottom-up DIB); a top-down parser
+        # would report the body color, not the +128-shifted witness row.
+        doc_id = 3
+        feats = decode_one_avi(_avi_bytes(doc_id, *synth_params(doc_id)))
+        b0, _, _ = frame_colors(doc_id, 0)
+        assert feats["topleft_b"] == (b0 + 128) % 256
+        assert feats["topleft_b"] != b0
+
+    def test_frame_sampling_uses_first_and_last(self):
+        # motion is defined on frame 0 vs frame n-1 body colors; for n >= 3
+        # the middle frames must not affect it.
+        doc_id = 16  # n = 2 + 16 % 6 = 6 frames
+        _, _, n = synth_params(doc_id)
+        assert n >= 3
+        feats = decode_one_avi(_avi_bytes(doc_id, *synth_params(doc_id)))
+        b0, g0, r0 = frame_colors(doc_id, 0)
+        bl, gl, rl = frame_colors(doc_id, n - 1)
+        assert feats["motion"] == abs(bl - b0) + abs(gl - g0) + abs(rl - r0)
+
+    def test_decode_rejects_garbage(self):
+        with pytest.raises(ValueError):
+            decode_one_avi(b"NOTANAVI" + b"\x00" * 64)
+        # RIFF but not AVI (a WAVE) must be rejected too
+        from iceberg_evolve_spark.functions.audio import _wav_bytes
+
+        with pytest.raises(ValueError):
+            decode_one_avi(_wav_bytes(100, 1000, 5))
+
+    def test_decode_rejects_frame_count_mismatch(self):
+        payload = bytearray(_avi_bytes(7, *synth_params(7)))
+        # corrupt avih dwTotalFrames (5th field, offset 24+8 header + 16)
+        struct.pack_into("<I", payload, 24 + 8 + 16, 99)
+        with pytest.raises(ValueError):
+            decode_one_avi(bytes(payload))
+
+    def test_padding_every_phase(self):
+        # widths 8,10,...,22 cover both (3w % 4) phases for even widths
+        strides = set()
+        for doc_id in range(8):
+            w, h, n = synth_params(doc_id)
+            strides.add(_row_bytes(w) - 3 * w)
+            assert decode_one_avi(_avi_bytes(doc_id, w, h, n))["width"] == w
+        assert strides == {0, 2}
+
+    def test_spark_pipeline(self, spark):
+        df = spark.range(0, 64).withColumnRenamed("id", "doc_id")
+        rows = {r["doc_id"]: r.asDict() for r in synth_decode_features(df).collect()}
+        assert len(rows) == 64
+        for doc_id in (0, 13, 63):
+            expect = _closed_forms(doc_id)
+            got = {k: v for k, v in rows[doc_id].items() if k != "doc_id"}
+            assert got == expect
+
+    def test_two_stage_pipeline_matches_fused(self, spark):
+        from iceberg_evolve_spark.functions.video import (
+            decode_avi_features,
+            synth_avi_payload,
+        )
+
+        df = spark.range(0, 16).withColumnRenamed("id", "doc_id")
+        fused = {r["doc_id"]: r.asDict() for r in synth_decode_features(df).collect()}
+        two = {
+            r["doc_id"]: r.asDict()
+            for r in decode_avi_features(synth_avi_payload(df)).collect()
+        }
+        assert fused == two
+
+
+class TestDecodePayloadRouting:
+    def test_avi_routes_to_real_decoder(self):
+        from iceberg_evolve_spark.functions.multimodal import decode_payload
+
+        feats = decode_payload(
+            _avi_bytes(5, *synth_params(5)), {"media_type": "video"}
+        )
+        assert feats["width"] == synth_params(5)[0]
+
+    def test_codec_video_still_stubbed(self):
+        from iceberg_evolve_spark.functions.multimodal import decode_payload
+
+        with pytest.raises(NotImplementedError):
+            decode_payload(b"\x00\x00\x00\x18ftypmp42", {"media_type": "video"})
