@@ -102,6 +102,29 @@ def main() -> None:
             }
         )
     )
+    # The driver records only the LAST 2000 characters of stdout, which has
+    # truncated the full per-query line every round so far (BENCH_r*.json:
+    # "parsed": null). Emit a compact summary as the FINAL line — guaranteed
+    # under the capture window — so line-oriented parsing always succeeds; the
+    # full per-query map stays on the line above for human/offline reads.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:15]
+    )
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "cpus": int(CPUS),
+        "n_queries": len(timings),
+        "runs_per_query": N_RUNS,
+        "aggregation": "median",
+        "queries": {k: round(v, 2) for k, v in slowest.items()},
+        "note": "top-15 slowest; full per-query map on previous stdout line",
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1900, len(line)
+    print(line)
     spark.stop()
 
 
