@@ -1811,8 +1811,17 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
         path = tempfile.mkdtemp(prefix="ivf_index_")
         atexit.register(shutil.rmtree, path, ignore_errors=True)
         emb = _t(spark, sf_dir, "embeddings")
+        # quantize=True: one build serves both the float probe (ann_topk_ivf)
+        # and the SQ8 two-stage probe (ann_topk_ivf_sq8) — the store is
+        # columnar, so the float probe never reads the extra q/scale columns.
         index = build_ivf_index(
-            emb, path, "vec_id", "embedding", n_centroids=IVF_CELLS, method="sample"
+            emb,
+            path,
+            "vec_id",
+            "embedding",
+            n_centroids=IVF_CELLS,
+            method="sample",
+            quantize=True,
         )
         _IVF_INDEX_CACHE[sf_dir] = index
     return index
@@ -1864,6 +1873,75 @@ SELECT a.vec_id, ROUND({_cosine_sql('a.embedding', 'q.qv')}, 6) AS cosine
 FROM assigned a, q
 WHERE a.rn = 1 AND a.cell IN (SELECT cell FROM probe)
 ORDER BY cosine DESC, a.vec_id ASC
+LIMIT {ANN_K}
+"""
+
+
+IVF_RERANK = 4 * ANN_K  # probe_quantized default: rerank = 4k
+
+
+def ann_topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized IVF serving path (two-stage): scan ONLY the int8 copy
+    (``q`` + per-row ``scale``) of the probed cells — a 4× narrower read that
+    is still partition-pruned — score approximately on the dequantized
+    vectors, keep the top 4k candidates, then re-score EXACTLY against the
+    float vectors via a broadcast semi-join back into the same pruned cells.
+    Every stage is integer/fixed-fold double arithmetic, so the DuckDB oracle
+    replays centroid pick, cell assignment, probe selection, quantization,
+    approximate ranking, and the exact re-rank bit-for-bit."""
+    return _ivf_index(spark, sf_dir).probe_quantized(
+        _query_vec(spark, sf_dir), k=ANN_K, n_probe=IVF_PROBE, rerank=IVF_RERANK
+    )
+
+
+def _ivf_sq8_sql() -> str:
+    """DuckDB replay of the full SQ8 probe: the IVF CTEs of ``_ivf_sql`` plus
+    the bit-exact int8 quantize/dequantize of ``_QUANT_SQL`` (scale is
+    per-row, so computing it over the pruned cells equals the offline value),
+    the approximate top-``rerank`` on dequantized cosines, and the exact
+    float re-rank of those candidates."""
+    dist_ec = _L2_SQL.format(a="e.embedding", b="c.cv", d=EMB_DIM)
+    dist_qc = _L2_SQL.format(a="q.qv", b="c.cv", d=EMB_DIM)
+    h = f"md5('{IVF_SEED}|' || CAST(vec_id AS VARCHAR))"
+    return f"""
+WITH cent AS (
+    SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS cell, embedding AS cv
+    FROM (SELECT vec_id, embedding FROM embeddings ORDER BY {h}, vec_id LIMIT {IVF_CELLS})
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (
+    SELECT c.cell FROM cent c, q ORDER BY {dist_qc} ASC, c.cell ASC LIMIT {IVF_PROBE}
+),
+assigned AS (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist_ec} ASC, c.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+),
+pruned AS (
+    SELECT a.vec_id, a.embedding FROM assigned a
+    WHERE a.rn = 1 AND a.cell IN (SELECT cell FROM probe)
+),
+vhat AS (
+    SELECT vec_id, embedding,
+           list_transform(embedding, x ->
+               CAST(CASE WHEN scale = 0.0 THEN 0
+                    ELSE greatest(-127, least(127,
+                         floor(CAST(x AS DOUBLE) / scale + 0.5))) END
+                    AS DOUBLE) * scale) AS vh
+    FROM (
+        SELECT vec_id, embedding,
+               CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0 AS scale
+        FROM pruned
+    )
+),
+approx AS (
+    SELECT v.vec_id FROM vhat v, q
+    ORDER BY {_cosine_sql('v.vh', 'q.qv')} DESC, v.vec_id ASC
+    LIMIT {IVF_RERANK}
+)
+SELECT p.vec_id, ROUND({_cosine_sql('p.embedding', 'q.qv')}, 6) AS cosine
+FROM pruned p JOIN approx ON p.vec_id = approx.vec_id, q
+ORDER BY cosine DESC, p.vec_id ASC
 LIMIT {ANN_K}
 """
 
@@ -4305,6 +4383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evolve_compiled_ddl": evolve_compiled_ddl,
         # (b) never hash-verified before this round
         "ann_topk_ivf": ann_topk_ivf,
+        "ann_topk_ivf_sq8": ann_topk_ivf_sq8,
         "multimodal_image_decode": multimodal_image_decode,
         "multimodal_video_decode": multimodal_video_decode,
         "skew_salted_agg": skew_salted_agg,
@@ -4343,10 +4422,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balance_order_setops": balance_order_setops,
         "totalprice_percentiles": totalprice_percentiles,
         "dedup_exact": dedup_exact,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
         # ---- driver window boundary (50) ----
         # (d1) stable r01-verified tail (first in line for round 4's window;
-        # dedup_minhash_signatures displaced by the new video-decode entry)
+        # dedup_ngram_jaccard and dedup_minhash_signatures displaced by the
+        # new video-decode and SQ8-probe entries)
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_signatures": dedup_minhash_signatures,
         "q4_priority_semijoin": q4_priority_semijoin,
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -4481,6 +4561,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _TFIDF_SQL,
         "ann_topk_bruteforce": _ANN_SQL,
         "ann_topk_ivf": _ivf_sql(),
+        "ann_topk_ivf_sq8": _ivf_sq8_sql(),
         "ann_topk_lsh": _ann_lsh_sql(),
         "dedup_embedding_lsh": _emb_lsh_sql(),
         "dedup_cluster_star": _CLUSTER_SQL,
