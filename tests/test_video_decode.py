@@ -138,3 +138,44 @@ class TestDecodePayloadRouting:
 
         with pytest.raises(NotImplementedError):
             decode_payload(b"\x00\x00\x00\x18ftypmp42", {"media_type": "video"})
+
+
+class TestAviProperties:
+    """Property tests: the encoder/decoder pair honors the closed forms for
+    ARBITRARY ids (not just the sampled battery), and the decoder is total
+    over the whole synthesis domain."""
+
+    def test_roundtrip_over_id_range(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.integers(min_value=0, max_value=10**12))
+        def check(doc_id):
+            feats = decode_one_avi(_avi_bytes(doc_id, *synth_params(doc_id)))
+            assert feats == _closed_forms(doc_id)
+
+        check()
+
+    def test_arbitrary_geometry_roundtrip(self):
+        # decouple geometry from the id-derived synthesis: any (w even, h, n)
+        # in the supported envelope must round-trip
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=100, deadline=None)
+        @given(
+            st.integers(min_value=0, max_value=10**6),
+            st.integers(min_value=1, max_value=16).map(lambda x: 2 * x),
+            st.integers(min_value=2, max_value=20),
+            st.integers(min_value=1, max_value=12),
+        )
+        def check(doc_id, w, h, n):
+            feats = decode_one_avi(_avi_bytes(doc_id, w, h, n))
+            assert (feats["width"], feats["height"], feats["n_frames"]) == (w, h, n)
+            assert feats["byte_len"] == 232 + n * (24 + _row_bytes(w) * h)
+            b0 = (doc_id * 7) % 256
+            assert feats["topleft_b"] == (b0 + 128) % 256
+            assert feats["sum_b_first"] == w * ((h - 1) * b0 + (b0 + 128) % 256)
+
+        check()
