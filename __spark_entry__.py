@@ -1846,12 +1846,15 @@ _L2_SQL = (
 )
 
 
-def _ivf_sql() -> str:
-    """DuckDB replay of the whole IVF path. Parity is by construction: the
-    centroid sample is ORDER BY md5('ivf|'||id) LIMIT k in both engines; the
-    squared-L2 folds share Spark's association order (0.0 + t1 == t1); the
-    Spark argmin (array_position of array_min = first minimum) equals
-    row_number() ORDER BY dist, cell; probe selection sorts the same doubles."""
+def _ivf_cte_prefix() -> str:
+    """The shared DuckDB replay of the IVF offline/online machinery — centroid
+    pick, cell assignment, probe selection, and the pruned-cell corpus — used
+    by BOTH `_ivf_sql` and `_ivf_sq8_sql` so the two oracles can never
+    desynchronize. Parity with Spark is by construction: the centroid sample
+    is ORDER BY md5('ivf|'||id) LIMIT k in both engines; the squared-L2 folds
+    share Spark's association order (0.0 + t1 == t1); the Spark argmin
+    (array_position of array_min = first minimum) equals row_number() ORDER BY
+    dist, cell; probe selection sorts the same doubles."""
     dist_ec = _L2_SQL.format(a="e.embedding", b="c.cv", d=EMB_DIM)
     dist_qc = _L2_SQL.format(a="q.qv", b="c.cv", d=EMB_DIM)
     h = f"md5('{IVF_SEED}|' || CAST(vec_id AS VARCHAR))"
@@ -1868,11 +1871,19 @@ assigned AS (
     SELECT e.vec_id, e.embedding, c.cell,
            row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist_ec} ASC, c.cell ASC) AS rn
     FROM embeddings e CROSS JOIN cent c
-)
-SELECT a.vec_id, ROUND({_cosine_sql('a.embedding', 'q.qv')}, 6) AS cosine
-FROM assigned a, q
-WHERE a.rn = 1 AND a.cell IN (SELECT cell FROM probe)
-ORDER BY cosine DESC, a.vec_id ASC
+),
+pruned AS (
+    SELECT a.vec_id, a.embedding FROM assigned a
+    WHERE a.rn = 1 AND a.cell IN (SELECT cell FROM probe)
+)"""
+
+
+def _ivf_sql() -> str:
+    """DuckDB replay of the float IVF probe (see `_ivf_cte_prefix`)."""
+    return f"""{_ivf_cte_prefix()}
+SELECT p.vec_id, ROUND({_cosine_sql('p.embedding', 'q.qv')}, 6) AS cosine
+FROM pruned p, q
+ORDER BY cosine DESC, p.vec_id ASC
 LIMIT {ANN_K}
 """
 
@@ -1895,32 +1906,12 @@ def ann_topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_sq8_sql() -> str:
-    """DuckDB replay of the full SQ8 probe: the IVF CTEs of ``_ivf_sql`` plus
-    the bit-exact int8 quantize/dequantize of ``_QUANT_SQL`` (scale is
-    per-row, so computing it over the pruned cells equals the offline value),
-    the approximate top-``rerank`` on dequantized cosines, and the exact
-    float re-rank of those candidates."""
-    dist_ec = _L2_SQL.format(a="e.embedding", b="c.cv", d=EMB_DIM)
-    dist_qc = _L2_SQL.format(a="q.qv", b="c.cv", d=EMB_DIM)
-    h = f"md5('{IVF_SEED}|' || CAST(vec_id AS VARCHAR))"
-    return f"""
-WITH cent AS (
-    SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS cell, embedding AS cv
-    FROM (SELECT vec_id, embedding FROM embeddings ORDER BY {h}, vec_id LIMIT {IVF_CELLS})
-),
-q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-probe AS (
-    SELECT c.cell FROM cent c, q ORDER BY {dist_qc} ASC, c.cell ASC LIMIT {IVF_PROBE}
-),
-assigned AS (
-    SELECT e.vec_id, e.embedding, c.cell,
-           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist_ec} ASC, c.cell ASC) AS rn
-    FROM embeddings e CROSS JOIN cent c
-),
-pruned AS (
-    SELECT a.vec_id, a.embedding FROM assigned a
-    WHERE a.rn = 1 AND a.cell IN (SELECT cell FROM probe)
-),
+    """DuckDB replay of the full SQ8 probe: the shared IVF CTEs
+    (`_ivf_cte_prefix`) plus the bit-exact int8 quantize/dequantize of
+    ``_QUANT_SQL`` (scale is per-row, so computing it over the pruned cells
+    equals the offline value), the approximate top-``rerank`` on dequantized
+    cosines, and the exact float re-rank of those candidates."""
+    return f"""{_ivf_cte_prefix()},
 vhat AS (
     SELECT vec_id, embedding,
            list_transform(embedding, x ->
@@ -4359,7 +4350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (b) the 4 entries never/not-yet hash-verified: ann_topk_ivf (deterministic
     #     centroids replace the unverifiable KMeans path this round) and the 3
     #     round-3 additions (image decode, salted agg/join),
-    # (c) 34 of the 46 round-1-verified tail entries, highest-risk first — every
+    # (c) 32 of the 46 round-1-verified tail entries, highest-risk first — every
     #     entry that touches event timestamps (the testdata's ts column changed
     #     from TIMESTAMP(NANOS)-as-long to TIMESTAMP_NTZ this round) or complex
     #     window/join machinery,

@@ -172,10 +172,19 @@ def _walk(buf: bytes, start: int, end: int):
 
 
 def decode_one_avi(payload: bytes) -> dict:
-    """Decode one AVI binary: header metadata + first/last frame sampling."""
+    """Decode one AVI binary: header metadata + first/last frame sampling.
+
+    Geometry comes from the stream format header (``strf`` /
+    BITMAPINFOHEADER) — the authoritative source; real-world muxers often
+    leave ``avih`` dwWidth/dwHeight as 0 — with ``avih`` kept for the timing
+    metadata and total-frame cross-check. Codec-compressed streams
+    (``biCompression != 0`` or a non-24bpp layout) raise
+    ``NotImplementedError`` so they surface as the documented stub, not a
+    reshape crash deep in a task."""
     if payload[0:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
     avih = None
+    strf = None
     frames: list[tuple[int, int]] = []
     for fourcc, off, size in _walk(payload, 12, len(payload)):
         if fourcc != b"LIST":
@@ -185,6 +194,10 @@ def decode_one_avi(payload: bytes) -> dict:
             for fc2, off2, size2 in _walk(payload, off + 4, off + size):
                 if fc2 == b"avih":
                     avih = struct.unpack_from("<14I", payload, off2)
+                elif fc2 == b"LIST" and payload[off2 : off2 + 4] == b"strl":
+                    for fc3, off3, _sz3 in _walk(payload, off2 + 4, off2 + size2):
+                        if fc3 == b"strf" and strf is None:
+                            strf = struct.unpack_from("<IiiHHI", payload, off3)
         elif kind == b"movi":
             frames = [
                 (o, s)
@@ -193,7 +206,18 @@ def decode_one_avi(payload: bytes) -> dict:
             ]
     if avih is None:
         raise ValueError("missing avih header")
-    usec, _, _, _, n_frames, _, n_streams, _, width, height = avih[:10]
+    if strf is None:
+        raise ValueError("missing strf (BITMAPINFOHEADER) stream format")
+    usec, _, _, _, n_frames = avih[:5]
+    _, width, height, _planes, bitcount, compression = strf
+    if compression != 0 or bitcount != 24:
+        raise NotImplementedError(
+            f"codec-compressed AVI (biCompression={compression}, "
+            f"biBitCount={bitcount}) needs a real codec; only uncompressed "
+            "24-bit DIB streams decode here"
+        )
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid strf geometry {width}x{height}")
     if len(frames) != n_frames:
         raise ValueError(f"frame count mismatch: {len(frames)} != {n_frames}")
 
@@ -201,6 +225,11 @@ def decode_one_avi(payload: bytes) -> dict:
 
     def plane(i: int) -> np.ndarray:
         off, size = frames[i]
+        if size != rb * height:
+            raise ValueError(
+                f"frame {i} is {size} bytes, expected {rb * height} for "
+                f"{width}x{height}@24bpp"
+            )
         raw = np.frombuffer(payload, dtype=np.uint8, count=size, offset=off)
         rows = raw.reshape(height, rb)[:, : 3 * width]
         # bottom-up: last stored row is the top image row

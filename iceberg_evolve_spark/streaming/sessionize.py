@@ -18,8 +18,34 @@ partition; AQE skew-join/agg splitting handles it, or pre-salt extreme keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def epoch_seconds(df: DataFrame, ts_col: str) -> Column:
+    """Seconds-since-epoch for a timestamp column, independent of the session
+    timezone for BOTH timestamp flavors:
+
+    * TIMESTAMP (LTZ) already stores an instant — ``CAST(... AS BIGINT)`` is
+      exact and TZ-free.
+    * TIMESTAMP_NTZ (what naive parquet timestamps read as) has no long cast,
+      and hopping through TIMESTAMP would interpret the wall clock in the
+      *session* timezone — silently wrong gaps across DST jumps under a
+      non-UTC session. Instead the wall-clock fields are combined directly
+      (``unix_date`` + hour/minute/second), which treats the naive value
+      as-if-UTC — exactly what DuckDB's ``epoch()`` does on naive timestamps,
+      and DST-proof because no timezone is ever consulted.
+    """
+    dt = dict(df.dtypes).get(ts_col, "")
+    col = df[ts_col]
+    if dt == "timestamp_ntz":
+        return (
+            F.unix_date(F.to_date(col)).cast("long") * 86400
+            + F.hour(col) * 3600
+            + F.minute(col) * 60
+            + F.second(col)
+        )
+    return col.cast("long")  # LTZ instant or already-numeric: exact, TZ-free
 
 
 def sessionize(
@@ -32,12 +58,8 @@ def sessionize(
     the previous event exceeds ``gap_minutes``. Adds ``session_id`` (1-based,
     per user)."""
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
-    # TIMESTAMP_NTZ (what naive parquet timestamps read as) has no direct long
-    # cast; hop through TIMESTAMP — a no-op for LTZ, and with the session TZ
-    # pinned to UTC the NTZ mapping is stable. Gaps are differences, so any
-    # fixed offset cancels anyway.
-    epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
-    gap = epoch(ts_col) - F.lag(epoch(ts_col)).over(w)
+    epoch = epoch_seconds(df, ts_col)
+    gap = epoch - F.lag(epoch).over(w)
     new_session = F.when(
         gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
     ).otherwise(F.lit(0))
@@ -55,14 +77,10 @@ def session_stats(
     """Per-session aggregates: event count, span seconds, total value.
     Output: (user_id, session_id, n_events, span_sec, total_value)."""
     s = sessionize(df, user_col, ts_col, gap_minutes)
+    epoch = epoch_seconds(s, ts_col)
     return s.groupBy(user_col, "session_id").agg(
         F.count("*").alias("n_events"),
-        (
-            F.max(F.col(ts_col).cast("timestamp").cast("long"))
-            - F.min(F.col(ts_col).cast("timestamp").cast("long"))
-        ).alias(
-            "span_sec"
-        ),
+        (F.max(epoch) - F.min(epoch)).alias("span_sec"),
         F.round(F.sum("value"), 6).alias("total_value"),
     )
 

@@ -91,6 +91,42 @@ class TestAviCodec:
         with pytest.raises(ValueError):
             decode_one_avi(bytes(payload))
 
+    def test_codec_compressed_stream_raises_not_implemented(self):
+        # A real-world MJPEG/DivX AVI passes the RIFF magic; the strf
+        # biCompression gate must surface it as the documented stub, not a
+        # reshape crash. strf payload starts after hdrl(12) + avih chunk(64) +
+        # strl LIST hdr(12) + strh chunk(64) + strf chunk hdr(8); biCompression
+        # is the 6th field (offset 16 within BITMAPINFOHEADER).
+        payload = bytearray(_avi_bytes(7, *synth_params(7)))
+        strf_payload = 12 + 12 + 64 + 12 + 64 + 8
+        assert payload[strf_payload - 8 : strf_payload - 4] == b"strf"
+        struct.pack_into("<I", payload, strf_payload + 16, 0x47504A4D)  # 'MJPG'
+        with pytest.raises(NotImplementedError):
+            decode_one_avi(bytes(payload))
+
+    def test_strf_geometry_is_authoritative(self):
+        # Real muxers often leave avih dwWidth/dwHeight as 0; the decoder must
+        # take geometry from strf. avih payload starts at 32; dwWidth/dwHeight
+        # are fields 9 and 10 (offsets 32 and 36 within the payload).
+        doc_id = 7
+        payload = bytearray(_avi_bytes(doc_id, *synth_params(doc_id)))
+        struct.pack_into("<II", payload, 32 + 32, 0, 0)
+        feats = decode_one_avi(bytes(payload))
+        assert feats == _closed_forms(doc_id)
+
+    def test_truncated_frame_raises_clean_error(self):
+        # shrink the LAST frame chunk's declared size (the first would desync
+        # the chunk walk and trip the frame-count check instead): the decoder
+        # must raise a clean ValueError, not a numpy reshape traceback
+        doc_id = 7
+        w, h, n = synth_params(doc_id)
+        payload = bytearray(_avi_bytes(doc_id, w, h, n))
+        last_chunk = payload.rfind(b"00db", 0, payload.find(b"idx1"))
+        (size,) = struct.unpack_from("<I", payload, last_chunk + 4)
+        struct.pack_into("<I", payload, last_chunk + 4, size - 4)
+        with pytest.raises(ValueError, match="bytes, expected"):
+            decode_one_avi(bytes(payload))
+
     def test_padding_every_phase(self):
         # widths 8,10,...,22 cover both (3w % 4) phases for even widths
         strides = set()
