@@ -127,3 +127,110 @@ def stateful_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 successor API: transformWithStateInPandas (StatefulProcessor)
+# ---------------------------------------------------------------------------
+
+
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+
+class SessionProcessor(StatefulProcessor):
+    """Gap-sessionization as a Spark 4 ``StatefulProcessor`` — the successor
+    of ``applyInPandasWithState`` with composable typed state (ValueState /
+    ListState / MapState) and EXPLICIT per-key timers instead of a single
+    timeout configuration.
+
+    Semantics match :func:`stateful_sessionize` exactly (same fold, same
+    closed-session record); the state-store layout differs: session state
+    lives in a named ``ValueState`` and eviction is a registered event-time
+    timer at ``last_event + gap``, re-registered as the session extends.
+    At scale the state is partitioned by key across executors and timer
+    firing is driven by the watermark — no full-state scans per batch.
+    """
+
+    def __init__(self, gap_minutes: int) -> None:
+        self.gap_minutes = gap_minutes
+        self.gap_us = gap_minutes * 60 * 1_000_000
+
+    def init(self, handle) -> None:
+        self.handle = handle
+        self.session = handle.getValueState("session", STATE_SCHEMA)
+
+    def _register_timer(self, last_us: int) -> None:
+        # clear any previous eviction timer; timers are per (key, timestamp)
+        for t in self.handle.listTimers():
+            self.handle.deleteTimer(t)
+        self.handle.registerTimer(last_us // 1000 + self.gap_minutes * 60 * 1000)
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        pdfs = list(rows)
+        if not pdfs:
+            return
+        batch = pd.concat(pdfs, ignore_index=True).sort_values("ts")
+        ts_us = batch["ts"].astype("int64") // 1000  # ns → µs
+
+        st = self.session.get() if self.session.exists() else None
+        if st is not None:
+            start, last, n, total, first_type, last_type = st
+        else:
+            start = last = n = 0
+            total = 0.0
+            first_type = last_type = None
+
+        out: list[pd.DataFrame] = []
+        for t, etype, value in zip(ts_us, batch["event_type"], batch["value"]):
+            t = int(t)
+            if n == 0:
+                start, last, n = t, t, 1
+                total = float(value)
+                first_type = last_type = etype
+            elif t - last > self.gap_us:
+                out.append(
+                    _close(user_id, (start, last, n, total, first_type, last_type))
+                )
+                start, last, n = t, t, 1
+                total = float(value)
+                first_type = last_type = etype
+            else:
+                last = max(last, t)
+                n += 1
+                total += float(value)
+                last_type = etype
+
+        self.session.update((start, last, n, total, first_type, last_type))
+        self._register_timer(last)
+        yield from out
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        if self.session.exists():
+            st = self.session.get()
+            self.session.clear()
+            yield _close(key[0], st)
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass  # no warm-start state in this pipeline
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_sessionize_tws(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark_minutes: int = 60,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """:func:`stateful_sessionize` on the Spark 4 ``transformWithStateInPandas``
+    API — one closed-session row per session, eviction via event-time timers."""
+    src = events.withWatermark(ts_col, f"{watermark_minutes} minutes")
+    return src.groupBy("user_id").transformWithStateInPandas(
+        SessionProcessor(gap_minutes),
+        outputStructType=OUT_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
+        eventTimeColumnName="",
+    )

@@ -387,3 +387,164 @@ class TestStreamingCMS:
         writer(df, 1)  # a genuinely new batch still merges
         thrice = sorted(tuple(r) for r in spark.read.parquet(target).collect())
         assert thrice != once
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf in the Python "
+    "workers (its state-server protocol is protobuf-based); not installed in "
+    "this environment — auto-runs wherever protobuf exists, like the "
+    "jar-gated Iceberg round-trip",
+)
+class TestStatefulSessionizeTWS:
+    """Same scenario as TestStatefulSessionize, on the Spark 4
+    transformWithStateInPandas API (typed ValueState + explicit event-time
+    timers) — the two stateful formulations must agree."""
+
+    def test_sessions_close_on_gap_and_timeout(self, spark, stream_dir):
+        from iceberg_evolve_spark.streaming.stateful import stateful_sessionize_tws
+
+        src = stream_dir + "/data"
+        _write_batch(spark, src, ROWS_BATCH1, "b1")
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = stateful_sessionize_tws(stream, gap_minutes=30, watermark_minutes=10)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stateful_tws_out")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            _write_batch(spark, src, ROWS_BATCH2, "b2")
+            q.processAllAvailable()
+            _write_batch(
+                spark, src, [(6, "2024-01-02 10:00:00", 99, "x", 0.0)], "b3"
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql(
+            "SELECT user_id, n_events, total_value, first_type, last_type "
+            "FROM stateful_tws_out WHERE user_id < 99"
+        ).collect()
+        got = sorted(
+            (r.user_id, r.n_events, r.total_value, r.first_type, r.last_type)
+            for r in rows
+        )
+        assert got == [
+            (1, 1, 3.0, "view", "view"),
+            (1, 2, 3.0, "click", "click"),
+            (2, 1, 4.0, "click", "click"),
+        ]
+
+
+class TestSessionProcessorLogic:
+    """The StatefulProcessor's fold + timer logic, driven directly with stub
+    state/handle objects — runs everywhere (no protobuf/state-server needed),
+    so the processor's semantics stay pinned even where the streaming API
+    can't start. Must agree with make_session_fn's output shape."""
+
+    class _StubValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def clear(self):
+            self._v = None
+
+    class _StubHandle:
+        def __init__(self):
+            self.timers = []
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return TestSessionProcessorLogic._StubValueState()
+
+        def listTimers(self):
+            return list(self.timers)
+
+        def deleteTimer(self, t):
+            self.timers.remove(t)
+
+        def registerTimer(self, t):
+            self.timers.append(t)
+
+    def _batch(self, rows):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "ts": pd.to_datetime([r[0] for r in rows]),
+                "event_type": [r[1] for r in rows],
+                "value": [r[2] for r in rows],
+            }
+        )
+
+    def test_gap_split_and_timer_eviction(self):
+        from iceberg_evolve_spark.streaming.stateful import SessionProcessor
+
+        p = SessionProcessor(gap_minutes=30)
+        p.init(self._StubHandle())
+        out = list(
+            p.handleInputRows(
+                (1,),
+                iter(
+                    [
+                        self._batch(
+                            [
+                                ("2024-01-01 10:00:00", "click", 1.0),
+                                ("2024-01-01 10:10:00", "click", 2.0),
+                                ("2024-01-01 12:00:00", "view", 3.0),
+                            ]
+                        )
+                    ]
+                ),
+                None,
+            )
+        )
+        # the 12:00 event is > 30 min after 10:10 → first session closed inline
+        assert len(out) == 1
+        closed = out[0].iloc[0]
+        assert (closed["n_events"], closed["total_value"]) == (2, 3.0)
+        assert (closed["first_type"], closed["last_type"]) == ("click", "click")
+        # open session (the 12:00 view) lives in state with an eviction timer
+        assert p.session.exists()
+        assert len(p.handle.timers) == 1
+        # watermark passes → timer fires → open session emitted and evicted
+        evicted = list(p.handleExpiredTimer((1,), None, None))
+        assert len(evicted) == 1
+        assert evicted[0].iloc[0]["n_events"] == 1
+        assert evicted[0].iloc[0]["first_type"] == "view"
+        assert not p.session.exists()
+
+    def test_timer_reregistered_as_session_extends(self):
+        from iceberg_evolve_spark.streaming.stateful import SessionProcessor
+
+        p = SessionProcessor(gap_minutes=30)
+        p.init(self._StubHandle())
+        list(p.handleInputRows((1,), iter([self._batch([("2024-01-01 10:00:00", "a", 1.0)])]), None))
+        t1 = p.handle.timers[0]
+        list(p.handleInputRows((1,), iter([self._batch([("2024-01-01 10:20:00", "b", 1.0)])]), None))
+        assert len(p.handle.timers) == 1  # old timer replaced, not accumulated
+        assert p.handle.timers[0] == t1 + 20 * 60 * 1000
