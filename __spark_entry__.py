@@ -1578,6 +1578,39 @@ FROM events GROUP BY event_type
 """
 
 
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType over semi-structured props: ``parse_json`` once
+    into the binary variant encoding, then TYPED path extraction
+    (``variant_get``/``try_variant_get``/``schema_of_variant``). At 100 TB
+    this is the semi-structured scale path — one parse feeding N typed
+    accesses instead of N ``get_json_object`` string re-parses, with
+    shredding-friendly binary storage. ``try_variant_get`` on a missing path
+    demonstrates the NULL (not error) contract; the per-row variant schema is
+    surfaced and aggregated."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.try_variant_get(v, "$.missing", "long")).alias("n_missing_path"),
+        F.min(F.schema_of_variant(v)).alias("variant_schema"),
+    )
+
+
+_VARIANT_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(0 AS BIGINT) AS n_missing_path,
+       'OBJECT<k: BIGINT>' AS variant_schema
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
@@ -4350,7 +4383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (b) the 4 entries never/not-yet hash-verified: ann_topk_ivf (deterministic
     #     centroids replace the unverifiable KMeans path this round) and the 3
     #     round-3 additions (image decode, salted agg/join),
-    # (c) 32 of the 46 round-1-verified tail entries, highest-risk first — every
+    # (c) 31 of the 46 round-1-verified tail entries, highest-risk first — every
     #     entry that touches event timestamps (the testdata's ts column changed
     #     from TIMESTAMP(NANOS)-as-long to TIMESTAMP_NTZ this round) or complex
     #     window/join machinery,
@@ -4379,6 +4412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_decode": multimodal_video_decode,
         "skew_salted_agg": skew_salted_agg,
         "skew_salted_join": skew_salted_join,
+        "events_variant_extract": events_variant_extract,
         # (c) r01-verified tail, re-verified against round-3 code — ts-sensitive
         # and window/join-heavy entries first
         "events_sessionize": events_sessionize,
@@ -4412,11 +4446,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_pivot_priority": orders_pivot_priority,
         "balance_order_setops": balance_order_setops,
         "totalprice_percentiles": totalprice_percentiles,
-        "dedup_exact": dedup_exact,
         # ---- driver window boundary (50) ----
         # (d1) stable r01-verified tail (first in line for round 4's window;
-        # dedup_ngram_jaccard and dedup_minhash_signatures displaced by the
-        # new video-decode and SQ8-probe entries)
+        # dedup_exact / dedup_ngram_jaccard / dedup_minhash_signatures
+        # displaced by the variant, video-decode, and SQ8-probe entries)
+        "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_signatures": dedup_minhash_signatures,
         "q4_priority_semijoin": q4_priority_semijoin,
@@ -4572,6 +4606,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_video_decode": _VIDEO_SQL,
         "skew_salted_agg": _skew_agg_sql(),
         "skew_salted_join": _skew_join_sql(),
+        "events_variant_extract": _VARIANT_SQL,
         "embeddings_quantize_int8": _QUANT_SQL,
         "embeddings_random_projection": _rp_sql(),
         "docs_boilerplate_removal": _BOILER_SQL,
