@@ -1578,6 +1578,86 @@ FROM events GROUP BY event_type
 """
 
 
+BLOOM_M = 1 << 14
+BLOOM_K = 5
+BLOOM_SEED = "cust"
+
+
+def orders_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom-filter join pre-filter (functions/bloom.py): build
+    the filter DISTRIBUTED over a selective customer subset (shuffle carries
+    m/32 filter words, not keys), ship it as KB-scale literal metadata, and
+    test every order with a PURE PROJECTION — no join, no shuffle on the fact
+    side. Output compares the bloom pass-count against the exact semi-join
+    count per priority (n_bloom_pass >= n_exact, gap = false positives — at
+    this fill ratio ≪1%). Portable md5 positions make the filter words and
+    every membership test replayable by the DuckDB oracle bit-for-bit —
+    unlike Spark's built-in xxhash BloomFilterAggregate."""
+    from iceberg_evolve_spark.functions.bloom import bloom_might_contain, bloom_words
+
+    cust = _t(spark, sf_dir, "customer").filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 7000)
+    )
+    words = bloom_words(cust, "c_custkey", BLOOM_M, BLOOM_K, BLOOM_SEED)
+    orders = _t(spark, sf_dir, "orders")
+    keys = cust.select(F.col("c_custkey").alias("o_custkey")).distinct().withColumn(
+        "_hit", F.lit(1)
+    )
+    marked = orders.join(F.broadcast(keys), "o_custkey", "left")
+    return marked.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            bloom_might_contain(
+                F.col("o_custkey"), words, BLOOM_K, BLOOM_SEED
+            ).cast("bigint")
+        ).alias("n_bloom_pass"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0)).cast("bigint")).alias("n_exact"),
+    )
+
+
+def _bloom_sql() -> str:
+    """DuckDB replay: rebuild the identical filter words (same md5 positions,
+    same 32-bit word layout), probe every order against the dense word list,
+    and compute the exact semi-join count alongside."""
+    from iceberg_evolve_spark.functions.bloom import WORD_BITS, bloom_positions_sql
+
+    n_words = BLOOM_M // WORD_BITS
+    dim_pos = bloom_positions_sql(
+        "CAST(c_custkey AS VARCHAR)", BLOOM_SEED, BLOOM_K, BLOOM_M
+    )
+    probe_pos = bloom_positions_sql(
+        "CAST(o.o_custkey AS VARCHAR)", BLOOM_SEED, BLOOM_K, BLOOM_M
+    )
+    bits_union = " UNION ALL ".join(f"SELECT {p} AS pos FROM dim" for p in dim_pos)
+    checks = " AND ".join(
+        f"(arr.a[CAST({p} // {WORD_BITS} AS INT) + 1] & "
+        f"(CAST(1 AS BIGINT) << CAST({p} % {WORD_BITS} AS INT))) != 0"
+        for p in probe_pos
+    )
+    return f"""
+WITH dim AS (
+    SELECT c_custkey FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 7000
+),
+bits AS (SELECT DISTINCT pos FROM ({bits_union})),
+words AS (
+    SELECT CAST(pos // {WORD_BITS} AS INT) AS w,
+           bit_or(CAST(1 AS BIGINT) << CAST(pos % {WORD_BITS} AS INT)) AS word
+    FROM bits GROUP BY 1
+),
+arr AS (
+    SELECT list(coalesce(word, 0) ORDER BY i) AS a
+    FROM range({n_words}) t(i) LEFT JOIN words ON words.w = t.i
+)
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN {checks} THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+       CAST(SUM(CASE WHEN o.o_custkey IN (SELECT c_custkey FROM dim) THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+FROM orders o, arr
+GROUP BY 1
+"""
+
+
 def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VariantType over semi-structured props: ``parse_json`` once
     into the binary variant encoding, then TYPED path extraction
@@ -4383,7 +4463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (b) the 4 entries never/not-yet hash-verified: ann_topk_ivf (deterministic
     #     centroids replace the unverifiable KMeans path this round) and the 3
     #     round-3 additions (image decode, salted agg/join),
-    # (c) 31 of the 46 round-1-verified tail entries, highest-risk first — every
+    # (c) 30 of the 46 round-1-verified tail entries, highest-risk first — every
     #     entry that touches event timestamps (the testdata's ts column changed
     #     from TIMESTAMP(NANOS)-as-long to TIMESTAMP_NTZ this round) or complex
     #     window/join machinery,
@@ -4413,6 +4493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": skew_salted_agg,
         "skew_salted_join": skew_salted_join,
         "events_variant_extract": events_variant_extract,
+        "orders_bloom_prefilter": orders_bloom_prefilter,
         # (c) r01-verified tail, re-verified against round-3 code — ts-sensitive
         # and window/join-heavy entries first
         "events_sessionize": events_sessionize,
@@ -4445,11 +4526,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_balance_quartiles": customer_balance_quartiles,
         "orders_pivot_priority": orders_pivot_priority,
         "balance_order_setops": balance_order_setops,
-        "totalprice_percentiles": totalprice_percentiles,
         # ---- driver window boundary (50) ----
         # (d1) stable r01-verified tail (first in line for round 4's window;
-        # dedup_exact / dedup_ngram_jaccard / dedup_minhash_signatures
-        # displaced by the variant, video-decode, and SQ8-probe entries)
+        # totalprice_percentiles / dedup_exact / dedup_ngram_jaccard /
+        # dedup_minhash_signatures displaced by the bloom, variant,
+        # video-decode, and SQ8-probe entries)
+        "totalprice_percentiles": totalprice_percentiles,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_signatures": dedup_minhash_signatures,
@@ -4607,6 +4689,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_salted_agg": _skew_agg_sql(),
         "skew_salted_join": _skew_join_sql(),
         "events_variant_extract": _VARIANT_SQL,
+        "orders_bloom_prefilter": _bloom_sql(),
         "embeddings_quantize_int8": _QUANT_SQL,
         "embeddings_random_projection": _rp_sql(),
         "docs_boilerplate_removal": _BOILER_SQL,
