@@ -97,7 +97,8 @@ def bloom_might_contain(
     array: true iff every one of the key's k bits is set. No join, no
     shuffle — the 100 TB fact scan shape."""
     m_bits = len(words) * WORD_BITS
-    arr = F.array(*[F.lit(int(w)).cast("bigint") for w in words])
+    # one Literal array node (constant-folded), not a per-row CreateArray
+    arr = F.lit([int(w) for w in words]).cast("array<bigint>")
     cond = F.lit(True)
     for p in _positions(key.cast("string"), seed, k, m_bits):
         word = F.element_at(arr, (p / WORD_BITS).cast("int") + 1)
