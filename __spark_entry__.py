@@ -1942,6 +1942,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
             "embedding",
             n_centroids=IVF_CELLS,
             method="sample",
+            sample_seed=IVF_SEED,  # one constant drives BOTH engines' md5 order
             quantize=True,
         )
         _IVF_INDEX_CACHE[sf_dir] = index
@@ -2569,9 +2570,15 @@ def _zipf_key() -> Column:
             F.col("l_linenumber").cast("string"),
         )
     ).cast("double") / F.lit(_TWO60)
-    return F.least(
-        F.floor(F.lit(1.0) / (u + F.lit(1e-12))).cast("bigint"),
-        F.lit(ZIPF_KEY_CAP).cast("bigint"),
+    # greatest(1, ...): u within ~1e-12 of 1.0 (p ≈ 1e-12/row — expected to
+    # EXIST at 10^11 rows) would otherwise floor to key 0, outside the
+    # documented [1, cap] domain and silently dropped by the dim join
+    return F.greatest(
+        F.lit(1).cast("bigint"),
+        F.least(
+            F.floor(F.lit(1.0) / (u + F.lit(1e-12))).cast("bigint"),
+            F.lit(ZIPF_KEY_CAP).cast("bigint"),
+        ),
     )
 
 
@@ -2580,8 +2587,8 @@ def _zipf_key_sql() -> str:
         "'zk|' || CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)"
     )
     return (
-        f"LEAST(CAST(FLOOR(1.0 / (CAST({h} AS DOUBLE) / {float(1 << 60)!r} + 1e-12)) "
-        f"AS BIGINT), {ZIPF_KEY_CAP})"
+        f"GREATEST(1, LEAST(CAST(FLOOR(1.0 / (CAST({h} AS DOUBLE) / {float(1 << 60)!r} + 1e-12)) "
+        f"AS BIGINT), {ZIPF_KEY_CAP}))"
     )
 
 

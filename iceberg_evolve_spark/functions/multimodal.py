@@ -1,11 +1,13 @@
 """Multimodal column plumbing: images/audio/video as opaque ``binary`` payloads
 with typed metadata, processed in Arrow batches.
 
-The decode step itself (image/audio libraries) is NOT available in this
-environment — it is stubbed behind :func:`decode_payload` (raises
-``NotImplementedError``) with a deterministic fake
-(:func:`fake_decode_features`) so the Spark-side plumbing — schema, batch
-iteration, partition sizing — is real and tested end-to-end.
+:func:`decode_payload` routes to REAL decoders for all three modalities —
+BMP images (:mod:`.image`), RIFF/WAVE audio (:mod:`.audio`), and uncompressed
+RIFF/AVI video (:mod:`.video`), all stdlib/struct-based since no imaging or
+codec library ships in this environment. Only codec-compressed video
+(mp4/mkv/H.264) remains a documented ``NotImplementedError`` stub. The
+deterministic fake (:func:`fake_decode_features`) is kept for plumbing tests
+whose payloads are not real containers.
 
 Scale notes: binary payloads make row sizes wildly skewed; ``mapInPandas``
 processes Arrow batches whose size is governed by
@@ -84,14 +86,19 @@ def decode_payload(payload: bytes, media_meta: dict) -> "object":
         from iceberg_evolve_spark.functions.audio import decode_one_wav
 
         return decode_one_wav(payload)
-    if mt == "video" and payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-        from iceberg_evolve_spark.functions.video import decode_one_avi
+    if mt == "video":
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            from iceberg_evolve_spark.functions.video import decode_one_avi
 
-        return decode_one_avi(payload)
-    raise NotImplementedError(
-        "codec-compressed video (mp4/mkv) needs a demuxer (ffmpeg) not present "
-        "in this environment; uncompressed RIFF/AVI decodes for real above — "
-        "wire the codec path here in production"
+            return decode_one_avi(payload)
+        raise NotImplementedError(
+            "codec-compressed video (mp4/mkv) needs a demuxer (ffmpeg) not "
+            "present in this environment; uncompressed RIFF/AVI decodes for "
+            "real above — wire the codec path here in production"
+        )
+    raise ValueError(
+        f"unknown media_type {mt!r}: decode_payload handles 'image' (BMP), "
+        "'audio' (WAV), and 'video' (uncompressed AVI)"
     )
 
 
@@ -147,10 +154,10 @@ def resize_images(
     meta_col: str = "media_meta",
 ) -> DataFrame:
     """Resize plumbing: Arrow-batched map over (payload, meta) → resized
-    payload + new dimensions + scale factors. The pixel work is stubbed
-    (``decode_payload`` raises); the deterministic fake passes bytes through
-    so schema/batching/partitioning are testable end-to-end. In production the
-    body calls decode → resize → re-encode on the same batch shape."""
+    payload + new dimensions + scale factors. The pixel resampling itself is
+    faked (bytes pass through) so schema/batching/partitioning are testable
+    end-to-end without an imaging library; in production the body calls
+    decode → resize → re-encode on the same batch shape."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -356,6 +356,7 @@ def build_ivf_index(
     max_iter: int = 8,
     quantize: bool = False,
     method: str = "sample",
+    sample_seed: str = "ivf",
 ) -> IVFIndex:
     """Build and persist an IVF index: pick the coarse centroids, assign every
     vector a ``_cell``, and write the corpus to ``path`` physically partitioned
@@ -376,7 +377,9 @@ def build_ivf_index(
     import os
 
     if method == "sample":
-        centers = sample_centroids(df, id_col, vec_col, n_centroids)
+        # sample_seed (not the KMeans ``seed``) governs the md5 ordering here;
+        # callers replaying the build in SQL must use the same string
+        centers = sample_centroids(df, id_col, vec_col, n_centroids, seed=sample_seed)
         assigned = df.select(
             *df.columns, assign_cell(F.col(vec_col), centers).alias("_cell")
         )
@@ -440,7 +443,9 @@ def topk_ivf(
     should use :func:`build_ivf_index` once and :meth:`IVFIndex.probe` per
     query — that keeps the full-corpus centroid scan out of the query path."""
     if method == "sample":
-        centers = sample_centroids(df, id_col, vec_col, n_centroids)
+        # sample_seed (not the KMeans ``seed``) governs the md5 ordering here;
+        # callers replaying the build in SQL must use the same string
+        centers = sample_centroids(df, id_col, vec_col, n_centroids, seed=sample_seed)
         assigned = df.select(
             id_col,
             F.col(vec_col),

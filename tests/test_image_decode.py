@@ -100,3 +100,35 @@ class TestDecodePayloadRouting:
 
         with pytest.raises(NotImplementedError):
             decode_payload(b"\x00\x00\x00\x18ftypmp42", {"media_type": "video"})
+
+
+class TestTwoStagePipeline:
+    def test_two_stage_matches_fused(self, spark):
+        # decode_bmp_features is the documented real-ingest path (payload
+        # column already exists); it must agree with the fused harness path
+        from iceberg_evolve_spark.functions.image import (
+            decode_bmp_features,
+            synth_bmp_payload,
+            synth_decode_features,
+        )
+
+        df = spark.range(0, 16).withColumnRenamed("id", "doc_id")
+        fused = {r["doc_id"]: r.asDict() for r in synth_decode_features(df).collect()}
+        two = {
+            r["doc_id"]: r.asDict()
+            for r in decode_bmp_features(synth_bmp_payload(df)).collect()
+        }
+        assert fused == two
+
+
+class TestRouterDiagnosis:
+    def test_unknown_media_type_is_a_value_error(self):
+        # a metadata problem must not read as a missing-ffmpeg problem
+        from iceberg_evolve_spark.functions.multimodal import decode_payload
+
+        with pytest.raises(ValueError, match="unknown media_type"):
+            decode_payload(b"\x00\x01", {"media_type": "text"})
+        with pytest.raises(ValueError, match="unknown media_type"):
+            decode_payload(b"\x00\x01", {})
+        with pytest.raises(ValueError, match="unknown media_type"):
+            decode_payload(b"\x00\x01", None)
