@@ -437,6 +437,7 @@ def topk_ivf(
     round_digits: int | None = 6,
     max_iter: int = 8,
     method: str = "sample",
+    sample_seed: str = "ivf",
 ) -> DataFrame:
     """One-shot IVF top-k (centroid pick + probe in a single call) for ad-hoc
     use on corpora that are not worth indexing. Anything served repeatedly
