@@ -91,6 +91,15 @@ FIXTURES = os.path.join(REPO, "tests", "fixtures")
 
 # Shared tuning constants (Spark and oracle must agree).
 SHINGLE_K = 3
+#: Stop-shingle cap for the n-gram pair family: shingles appearing in more
+#: than this many documents are dropped BEFORE bucket pairing, bounding every
+#: inverted-index bucket (a hyper-common shingle otherwise creates a quadratic
+#: collect_list bucket at corpus scale). 5 is chosen to BIND on the synthetic
+#: corpus (its max shingle df is 9) so the cap path itself sits under the hash
+#: gate; at production scale this is corpus-tuned (e.g. 1000 on billions of
+#: docs) — the shape, a broadcast left-anti against the tiny frequent set, is
+#: the same at any value.
+NGRAM_MAX_DF = 5
 MINHASH_N = 16
 LSH_BANDS = 8
 JACCARD_T = 0.5
@@ -136,6 +145,17 @@ sh AS (
     FROM tokarr WHERE len(ts) >= {SHINGLE_K}
 )
 """
+
+#: _SHINGLE_CTE plus the stop-shingle cap: mirrors ``_shingle_index(...,
+#: max_df=NGRAM_MAX_DF)`` — drop shingles whose document frequency exceeds the
+#: cap (anti-join against the frequent set), exactly as the Spark side does.
+_SHINGLE_CAPPED_CTE = (
+    _SHINGLE_CTE
+    + f""",
+stop_sh AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > {NGRAM_MAX_DF}),
+shc AS (SELECT doc_id, sh FROM sh ANTI JOIN stop_sh USING (sh))
+"""
+)
 
 _MINHASH_CTE = (
     _SHINGLE_CTE
@@ -1690,7 +1710,7 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VARIANT_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
        CAST(0 AS BIGINT) AS n_missing_path,
@@ -1720,17 +1740,23 @@ SELECT doc_id FROM (
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs over the capped inverted index: the ``NGRAM_MAX_DF``
+    stop-shingle cap is ON (broadcast left-anti against the frequent set),
+    so no bucket can exceed ``NGRAM_MAX_DF`` ids — the quadratic-bucket
+    hazard is bounded by construction."""
     docs = _t(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(docs, "doc_id", k=SHINGLE_K, threshold=JACCARD_T)
+    out = ngram_jaccard_pairs(
+        docs, "doc_id", k=SHINGLE_K, threshold=JACCARD_T, max_df=NGRAM_MAX_DF
+    )
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
 
 _JACCARD_SQL = f"""
-WITH {_SHINGLE_CTE},
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+WITH {_SHINGLE_CAPPED_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
 common AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-    FROM sh a JOIN sh b USING (sh)
+    FROM shc a JOIN shc b USING (sh)
     WHERE a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )
@@ -1754,17 +1780,17 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard under-scores."""
     docs = _t(spark, sf_dir, "documents")
     out = ngram_containment_pairs(
-        docs, "doc_id", k=SHINGLE_K, threshold=CONTAIN_T
+        docs, "doc_id", k=SHINGLE_K, threshold=CONTAIN_T, max_df=NGRAM_MAX_DF
     )
     return out.withColumn("containment", F.round("containment", 6))
 
 
 _CONTAIN_SQL = f"""
-WITH {_SHINGLE_CTE},
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+WITH {_SHINGLE_CAPPED_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
 common AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-    FROM sh a JOIN sh b USING (sh)
+    FROM shc a JOIN shc b USING (sh)
     WHERE a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 ),
@@ -4210,26 +4236,28 @@ def decontaminate_overlap_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded contamination: instead of the exact-fingerprint yes/no, each
     train document reports the FRACTION of its distinct word 3-grams that
     occur anywhere in the held-out split — the n-gram-overlap decontamination
-    rule used for real eval sets. Shape: explode train shingles (one shuffle),
-    broadcast-semi-join the (smaller) test shingle vocabulary, per-doc ratio.
-    Top 50 most-contaminated train docs."""
-    from iceberg_evolve_spark.functions.dedup import word_shingles
+    rule used for real eval sets. The shingle index is stop-shingle-capped
+    (``NGRAM_MAX_DF`` over the FULL corpus, broadcast left-anti): hyper-common
+    n-grams carry no contamination signal and would dominate both the overlap
+    counts and the join skew at scale. Shape: one capped inverted index over
+    the whole corpus (one shuffle), split by the doc-id hash, broadcast-join
+    the (smaller) test vocabulary. Top 50 most-contaminated train docs."""
+    from iceberg_evolve_spark.functions.dedup import shingle_index
 
-    # The shingle explode below is CPU-heavy: spread the (single-split small
-    # parquet) input first — a no-op at real scale.
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    # The shingle explode is CPU-heavy: shingle_index spreads the (single-
+    # split small parquet) input first — a no-op at real scale.
+    docs = _t(spark, sf_dir, "documents")
+    idx = shingle_index(docs, "doc_id", "text", SHINGLE_K, max_df=NGRAM_MAX_DF)
     split_hash = hash60(
-        F.concat(F.col("doc_id").cast("string"), F.lit(f"{SEP}{_SPLIT_SALT}"))
+        F.concat(F.col("_id").cast("string"), F.lit(f"{SEP}{_SPLIT_SALT}"))
     )
     thr = F.lit(int(SPLIT_FRACTION * (1 << 60)))
-    train = docs.filter(split_hash < thr)
-    test = docs.filter(~(split_hash < thr))
-
-    train_sh = train.select(
-        "doc_id", F.explode(word_shingles("text", SHINGLE_K)).alias("sh")
+    train_sh = idx.filter(split_hash < thr).select(
+        F.col("_id").alias("doc_id"), "sh"
     )
     test_vocab = (
-        test.select(F.explode(word_shingles("text", SHINGLE_K)).alias("sh"))
+        idx.filter(~(split_hash < thr))
+        .select("sh")
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
@@ -4250,17 +4278,13 @@ def decontaminate_overlap_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _overlap_rate_sql() -> str:
     thr = int(SPLIT_FRACTION * (1 << 60))
     h = _H60.format(x=f"CAST(doc_id AS VARCHAR) || '{SEP}{_SPLIT_SALT}'")
-    grams = (
-        f"list_distinct(list_transform(range(1, len(ts) - {SHINGLE_K} + 2), "
-        f"i -> array_to_string(list_slice(ts, i, i + {SHINGLE_K} - 1), ' ')))"
-    )
+    # _SHINGLE_CAPPED_CTE applies the identical NGRAM_MAX_DF frequent-shingle
+    # anti-join the Spark entry uses (cap computed over the FULL corpus,
+    # before the train/test split).
     return f"""
-WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
-sh AS (
-    SELECT doc_id, unnest({grams}) AS sh FROM toks WHERE len(ts) >= {SHINGLE_K}
-),
-train_sh AS (SELECT * FROM sh WHERE {h} < {thr}),
-test_vocab AS (SELECT DISTINCT sh FROM sh WHERE NOT ({h} < {thr})),
+WITH {_SHINGLE_CAPPED_CTE},
+train_sh AS (SELECT * FROM shc WHERE {h} < {thr}),
+test_vocab AS (SELECT DISTINCT sh FROM shc WHERE NOT ({h} < {thr})),
 rate AS (
     SELECT t.doc_id, count(*) AS n_ngrams,
            CAST(SUM(CASE WHEN v.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap

@@ -82,14 +82,32 @@ def _shingle_index(
         F.explode(word_shingles(text_col, k)).alias("sh"),
     )
     if max_df is not None:
-        good = (
+        # Broadcast the FREQUENT side, never the kept side: the stop-shingle
+        # set (df > max_df) is a handful of hyper-common n-grams by
+        # construction, while the kept side is nearly the whole shingle
+        # vocabulary — billions of rows at corpus scale, an OOM if broadcast.
+        # left_anti against the small complement is the scale-safe shape.
+        stop = (
             idx.groupBy("sh")
             .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_df)
+            .filter(F.col("df") > max_df)
             .select("sh")
         )
-        idx = idx.join(F.broadcast(good), "sh")
+        idx = idx.join(F.broadcast(stop), "sh", "left_anti")
     return idx
+
+
+def shingle_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Public inverted shingle index: one row per (``_id``, distinct shingle),
+    optionally stop-shingle-capped (see :func:`_shingle_index`). The building
+    block for the n-gram pair family and for n-gram decontamination."""
+    return _shingle_index(df, id_col, text_col, k, max_df)
 
 
 # ---------------------------------------------------------------------------

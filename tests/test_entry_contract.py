@@ -1,9 +1,17 @@
 """Driver-contract test: every queries() entry runs and matches its DuckDB
-oracle at sf0.001 (the driver's own gate runs the same comparison at sf0.01)."""
+oracle at sf0.001 (the driver's own gate runs the same comparison at sf0.01).
+
+The comparison is TYPED, mirroring the driver's typed value hash: the oracle
+result is fetched through Arrow (DuckDB HUGEINT surfaces as decimal128(38,0),
+not a Python int) and each column's logical type must match the Spark schema
+under a canonical mapping. Round 3's only red row (`events_variant_extract`)
+was a HUGEINT-vs-BIGINT skew that Python-coerced `str(v)` hashing could not
+see — this gate now fails locally on exactly that class of bug."""
 
 import math
 
 import duckdb
+import pyarrow as pa
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -31,6 +39,64 @@ def _norm(cols, rows):
     return sorted(cols), sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
 
 
+# Canonical logical-type lattice shared by both sides. Integer widths 8-64
+# collapse (COUNT is int64 everywhere; literals differ benignly in width) but
+# int128/HUGEINT stays DISTINCT — that is the skew class the driver's typed
+# hash catches and Python coercion hides.
+def _canon_pa(t):
+    if pa.types.is_decimal(t):
+        if t.scale == 0 and t.precision == 38:
+            return "int128"  # DuckDB HUGEINT (un-cast SUM over BIGINT)
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "double" if t.bit_width == 64 else "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t) or pa.types.is_fixed_size_binary(t):
+        return "binary"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return f"list<{_canon_pa(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "struct<" + ",".join(f"{f.name}:{_canon_pa(f.type)}" for f in t) + ">"
+    if pa.types.is_map(t):
+        return f"map<{_canon_pa(t.key_type)},{_canon_pa(t.item_type)}>"
+    if pa.types.is_null(t):
+        return "null"
+    return str(t)
+
+
+def _canon_spark(dt):
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    scalars = [
+        (T.ByteType, "int"), (T.ShortType, "int"), (T.IntegerType, "int"),
+        (T.LongType, "int"), (T.FloatType, "float"), (T.DoubleType, "double"),
+        (T.BooleanType, "bool"), (T.StringType, "string"), (T.BinaryType, "binary"),
+        (T.DateType, "date"), (T.TimestampType, "timestamp"),
+        (T.TimestampNTZType, "timestamp"), (T.NullType, "null"),
+    ]
+    for cls, name in scalars:
+        if isinstance(dt, cls):
+            return name
+    if isinstance(dt, T.ArrayType):
+        return f"list<{_canon_spark(dt.elementType)}>"
+    if isinstance(dt, T.StructType):
+        return "struct<" + ",".join(f"{f.name}:{_canon_spark(f.dataType)}" for f in dt.fields) + ">"
+    if isinstance(dt, T.MapType):
+        return f"map<{_canon_spark(dt.keyType)},{_canon_spark(dt.valueType)}>"
+    return dt.simpleString()
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
@@ -54,9 +120,16 @@ def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
     if oracle is None:
         assert len(srows) >= 0
         return
-    res = oracle_con.execute(oracle)
-    ocols, orows = _norm([d[0] for d in res.description], res.fetchall())
+    tbl = oracle_con.execute(oracle).arrow()
+    col_data = [c.to_pylist() for c in tbl.columns]
+    orows = [tuple(c[i] for c in col_data) for i in range(tbl.num_rows)]
+    ocols, orows = _norm(tbl.column_names, orows)
     assert scols == ocols
+    # Typed comparison (driver parity): logical types must agree per column,
+    # so a HUGEINT/BIGINT or decimal/double skew fails here, not at the driver.
+    stypes = {f.name: _canon_spark(f.dataType) for f in sdf.schema.fields}
+    otypes = {f.name: _canon_pa(f.type) for f in tbl.schema}
+    assert stypes == otypes
     assert len(srows) == len(orows)
     assert srows == orows
 

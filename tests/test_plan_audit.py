@@ -114,6 +114,24 @@ def test_ivf_probe_is_partition_pruned(spark, sf_dir):
     assert "Exchange" not in plan  # scan + local TopK + driver merge only
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_ngram_jaccard", "dedup_ngram_containment", "decontaminate_overlap_rate"],
+)
+def test_stop_shingle_cap_is_broadcast_left_anti(name, spark, sf_dir):
+    """The NGRAM_MAX_DF stop-shingle cap must execute as a broadcast LEFT ANTI
+    join against the (tiny) frequent-shingle set. The inverse — broadcasting
+    the kept shingles, i.e. nearly the whole vocabulary — would OOM at corpus
+    scale; this pins the direction."""
+    df = _QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti, f"{name}: stop-shingle anti-join missing from plan"
+    assert any("BroadcastHashJoin" in ln and "sh#" in ln for ln in anti), anti
+    # and no shuffle-based anti join of the shingle index
+    assert not any("SortMergeJoin" in ln or "ShuffledHashJoin" in ln for ln in anti)
+
+
 def test_mixture_corpus_side_is_broadcast_joined(spark, sf_dir):
     """The corpus in the mixture sampler must flow through a broadcast hash
     join + filter — every Exchange in the plan belongs to the tiny per-domain
