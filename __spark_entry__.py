@@ -2134,6 +2134,63 @@ LIMIT {ANN_K}
 """
 
 
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation QUALITY under the hash gate: recall@k of each
+    approximate ANN serving path (IVF float probe, IVF-SQ8 two-stage probe,
+    sign-LSH bucket scan) against the exact brute-force top-k, as one tiny
+    summary row per method. Every input is deterministic (md5-sampled
+    centroids, hash-derived hyperplanes, fixed-fold arithmetic), so the
+    oracle replays the full approximate AND exact pipelines and computes the
+    same intersection — approximation quality becomes a regression-checked
+    number, not a unit-test assertion. The k-row per-method sides make every
+    join broadcast-trivial; cost is dominated by the probes themselves."""
+    exact = ann_topk_bruteforce(spark, sf_dir).select("vec_id")
+    parts = []
+    for method, fn in (
+        ("ivf", ann_topk_ivf),
+        ("ivf_sq8", ann_topk_ivf_sq8),
+        ("lsh", ann_topk_lsh),
+    ):
+        approx = fn(spark, sf_dir).select("vec_id")
+        parts.append(
+            approx.join(exact, "vec_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(
+                F.lit(method).alias("method"),
+                F.lit(ANN_K).alias("k"),
+                F.col("n_hits"),
+                F.round(F.col("n_hits") / F.lit(ANN_K), 6).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("method")
+
+
+def _ann_recall_sql() -> str:
+    """Composes the existing per-method replay SQLs as CTE subqueries (DuckDB
+    scopes each nested WITH, so the shared CTE names never collide)."""
+    arms = []
+    for method, sql in (
+        ("ivf", _ivf_sql()),
+        ("ivf_sq8", _ivf_sq8_sql()),
+        ("lsh", _ann_lsh_sql()),
+    ):
+        arms.append(
+            f"SELECT '{method}' AS method, {ANN_K} AS k, COUNT(*) AS n_hits,\n"
+            f"       ROUND(COUNT(*) / CAST({ANN_K} AS DOUBLE), 6) AS recall\n"
+            f"FROM ({sql}) approx\n"
+            f"WHERE approx.vec_id IN (SELECT vec_id FROM exact)"
+        )
+        # each arm re-runs its probe replay; `exact` is shared
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH exact AS (SELECT vec_id FROM ({_ANN_SQL}) x)
+SELECT * FROM ({body}) ORDER BY method
+"""
+
+
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Output-linear embedding near-dup: candidate pairs only inside sign-LSH
     buckets across ND_LSH_TABLES independent tables, verified by the exact
@@ -4496,80 +4553,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry order matters: the driver's correctness oracle checks the FIRST
-    # 50 entries. Round-3 window (see COVERAGE.md for the schedule):
-    # (a) the 12 operators that had no entry before this round (VERDICT item 3),
-    # (b) the 4 entries never/not-yet hash-verified: ann_topk_ivf (deterministic
-    #     centroids replace the unverifiable KMeans path this round) and the 3
-    #     round-3 additions (image decode, salted agg/join),
-    # (c) 30 of the 46 round-1-verified tail entries, highest-risk first — every
-    #     entry that touches event timestamps (the testdata's ts column changed
-    #     from TIMESTAMP(NANOS)-as-long to TIMESTAMP_NTZ this round) or complex
-    #     window/join machinery,
-    # (d) past the window: the 12 most-stable pure-relational tail entries
-    #     (scheduled first for round 4's window) and the 49 entries hash-verified
-    #     in CORRECTNESS_r02.json. Everything is still locally verified vs DuckDB
-    #     by tests/test_entry_contract.py every round regardless of window slot.
+    # Registry order matters: the driver's correctness oracle hashes the
+    # FIRST 50 entries each round. The window rotates so every entry's hash
+    # stays fresh (union of recent rounds covers the whole registry); see
+    # COVERAGE.md for the schedule and the per-round history.
     return {
-        # (a) previously entry-less operators: S2 S4 S5 R1 R2 R3 C1 C2 C3 T1 T2 X2
-        "schema_s3_source": schema_s3_source,
-        "schema_json_schema_dict": schema_json_schema_dict,
-        "schema_serialize_roundtrip": schema_serialize_roundtrip,
-        "render_diff_tree": render_diff_tree,
-        "render_ops_plan": render_ops_plan,
-        "render_type_tree": render_type_tree,
-        "cli_diff_json": cli_diff_json,
-        "cli_evolve_sql_only": cli_evolve_sql_only,
-        "cli_serialize_parquet": cli_serialize_parquet,
-        "sqltype_parse_table": sqltype_parse_table,
-        "jsonschema_roundtrip": jsonschema_roundtrip,
-        "evolve_compiled_ddl": evolve_compiled_ddl,
-        # (b) never hash-verified before this round
-        "ann_topk_ivf": ann_topk_ivf,
-        "ann_topk_ivf_sq8": ann_topk_ivf_sq8,
-        "multimodal_image_decode": multimodal_image_decode,
-        "multimodal_video_decode": multimodal_video_decode,
-        "skew_salted_agg": skew_salted_agg,
-        "skew_salted_join": skew_salted_join,
-        "events_variant_extract": events_variant_extract,
-        "orders_bloom_prefilter": orders_bloom_prefilter,
-        # (c) r01-verified tail, re-verified against round-3 code — ts-sensitive
-        # and window/join-heavy entries first
-        "events_sessionize": events_sessionize,
-        "events_hourly_counts": events_hourly_counts,
-        "events_time_rollup": events_time_rollup,
-        "events_json_kpis": events_json_kpis,
-        "events_funnel": events_funnel,
-        "events_point_in_time_enrich": events_point_in_time_enrich,
-        "scd2_customer_priority": scd2_customer_priority,
-        "asof_latest_order": asof_latest_order,
-        "range_join_click_views": range_join_click_views,
-        "top_orders_per_customer": top_orders_per_customer,
-        "daily_revenue_moving_avg": daily_revenue_moving_avg,
-        "orders_rollup": orders_rollup,
-        "orders_grouping_sets": orders_grouping_sets,
-        "orders_cube": orders_cube,
-        "lineitem_metrics_unpivot": lineitem_metrics_unpivot,
-        "merge_customer_updates": merge_customer_updates,
-        "doc_token_chunks": doc_token_chunks,
-        "orders_geomean": orders_geomean,
-        "q10_returned_items": q10_returned_items,
-        "q15_top_supplier": q15_top_supplier,
-        "q18_large_orders": q18_large_orders,
-        "q22_dormant_rich_customers": q22_dormant_rich_customers,
-        "nation_revenue_share": nation_revenue_share,
-        "cheapest_supplier_per_part": cheapest_supplier_per_part,
-        "customers_without_orders": customers_without_orders,
-        "nation_distinct_counts": nation_distinct_counts,
-        "parts_above_brand_avg": parts_above_brand_avg,
-        "customer_balance_quartiles": customer_balance_quartiles,
-        "orders_pivot_priority": orders_pivot_priority,
-        "balance_order_setops": balance_order_setops,
-        # ---- driver window boundary (50) ----
-        # (d1) stable r01-verified tail (first in line for round 4's window;
-        # totalprice_percentiles / dedup_exact / dedup_ngram_jaccard /
-        # dedup_minhash_signatures displaced by the bloom, variant,
-        # video-decode, and SQ8-probe entries)
+        # ---------- ROUND-4 WINDOW (first 50; driver hashes these) ----------
+        # (a) the 16 entries whose last hash is r01 — this completes the
+        #     rotation: after r4 every registry entry's latest hash is r02+.
         "totalprice_percentiles": totalprice_percentiles,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -4586,7 +4577,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_bracket_revenue": q19_bracket_revenue,
         "q20_excess_suppliers": q20_excess_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
-        # (d2) hash-verified in CORRECTNESS_r02.json
+        # (b) changed this round, MUST re-hash: the fixed variant oracle, the
+        #     two entries that gained the NGRAM_MAX_DF stop-shingle cap, and
+        #     the new ANN recall@k quality entry.
+        "events_variant_extract": events_variant_extract,
+        "dedup_ngram_containment": dedup_ngram_containment,
+        "decontaminate_overlap_rate": decontaminate_overlap_rate,
+        "ann_recall_at_k": ann_recall_at_k,
+        # (c) 30 of the 47 remaining r02-hashed entries (oldest verification
+        #     still standing), registry order preserved.
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -4617,18 +4616,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "dedup_cluster_star": dedup_cluster_star,
         "evolve_required_flips": evolve_required_flips,
+        # ---------------------- past the window ----------------------------
+        # (d) the 17 r02-hashed entries deferred to round 5's window.
         "docs_pii_redaction": docs_pii_redaction,
         "docs_quality_gate": docs_quality_gate,
         "docs_repetition_score": docs_repetition_score,
         "docs_pack_sequences": docs_pack_sequences,
-        "decontaminate_overlap_rate": decontaminate_overlap_rate,
         "multimodal_audio_decode": multimodal_audio_decode,
         "embeddings_quantize_int8": embeddings_quantize_int8,
         "embeddings_random_projection": embeddings_random_projection,
         "docs_boilerplate_removal": docs_boilerplate_removal,
         "docs_domain_mixture": docs_domain_mixture,
         "docs_shuffle_shards": docs_shuffle_shards,
-        "dedup_ngram_containment": dedup_ngram_containment,
         "docs_quality_percentile_prune": docs_quality_percentile_prune,
         "docs_vocab_oov": docs_vocab_oov,
         "docs_ngram_novelty": docs_ngram_novelty,
@@ -4636,6 +4635,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
+        # (e) the 49 entries hash-verified in CORRECTNESS_r03.json (freshest).
+        "schema_s3_source": schema_s3_source,
+        "schema_json_schema_dict": schema_json_schema_dict,
+        "schema_serialize_roundtrip": schema_serialize_roundtrip,
+        "render_diff_tree": render_diff_tree,
+        "render_ops_plan": render_ops_plan,
+        "render_type_tree": render_type_tree,
+        "cli_diff_json": cli_diff_json,
+        "cli_evolve_sql_only": cli_evolve_sql_only,
+        "cli_serialize_parquet": cli_serialize_parquet,
+        "sqltype_parse_table": sqltype_parse_table,
+        "jsonschema_roundtrip": jsonschema_roundtrip,
+        "evolve_compiled_ddl": evolve_compiled_ddl,
+        "ann_topk_ivf": ann_topk_ivf,
+        "ann_topk_ivf_sq8": ann_topk_ivf_sq8,
+        "multimodal_image_decode": multimodal_image_decode,
+        "multimodal_video_decode": multimodal_video_decode,
+        "skew_salted_agg": skew_salted_agg,
+        "skew_salted_join": skew_salted_join,
+        "orders_bloom_prefilter": orders_bloom_prefilter,
+        "events_sessionize": events_sessionize,
+        "events_hourly_counts": events_hourly_counts,
+        "events_time_rollup": events_time_rollup,
+        "events_json_kpis": events_json_kpis,
+        "events_funnel": events_funnel,
+        "events_point_in_time_enrich": events_point_in_time_enrich,
+        "scd2_customer_priority": scd2_customer_priority,
+        "asof_latest_order": asof_latest_order,
+        "range_join_click_views": range_join_click_views,
+        "top_orders_per_customer": top_orders_per_customer,
+        "daily_revenue_moving_avg": daily_revenue_moving_avg,
+        "orders_rollup": orders_rollup,
+        "orders_grouping_sets": orders_grouping_sets,
+        "orders_cube": orders_cube,
+        "lineitem_metrics_unpivot": lineitem_metrics_unpivot,
+        "merge_customer_updates": merge_customer_updates,
+        "doc_token_chunks": doc_token_chunks,
+        "orders_geomean": orders_geomean,
+        "q10_returned_items": q10_returned_items,
+        "q15_top_supplier": q15_top_supplier,
+        "q18_large_orders": q18_large_orders,
+        "q22_dormant_rich_customers": q22_dormant_rich_customers,
+        "nation_revenue_share": nation_revenue_share,
+        "cheapest_supplier_per_part": cheapest_supplier_per_part,
+        "customers_without_orders": customers_without_orders,
+        "nation_distinct_counts": nation_distinct_counts,
+        "parts_above_brand_avg": parts_above_brand_avg,
+        "customer_balance_quartiles": customer_balance_quartiles,
+        "orders_pivot_priority": orders_pivot_priority,
+        "balance_order_setops": balance_order_setops,
     }
 
 
@@ -4709,6 +4758,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": _ivf_sql(),
         "ann_topk_ivf_sq8": _ivf_sq8_sql(),
         "ann_topk_lsh": _ann_lsh_sql(),
+        "ann_recall_at_k": _ann_recall_sql(),
         "dedup_embedding_lsh": _emb_lsh_sql(),
         "dedup_cluster_star": _CLUSTER_SQL,
         "evolve_required_flips": _REQUIRED_FLIPS_SQL,
