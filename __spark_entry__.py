@@ -3075,13 +3075,12 @@ FROM customer
 
 
 def schema_s3_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2: ``Schema.from_s3`` exercised through an injected boto3 stub that
-    returns the golden fixture bytes exactly as S3 would (this sandbox has no
-    network; the parse/error path is the reference-parity surface,
-    reference ``schema.py`` S3 loader). Output: the loaded schema as rows."""
+    """S2: ``Schema.from_s3`` exercised through an injected resource factory
+    that returns the golden fixture bytes exactly as S3 would (this sandbox
+    has no network; the parse/error path is the reference-parity surface,
+    reference ``schema.py`` S3 loader). Injection is a scoped parameter — no
+    interpreter-global ``sys.modules`` mutation. Output: the schema as rows."""
     import io
-    import sys
-    import types
 
     from iceberg_evolve_spark.canonical import clean_type_str
 
@@ -3099,17 +3098,10 @@ def schema_s3_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         def Object(self, bucket: str, key: str) -> "_Object":
             return _Object(bucket, key)
 
-    stub = types.ModuleType("boto3")
-    stub.resource = lambda name: _Resource()
-    prior = sys.modules.get("boto3")
-    sys.modules["boto3"] = stub
-    try:
-        schema = Schema.from_s3("test-bucket", "users_current.iceberg.json")
-    finally:
-        if prior is None:
-            del sys.modules["boto3"]
-        else:  # pragma: no cover - real boto3 present
-            sys.modules["boto3"] = prior
+    schema = Schema.from_s3(
+        "test-bucket", "users_current.iceberg.json",
+        resource_factory=_Resource,
+    )
     rows = [
         (f.field_id, f.name, clean_type_str(f.type), f.required)
         for f in schema.fields

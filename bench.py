@@ -84,8 +84,10 @@ def main() -> None:
             samples[name].append(run(name))
 
     timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
-    timings["ann_ivf_build_offline"] = ivf_build_sec
 
+    # The one-time IVF build is reported as a SIBLING field, not summed into
+    # value / counted in queries: cross-round totals stay apples-to-apples
+    # (the r3 total included it; r4+ totals do not — noted in BASELINE.md).
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -95,6 +97,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "ann_ivf_build_offline_sec": ivf_build_sec,
                 "sf": float(sf),
                 "cpus": int(CPUS),
                 "runs_per_query": N_RUNS,
@@ -119,11 +122,16 @@ def main() -> None:
         "n_queries": len(timings),
         "runs_per_query": N_RUNS,
         "aggregation": "median",
+        "ann_ivf_build_offline_sec": ivf_build_sec,
         "queries": {k: round(v, 2) for k, v in slowest.items()},
         "note": "top-15 slowest; full per-query map on previous stdout line",
     }
+    # Never abort after the queries already ran: shrink the slowest-queries
+    # map until the line fits the driver's capture window.
     line = json.dumps(compact)
-    assert len(line) < 1900, len(line)
+    while len(line) >= 1900 and compact["queries"]:
+        compact["queries"].popitem()
+        line = json.dumps(compact)
     print(line)
     spark.stop()
 

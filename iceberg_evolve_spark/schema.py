@@ -61,16 +61,21 @@ class Schema:
     from_json_file = from_file
 
     @classmethod
-    def from_s3(cls, bucket: str, key: str) -> Schema:
-        """Load from S3 via boto3 (reference S2). boto3 is an optional dependency."""
+    def from_s3(cls, bucket: str, key: str, *, resource_factory=None) -> Schema:
+        """Load from S3 via boto3 (reference S2). boto3 is an optional
+        dependency. ``resource_factory`` (``lambda: <s3 resource>``) injects a
+        client for tests or custom credential plumbing — no interpreter-global
+        module swapping required."""
+        if resource_factory is None:
+            try:
+                import boto3  # noqa: PLC0415
+            except ImportError as exc:  # pragma: no cover
+                raise SchemaParseError(
+                    f"s3://{bucket}/{key}", "boto3 is not installed"
+                ) from exc
+            resource_factory = lambda: boto3.resource("s3")  # noqa: E731
         try:
-            import boto3  # noqa: PLC0415
-        except ImportError as exc:  # pragma: no cover
-            raise SchemaParseError(
-                f"s3://{bucket}/{key}", "boto3 is not installed"
-            ) from exc
-        try:
-            body = boto3.resource("s3").Object(bucket, key).get()["Body"].read()
+            body = resource_factory().Object(bucket, key).get()["Body"].read()
             data = json.loads(body)
         except Exception as exc:
             raise SchemaParseError(f"s3://{bucket}/{key}", str(exc)) from exc

@@ -134,7 +134,12 @@ def stateful_sessionize(
 # ---------------------------------------------------------------------------
 
 
-from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+# Spark 4-only API: import-guarded so the Spark 3 applyInPandasWithState
+# path above keeps importing (and working) on older PySpark.
+try:
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+except ImportError:  # pragma: no cover - PySpark < 4.0
+    StatefulProcessor = object
 
 
 class SessionProcessor(StatefulProcessor):
@@ -160,8 +165,10 @@ class SessionProcessor(StatefulProcessor):
         self.session = handle.getValueState("session", STATE_SCHEMA)
 
     def _register_timer(self, last_us: int) -> None:
-        # clear any previous eviction timer; timers are per (key, timestamp)
-        for t in self.handle.listTimers():
+        # clear any previous eviction timer; timers are per (key, timestamp).
+        # Materialize before mutating: the real handle's iterator is
+        # state-server-backed and deletion during iteration is undefined.
+        for t in list(self.handle.listTimers()):
             self.handle.deleteTimer(t)
         self.handle.registerTimer(last_us // 1000 + self.gap_minutes * 60 * 1000)
 
