@@ -330,6 +330,10 @@ def remove_repeated_segments(
             seg_idx_arr,
             lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
         ).alias("_segs"),
+        # segment COUNT computed from the token count alone: the `base`
+        # branch below then never rebuilds the segment strings (a second
+        # tokenize+concat pass over the whole corpus) just to take a size.
+        n_seg.alias("_n_segments"),
     )
     seg = with_chunks.select(
         id_col, F.posexplode("_segs").alias("seg_idx", "seg")
@@ -351,7 +355,7 @@ def remove_repeated_segments(
             " ",
         ).alias("clean_text"),
     )
-    base = with_chunks.select(id_col, F.size("_segs").alias("n_segments"))
+    base = with_chunks.select(id_col, F.col("_n_segments").alias("n_segments"))
     return (
         base.join(rebuilt, id_col, "left")
         .select(
