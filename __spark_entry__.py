@@ -46,6 +46,7 @@ from iceberg_evolve_spark.functions.sampling import (
 from iceberg_evolve_spark.functions.sketch import (
     cms_counters_weighted,
     cms_estimate,
+    hll_estimate_sql,
     kmv_distinct_estimate,
     kmv_estimate_sql,
 )
@@ -1909,6 +1910,60 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.3
 """
 
+SEMDEDUP_SEED = "semdedup"
+SEMDEDUP_CELLS = 16
+SEMDEDUP_THRESHOLD = 0.3  # synthetic vectors are near-orthogonal (cf. _EMB_DEDUP_SQL)
+
+
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-then-prune semantic dedup (`functions/dedup.py:
+    semantic_dedup`): md5-sampled deterministic centroids, Catalyst cell
+    assignment, ONE cell-keyed shuffle into a grouped BLAS kernel; a row is
+    dropped when a lower-id cell-mate has cosine >= threshold. The exact
+    O(n²) pair scan becomes O(Σ cell²) — the web-scale dedup shape."""
+    from iceberg_evolve_spark.functions.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=SEMDEDUP_THRESHOLD,
+        n_centroids=SEMDEDUP_CELLS,
+        seed=SEMDEDUP_SEED,
+    )
+
+
+def _semdedup_sql() -> str:
+    """DuckDB replay of the full SemDeDup pipeline: md5-ordered centroid
+    sample, fold-order L2 cell assignment (same CTE shape as
+    `_ivf_cte_prefix`, different seed), within-cell lower-id max-cosine, and
+    the rounded-value keep verdict."""
+    h = f"md5('{SEMDEDUP_SEED}|' || CAST(vec_id AS VARCHAR))"
+    dist_ec = _L2_SQL.format(a="e.embedding", b="c.cv", d=EMB_DIM)
+    cos = _cosine_sql("a.embedding", "b.embedding")
+    return f"""
+WITH cent AS (
+    SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS cell, embedding AS cv
+    FROM (SELECT vec_id, embedding FROM embeddings ORDER BY {h}, vec_id LIMIT {SEMDEDUP_CELLS})
+),
+assigned AS (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist_ec} ASC, c.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+),
+mine AS (SELECT vec_id, embedding, cell FROM assigned WHERE rn = 1),
+best AS (
+    SELECT a.vec_id, ROUND(MAX({cos}), 6) AS s
+    FROM mine a JOIN mine b ON a.cell = b.cell AND b.vec_id < a.vec_id
+    GROUP BY a.vec_id
+)
+SELECT m.vec_id, CAST(m.cell AS INT) AS cell,
+       COALESCE(best.s, -1.0) AS max_sim_prior,
+       COALESCE(best.s, -1.0) < {SEMDEDUP_THRESHOLD} AS keep
+FROM mine m LEFT JOIN best ON m.vec_id = best.vec_id
+"""
+
 
 # ---------------------------------------------------------------------------
 # Similarity search
@@ -3559,6 +3614,32 @@ _KMV_SQL = kmv_estimate_sql(
     "lineitem", _H60.format(x="CAST(l_partkey AS VARCHAR)"), k=KMV_K
 )
 
+HLL_B = 8  # 256 registers → 1.04/sqrt(256) ≈ 6.5% standard error
+
+
+def hll_distinct_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct count of the lineitem composite key — the
+    *mergeable* cardinality sketch (vs KMV's k-minima): one aggregation whose
+    shuffle carries ≤ 256 register rows per task, and whose register table
+    merges across days/partitions by row-wise max without re-reading data.
+    Register math is exact integer arithmetic over the portable md5 hash
+    (`functions/sketch.py:hll_registers`), so the DuckDB oracle rebuilds the
+    registers and the estimate bit-for-bit — unlike engine-internal HLL++."""
+    from iceberg_evolve_spark.functions.sketch import hll_distinct_estimate
+
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit(":"), F.col("l_linenumber").cast("string")
+    )
+    return hll_distinct_estimate(li, key, b=HLL_B)
+
+
+_HLL_SQL = hll_estimate_sql(
+    "lineitem",
+    _H60.format(x="CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"),
+    b=HLL_B,
+)
+
 
 def orders_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample: content-addressed membership
@@ -4576,8 +4657,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_containment": dedup_ngram_containment,
         "decontaminate_overlap_rate": decontaminate_overlap_rate,
         "ann_recall_at_k": ann_recall_at_k,
-        # (c) 30 of the 47 remaining r02-hashed entries (oldest verification
-        #     still standing), registry order preserved.
+        # (b2) NEW this round — never driver-verified, so they take window
+        #      priority; one (c) entry moves to the deferred set per addition.
+        "hll_distinct_lineitems": hll_distinct_lineitems,
+        "dedup_semantic_cells": dedup_semantic_cells,
+        # (c) remaining r02-hashed entries (oldest verification still
+        #     standing), registry order preserved.
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -4606,10 +4691,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_by_flag": q12_priority_by_flag,
         "ann_topk_lsh": ann_topk_lsh,
         "dedup_embedding_lsh": dedup_embedding_lsh,
+        # ---------------------- past the window ----------------------------
+        # (d) r02-hashed entries deferred to round 5's window (the group-(c)
+        #     tail displaced by this round's new entries, then the original
+        #     17 deferred).
         "dedup_cluster_star": dedup_cluster_star,
         "evolve_required_flips": evolve_required_flips,
-        # ---------------------- past the window ----------------------------
-        # (d) the 17 r02-hashed entries deferred to round 5's window.
         "docs_pii_redaction": docs_pii_redaction,
         "docs_quality_gate": docs_quality_gate,
         "docs_repetition_score": docs_repetition_score,
@@ -4739,6 +4826,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": _keep_best_sql(),
         "decontaminate_docs": _decontaminate_sql(),
         "kmv_distinct_parts": _KMV_SQL,
+        "hll_distinct_lineitems": _HLL_SQL,
+        "dedup_semantic_cells": _semdedup_sql(),
         "cms_heavy_brands": _CMS_SQL,
         "orders_price_histogram": _HIST_SQL,
         "lineitem_profile": _PROFILE_SQL,

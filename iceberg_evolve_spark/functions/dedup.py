@@ -676,3 +676,79 @@ def embedding_near_dups_lsh(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup: cluster-then-prune)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    seed: str = "semdedup",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication", arXiv:2303.09540): assign every embedding
+    to its nearest coarse centroid, then prune near-duplicates *within each
+    cluster only* — a document is dropped when a lower-id document in the same
+    cell has cosine similarity >= ``threshold``.
+
+    Output per input row: ``(id, cell, max_sim_prior, keep)`` where
+    ``max_sim_prior`` is the rounded max cosine to any lower-id cell-mate
+    (-1.0 when the row is its cell's lowest id) and ``keep`` is the survival
+    verdict. Cross-cell duplicates are deliberately not compared — that is the
+    SemDeDup approximation that turns exact O(n²) all-pairs into
+    O(Σ cell²).
+
+    Scale shape: centroid pick is deterministic md5-ordered sampling
+    (:func:`~iceberg_evolve_spark.functions.similarity.sample_centroids` — a
+    KB-scale collect, engine-replayable, unlike KMeans), assignment is a pure
+    Catalyst projection over literal centroids, and the prune is ONE shuffle
+    on the cell key into a grouped Arrow BLAS kernel. Per-task memory is one
+    cell's matrix: at 100 TB you size ``n_centroids`` so a cell fits an
+    executor (SemDeDup itself runs k=50k clusters for LAION-scale corpora);
+    cells are roughly balanced for non-degenerate corpora because centroids
+    are in-distribution samples.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from iceberg_evolve_spark.functions.similarity import assign_cell, sample_centroids
+
+    df = _ensure_parallelism(df)
+    centroids = sample_centroids(df, id_col, vec_col, n_centroids, seed)
+    cells = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        assign_cell(F.col(vec_col), centroids).alias("_cell"),
+    )
+    threshold_ = threshold
+
+    def per_cell(key, pdf):
+        ids, mat = _normalized_matrix(pdf, "_id", "_vec")
+        if len(ids) == 0:
+            return pd.DataFrame(
+                {"id": [], "cell": [], "max_sim_prior": [], "keep": []}
+            ).astype({"id": "int64", "cell": "int32", "max_sim_prior": "float64", "keep": "bool"})
+        sims = mat @ mat.T
+        prior = ids[None, :] < ids[:, None]  # [i, j]: j is a lower-id cell-mate of i
+        masked = np.where(prior, sims, -np.inf)
+        best = masked.max(axis=1)
+        best = np.where(np.isneginf(best), -1.0, np.round(best, 6))
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "cell": np.full(len(ids), key[0], dtype="int32"),
+                "max_sim_prior": best,
+                "keep": best < threshold_,
+            }
+        )
+
+    out = cells.groupBy("_cell").applyInPandas(
+        per_cell, schema="id long, cell int, max_sim_prior double, keep boolean"
+    )
+    return out.withColumnRenamed("id", id_col)

@@ -1,8 +1,11 @@
-"""Distinct-count sketching: a deterministic K-Minimum-Values (KMV) sketch.
+"""Distinct-count / frequency sketching: deterministic KMV, HyperLogLog, and
+Count-Min sketches.
 
 Why not ``approx_count_distinct``? Spark's HLL++ is the right default at scale,
 but its estimate is engine-internal — it cannot be oracle-checked bit-for-bit
-against another engine. KMV over the portable 60-bit md5 hash
+against another engine. The sketches here (KMV, and a from-scratch HLL whose
+register math is exact integer arithmetic) are built over the portable 60-bit
+md5 hash, so DuckDB replays them bit-for-bit. KMV over the portable 60-bit md5 hash
 (:mod:`iceberg_evolve_spark.functions.hashing`) is *deterministic and
 engine-portable*: the k smallest distinct hash values (and therefore the
 estimate) are identical in Spark and DuckDB, so correctness is testable while
@@ -184,6 +187,141 @@ def cms_estimate(
         joined.groupBy(*group_cols)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
     )
+
+
+def _hll_alpha(m: int) -> float:
+    """Bias-correction constant from Flajolet et al., "HyperLogLog: the
+    analysis of a near-optimal cardinality estimation algorithm" (AofA 2007)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_registers(df: DataFrame, col: Column | str, b: int = 8) -> DataFrame:
+    """HyperLogLog register table ``(j, rho)`` over the portable 60-bit hash.
+
+    Why not ``approx_count_distinct``? Same reason as KMV above: Spark's
+    built-in HLL++ is engine-internal and cannot be oracle-replayed. This one
+    is *fully deterministic and portable*: ``j`` is the low ``b`` bits of
+    ``hash60``, ``rho`` is 1 + the leading-zero count of the remaining
+    ``60-b`` bits. The leading-zero count is computed with exact integer
+    comparisons (a literal power-of-two array filter — no ``log2``, whose
+    float rounding could differ across engines), so DuckDB rebuilds the
+    identical registers.
+
+    Scale shape: ONE aggregation with map-side combine; the shuffle carries at
+    most ``m = 2**b`` rows per task regardless of input size, and the register
+    table itself is ``m`` rows — broadcastable KB-scale metadata, and
+    *mergeable*: the sketch of a union is the row-wise ``max`` of the
+    sketches (:func:`hll_merge`), which is what makes it the 100 TB shape —
+    per-partition/per-day registers combine without ever re-reading data.
+    """
+    m, n_bits = 1 << b, 60 - b
+    c = F.col(col) if isinstance(col, str) else col
+    h = hash60(c)
+    w = F.shiftright(h, b)  # exact integer shift — h / 2**b would round in double
+    powers = F.array(*[F.lit(1 << k).cast("bigint") for k in range(n_bits)])
+    bit_len = F.size(F.filter(powers, lambda p: p <= w))
+    rho = (F.lit(n_bits) - bit_len + 1).cast("int")
+    return (
+        df.select((h % m).cast("int").alias("j"), rho.alias("rho"))
+        .groupBy("j")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge sketches of disjoint (or overlapping — max is idempotent) inputs:
+    union the register tables and take the per-register max. Bit-identical to
+    sketching the concatenated input."""
+    from functools import reduce
+
+    out = reduce(DataFrame.unionByName, register_tables)
+    return out.groupBy("j").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate_from_registers(regs: DataFrame, b: int = 8) -> DataFrame:
+    """One-row estimate from a register table.
+
+    All register arithmetic is exact integers: the harmonic sum is computed as
+    ``sum(2**(61-b-rho))`` in BIGINT (absent registers contribute
+    ``2**(61-b)``), so — unlike a float ``sum(2^-rho)``, whose value depends
+    on partition addition order — the sum is deterministic and the single
+    final division is IEEE-exact. Columns: ``(m, n_filled, n_zero_registers,
+    sum_scaled, est_distinct)`` with the standard linear-counting correction
+    for the small range (V > 0 and raw estimate <= 2.5m).
+    """
+    m, n_bits = 1 << b, 60 - b
+    # alpha * m^2 * 2^(n_bits+1): the numerator of the scaled harmonic-mean
+    # estimator, folded into one double literal (exact: power-of-two scaling).
+    alpha_num = _hll_alpha(m) * m * m * float(1 << (n_bits + 1))
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {n_bits} + 1 - rho)")
+    agg = regs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_filled"),
+        F.coalesce(F.sum(term), F.lit(0)).cast("bigint").alias("_s_present"),
+    )
+    sum_scaled = (
+        F.col("_s_present")
+        + (F.lit(m) - F.col("n_filled")) * F.lit(1 << (n_bits + 1)).cast("bigint")
+    ).cast("bigint")
+    v = (F.lit(m) - F.col("n_filled")).cast("bigint")
+    est_raw = F.lit(alpha_num) / F.col("sum_scaled").cast("double")
+    est = F.when(
+        (v > 0) & (est_raw <= 2.5 * m),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")), 4),
+    ).otherwise(F.round(est_raw, 4))
+    return (
+        agg.select(
+            F.lit(m).cast("bigint").alias("m"),
+            "n_filled",
+            v.alias("n_zero_registers"),
+            sum_scaled.alias("sum_scaled"),
+        )
+        .select("m", "n_filled", "n_zero_registers", "sum_scaled", est.alias("est_distinct"))
+    )
+
+
+def hll_distinct_estimate(df: DataFrame, col: Column | str, b: int = 8) -> DataFrame:
+    """Sketch + estimate in one call (see :func:`hll_registers`)."""
+    return hll_estimate_from_registers(hll_registers(df, col, b), b)
+
+
+def hll_estimate_sql(table_expr: str, hash_sql: str, b: int = 8) -> str:
+    """DuckDB oracle rebuilding the identical registers and estimate."""
+    m, n_bits = 1 << b, 60 - b
+    alpha_num = repr(_hll_alpha(m) * m * m * float(1 << (n_bits + 1)))
+    powers = ", ".join(str(1 << k) for k in range(n_bits))
+    return f"""
+WITH h AS (SELECT {hash_sql} AS h FROM {table_expr}),
+r AS (
+    SELECT CAST(h % {m} AS INT) AS j,
+           {n_bits} - len(list_filter([{powers}], p -> p <= (h >> {b}))) + 1 AS rho
+    FROM h
+),
+regs AS (SELECT j, MAX(rho) AS rho FROM r GROUP BY j),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_filled,
+           CAST(COALESCE(SUM(CAST(1 AS BIGINT) << ({n_bits} + 1 - rho)), 0) AS BIGINT) AS s_present
+    FROM regs
+),
+sums AS (
+    SELECT n_filled,
+           CAST({m} - n_filled AS BIGINT) AS n_zero_registers,
+           CAST(s_present + ({m} - n_filled) * CAST({1 << (n_bits + 1)} AS BIGINT) AS BIGINT) AS sum_scaled
+    FROM agg
+)
+SELECT CAST({m} AS BIGINT) AS m, n_filled, n_zero_registers, sum_scaled,
+       CASE WHEN n_zero_registers > 0
+                 AND {alpha_num} / CAST(sum_scaled AS DOUBLE) <= {2.5 * m}
+            THEN ROUND({float(m)!r} * LN({float(m)!r} / CAST(n_zero_registers AS DOUBLE)), 4)
+            ELSE ROUND({alpha_num} / CAST(sum_scaled AS DOUBLE), 4)
+       END AS est_distinct
+FROM sums
+"""
 
 
 def cms_counters_weighted(

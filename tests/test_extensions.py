@@ -466,3 +466,60 @@ class TestMultimodalPlumbing:
         assert [r.t_ms for r in sorted(by_doc[1], key=lambda r: r.frame_idx)] == [0, 100]
         # video doc 2: duration 20ms → one frame at t=0, bytes from offset 0
         assert [(r.t_ms, bytes(r.frame)) for r in by_doc[2]] == [(0, b"xy")]
+
+
+class TestSemanticDedup:
+    def test_lowest_id_always_kept_and_verdicts_consistent(self, spark):
+        """Within a near-dup set sharing a cell, the lowest id survives and
+        every later duplicate is dropped with its trigger similarity."""
+        from iceberg_evolve_spark.functions.dedup import semantic_dedup
+
+        # Two tight direction groups + one far-off singleton, 4-dim.
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0, 0.0]),   # dup of 0
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.01, 0.999, 0.0, 0.0]),   # dup of 2
+            (4, [0.0, 0.0, 1.0, 0.0]),      # singleton
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {
+            r.vec_id: r
+            for r in semantic_dedup(
+                df, "vec_id", threshold=0.95, n_centroids=2, seed="t"
+            ).collect()
+        }
+        assert len(out) == 5
+        # per-cell lowest ids carry the -1 sentinel and are kept
+        sentinels = [r.vec_id for r in out.values() if r.max_sim_prior == -1.0]
+        assert all(out[i].keep for i in sentinels)
+        # a duplicate sharing its partner's cell must be dropped
+        for lo, hi in [(0, 1), (2, 3)]:
+            if out[lo].cell == out[hi].cell:
+                assert not out[hi].keep and out[hi].max_sim_prior >= 0.95
+                assert out[lo].keep or out[lo].max_sim_prior >= 0.95
+        # the orthogonal singleton always survives
+        assert out[4].keep
+
+    def test_partition_invariance_and_plan_shape(self, emb):
+        from iceberg_evolve_spark.functions.dedup import semantic_dedup
+
+        a = semantic_dedup(emb.repartition(3), "vec_id", threshold=0.3)
+        b = semantic_dedup(emb.repartition(11), "vec_id", threshold=0.3)
+        ra = sorted(tuple(r) for r in a.collect())
+        rb = sorted(tuple(r) for r in b.collect())
+        assert ra == rb and ra
+        plan = a._jdf.queryExecution().toString()
+        assert "FlatMapGroupsInPandas" in plan  # Arrow kernel, not BatchEvalPython
+
+    def test_semantic_is_subset_of_exact_within_corpus(self, emb):
+        """Every doc SemDeDup drops has a genuine exact near-dup with a lower
+        id (soundness); exact dedup may drop more (cross-cell pairs missed —
+        the documented approximation)."""
+        from iceberg_evolve_spark.functions.dedup import embedding_near_dups, semantic_dedup
+
+        sem = semantic_dedup(emb, "vec_id", threshold=0.3)
+        dropped = {r.vec_id for r in sem.filter(~F.col("keep")).collect()}
+        exact_pairs = embedding_near_dups(emb, "vec_id", threshold=0.3).collect()
+        exact_dropped = {p.id_b for p in exact_pairs}
+        assert dropped <= exact_dropped

@@ -57,6 +57,77 @@ def test_kmv_partition_invariance(spark):
 
 
 # ---------------------------------------------------------------------------
+# HyperLogLog sketch
+# ---------------------------------------------------------------------------
+
+
+def test_hll_estimate_within_tolerance(spark):
+    """20k distinct, m=256 registers → standard error 1.04/sqrt(m) ≈ 6.5%;
+    assert within 3 sigma."""
+    from iceberg_evolve_spark.functions.sketch import hll_distinct_estimate
+
+    df = spark.range(0, 20_000).select(F.col("id").cast("string").alias("v"))
+    row = hll_distinct_estimate(df, F.col("v"), b=8).first()
+    assert row.m == 256 and row.n_zero_registers == 0
+    assert 20_000 * 0.8 < row.est_distinct < 20_000 * 1.2
+
+
+def test_hll_small_range_linear_counting(spark):
+    """Cardinality well below m takes the linear-counting branch and stays
+    accurate (raw HLL would overshoot badly there)."""
+    from iceberg_evolve_spark.functions.sketch import hll_distinct_estimate
+
+    df = spark.range(0, 5_000).select((F.col("id") % 40).cast("string").alias("v"))
+    row = hll_distinct_estimate(df, F.col("v"), b=8).first()
+    assert row.n_zero_registers > 0
+    assert 40 * 0.85 < row.est_distinct < 40 * 1.15
+
+
+def test_hll_partition_invariance(spark):
+    """Register sums are exact integers — no float-addition-order dependence."""
+    from iceberg_evolve_spark.functions.sketch import hll_distinct_estimate
+
+    df = spark.range(0, 8_000).select(F.col("id").cast("string").alias("v"))
+    a = hll_distinct_estimate(df.repartition(2), F.col("v"), b=6).first()
+    b = hll_distinct_estimate(df.repartition(17), F.col("v"), b=6).first()
+    assert a.sum_scaled == b.sum_scaled and a.est_distinct == b.est_distinct
+
+
+def test_hll_merge_equals_whole(spark):
+    """Sketch(A ∪ B) == merge(sketch(A), sketch(B)) — bit-identical registers,
+    the property that lets per-day/per-partition sketches combine at scale."""
+    from iceberg_evolve_spark.functions.sketch import (
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_registers,
+    )
+
+    df = spark.range(0, 6_000).select("id", F.col("id").cast("string").alias("v"))
+    whole = hll_registers(df, F.col("v"), b=8)
+    a = hll_registers(df.filter(F.col("id") % 2 == 0), F.col("v"), b=8)
+    b = hll_registers(df.filter(F.col("id") % 2 == 1), F.col("v"), b=8)
+    merged = hll_merge(a, b)
+    w = hll_estimate_from_registers(whole, b=8).first()
+    m = hll_estimate_from_registers(merged, b=8).first()
+    assert w.sum_scaled == m.sum_scaled and w.est_distinct == m.est_distinct
+
+
+def test_hll_oracle_bit_exact(spark):
+    """DuckDB rebuilds identical registers and estimate from the same rows."""
+    import duckdb
+
+    from iceberg_evolve_spark.functions.hashing import hash60_sql
+    from iceberg_evolve_spark.functions.sketch import hll_distinct_estimate, hll_estimate_sql
+
+    df = spark.range(0, 3_000).select(F.col("id").cast("string").alias("v"))
+    got = [tuple(r) for r in hll_distinct_estimate(df, F.col("v"), b=7).collect()]
+    con = duckdb.connect()
+    con.sql("CREATE VIEW t AS SELECT CAST(range AS VARCHAR) AS v FROM range(0, 3000)")
+    want = con.sql(hll_estimate_sql("t", hash60_sql("v"), b=7)).fetchall()
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # Deterministic sampling
 # ---------------------------------------------------------------------------
 
