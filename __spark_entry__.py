@@ -4459,6 +4459,73 @@ FROM grams
 """
 
 
+def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule battery (`functions/text.py:gopher_signals`):
+    token-count bounds, mean word length, alphabetic-word fraction, and the
+    most-frequent-2-gram character coverage, AND-ed into a pass verdict.
+    Complements docs_quality_gate (score-based) and docs_repetition_score
+    (duplicate fraction) — this is the rule set production corpus filters
+    actually ship. One narrow codegen projection, zero shuffle."""
+    from iceberg_evolve_spark.functions.text import gopher_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_signals(docs, "text").select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "frac_alpha_words",
+        "top_2gram_char_frac",
+        "gopher_pass",
+    )
+
+
+def _gopher_sql() -> str:
+    from iceberg_evolve_spark.functions.text import (
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MAX_TOP_2GRAM_FRAC,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_TOKENS,
+    )
+
+    cnt = "len(list_filter(grams, x -> x = g))"
+    return f"""
+WITH tokarr AS (SELECT doc_id, length(text) AS n_chars, {_TOKS} AS ts FROM documents),
+grams AS (
+    SELECT doc_id, n_chars, ts, len(ts) AS n_tokens,
+           CASE WHEN len(ts) >= 2
+                THEN list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])
+                ELSE [] END AS grams
+    FROM tokarr
+),
+mc AS (
+    SELECT *,
+           COALESCE(list_aggregate(list_transform(list_distinct(grams), g -> {cnt}), 'max'), 0) AS max_cnt
+    FROM grams
+),
+sig AS (
+    SELECT doc_id, n_tokens,
+           ROUND(CASE WHEN n_tokens > 0
+                THEN CAST(COALESCE(list_aggregate(list_transform(ts, t -> length(t)), 'sum'), 0) AS DOUBLE) / n_tokens
+                ELSE 0.0 END, 6) AS mean_word_len,
+           ROUND(CASE WHEN n_tokens > 0
+                THEN CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / n_tokens
+                ELSE 0.0 END, 6) AS frac_alpha_words,
+           ROUND(CASE WHEN max_cnt > 0 AND n_chars > 0
+                THEN CAST(max_cnt * length(list_aggregate(list_filter(list_distinct(grams), g -> {cnt} = max_cnt), 'max')) AS DOUBLE) / n_chars
+                ELSE 0.0 END, 6) AS top_2gram_char_frac
+    FROM mc
+)
+SELECT doc_id, n_tokens, mean_word_len, frac_alpha_words, top_2gram_char_frac,
+       (n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}
+        AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+        AND frac_alpha_words >= {GOPHER_MIN_ALPHA_FRAC}
+        AND top_2gram_char_frac <= {GOPHER_MAX_TOP_2GRAM_FRAC}) AS gopher_pass
+FROM sig
+"""
+
+
 def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing (the example-construction step before
     training): within each source, documents fill a cumulative token axis in
@@ -4661,6 +4728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      priority; one (c) entry moves to the deferred set per addition.
         "hll_distinct_lineitems": hll_distinct_lineitems,
         "dedup_semantic_cells": dedup_semantic_cells,
+        "docs_gopher_rules": docs_gopher_rules,
         # (c) remaining r02-hashed entries (oldest verification still
         #     standing), registry order preserved.
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -4690,8 +4758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "migrate_customer": migrate_customer,
         "q12_priority_by_flag": q12_priority_by_flag,
         "ann_topk_lsh": ann_topk_lsh,
-        "dedup_embedding_lsh": dedup_embedding_lsh,
         # ---------------------- past the window ----------------------------
+        "dedup_embedding_lsh": dedup_embedding_lsh,
         # (d) r02-hashed entries deferred to round 5's window (the group-(c)
         #     tail displaced by this round's new entries, then the original
         #     17 deferred).
@@ -4828,6 +4896,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct_parts": _KMV_SQL,
         "hll_distinct_lineitems": _HLL_SQL,
         "dedup_semantic_cells": _semdedup_sql(),
+        "docs_gopher_rules": _gopher_sql(),
         "cms_heavy_brands": _CMS_SQL,
         "orders_price_histogram": _HIST_SQL,
         "lineitem_profile": _PROFILE_SQL,

@@ -142,6 +142,110 @@ def ngram_repetition(
     )
 
 
+#: Gopher rule thresholds (Rae et al., "Scaling Language Models: Methods,
+#: Analysis & Insights from Training Gopher", arXiv:2112.11446, Table A1).
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.80
+GOPHER_MAX_TOP_2GRAM_FRAC = 0.20
+
+
+def gopher_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher document-quality rule battery (the repetition-aware signals
+    that complement :func:`add_text_stats`' length/punct/stopword score and
+    :func:`ngram_repetition`'s duplicate-fraction).
+
+    Columns added per document:
+
+    - ``n_tokens`` — whitespace token count (rule: 50..100k);
+    - ``mean_word_len`` — average token length (rule: 3..10);
+    - ``frac_alpha_words`` — fraction of tokens containing at least one
+      alphabetic character (rule: >= 0.80 — filters symbol/number soup);
+    - ``top_2gram_char_frac`` — fraction of document characters covered by
+      occurrences of the single most frequent word 2-gram, ties broken by the
+      lexicographically greatest gram (rule: <= 0.20 — catches degenerate
+      loops and chart spam);
+    - ``gopher_pass`` — AND of the four rules.
+
+    Pure codegen projection (array lambdas over the token array — the
+    most-frequent-gram scan is O(distinct²) *within one row*, never across
+    rows), so the operator is one narrow map stage with zero shuffle at any
+    corpus size; fractions are rounded to 6 so the DuckDB oracle's
+    ``list_*`` replay compares bit-equal.
+    """
+    from iceberg_evolve_spark.functions.parallel import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    # Staged via withColumn on purpose: inlining the gram-count lambda inside
+    # the argmax lambda (which also embeds the max) builds a deeply nested
+    # HigherOrderFunction tree that stalls Catalyst analysis — staging keeps
+    # every lambda body referencing plain attributes, and CollapseProject
+    # won't re-inline non-cheap duplicated expressions.
+    staged = (
+        df.withColumn("_toks", tokens(text_col))
+        .withColumn("_n", F.size("_toks"))
+        .withColumn("_nc", F.length(F.col(text_col)))
+        .withColumn(
+            "_grams",
+            F.when(
+                F.col("_n") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_n") - 1),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        .withColumn("_dg", F.array_distinct("_grams"))
+        .withColumn(
+            "_counts",
+            F.transform(
+                F.col("_dg"),
+                lambda g: F.size(F.filter(F.col("_grams"), lambda x: x == g)),
+            ),
+        )
+        .withColumn("_maxc", F.coalesce(F.array_max("_counts"), F.lit(0)))
+        .withColumn(
+            "_best",
+            F.array_max(
+                F.zip_with(
+                    F.col("_dg"),
+                    F.col("_counts"),
+                    lambda g, c: F.when(c == F.col("_maxc"), g),
+                )
+            ),
+        )
+    )
+    n, n_chars = F.col("_n"), F.col("_nc")
+    mean_word_len = F.when(
+        n > 0,
+        F.aggregate(F.col("_toks"), F.lit(0), lambda a, t: a + F.length(t)) / n,
+    ).otherwise(F.lit(0.0))
+    frac_alpha = F.when(
+        n > 0, F.size(F.filter(F.col("_toks"), lambda t: t.rlike("[a-z]"))) / n
+    ).otherwise(F.lit(0.0))
+    top_frac = F.when(
+        (F.col("_maxc") > 0) & (n_chars > 0),
+        (F.col("_maxc") * F.length(F.col("_best"))) / n_chars,
+    ).otherwise(F.lit(0.0))
+
+    out = (
+        staged.withColumn("n_tokens", n)
+        .withColumn("mean_word_len", F.round(mean_word_len.cast("double"), 6))
+        .withColumn("frac_alpha_words", F.round(frac_alpha.cast("double"), 6))
+        .withColumn("top_2gram_char_frac", F.round(top_frac.cast("double"), 6))
+        .drop("_toks", "_n", "_nc", "_grams", "_dg", "_counts", "_maxc", "_best")
+    )
+    gate = (
+        F.col("n_tokens").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+        & F.col("mean_word_len").between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (F.col("frac_alpha_words") >= GOPHER_MIN_ALPHA_FRAC)
+        & (F.col("top_2gram_char_frac") <= GOPHER_MAX_TOP_2GRAM_FRAC)
+    )
+    return out.withColumn("gopher_pass", gate)
+
+
 def pack_token_sequences(
     df: DataFrame,
     id_col: str,

@@ -230,3 +230,43 @@ class TestCurriculumShards:
         for rows in by_shard.values():
             qs = [q for _, q in sorted(rows)]
             assert qs == sorted(qs, reverse=True)  # cleanest docs first
+
+
+class TestGopherSignals:
+    def test_rule_battery_on_crafted_docs(self, spark):
+        from iceberg_evolve_spark.functions.text import gopher_signals
+
+        good = " ".join(f"alpha{i} beta{i}" for i in range(30))  # 60 distinct tokens
+        loop = " ".join(["spam spam"] * 40)  # one 2-gram covers everything
+        nums = " ".join(["1234 5678"] * 30)  # no alphabetic words
+        short = "tiny document"
+        df = spark.createDataFrame(
+            [(0, good), (1, loop), (2, nums), (3, short)], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in gopher_signals(df).collect()}
+        assert out[0].gopher_pass
+        assert not out[1].gopher_pass and out[1].top_2gram_char_frac > 0.2
+        assert not out[2].gopher_pass and out[2].frac_alpha_words == 0.0
+        assert not out[3].gopher_pass and out[3].n_tokens == 2
+
+    def test_tie_break_is_deterministic(self, spark):
+        """Two 2-grams with equal max count → the lexicographically greatest
+        gram is charged, in any row order."""
+        from iceberg_evolve_spark.functions.text import gopher_signals
+
+        text = "aa bb aa bb zz yy zz yy"  # "aa bb" x2... and "zz yy" x2
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        r = gopher_signals(df).first()
+        # winning gram is "zz yy" (len 5); count 2; text length 23
+        assert r.top_2gram_char_frac == round(2 * 5 / 23, 6)
+
+    def test_zero_shuffle_plan(self, spark, sf_dir):
+        from iceberg_evolve_spark.functions.text import gopher_signals
+        from iceberg_evolve_spark.sources import load_table
+
+        df = gopher_signals(load_table(spark, sf_dir, "documents"))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the only allowed Exchange is ensure_parallelism's round-robin
+        # repartition — no computation shuffle, no Python fallback
+        assert "hashpartitioning" not in plan.lower()
+        assert "BatchEvalPython" not in plan
