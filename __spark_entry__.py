@@ -1996,6 +1996,9 @@ _IVF_INDEX_CACHE: dict[str, object] = {}
 IVF_CELLS = 16
 IVF_PROBE = 4
 IVF_SEED = "ivf"
+PQ_M = 8  # 64-dim → 8 subspaces of 8 dims
+PQ_K = 16  # codes 0..15 per subspace
+PQ_SEED = "pq"
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str):
@@ -2025,6 +2028,13 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
             method="sample",
             sample_seed=IVF_SEED,  # one constant drives BOTH engines' md5 order
             quantize=True,
+            # pq=True: the same build also carries the product-quantization
+            # code column, so one offline pass serves the float, SQ8, AND PQ
+            # probes (columnar store — each probe reads only its columns).
+            pq=True,
+            pq_m=PQ_M,
+            pq_k=PQ_K,
+            pq_seed=PQ_SEED,
         )
         _IVF_INDEX_CACHE[sf_dir] = index
     return index
@@ -2140,6 +2150,70 @@ LIMIT {ANN_K}
 """
 
 
+def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving path (Jégou et al. TPAMI 2011): stage 1 scans ONLY
+    (id, pq_codes) of the probed cells — 8 small ints per row, ~32× narrower
+    than the float column — and ranks by asymmetric distance computation
+    (the query's per-subspace distance table folded over the codes as
+    literal-array lookups, all codegen); stage 2 exact-reranks the top 4k
+    via a broadcast semi-join into the same pruned cells. Codebooks are one
+    md5-ordered corpus sample sliced per subspace, so the DuckDB oracle
+    replays codebook pick, encode, ADC ranking, and rerank end-to-end."""
+    return _ivf_index(spark, sf_dir).probe_pq(
+        _query_vec(spark, sf_dir), k=ANN_K, n_probe=IVF_PROBE, rerank=IVF_RERANK
+    )
+
+
+def _ivf_pq_sql() -> str:
+    """DuckDB replay of the IVF-PQ probe: the shared IVF CTEs plus the
+    md5-ordered PQ sample, the per-slice argmin encode (list_position of the
+    list min = Spark's assign_cell first-min), the fold-order ADC sum
+    (0.0-init fold == DuckDB's first-element-init fold, exactly), and the
+    exact rerank."""
+    ds = EMB_DIM // PQ_M
+    h = f"md5('{PQ_SEED}|' || CAST(vec_id AS VARCHAR))"
+    # subL2 of slice m (1-based lambda var m) between a row vector and the
+    # c-th sampled codebook vector / the query vector.
+    def sub_l2(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {ds} + 1), i -> "
+            f"(CAST({a}[(m - 1) * {ds} + i] AS DOUBLE) - CAST({b}[(m - 1) * {ds} + i] AS DOUBLE)) * "
+            f"(CAST({a}[(m - 1) * {ds} + i] AS DOUBLE) - CAST({b}[(m - 1) * {ds} + i] AS DOUBLE))), "
+            f"(x, y) -> x + y)"
+        )
+
+    code_m = (
+        f"list_position(list_transform(range(1, {PQ_K} + 1), c -> "
+        + sub_l2("p.embedding", "cb.pvs[c]")
+        + f"), list_aggregate(list_transform(range(1, {PQ_K} + 1), c -> "
+        + sub_l2("p.embedding", "cb.pvs[c]")
+        + "), 'min'))"
+    )
+    adc = (
+        f"list_reduce(list_transform(range(1, {PQ_M} + 1), m -> "
+        + sub_l2("q.qv", f"cb.pvs[{code_m}]")
+        + "), (x, y) -> x + y)"
+    )
+    return f"""{_ivf_cte_prefix()},
+pqs AS (
+    SELECT row_number() OVER (ORDER BY {h}, vec_id) AS c, embedding AS pv
+    FROM (SELECT vec_id, embedding FROM embeddings ORDER BY {h}, vec_id LIMIT {PQ_K})
+),
+cb AS (SELECT list(pv ORDER BY c) AS pvs FROM pqs),
+adc AS (
+    SELECT p.vec_id, {adc} AS d
+    FROM pruned p, cb, q
+),
+cand AS (
+    SELECT vec_id FROM adc ORDER BY d ASC, vec_id ASC LIMIT {IVF_RERANK}
+)
+SELECT p.vec_id, ROUND({_cosine_sql('p.embedding', 'q.qv')}, 6) AS cosine
+FROM pruned p JOIN cand ON p.vec_id = cand.vec_id, q
+ORDER BY cosine DESC, p.vec_id ASC
+LIMIT {ANN_K}
+"""
+
+
 # --- sign-LSH family: hash-derived hyperplanes are engine-portable, so the
 # --- DuckDB oracle recomputes the identical planes in Python and inlines them.
 
@@ -2203,6 +2277,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for method, fn in (
         ("ivf", ann_topk_ivf),
+        ("ivf_pq", ann_topk_ivf_pq),
         ("ivf_sq8", ann_topk_ivf_sq8),
         ("lsh", ann_topk_lsh),
     ):
@@ -2229,6 +2304,7 @@ def _ann_recall_sql() -> str:
     arms = []
     for method, sql in (
         ("ivf", _ivf_sql()),
+        ("ivf_pq", _ivf_pq_sql()),
         ("ivf_sq8", _ivf_sq8_sql()),
         ("lsh", _ann_lsh_sql()),
     ):
@@ -4729,6 +4805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_lineitems": hll_distinct_lineitems,
         "dedup_semantic_cells": dedup_semantic_cells,
         "docs_gopher_rules": docs_gopher_rules,
+        "ann_topk_ivf_pq": ann_topk_ivf_pq,
         # (c) remaining r02-hashed entries (oldest verification still
         #     standing), registry order preserved.
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -4757,8 +4834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evolve_users_plan": evolve_users_plan,
         "migrate_customer": migrate_customer,
         "q12_priority_by_flag": q12_priority_by_flag,
-        "ann_topk_lsh": ann_topk_lsh,
         # ---------------------- past the window ----------------------------
+        "ann_topk_lsh": ann_topk_lsh,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         # (d) r02-hashed entries deferred to round 5's window (the group-(c)
         #     tail displaced by this round's new entries, then the original
@@ -4897,6 +4974,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_lineitems": _HLL_SQL,
         "dedup_semantic_cells": _semdedup_sql(),
         "docs_gopher_rules": _gopher_sql(),
+        "ann_topk_ivf_pq": _ivf_pq_sql(),
         "cms_heavy_brands": _CMS_SQL,
         "orders_price_histogram": _HIST_SQL,
         "lineitem_profile": _PROFILE_SQL,

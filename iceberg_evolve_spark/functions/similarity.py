@@ -198,6 +198,40 @@ def assign_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+def pq_subcodebooks(
+    sample_vecs: list[list[float]], n_sub: int
+) -> list[list[list[float]]]:
+    """Per-subspace PQ codebooks derived from one deterministic corpus sample:
+    codebook ``m`` is the ``m``-th slice of every sampled vector. One
+    md5-ordered sample (the :func:`sample_centroids` trick) therefore defines
+    ALL ``n_sub`` codebooks, which is what keeps the whole product quantizer
+    engine-replayable."""
+    dim = len(sample_vecs[0])
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    ds = dim // n_sub
+    return [
+        [v[m * ds : (m + 1) * ds] for v in sample_vecs] for m in range(n_sub)
+    ]
+
+
+def pq_codes_column(
+    vec_col: Column, sample_vecs: list[list[float]], n_sub: int
+) -> Column:
+    """Product-quantization code array (length ``n_sub``, values in
+    ``0..len(sample_vecs)-1``): per subspace, the argmin-L2 codebook entry for
+    that slice of the vector — :func:`assign_cell` applied per slice, so the
+    encode is a pure Catalyst projection over literal codebooks."""
+    books = pq_subcodebooks(sample_vecs, n_sub)
+    ds = len(sample_vecs[0]) // n_sub
+    return F.array(
+        *[
+            assign_cell(F.slice(vec_col, m * ds + 1, ds), books[m])
+            for m in range(n_sub)
+        ]
+    )
+
+
 def _l2sq_py(v: list[float], c: list[float]) -> float:
     """Driver-side mirror of :func:`l2sq_to_literal` — same sequential fold
     order, so probe-cell selection agrees with the in-plan doubles exactly."""
@@ -260,12 +294,25 @@ class IVFIndex:
     (metadata, not data).
     """
 
-    def __init__(self, spark, path: str, centroids, id_col: str, vec_col: str):
+    def __init__(
+        self,
+        spark,
+        path: str,
+        centroids,
+        id_col: str,
+        vec_col: str,
+        pq_sample: list[list[float]] | None = None,
+        pq_m: int | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.centroids = [[float(x) for x in c] for c in centroids]
         self.id_col = id_col
         self.vec_col = vec_col
+        self.pq_sample = (
+            [[float(x) for x in v] for v in pq_sample] if pq_sample else None
+        )
+        self.pq_m = pq_m
 
     @property
     def assigned(self) -> DataFrame:
@@ -319,6 +366,72 @@ class IVFIndex:
             .limit(k)
         )
 
+    def probe_pq(
+        self,
+        query_vec: list[float],
+        k: int = 10,
+        n_probe: int = 4,
+        rerank: int | None = None,
+        round_digits: int | None = 6,
+    ) -> DataFrame:
+        """Product-quantization probe (IVF-PQ, Jégou et al., "Product
+        quantization for nearest neighbor search", TPAMI 2011): stage 1 scans
+        ONLY ``(id, pq_codes)`` of the probed cells — ``n_sub`` small ints per
+        row, a ~32× narrower read than the float vectors at 64-dim — and
+        scores each row by asymmetric distance computation: the query's
+        per-subspace distance table (``n_sub × n_codes`` doubles, computed
+        once on the driver with the same fold order the SQL oracle uses) is
+        folded over the code array as literal-array lookups, entirely in
+        codegen. The top ``rerank`` (default 4k) candidates are then re-scored
+        EXACTLY against the float vectors via a broadcast semi-join into the
+        same pruned cells.
+
+        ADC ranks by approximate L2 while the final ranking is exact cosine —
+        the rerank stage is what restores top-k quality. Requires a
+        ``pq=True`` build. At 100 TB: IO = code bytes of n_probe cells +
+        ``rerank`` float rows; the distance table is query-local metadata.
+        """
+        if self.pq_sample is None or self.pq_m is None:
+            raise ValueError("index was not built with pq=True")
+        if rerank is None:
+            rerank = 4 * k
+        books = pq_subcodebooks(self.pq_sample, self.pq_m)
+        ds = len(self.pq_sample[0]) // self.pq_m
+        # Driver-side ADC table: dt[m][c] = subL2(q_m, books[m][c]), in the
+        # fold order shared by l2sq_to_literal / list_reduce.
+        dt = [
+            [
+                _l2sq_py(query_vec[m * ds : (m + 1) * ds], c)
+                for c in books[m]
+            ]
+            for m in range(self.pq_m)
+        ]
+        cells = self._probe_cells(query_vec, n_probe)
+        store = self.assigned.filter(F.col("_cell").isin(cells))
+        approx_dist = F.lit(0.0)
+        for m in range(self.pq_m):
+            table_m = F.array(*[F.lit(d) for d in dt[m]])
+            approx_dist = approx_dist + F.element_at(
+                table_m, F.element_at(F.col("pq_codes"), m + 1) + 1
+            )
+        candidates = (
+            store.select(self.id_col, "pq_codes")
+            .select(self.id_col, approx_dist.alias("_adc"))
+            .orderBy(F.col("_adc").asc(), F.col(self.id_col).asc())
+            .limit(rerank)
+            .select(self.id_col)
+        )
+        qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+        sim = cosine_sim(F.col(self.vec_col), qcol)
+        if round_digits is not None:
+            sim = F.round(sim, round_digits)
+        return (
+            store.join(F.broadcast(candidates), self.id_col)
+            .select(F.col(self.id_col), sim.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(self.id_col).asc())
+            .limit(k)
+        )
+
     def probe(
         self,
         query_vec: list[float],
@@ -357,6 +470,10 @@ def build_ivf_index(
     quantize: bool = False,
     method: str = "sample",
     sample_seed: str = "ivf",
+    pq: bool = False,
+    pq_m: int = 8,
+    pq_k: int = 16,
+    pq_seed: str = "pq",
 ) -> IVFIndex:
     """Build and persist an IVF index: pick the coarse centroids, assign every
     vector a ``_cell``, and write the corpus to ``path`` physically partitioned
@@ -399,6 +516,15 @@ def build_ivf_index(
         assigned = assigned.join(
             packed.withColumnRenamed("vec_id", id_col), id_col
         )
+    pq_sample = None
+    if pq:
+        # Same md5-ordered sampling as the coarse centroids, under its own
+        # seed: one sample defines all pq_m sub-codebooks (pq_subcodebooks),
+        # and the encode is a per-slice argmin projection — no model object.
+        pq_sample = sample_centroids(df, id_col, vec_col, pq_k, seed=pq_seed)
+        assigned = assigned.withColumn(
+            "pq_codes", pq_codes_column(F.col(vec_col), pq_sample, pq_m)
+        )
     # One file per cell: co-locate each cell's rows before the partitioned
     # write, otherwise every task emits a sliver into every cell directory
     # (tasks × cells small files — the layout a probe then pays to list).
@@ -410,9 +536,15 @@ def build_ivf_index(
         "id_col": id_col,
         "vec_col": vec_col,
     }
+    if pq_sample is not None:
+        meta["pq_sample"] = [[float(x) for x in v] for v in pq_sample]
+        meta["pq_m"] = pq_m
     with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
         json.dump(meta, f)
-    return IVFIndex(df.sparkSession, path, centers, id_col, vec_col)
+    return IVFIndex(
+        df.sparkSession, path, centers, id_col, vec_col,
+        pq_sample=pq_sample, pq_m=pq_m if pq_sample is not None else None,
+    )
 
 
 def load_ivf_index(spark, path: str) -> IVFIndex:
@@ -422,7 +554,10 @@ def load_ivf_index(spark, path: str) -> IVFIndex:
 
     with open(os.path.join(path, "_ivf_centroids.json")) as f:
         meta = json.load(f)
-    return IVFIndex(spark, path, meta["centroids"], meta["id_col"], meta["vec_col"])
+    return IVFIndex(
+        spark, path, meta["centroids"], meta["id_col"], meta["vec_col"],
+        pq_sample=meta.get("pq_sample"), pq_m=meta.get("pq_m"),
+    )
 
 
 def topk_ivf(
