@@ -3717,6 +3717,98 @@ _HLL_SQL = hll_estimate_sql(
 )
 
 
+def hll_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch layout a 100 TB corpus actually maintains: one HLL register
+    table PER SOURCE over the shingle vocabulary (register rows keyed
+    (source, j), ≤ sources × 256 rows total), merged by row-wise register max
+    into the corpus-wide sketch — which this entry PROVES equals the sketch
+    of the whole corpus, bit-for-bit, under the hash gate: the ``__merged__``
+    and ``__global__`` rows must agree on the exact-integer ``sum_scaled``.
+    Estimates here are the raw harmonic form (no linear-counting branch, so
+    every output value is division of exact integers — no transcendental
+    whose last-ulp could differ across engines)."""
+    from iceberg_evolve_spark.functions.dedup import word_shingles
+    from iceberg_evolve_spark.functions.sketch import (
+        _hll_alpha,
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    b = HLL_B
+    m, n_bits = 1 << b, 60 - b
+    alpha_num = _hll_alpha(m) * m * m * float(1 << (n_bits + 1))
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select("source", F.explode(word_shingles(F.col("text"), SHINGLE_K)).alias("s"))
+    regs = hll_registers(sh, F.col("s"), b=b, group_cols=["source"])
+
+    def finish(est_df: DataFrame, scope_col) -> DataFrame:
+        return est_df.select(
+            scope_col.alias("scope"),
+            "n_filled",
+            "sum_scaled",
+            F.round(F.lit(alpha_num) / F.col("sum_scaled").cast("double"), 4).alias("est_raw"),
+        )
+
+    per_source = finish(
+        hll_estimate_from_registers(regs, b=b, group_cols=["source"]), F.col("source")
+    )
+    merged_regs = regs.groupBy("j").agg(F.max("rho").alias("rho"))
+    merged = finish(hll_estimate_from_registers(merged_regs, b=b), F.lit("__merged__"))
+    global_regs = hll_registers(sh, F.col("s"), b=b)
+    globl = finish(hll_estimate_from_registers(global_regs, b=b), F.lit("__global__"))
+    return per_source.unionByName(merged).unionByName(globl).orderBy("scope")
+
+
+def _hll_by_source_sql() -> str:
+    from iceberg_evolve_spark.functions.sketch import _hll_alpha
+
+    b = HLL_B
+    m, n_bits = 1 << b, 60 - b
+    alpha_num = repr(_hll_alpha(m) * m * m * float(1 << (n_bits + 1)))
+    h = _H60.format(x="s")
+    est = (
+        f"ROUND({alpha_num} / CAST(s_present + ({m} - n_filled) * "
+        f"CAST({1 << (n_bits + 1)} AS BIGINT) AS DOUBLE), 4)"
+    )
+    agg_body = (
+        f"CAST(COUNT(*) AS BIGINT) AS n_filled,\n"
+        f"       CAST(COALESCE(SUM(CAST(1 AS BIGINT) << ({n_bits} + 1 - rho)), 0) AS BIGINT) AS s_present"
+    )
+    sums = (
+        f"n_filled,\n"
+        f"       CAST(s_present + ({m} - n_filled) * CAST({1 << (n_bits + 1)} AS BIGINT) AS BIGINT) AS sum_scaled,\n"
+        f"       {est} AS est_raw"
+    )
+    return f"""
+WITH {_SHINGLE_CTE},
+src_sh AS (SELECT d.source, s.sh AS s FROM sh s JOIN documents d USING (doc_id)),
+r AS (
+    SELECT source, CAST({h} % {m} AS INT) AS j,
+           {n_bits} - CASE WHEN ({h} >> {b}) = 0 THEN 0
+                           ELSE length(bin({h} >> {b})) END + 1 AS rho
+    FROM src_sh
+),
+regs AS (SELECT source, j, MAX(rho) AS rho FROM r GROUP BY source, j),
+per_source AS (
+    SELECT source AS scope, {sums} FROM (
+        SELECT source, {agg_body} FROM regs GROUP BY source
+    )
+),
+merged AS (
+    SELECT '__merged__' AS scope, {sums} FROM (
+        SELECT {agg_body} FROM (SELECT j, MAX(rho) AS rho FROM regs GROUP BY j)
+    )
+),
+globl AS (
+    SELECT '__global__' AS scope, {sums} FROM (
+        SELECT {agg_body} FROM (SELECT j, MAX(rho) AS rho FROM r GROUP BY j)
+    )
+)
+SELECT * FROM per_source UNION ALL SELECT * FROM merged UNION ALL SELECT * FROM globl
+ORDER BY scope
+"""
+
+
 def orders_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample: content-addressed membership
     (hash(o_orderkey) under a per-priority integer threshold) — reproducible
@@ -4806,6 +4898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_cells": dedup_semantic_cells,
         "docs_gopher_rules": docs_gopher_rules,
         "ann_topk_ivf_pq": ann_topk_ivf_pq,
+        "hll_merge_by_source": hll_merge_by_source,
         # (c) remaining r02-hashed entries (oldest verification still
         #     standing), registry order preserved.
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -4833,8 +4926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evolve_users_diff": evolve_users_diff,
         "evolve_users_plan": evolve_users_plan,
         "migrate_customer": migrate_customer,
-        "q12_priority_by_flag": q12_priority_by_flag,
         # ---------------------- past the window ----------------------------
+        "q12_priority_by_flag": q12_priority_by_flag,
         "ann_topk_lsh": ann_topk_lsh,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         # (d) r02-hashed entries deferred to round 5's window (the group-(c)
@@ -4975,6 +5068,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic_cells": _semdedup_sql(),
         "docs_gopher_rules": _gopher_sql(),
         "ann_topk_ivf_pq": _ivf_pq_sql(),
+        "hll_merge_by_source": _hll_by_source_sql(),
         "cms_heavy_brands": _CMS_SQL,
         "orders_price_histogram": _HIST_SQL,
         "lineitem_profile": _PROFILE_SQL,

@@ -362,3 +362,34 @@ def test_cms_weighted_equals_raw(spark):
         ~raw.cnt.eqNullSafe(weighted.cnt)
     )
     assert diff.count() == 0
+
+
+def test_hll_grouped_registers_and_merge_by_group(spark):
+    """Grouped sketches (the per-day/per-source layout): the group-wise merged
+    registers equal the whole-input registers, and each group's register set
+    equals a standalone sketch of that group."""
+    from iceberg_evolve_spark.functions.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    df = spark.range(0, 4_000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        # overlapping values across groups: merge must dedup via register max
+        (F.col("id") % 1500).cast("string").alias("v"),
+    )
+    grouped = hll_registers(df, F.col("v"), b=7, group_cols=["g"])
+    est = hll_estimate_from_registers(grouped, b=7, group_cols=["g"])
+    assert est.count() == 3 and set(est.columns) == {
+        "g", "m", "n_filled", "n_zero_registers", "sum_scaled", "est_distinct"
+    }
+    merged = grouped.groupBy("j").agg(F.max("rho").alias("rho"))
+    whole = hll_registers(df, F.col("v"), b=7)
+    a = hll_estimate_from_registers(merged, b=7).first()
+    b = hll_estimate_from_registers(whole, b=7).first()
+    assert a.sum_scaled == b.sum_scaled and a.est_distinct == b.est_distinct
+    # each group's rows match a standalone sketch of the filtered input
+    g0 = hll_registers(df.filter(F.col("g") == "0"), F.col("v"), b=7)
+    got = sorted((r.j, r.rho) for r in grouped.filter(F.col("g") == "0").select("j", "rho").collect())
+    want = sorted((r.j, r.rho) for r in g0.collect())
+    assert got == want
