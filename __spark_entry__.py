@@ -1141,6 +1141,51 @@ WHERE value * 100 > total * 3
 """
 
 
+COPURCHASE_MIN_COUNT = 2
+COPURCHASE_TOP = 100
+
+
+def parts_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: part pairs bought together in the same
+    order, with support >= COPURCHASE_MIN_COUNT, top-COPURCHASE_TOP by
+    (count desc, pair asc) — the 2-itemset core of frequent-itemset mining.
+
+    Scale shape: the self-join shuffles ONCE on the order key, where per-key
+    fan-out is bounded by order size (<= 7 lines -> <= 21 pairs), so pair
+    generation is output-linear and skew-free (order keys are high-
+    cardinality, groups tiny); the (part_a, part_b) support count is one
+    map-side-combined aggregation. The full-basket generalization at 100 TB
+    keeps the same shape — fan-out bounded by basket size, never corpus
+    size."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= COPURCHASE_MIN_COUNT)
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(COPURCHASE_TOP)
+    )
+
+
+_COPURCHASE_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, COUNT(*) AS n_orders
+FROM pairs
+GROUP BY part_a, part_b
+HAVING COUNT(*) >= {COPURCHASE_MIN_COUNT}
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT {COPURCHASE_TOP}
+"""
+
+
 def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (adapted — no partsupp table): per part, the supplier
     with the lowest observed unit price. Per-group argmin via row_number over
@@ -4899,6 +4944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_gopher_rules": docs_gopher_rules,
         "ann_topk_ivf_pq": ann_topk_ivf_pq,
         "hll_merge_by_source": hll_merge_by_source,
+        "parts_copurchase_pairs": parts_copurchase_pairs,
         # (c) remaining r02-hashed entries (oldest verification still
         #     standing), registry order preserved.
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -4925,8 +4971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_diff_by_name": schema_diff_by_name,
         "evolve_users_diff": evolve_users_diff,
         "evolve_users_plan": evolve_users_plan,
-        "migrate_customer": migrate_customer,
         # ---------------------- past the window ----------------------------
+        "migrate_customer": migrate_customer,
         "q12_priority_by_flag": q12_priority_by_flag,
         "ann_topk_lsh": ann_topk_lsh,
         "dedup_embedding_lsh": dedup_embedding_lsh,
@@ -5069,6 +5115,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_gopher_rules": _gopher_sql(),
         "ann_topk_ivf_pq": _ivf_pq_sql(),
         "hll_merge_by_source": _hll_by_source_sql(),
+        "parts_copurchase_pairs": _COPURCHASE_SQL,
         "cms_heavy_brands": _CMS_SQL,
         "orders_price_histogram": _HIST_SQL,
         "lineitem_profile": _PROFILE_SQL,
