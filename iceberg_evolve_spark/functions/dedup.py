@@ -731,24 +731,27 @@ def semantic_dedup(
     def per_cell(key, pdf):
         ids, mat = _normalized_matrix(pdf, "_id", "_vec")
         if len(ids) == 0:
-            return pd.DataFrame(
-                {"id": [], "cell": [], "max_sim_prior": [], "keep": []}
-            ).astype({"id": "int64", "cell": "int32", "max_sim_prior": "float64", "keep": "bool"})
+            return pd.DataFrame({"id": [], "cell": [], "raw": []}).astype(
+                {"id": "int64", "cell": "int32", "raw": "float64"}
+            )
         sims = mat @ mat.T
         prior = ids[None, :] < ids[:, None]  # [i, j]: j is a lower-id cell-mate of i
         masked = np.where(prior, sims, -np.inf)
         best = masked.max(axis=1)
-        best = np.where(np.isneginf(best), -1.0, np.round(best, 6))
+        best = np.where(np.isneginf(best), -1.0, best)
         return pd.DataFrame(
-            {
-                "id": ids,
-                "cell": np.full(len(ids), key[0], dtype="int32"),
-                "max_sim_prior": best,
-                "keep": best < threshold_,
-            }
+            {"id": ids, "cell": np.full(len(ids), key[0], dtype="int32"), "raw": best}
         )
 
     out = cells.groupBy("_cell").applyInPandas(
-        per_cell, schema="id long, cell int, max_sim_prior double, keep boolean"
+        per_cell, schema="id long, cell int, raw double"
     )
-    return out.withColumnRenamed("id", id_col)
+    # Round + verdict in Spark expressions (HALF_UP, matching the oracle's SQL
+    # ROUND) — numpy's round is half-to-even, a latent boundary mismatch.
+    sim = F.round(F.col("raw"), 6)
+    return out.select(
+        F.col("id").alias(id_col),
+        "cell",
+        sim.alias("max_sim_prior"),
+        (sim < F.lit(threshold_)).alias("keep"),
+    )
