@@ -1986,7 +1986,17 @@ def _semdedup_sql() -> str:
     the rounded-value keep verdict."""
     h = f"md5('{SEMDEDUP_SEED}|' || CAST(vec_id AS VARCHAR))"
     dist_ec = _L2_SQL.format(a="e.embedding", b="c.cv", d=EMB_DIM)
-    cos = _cosine_sql("a.embedding", "b.embedding")
+    # Zero-norm guard: the Spark kernel (`_normalized_matrix`) maps zero-norm
+    # vectors to all-zero rows (cosine 0.0 to everything); a bare
+    # dot/(sqrt*sqrt) would divide by zero here (DuckDB: inf/NaN). The
+    # testdata has no zero vectors, but the oracle must define the same
+    # function, not merely agree on today's data.
+    na = _COS.format(a="a.embedding", b="a.embedding", d=EMB_DIM)
+    nb = _COS.format(a="b.embedding", b="b.embedding", d=EMB_DIM)
+    cos = (
+        f"CASE WHEN ({na}) = 0 OR ({nb}) = 0 THEN 0.0 "
+        f"ELSE {_cosine_sql('a.embedding', 'b.embedding')} END"
+    )
     return f"""
 WITH cent AS (
     SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS cell, embedding AS cv
@@ -2316,9 +2326,11 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, hash-derived hyperplanes, fixed-fold arithmetic), so the
     oracle replays the full approximate AND exact pipelines and computes the
     same intersection — approximation quality becomes a regression-checked
-    number, not a unit-test assertion. The k-row per-method sides make every
-    join broadcast-trivial; cost is dominated by the probes themselves."""
-    exact = ann_topk_bruteforce(spark, sf_dir).select("vec_id")
+    number, not a unit-test assertion. The exact top-k ids are collected ONCE
+    (k driver-side longs — the same metadata class as the query vector) and
+    applied as a literal isin() per arm; leaving `exact` as an uncached
+    DataFrame re-ran the whole brute-force corpus scan once per arm."""
+    exact_ids = [r.vec_id for r in ann_topk_bruteforce(spark, sf_dir).select("vec_id").collect()]
     parts = []
     for method, fn in (
         ("ivf", ann_topk_ivf),
@@ -2328,7 +2340,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         approx = fn(spark, sf_dir).select("vec_id")
         parts.append(
-            approx.join(exact, "vec_id", "left_semi")
+            approx.filter(F.col("vec_id").isin(exact_ids))
             .agg(F.count(F.lit(1)).alias("n_hits"))
             .select(
                 F.lit(method).alias("method"),
@@ -3776,6 +3788,7 @@ def hll_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_evolve_spark.functions.sketch import (
         _hll_alpha,
         hll_estimate_from_registers,
+        hll_merge,
         hll_registers,
     )
 
@@ -3797,8 +3810,9 @@ def hll_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_source = finish(
         hll_estimate_from_registers(regs, b=b, group_cols=["source"]), F.col("source")
     )
-    merged_regs = regs.groupBy("j").agg(F.max("rho").alias("rho"))
-    merged = finish(hll_estimate_from_registers(merged_regs, b=b), F.lit("__merged__"))
+    # hll_merge with group_cols=None deliberately collapses the per-source
+    # sketches into the corpus-wide one.
+    merged = finish(hll_estimate_from_registers(hll_merge(regs), b=b), F.lit("__merged__"))
     global_regs = hll_registers(sh, F.col("s"), b=b)
     globl = finish(hll_estimate_from_registers(global_regs, b=b), F.lit("__global__"))
     return per_source.unionByName(merged).unionByName(globl).orderBy("scope")
@@ -4585,12 +4599,15 @@ def decontaminate_overlap_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts and the join skew at scale. Shape: one capped inverted index over
     the whole corpus (one shuffle), split by the doc-id hash, broadcast-join
     the (smaller) test vocabulary. Top 50 most-contaminated train docs."""
-    from iceberg_evolve_spark.functions.dedup import shingle_index
+    from iceberg_evolve_spark.functions.dedup import _attach_intermediates, shingle_index
 
     # The shingle explode is CPU-heavy: shingle_index spreads the (single-
-    # split small parquet) input first — a no-op at real scale.
+    # split small parquet) input first — a no-op at real scale. The capped
+    # index feeds BOTH the train and test branches below, so persist it —
+    # otherwise each branch re-runs the explode + corpus-wide stop-shingle
+    # aggregation (same reason the pair generators persist it).
     docs = _t(spark, sf_dir, "documents")
-    idx = shingle_index(docs, "doc_id", "text", SHINGLE_K, max_df=NGRAM_MAX_DF)
+    idx = shingle_index(docs, "doc_id", "text", SHINGLE_K, max_df=NGRAM_MAX_DF).persist()
     split_hash = hash60(
         F.concat(F.col("_id").cast("string"), F.lit(f"{SEP}{_SPLIT_SALT}"))
     )
@@ -4615,7 +4632,8 @@ def decontaminate_overlap_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overlap_rate", F.round(F.col("n_overlap") / F.col("n_ngrams"), 6)
         )
     )
-    return rate.orderBy(F.col("overlap_rate").desc(), F.col("doc_id").asc()).limit(50)
+    out = rate.orderBy(F.col("overlap_rate").desc(), F.col("doc_id").asc()).limit(50)
+    return _attach_intermediates(out, idx)
 
 
 def _overlap_rate_sql() -> str:

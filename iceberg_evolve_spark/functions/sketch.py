@@ -248,14 +248,23 @@ def hll_registers(
     )
 
 
-def hll_merge(*register_tables: DataFrame) -> DataFrame:
+def hll_merge(
+    *register_tables: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
     """Merge sketches of disjoint (or overlapping — max is idempotent) inputs:
     union the register tables and take the per-register max. Bit-identical to
-    sketching the concatenated input."""
+    sketching the concatenated input.
+
+    For grouped register tables pass the same ``group_cols`` as
+    :func:`hll_registers`: merging then keys on ``(*group_cols, j)`` so each
+    group's sketch merges with its counterpart instead of all groups
+    collapsing into one. To collapse groups deliberately (e.g. per-day →
+    all-time), merge a single grouped table with ``group_cols=None``."""
     from functools import reduce
 
+    gcols = list(group_cols or [])
     out = reduce(DataFrame.unionByName, register_tables)
-    return out.groupBy("j").agg(F.max("rho").alias("rho"))
+    return out.groupBy(*gcols, "j").agg(F.max("rho").alias("rho"))
 
 
 def hll_estimate_from_registers(

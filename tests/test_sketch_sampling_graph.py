@@ -393,3 +393,32 @@ def test_hll_grouped_registers_and_merge_by_group(spark):
     got = sorted((r.j, r.rho) for r in grouped.filter(F.col("g") == "0").select("j", "rho").collect())
     want = sorted((r.j, r.rho) for r in g0.collect())
     assert got == want
+
+
+def test_hll_merge_grouped_keeps_groups(spark):
+    """hll_merge(group_cols=...) merges each group with its counterpart —
+    groups must not collapse into one sketch (and with group_cols=None the
+    collapse is the deliberate per-day → all-time path)."""
+    from iceberg_evolve_spark.functions.sketch import (
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_registers,
+    )
+
+    df = spark.range(0, 4_000).select(
+        "id",
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 900).cast("string").alias("v"),
+    )
+    day1 = hll_registers(df.filter("id < 2000"), F.col("v"), b=7, group_cols=["g"])
+    day2 = hll_registers(df.filter("id >= 2000"), F.col("v"), b=7, group_cols=["g"])
+    merged = hll_merge(day1, day2, group_cols=["g"])
+    whole = hll_registers(df, F.col("v"), b=7, group_cols=["g"])
+    got = {(r.g, r.sum_scaled) for r in hll_estimate_from_registers(merged, b=7, group_cols=["g"]).collect()}
+    want = {(r.g, r.sum_scaled) for r in hll_estimate_from_registers(whole, b=7, group_cols=["g"]).collect()}
+    assert got == want and len(got) == 2
+    # deliberate collapse: group_cols omitted folds everything into one sketch
+    collapsed = hll_merge(whole)
+    one = hll_estimate_from_registers(collapsed, b=7).first()
+    direct = hll_estimate_from_registers(hll_registers(df, F.col("v"), b=7), b=7).first()
+    assert one.sum_scaled == direct.sum_scaled
