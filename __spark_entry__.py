@@ -1902,6 +1902,103 @@ SELECT id_a, id_b, CAST(ej AS DOUBLE) AS est_jaccard FROM est WHERE ej >= {JACCA
 """
 
 
+def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup approximation QUALITY under the hash gate (the `ann_recall_at_k`
+    pattern applied to near-dup detection): precision/recall of the
+    MinHash+banded-LSH accepted pairs against the exact n-gram Jaccard pairs
+    at the same threshold, as one summary row. Both pipelines are
+    deterministic, so the oracle replays them end-to-end and the quality
+    numbers become regression-checked. The compare is ONE tag-union +
+    per-pair max + single aggregation — no cross join, no NLJ."""
+    from iceberg_evolve_spark.functions.dedup import _attach_intermediates
+
+    docs = _t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, "doc_id", k=SHINGLE_K, threshold=JACCARD_T)
+    lsh = minhash_lsh_pairs(
+        docs, "doc_id", num_hashes=MINHASH_N, bands=LSH_BANDS, k=SHINGLE_K,
+        threshold=JACCARD_T,
+    )
+    tagged = (
+        exact.select("id_a", "id_b", F.lit(1).alias("_e"), F.lit(0).alias("_l"))
+        .unionByName(lsh.select("id_a", "id_b", F.lit(0).alias("_e"), F.lit(1).alias("_l")))
+    )
+    per_pair = tagged.groupBy("id_a", "id_b").agg(
+        F.max("_e").alias("e"), F.max("_l").alias("l")
+    )
+    sums = per_pair.agg(
+        F.sum("e").cast("bigint").alias("n_exact"),
+        F.sum("l").cast("bigint").alias("n_lsh"),
+        F.sum(F.col("e") * F.col("l")).cast("bigint").alias("n_hit"),
+    )
+    out = sums.select(
+        "n_exact",
+        "n_lsh",
+        "n_hit",
+        F.when(F.col("n_lsh") > 0, F.round(F.col("n_hit") / F.col("n_lsh"), 6))
+        .otherwise(F.lit(0.0)).alias("precision"),
+        F.when(F.col("n_exact") > 0, F.round(F.col("n_hit") / F.col("n_exact"), 6))
+        .otherwise(F.lit(0.0)).alias("recall"),
+    )
+    handles = (
+        *getattr(exact, "_persisted_intermediates", ()),
+        *getattr(lsh, "_persisted_intermediates", ()),
+    )
+    return _attach_intermediates(out, *handles)
+
+
+_LSH_QUALITY_SQL = f"""
+WITH {_MINHASH_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+    FROM sh a JOIN sh b USING (sh)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+exact AS (
+    SELECT id_a, id_b FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {JACCARD_T}
+),
+bands AS (
+    SELECT doc_id, seed // {MINHASH_N // LSH_BANDS} AS band,
+           md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed ASC)) AS bhash
+    FROM sigs GROUP BY doc_id, seed // {MINHASH_N // LSH_BANDS}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b USING (band, bhash)
+    WHERE a.doc_id < b.doc_id
+),
+est AS (
+    SELECT c.id_a, c.id_b,
+           SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / {MINHASH_N}.0 AS ej
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+    GROUP BY c.id_a, c.id_b
+),
+lshp AS (SELECT id_a, id_b FROM est WHERE ej >= {JACCARD_T}),
+tagged AS (
+    SELECT id_a, id_b, 1 AS e, 0 AS l FROM exact
+    UNION ALL
+    SELECT id_a, id_b, 0 AS e, 1 AS l FROM lshp
+),
+per_pair AS (SELECT id_a, id_b, MAX(e) AS e, MAX(l) AS l FROM tagged GROUP BY id_a, id_b),
+sums AS (
+    SELECT CAST(SUM(e) AS BIGINT) AS n_exact,
+           CAST(SUM(l) AS BIGINT) AS n_lsh,
+           CAST(SUM(e * l) AS BIGINT) AS n_hit
+    FROM per_pair
+)
+SELECT n_exact, n_lsh, n_hit,
+       CASE WHEN n_lsh > 0 THEN ROUND(CAST(n_hit AS DOUBLE) / n_lsh, 6) ELSE 0.0 END AS precision,
+       CASE WHEN n_exact > 0 THEN ROUND(CAST(n_hit AS DOUBLE) / n_exact, 6) ELSE 0.0 END AS recall
+FROM sums
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return simhash(docs, "doc_id", bits=SIMHASH_BITS)
@@ -3797,7 +3894,11 @@ def hll_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha_num = _hll_alpha(m) * m * m * float(1 << (n_bits + 1))
     docs = _t(spark, sf_dir, "documents")
     sh = docs.select("source", F.explode(word_shingles(F.col("text"), SHINGLE_K)).alias("s"))
-    regs = hll_registers(sh, F.col("s"), b=b, group_cols=["source"])
+    # regs feeds two of the three heads (per-source + __merged__); persist the
+    # ≤ sources×256-row relation so the shingle explode + register agg run
+    # once, not twice (the __global__ head stays an independent recompute —
+    # that independence is the merge proof).
+    regs = hll_registers(sh, F.col("s"), b=b, group_cols=["source"]).persist()
 
     def finish(est_df: DataFrame, scope_col) -> DataFrame:
         return est_df.select(
@@ -3815,7 +3916,10 @@ def hll_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = finish(hll_estimate_from_registers(hll_merge(regs), b=b), F.lit("__merged__"))
     global_regs = hll_registers(sh, F.col("s"), b=b)
     globl = finish(hll_estimate_from_registers(global_regs, b=b), F.lit("__global__"))
-    return per_source.unionByName(merged).unionByName(globl).orderBy("scope")
+    from iceberg_evolve_spark.functions.dedup import _attach_intermediates
+
+    out = per_source.unionByName(merged).unionByName(globl).orderBy("scope")
+    return _attach_intermediates(out, regs)
 
 
 def _hll_by_source_sql() -> str:
@@ -4963,6 +5067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf_pq": ann_topk_ivf_pq,
         "hll_merge_by_source": hll_merge_by_source,
         "parts_copurchase_pairs": parts_copurchase_pairs,
+        "dedup_lsh_quality": dedup_lsh_quality,
         # (c) remaining r02-hashed entries (oldest verification still
         #     standing), registry order preserved.
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -4988,8 +5093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_of_lineitem": schema_of_lineitem,
         "schema_diff_by_name": schema_diff_by_name,
         "evolve_users_diff": evolve_users_diff,
-        "evolve_users_plan": evolve_users_plan,
         # ---------------------- past the window ----------------------------
+        "evolve_users_plan": evolve_users_plan,
         "migrate_customer": migrate_customer,
         "q12_priority_by_flag": q12_priority_by_flag,
         "ann_topk_lsh": ann_topk_lsh,
@@ -5134,6 +5239,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf_pq": _ivf_pq_sql(),
         "hll_merge_by_source": _hll_by_source_sql(),
         "parts_copurchase_pairs": _COPURCHASE_SQL,
+        "dedup_lsh_quality": _LSH_QUALITY_SQL,
         "cms_heavy_brands": _CMS_SQL,
         "orders_price_histogram": _HIST_SQL,
         "lineitem_profile": _PROFILE_SQL,

@@ -366,6 +366,40 @@ class IVFIndex:
             .limit(k)
         )
 
+    def append(self, df: DataFrame) -> "IVFIndex":
+        """Incrementally add vectors WITHOUT rebuilding: assign the new batch
+        to cells using the SAVED centroids (pure Catalyst projection — no
+        refit, no scan of the existing store) and append it to the
+        cell-partitioned store, carrying the same derived columns (SQ8 copy,
+        PQ codes) the index was built with. This is the serving-tier
+        maintenance path at 100 TB — daily ingest lands as new files inside
+        existing cell directories; probes see it on the next read with
+        unchanged plans. Centroids intentionally do NOT drift (probe/oracle
+        reproducibility); rebuild when the corpus distribution moves.
+        """
+        assigned = df.select(
+            *df.columns, assign_cell(F.col(self.vec_col), self.centroids).alias("_cell")
+        )
+        store_cols = set(self.assigned.columns)
+        if "q" in store_cols and "scale" in store_cols:
+            from iceberg_evolve_spark.functions.embedding import quantize_int8
+
+            packed = quantize_int8(df, self.id_col, self.vec_col)
+            assigned = assigned.join(
+                packed.withColumnRenamed("vec_id", self.id_col), self.id_col
+            )
+        if self.pq_sample is not None and "pq_codes" in store_cols:
+            assigned = assigned.withColumn(
+                "pq_codes", pq_codes_column(F.col(self.vec_col), self.pq_sample, self.pq_m)
+            )
+        missing = store_cols - set(assigned.columns) - {"_cell"}
+        if missing:
+            raise ValueError(f"append batch lacks index columns: {sorted(missing)}")
+        assigned.repartition("_cell").write.mode("append").partitionBy("_cell").parquet(
+            self.path
+        )
+        return self
+
     def probe_pq(
         self,
         query_vec: list[float],

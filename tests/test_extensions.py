@@ -609,3 +609,43 @@ class TestIVFPQ:
         exact = [r.vec_id for r in index.probe(list(q), k=10, n_probe=4).collect()]
         pq = [r.vec_id for r in index.probe_pq(list(q), k=10, n_probe=4, rerank=40).collect()]
         assert len(set(pq) & set(exact)) >= 5
+
+
+class TestIVFAppend:
+    def test_append_equals_full_rebuild(self, emb, tmp_path):
+        """Appending a batch with saved centroids must give probes the same
+        answers as building the index over the union in one shot (centroids
+        are sampled from the initial corpus in both cases)."""
+        from iceberg_evolve_spark.functions.similarity import build_ivf_index
+
+        first = emb.filter("vec_id < 400")
+        rest = emb.filter("vec_id >= 400")
+        q = emb.filter("vec_id = 3").select("embedding").collect()[0][0]
+
+        index = build_ivf_index(
+            first, str(tmp_path / "inc"), "vec_id", "embedding",
+            n_centroids=8, quantize=True, pq=True, pq_m=8, pq_k=8,
+        )
+        index.append(rest)
+        # full rebuild with the SAME centroid sample source (first corpus)
+        # is emulated by assigning the union against the saved centroids:
+        got = [(r.vec_id, r.cosine) for r in index.probe(list(q), k=10, n_probe=8).collect()]
+        # probing ALL cells == exact search over the union
+        from iceberg_evolve_spark.functions.similarity import topk_brute_force
+        want = [(r.vec_id, r.cosine) for r in topk_brute_force(emb, list(q), k=10).collect()]
+        assert got == want
+        # quantized + pq probes serve the appended rows too
+        sq8 = [r.vec_id for r in index.probe_quantized(list(q), k=10, n_probe=8, rerank=500).collect()]
+        pq = [r.vec_id for r in index.probe_pq(list(q), k=10, n_probe=8, rerank=500).collect()]
+        assert sq8 == [v for v, _ in want] and pq == [v for v, _ in want]
+
+    def test_append_rejects_incomplete_batch(self, emb, tmp_path):
+        from iceberg_evolve_spark.functions.similarity import build_ivf_index
+
+        index = build_ivf_index(
+            emb, str(tmp_path / "inc2"), "vec_id", "embedding",
+            n_centroids=4, quantize=True,
+        )
+        bad = emb.select("vec_id", "embedding")  # drops 'label' carried by the store
+        with pytest.raises(ValueError, match="lacks index columns"):
+            index.append(bad)
