@@ -62,22 +62,34 @@ def quantize_int8_exploded(
     )
 
 
+def quantize_int8_cols(vec_col: Column) -> tuple[Column, Column]:
+    """``(q array<tinyint>, scale double)`` as plain column expressions, for
+    adding the quantized copy INLINE to an existing projection (the IVF build
+    does this — a join back onto the corpus would shuffle for no reason).
+    Identical arithmetic to :func:`quantize_int8`."""
+    scale = _abs_max(vec_col) / F.lit(127.0)
+    q = F.when(
+        scale == 0.0, F.transform(vec_col, lambda x: F.lit(0).cast("tinyint"))
+    ).otherwise(
+        F.transform(
+            vec_col,
+            lambda x: F.greatest(
+                F.lit(-Q_MAX),
+                F.least(F.lit(Q_MAX), F.floor(x.cast("double") / scale + F.lit(0.5))),
+            ).cast("tinyint"),
+        )
+    )
+    return q, scale
+
+
 def quantize_int8(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """Packed form: (id, q array<tinyint>, scale double). One projection."""
-    scale = _abs_max(F.col(vec_col)) / F.lit(127.0)
-    df = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"), scale.alias("scale"))
-    q = F.when(F.col("scale") == 0.0, F.transform("v", lambda x: F.lit(0).cast("tinyint"))).otherwise(
-        F.transform(
-            "v",
-            lambda x: F.greatest(
-                F.lit(-Q_MAX),
-                F.least(F.lit(Q_MAX), F.floor(x.cast("double") / F.col("scale") + F.lit(0.5))),
-            ).cast("tinyint"),
-        )
+    q, scale = quantize_int8_cols(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias("vec_id"), q.alias("q"), scale.alias("scale")
     )
-    return df.select("vec_id", q.alias("q"), "scale")
 
 
 def dequantize(df: DataFrame, q_col: str = "q", scale_col: str = "scale") -> DataFrame:

@@ -382,12 +382,10 @@ class IVFIndex:
         )
         store_cols = set(self.assigned.columns)
         if "q" in store_cols and "scale" in store_cols:
-            from iceberg_evolve_spark.functions.embedding import quantize_int8
+            from iceberg_evolve_spark.functions.embedding import quantize_int8_cols
 
-            packed = quantize_int8(df, self.id_col, self.vec_col)
-            assigned = assigned.join(
-                packed.withColumnRenamed("vec_id", self.id_col), self.id_col
-            )
+            qcol, scol = quantize_int8_cols(F.col(self.vec_col))
+            assigned = assigned.withColumn("q", qcol).withColumn("scale", scol)
         if self.pq_sample is not None and "pq_codes" in store_cols:
             assigned = assigned.withColumn(
                 "pq_codes", pq_codes_column(F.col(self.vec_col), self.pq_sample, self.pq_m)
@@ -544,12 +542,12 @@ def build_ivf_index(
     else:
         raise ValueError(f"unknown IVF method {method!r}; use 'sample' or 'kmeans'")
     if quantize:
-        from iceberg_evolve_spark.functions.embedding import quantize_int8
+        from iceberg_evolve_spark.functions.embedding import quantize_int8_cols
 
-        packed = quantize_int8(df, id_col, vec_col)
-        assigned = assigned.join(
-            packed.withColumnRenamed("vec_id", id_col), id_col
-        )
+        # Inline projection — joining quantize_int8's output back onto the
+        # corpus shuffled the whole build for columns derivable row-locally.
+        qcol, scol = quantize_int8_cols(F.col(vec_col))
+        assigned = assigned.withColumn("q", qcol).withColumn("scale", scol)
     pq_sample = None
     if pq:
         # Same md5-ordered sampling as the coarse centroids, under its own
