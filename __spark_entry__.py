@@ -2302,6 +2302,72 @@ LIMIT {ANN_K}
 """
 
 
+ANN_BATCH_QUERIES = 5
+
+
+def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN serving (`IVFIndex.probe_batch`): top-k for a TABLE of
+    queries in one job — per-query probe cells computed in-plan (literal
+    centroids, array_sort tie-broken like the driver's nearest_cells), the
+    (query, cell) explode broadcast-joined into the cell-partitioned store,
+    one window per query for the top-k. The offline scoring shape: per-query
+    cost identical to single probes, amortized into one job with no driver
+    round trips."""
+    index = _ivf_index(spark, sf_dir)
+    queries = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < ANN_BATCH_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+    return index.probe_batch(queries, k=ANN_K, n_probe=IVF_PROBE)
+
+
+def _ivf_batch_sql() -> str:
+    """DuckDB replay of the batch probe: corpus cell assignment (same CTEs as
+    `_ivf_cte_prefix`), per-query probe-cell ranking (row_number ORDER BY the
+    fold-order L2, ties by cell — equals the in-plan array_sort of (d, cell)
+    structs), and a per-query rank window over the ROUNDED cosine (Spark
+    rounds before its window, so the oracle must rank on the same values)."""
+    h = f"md5('{IVF_SEED}|' || CAST(vec_id AS VARCHAR))"
+    dist_ec = _L2_SQL.format(a="e.embedding", b="c.cv", d=EMB_DIM)
+    dist_qc = _L2_SQL.format(a="q.qv", b="c.cv", d=EMB_DIM)
+    cos = _cosine_sql("m.embedding", "q.qv")
+    return f"""
+WITH cent AS (
+    SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS cell, embedding AS cv
+    FROM (SELECT vec_id, embedding FROM embeddings ORDER BY {h}, vec_id LIMIT {IVF_CELLS})
+),
+qs AS (
+    SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+    WHERE vec_id < {ANN_BATCH_QUERIES}
+),
+assigned AS (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist_ec} ASC, c.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+),
+mine AS (SELECT vec_id, embedding, cell FROM assigned WHERE rn = 1),
+qprobe AS (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {dist_qc} ASC, c.cell ASC) AS prn
+    FROM qs q CROSS JOIN cent c
+),
+qcells AS (SELECT query_id, cell FROM qprobe WHERE prn <= {IVF_PROBE}),
+scored AS (
+    SELECT qc.query_id, m.vec_id, ROUND({cos}, 6) AS cosine,
+           row_number() OVER (
+               PARTITION BY qc.query_id
+               ORDER BY ROUND({cos}, 6) DESC, m.vec_id ASC
+           ) AS rank
+    FROM qcells qc
+    JOIN mine m ON m.cell = qc.cell
+    JOIN qs q ON q.query_id = qc.query_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cosine
+FROM scored WHERE rank <= {ANN_K}
+"""
+
+
 def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ serving path (Jégou et al. TPAMI 2011): stage 1 scans ONLY
     (id, pq_codes) of the probed cells — 8 small ints per row, ~32× narrower
@@ -5068,6 +5134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_merge_by_source": hll_merge_by_source,
         "parts_copurchase_pairs": parts_copurchase_pairs,
         "dedup_lsh_quality": dedup_lsh_quality,
+        "ann_topk_batch": ann_topk_batch,
         # (c) remaining r02-hashed entries (oldest verification still
         #     standing), registry order preserved.
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -5092,8 +5159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "schema_of_lineitem": schema_of_lineitem,
         "schema_diff_by_name": schema_diff_by_name,
-        "evolve_users_diff": evolve_users_diff,
         # ---------------------- past the window ----------------------------
+        "evolve_users_diff": evolve_users_diff,
         "evolve_users_plan": evolve_users_plan,
         "migrate_customer": migrate_customer,
         "q12_priority_by_flag": q12_priority_by_flag,
@@ -5240,6 +5307,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_merge_by_source": _hll_by_source_sql(),
         "parts_copurchase_pairs": _COPURCHASE_SQL,
         "dedup_lsh_quality": _LSH_QUALITY_SQL,
+        "ann_topk_batch": _ivf_batch_sql(),
         "cms_heavy_brands": _CMS_SQL,
         "orders_price_histogram": _HIST_SQL,
         "lineitem_profile": _PROFILE_SQL,

@@ -16,7 +16,7 @@ reproducible by the DuckDB oracle (``list_`` lambdas).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 def dot(a: Column, b: Column) -> Column:
@@ -462,6 +462,67 @@ class IVFIndex:
             .select(F.col(self.id_col), sim.alias("cosine"))
             .orderBy(F.col("cosine").desc(), F.col(self.id_col).asc())
             .limit(k)
+        )
+
+    def probe_batch(
+        self,
+        queries: DataFrame,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "qv",
+        k: int = 10,
+        n_probe: int = 4,
+        round_digits: int | None = 6,
+    ) -> DataFrame:
+        """Top-k for a WHOLE TABLE of queries in one job — the offline batch
+        serving shape (score every new document against the corpus, nightly
+        retrieval refreshes), where per-query driver round trips would never
+        scale.
+
+        Per query, the probe cells are computed IN-PLAN (literal-centroid
+        distances → array_sort of (dist, cell) structs → first ``n_probe``),
+        the (query, cell) explode joins the cell-partitioned store on
+        ``_cell``, and one window keeps the top ``k`` per query. With the
+        query side broadcast (it is, explicitly), Spark's dynamic partition
+        pruning can skip unprobed cell directories — the batch analogue of
+        the literal ``_cell IN (...)`` pruning of :meth:`probe`. Work scales
+        as queries × (n_probe/n_centroids · corpus), the same per-query cost
+        as single probes, amortized into one shuffle-free scan + one window.
+
+        Output: (query_id, rank 1..k, vec_id, cosine).
+        """
+        base = queries.select(
+            F.col(query_id_col).alias("_qid"), F.col(query_vec_col).alias("_qv")
+        )
+        dist_cells = F.array(
+            *[
+                F.struct(
+                    l2sq_to_literal(F.col("_qv"), c).alias("d"), F.lit(i).alias("cell")
+                )
+                for i, c in enumerate(self.centroids)
+            ]
+        )
+        probed = F.transform(
+            F.slice(F.array_sort(dist_cells), 1, n_probe), lambda s: s["cell"]
+        )
+        q_cells = base.withColumn("_cell", F.explode(probed))
+        sim = cosine_sim(F.col(self.vec_col), F.col("_qv"))
+        if round_digits is not None:
+            sim = F.round(sim, round_digits)
+        scored = self.assigned.join(F.broadcast(q_cells), "_cell").select(
+            F.col("_qid"), F.col(self.id_col), sim.alias("cosine")
+        )
+        w = Window.partitionBy("_qid").orderBy(
+            F.col("cosine").desc(), F.col(self.id_col).asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.col("_qid").alias(query_id_col),
+                "rank",
+                self.id_col,
+                "cosine",
+            )
         )
 
     def probe(

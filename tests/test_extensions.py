@@ -649,3 +649,48 @@ class TestIVFAppend:
         bad = emb.select("vec_id", "embedding")  # drops 'label' carried by the store
         with pytest.raises(ValueError, match="lacks index columns"):
             index.append(bad)
+
+
+class TestIVFBatchProbe:
+    def test_batch_matches_single_probes(self, emb, tmp_path):
+        """Each query's batch rows must equal its single-query probe at the
+        same settings — probe-cell selection, rounding, and tie-breaks
+        included."""
+        from pyspark.sql import functions as F2
+
+        from iceberg_evolve_spark.functions.similarity import build_ivf_index
+
+        index = build_ivf_index(
+            emb, str(tmp_path / "ivfb"), "vec_id", "embedding", n_centroids=8
+        )
+        queries = emb.filter("vec_id < 4").select(
+            F2.col("vec_id").alias("query_id"), F2.col("embedding").alias("qv")
+        )
+        batch = index.probe_batch(queries, k=10, n_probe=4)
+        got = {}
+        for r in batch.collect():
+            got.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cosine))
+        for q in emb.filter("vec_id < 4").collect():
+            single = [
+                (i + 1, r.vec_id, r.cosine)
+                for i, r in enumerate(index.probe(list(q.embedding), k=10, n_probe=4).collect())
+            ]
+            assert sorted(got[q.vec_id]) == single, f"query {q.vec_id}"
+
+    def test_batch_plan_broadcasts_queries(self, emb, tmp_path):
+        from pyspark.sql import functions as F2
+
+        from iceberg_evolve_spark.functions.similarity import build_ivf_index
+
+        index = build_ivf_index(
+            emb, str(tmp_path / "ivfb2"), "vec_id", "embedding", n_centroids=4
+        )
+        queries = emb.filter("vec_id < 3").select(
+            F2.col("vec_id").alias("query_id"), F2.col("embedding").alias("qv")
+        )
+        plan = (
+            index.probe_batch(queries, k=5, n_probe=2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
