@@ -548,3 +548,67 @@ class TestSessionProcessorLogic:
         list(p.handleInputRows((1,), iter([self._batch([("2024-01-01 10:20:00", "b", 1.0)])]), None))
         assert len(p.handle.timers) == 1  # old timer replaced, not accumulated
         assert p.handle.timers[0] == t1 + 20 * 60 * 1000
+
+
+class TestStreamingHLL:
+    """Incremental HLL maintenance: the streamed registers must equal the
+    batch sketch over the union of all micro-batches (merge == whole), and —
+    unlike CMS — replaying a batch is a no-op WITHOUT markers, because
+    register max is idempotent."""
+
+    def test_streamed_registers_match_batch(self, spark, stream_dir):
+        import tempfile
+
+        from iceberg_evolve_spark.functions.sketch import hll_registers
+        from iceberg_evolve_spark.streaming.sketch_sink import run_hll_stream
+
+        batch2 = [
+            (5, "2024-01-01 11:00:00", 3, "view", 1.0),
+            (6, "2024-01-01 11:30:00", 3, "click", 2.0),
+            (7, "2024-01-01 11:45:00", 1, "click", 2.5),
+        ]
+        _write_batch(spark, stream_dir, ROWS_BATCH1, "b1")
+        _write_batch(spark, stream_dir, batch2, "b2")
+        target = tempfile.mkdtemp(prefix="hll_snap_") + "/sketch"
+        ckpt = tempfile.mkdtemp(prefix="hll_ckpt_")
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        q = run_hll_stream(stream, target, "event_id", ckpt, b=6)
+        q.awaitTermination(120)
+
+        streamed = sorted(
+            (r["j"], r["rho"]) for r in spark.read.parquet(target).collect()
+        )
+        all_rows = spark.read.schema(EVENTS_SCHEMA).parquet(stream_dir)
+        expected = sorted(
+            (r["j"], r["rho"])
+            for r in hll_registers(
+                all_rows, F.col("event_id").cast("string"), b=6
+            ).collect()
+        )
+        assert streamed == expected
+
+    def test_replay_idempotent_without_markers(self, spark):
+        import os as _os
+        import tempfile
+
+        from iceberg_evolve_spark.streaming.sketch_sink import hll_batch_writer
+
+        target = tempfile.mkdtemp(prefix="hll_replay_") + "/sketch"
+        writer = hll_batch_writer(spark, target, "event_type", b=6)
+        df = spark.createDataFrame(
+            [(1, "click"), (2, "view")], "event_id long, event_type string"
+        )
+        writer(df, 0)
+        once = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+        writer(df, 0)  # replay: max-merge of identical registers — no-op
+        twice = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+        assert once == twice
+        # and no marker files were needed to achieve it
+        assert not [f for f in _os.listdir(target) if f.startswith("_applied_")]
+        writer(spark.createDataFrame([(3, "purchase")], "event_id long, event_type string"), 1)
+        thrice = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+        assert thrice != once
