@@ -831,6 +831,69 @@ def totalprice_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QSAMPLE_FRACTION = 0.2
+QSAMPLE_SALT = "qtl"
+
+
+def quantiles_sampled_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile SCALE path next to totalprice_percentiles' exact
+    baseline: estimate per-status quantiles from a deterministic
+    content-addressed 20% sample, in the SAME single aggregation pass as the
+    exact value (conditional percentile over the sample flag — aggregate
+    functions skip the nulls), and report the relative error. At 100 TB the
+    exact per-group sort is the cost; the sampled estimate touches f·n rows,
+    is reproducible across engines/partitionings (integer hash threshold, no
+    RNG), and sample membership is content-addressed, so per-partition
+    samples ARE the global sample — mergeable by construction."""
+    from iceberg_evolve_spark.functions.sampling import _keyed, _threshold
+
+    orders = _t(spark, sf_dir, "orders")
+    in_sample = hash60(_keyed("o_orderkey", QSAMPLE_SALT)) < F.lit(
+        _threshold(QSAMPLE_FRACTION)
+    )
+    sampled_val = F.when(in_sample, F.col("o_totalprice"))
+    out = orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("exact_p50"),
+        F.round(
+            F.percentile(sampled_val, F.lit(0.5)), 4
+        ).alias("est_p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("exact_p95"),
+        F.round(
+            F.percentile(sampled_val, F.lit(0.95)), 4
+        ).alias("est_p95"),
+        F.count(F.when(in_sample, 1)).cast("bigint").alias("n_sample"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return out.select(
+        "o_orderstatus", "exact_p50", "est_p50", "exact_p95", "est_p95",
+        "n_sample", "n",
+        F.round(F.abs(F.col("est_p50") - F.col("exact_p50")) / F.col("exact_p50"), 4).alias("err_p50"),
+        F.round(F.abs(F.col("est_p95") - F.col("exact_p95")) / F.col("exact_p95"), 4).alias("err_p95"),
+    )
+
+
+def _qsample_sql() -> str:
+    from iceberg_evolve_spark.functions.sampling import hash_sample_sql
+
+    pred = hash_sample_sql("o_orderkey", QSAMPLE_FRACTION, QSAMPLE_SALT)
+    return f"""
+WITH agg AS (
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+           ROUND(quantile_cont(CASE WHEN {pred} THEN o_totalprice END, 0.5), 4) AS est_p50,
+           ROUND(quantile_cont(o_totalprice, 0.95), 4) AS exact_p95,
+           ROUND(quantile_cont(CASE WHEN {pred} THEN o_totalprice END, 0.95), 4) AS est_p95,
+           CAST(COUNT(CASE WHEN {pred} THEN 1 END) AS BIGINT) AS n_sample,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, exact_p50, est_p50, exact_p95, est_p95, n_sample, n,
+       ROUND(ABS(est_p50 - exact_p50) / exact_p50, 4) AS err_p50,
+       ROUND(ABS(est_p95 - exact_p95) / exact_p95, 4) AS err_p95
+FROM agg
+"""
+
+
 _PCTL_SQL = """
 SELECT o_orderstatus,
        ROUND(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
@@ -5135,6 +5198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_copurchase_pairs": parts_copurchase_pairs,
         "dedup_lsh_quality": dedup_lsh_quality,
         "ann_topk_batch": ann_topk_batch,
+        "quantiles_sampled_totalprice": quantiles_sampled_totalprice,
         # (c) remaining r02-hashed entries (oldest verification still
         #     standing), registry order preserved.
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -5158,8 +5222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": bpe_token_counts,
         "multimodal_features": multimodal_features,
         "schema_of_lineitem": schema_of_lineitem,
-        "schema_diff_by_name": schema_diff_by_name,
         # ---------------------- past the window ----------------------------
+        "schema_diff_by_name": schema_diff_by_name,
         "evolve_users_diff": evolve_users_diff,
         "evolve_users_plan": evolve_users_plan,
         "migrate_customer": migrate_customer,
@@ -5308,6 +5372,7 @@ def oracle_sql() -> dict[str, str]:
         "parts_copurchase_pairs": _COPURCHASE_SQL,
         "dedup_lsh_quality": _LSH_QUALITY_SQL,
         "ann_topk_batch": _ivf_batch_sql(),
+        "quantiles_sampled_totalprice": _qsample_sql(),
         "cms_heavy_brands": _CMS_SQL,
         "orders_price_histogram": _HIST_SQL,
         "lineitem_profile": _PROFILE_SQL,
