@@ -831,6 +831,139 @@ def totalprice_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INCR_CUTOFF = "1997-06-01"
+
+
+def incremental_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance under the hash gate
+    (`operators/incremental.py`): the materialized per-status rollup of
+    pre-cutoff orders merged with the cutoff-onward delta's partial
+    aggregate. The ORACLE is the direct one-shot rollup over ALL orders —
+    hash equality IS the merge-equals-recompute theorem, checked on real
+    data. Sums go through the exact-decimal cast so merged addition is
+    aggregation-order-independent. At 100 TB the base is never rescanned:
+    the delta aggregates map-side and one key join folds it in."""
+    from iceberg_evolve_spark.operators.incremental import (
+        aggregate_delta,
+        merge_aggregates,
+    )
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "_p", _dec(F.col("o_totalprice"), 2)
+    )
+    cut = F.lit(INCR_CUTOFF).cast("date")
+    base = aggregate_delta(
+        orders.filter(F.col("o_orderdate") < cut),
+        ["o_orderstatus"],
+        sum_cols={"_p": "sum_price"},
+        min_cols={"o_totalprice": "min_price"},
+        max_cols={"o_totalprice": "max_price"},
+    )
+    delta = aggregate_delta(
+        orders.filter(~(F.col("o_orderdate") < cut)),
+        ["o_orderstatus"],
+        sum_cols={"_p": "sum_price"},
+        min_cols={"o_totalprice": "min_price"},
+        max_cols={"o_totalprice": "max_price"},
+    )
+    merged = merge_aggregates(
+        base, delta, ["o_orderstatus"], ["sum_price"],
+        min_cols=["min_price"], max_cols=["max_price"],
+    )
+    return merged.select(
+        "o_orderstatus",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
+_INCR_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(22,2))) AS DOUBLE) AS sum_price,
+       ROUND(MIN(o_totalprice), 2) AS min_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+SYNTH_ROWS = 400
+SYNTH_PARTS = 8
+SYNTH_SEED = 7
+
+
+def synthetic_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 Python DataSource under the hash gate: read the registered
+    `synthetic_docs` source (schema declaration, option handling, partition
+    planning all exercised in-plan) and aggregate. Rows are pure functions of
+    (seed, doc_id) over the portable md5 hash, so the DuckDB oracle REBUILDS
+    the whole corpus from `range()` + the same hash formulas — the custom
+    source's content is verified value-for-value, not just row-counted.
+    sf-independent by design (the source generates, it does not read)."""
+    from iceberg_evolve_spark.sources.synthetic import SyntheticDocsDataSource
+
+    try:
+        spark.dataSource.register(SyntheticDocsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("rows", SYNTH_ROWS)
+        .option("partitions", SYNTH_PARTS)
+        .option("seed", SYNTH_SEED)
+        .load()
+    )
+    return (
+        df.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.round(F.avg(F.size(F.split("text", " "))), 6).alias("avg_words"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def _synth_sql() -> str:
+    from iceberg_evolve_spark.sources.synthetic import _LANGS, _SOURCES, _WORDS
+
+    words = "[" + ", ".join(f"'{w}'" for w in _WORDS) + "]"
+    langs = "[" + ", ".join(f"'{x}'" for x in _LANGS) + "]"
+    srcs = "[" + ", ".join(f"'{x}'" for x in _SOURCES) + "]"
+
+    def h(salt_expr: str) -> str:
+        return (
+            f"CAST('0x' || substr(md5('{SYNTH_SEED}|' || CAST(doc_id AS VARCHAR) || '|' || {salt_expr}), 1, 15) AS BIGINT)"
+        )
+
+    return f"""
+WITH ids AS (SELECT range AS doc_id FROM range(0, {SYNTH_ROWS})),
+meta AS (
+    SELECT doc_id,
+           5 + {h("'len'")} % 60 AS n_words,
+           {langs}[CAST(1 + {h("'lang'")} % {len(_LANGS)} AS INT)] AS lang,
+           {srcs}[CAST(1 + {h("'src'")} % {len(_SOURCES)} AS INT)] AS source
+    FROM ids
+),
+texts AS (
+    SELECT doc_id, lang, source, n_words,
+           array_to_string(list_transform(range(0, n_words),
+               j -> {words}[CAST(1 + {h("'w' || CAST(j AS VARCHAR)")} % {len(_WORDS)} AS INT)]), ' ') AS text
+    FROM meta
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       ROUND(AVG(n_words), 6) AS avg_words
+FROM texts
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
 QSAMPLE_FRACTION = 0.2
 QSAMPLE_SALT = "qtl"
 
@@ -5199,6 +5332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_quality": dedup_lsh_quality,
         "ann_topk_batch": ann_topk_batch,
         "quantiles_sampled_totalprice": quantiles_sampled_totalprice,
+        "incremental_status_rollup": incremental_status_rollup,
+        "synthetic_source_stats": synthetic_source_stats,
         # (c) remaining r02-hashed entries (oldest verification still
         #     standing), registry order preserved.
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -5220,9 +5355,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         "bpe_token_counts": bpe_token_counts,
+        # ---------------------- past the window ----------------------------
         "multimodal_features": multimodal_features,
         "schema_of_lineitem": schema_of_lineitem,
-        # ---------------------- past the window ----------------------------
         "schema_diff_by_name": schema_diff_by_name,
         "evolve_users_diff": evolve_users_diff,
         "evolve_users_plan": evolve_users_plan,
@@ -5373,6 +5508,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_quality": _LSH_QUALITY_SQL,
         "ann_topk_batch": _ivf_batch_sql(),
         "quantiles_sampled_totalprice": _qsample_sql(),
+        "incremental_status_rollup": _INCR_SQL,
+        "synthetic_source_stats": _synth_sql(),
         "cms_heavy_brands": _CMS_SQL,
         "orders_price_histogram": _HIST_SQL,
         "lineitem_profile": _PROFILE_SQL,
