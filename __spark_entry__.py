@@ -831,6 +831,53 @@ def totalprice_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZORDER_BITS = 12
+
+
+def zorder_codes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order clustering math under the hash gate (`sources/zorder.py`):
+    the Morton code of (o_custkey, o_totalprice) per order — min-max
+    normalization to 2^bits buckets from one broadcast 1-row aggregate, then
+    pure JVM bit interleaving in codegen. The write-side tests
+    (`test_zorder.py`) prove the file-pruning effect; this entry proves the
+    curve itself value-for-value cross-engine."""
+    from iceberg_evolve_spark.sources.zorder import zorder_column
+
+    orders = _t(spark, sf_dir, "orders")
+    return zorder_column(
+        orders, "o_custkey", "o_totalprice", bits=ZORDER_BITS, out="z_code"
+    ).select("o_orderkey", "z_code")
+
+
+def _zorder_sql() -> str:
+    b = ZORDER_BITS
+    top = (1 << b) - 1
+
+    def norm(v: str, lo: str, hi: str) -> str:
+        span = f"CASE WHEN {hi} > {lo} THEN {hi} - {lo} ELSE 1.0 END"
+        scaled = f"(CAST({v} AS DOUBLE) - {lo}) / ({span}) * {float(top)!r}"
+        return f"LEAST(GREATEST(CAST(FLOOR({scaled}) AS BIGINT), 0), {top})"
+
+    interleave = " | ".join(
+        f"((((nx >> {i}) & 1) << {2 * i}) | (((ny >> {i}) & 1) << {2 * i + 1}))"
+        for i in range(b)
+    )
+    return f"""
+WITH stats AS (
+    SELECT MIN(CAST(o_custkey AS DOUBLE)) AS alo, MAX(CAST(o_custkey AS DOUBLE)) AS ahi,
+           MIN(CAST(o_totalprice AS DOUBLE)) AS blo, MAX(CAST(o_totalprice AS DOUBLE)) AS bhi
+    FROM orders
+),
+normed AS (
+    SELECT o.o_orderkey,
+           {norm('o.o_custkey', 's.alo', 's.ahi')} AS nx,
+           {norm('o.o_totalprice', 's.blo', 's.bhi')} AS ny
+    FROM orders o, stats s
+)
+SELECT o_orderkey, CAST({interleave} AS BIGINT) AS z_code FROM normed
+"""
+
+
 INCR_CUTOFF = "1997-06-01"
 
 
@@ -5334,6 +5381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_sampled_totalprice": quantiles_sampled_totalprice,
         "incremental_status_rollup": incremental_status_rollup,
         "synthetic_source_stats": synthetic_source_stats,
+        "zorder_codes_orders": zorder_codes_orders,
         # (c) remaining r02-hashed entries (oldest verification still
         #     standing), registry order preserved.
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -5354,8 +5402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": text_stats,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
-        "bpe_token_counts": bpe_token_counts,
         # ---------------------- past the window ----------------------------
+        "bpe_token_counts": bpe_token_counts,
         "multimodal_features": multimodal_features,
         "schema_of_lineitem": schema_of_lineitem,
         "schema_diff_by_name": schema_diff_by_name,
@@ -5510,6 +5558,7 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_sampled_totalprice": _qsample_sql(),
         "incremental_status_rollup": _INCR_SQL,
         "synthetic_source_stats": _synth_sql(),
+        "zorder_codes_orders": _zorder_sql(),
         "cms_heavy_brands": _CMS_SQL,
         "orders_price_histogram": _HIST_SQL,
         "lineitem_profile": _PROFILE_SQL,
