@@ -5103,6 +5103,26 @@ FROM grams
 """
 
 
+def docs_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-free featurization under the hash gate
+    (`functions/text.py:feature_hashing`): signed hashing-trick vectors in
+    sparse (doc, bucket, weight) form — no fitted dictionary, no OOV, exact
+    integer weights, one map-side-combined aggregation."""
+    from iceberg_evolve_spark.functions.text import feature_hashing
+
+    docs = _t(spark, sf_dir, "documents")
+    return feature_hashing(docs, "doc_id", "text", dim=FEATURE_HASH_DIM)
+
+
+FEATURE_HASH_DIM = 64
+
+
+def _feature_hash_sql() -> str:
+    from iceberg_evolve_spark.functions.text import feature_hashing_sql
+
+    return feature_hashing_sql(dim=FEATURE_HASH_DIM)
+
+
 def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher quality-rule battery (`functions/text.py:gopher_signals`):
     token-count bounds, mean word length, alphabetic-word fraction, and the
@@ -5382,6 +5402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_status_rollup": incremental_status_rollup,
         "synthetic_source_stats": synthetic_source_stats,
         "zorder_codes_orders": zorder_codes_orders,
+        "docs_feature_hashing": docs_feature_hashing,
         # (c) remaining r02-hashed entries (oldest verification still
         #     standing), registry order preserved.
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -5401,8 +5422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "text_stats": text_stats,
         "lang_id": lang_id,
-        "doc_fingerprint": doc_fingerprint,
         # ---------------------- past the window ----------------------------
+        "doc_fingerprint": doc_fingerprint,
         "bpe_token_counts": bpe_token_counts,
         "multimodal_features": multimodal_features,
         "schema_of_lineitem": schema_of_lineitem,
@@ -5559,6 +5580,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_status_rollup": _INCR_SQL,
         "synthetic_source_stats": _synth_sql(),
         "zorder_codes_orders": _zorder_sql(),
+        "docs_feature_hashing": _feature_hash_sql(),
         "cms_heavy_brands": _CMS_SQL,
         "orders_price_histogram": _HIST_SQL,
         "lineitem_profile": _PROFILE_SQL,

@@ -275,6 +275,58 @@ def pack_token_sequences(
     )
 
 
+def feature_hashing(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """Signed feature hashing (the "hashing trick", Weinberger et al.,
+    "Feature hashing for large scale multitask learning", ICML 2009): each
+    token maps to bucket ``hash(tok) % dim`` with sign ±1 from an independent
+    hash bit; a document's feature vector is the per-bucket sum of signs.
+    This is the vocabulary-free featurizer a 100 TB corpus can afford — no
+    fitted dictionary, no OOV, dimensionality fixed up front, and (unlike
+    MLlib's HashingTF, whose murmur bucketing is engine-internal) built on
+    the portable md5 hash so the DuckDB oracle replays every weight.
+
+    Output is the SPARSE triplet form ``(id, bucket, weight)`` — the
+    representation that stays linear in corpus tokens at any ``dim``. One
+    explode + one (id, bucket) aggregation with map-side combine; weights
+    are exact integers (sums of ±1), so the result is partition-order
+    independent. Densify downstream only where a model needs it.
+    """
+    from iceberg_evolve_spark.functions.hashing import hash60, hash60_seeded
+    from iceberg_evolve_spark.functions.parallel import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
+    )
+    bucket = (hash60("_tok") % dim).cast("int")
+    sign = (hash60_seeded("_tok", 1) % 2 * 2 - 1).cast("int")
+    return (
+        tok.select(id_col, bucket.alias("bucket"), sign.alias("_s"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("_s").cast("bigint").alias("weight"))
+    )
+
+
+def feature_hashing_sql(dim: int = 64) -> str:
+    """DuckDB twin of :func:`feature_hashing` over the ``documents`` view."""
+    from iceberg_evolve_spark.functions.hashing import SEP, hash60_sql
+
+    toks = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+    h = hash60_sql("t")
+    hs = hash60_sql(f"t || '{SEP}1'")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({toks}) AS t FROM documents)
+SELECT doc_id, CAST({h} % {dim} AS INT) AS bucket,
+       CAST(SUM({hs} % 2 * 2 - 1) AS BIGINT) AS weight
+FROM tok GROUP BY doc_id, bucket
+"""
+
+
 #: Redaction patterns — deliberately the portable regex subset (no lookaround,
 #: no backrefs) so Java (Spark) and RE2 (DuckDB, Go) engines match identically.
 PII_PATTERNS: dict[str, str] = {

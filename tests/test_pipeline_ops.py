@@ -270,3 +270,36 @@ class TestGopherSignals:
         # repartition — no computation shuffle, no Python fallback
         assert "hashpartitioning" not in plan.lower()
         assert "BatchEvalPython" not in plan
+
+
+class TestFeatureHashing:
+    def test_weights_match_portable_hash_definition(self, spark):
+        """Buckets/signs follow the md5 definition exactly (collisions
+        included) — expected weights computed from an independent mirror."""
+        import hashlib
+
+        from iceberg_evolve_spark.functions.hashing import SEP
+        from iceberg_evolve_spark.functions.text import feature_hashing
+
+        def h60(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        docs = {0: "alpha alpha beta", 1: "alpha"}
+        expected = {}
+        for d, text in docs.items():
+            for t in text.split():
+                b = h60(t) % 16
+                s = h60(f"{t}{SEP}1") % 2 * 2 - 1
+                expected[(d, b)] = expected.get((d, b), 0) + s
+        df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+        got = {(r.doc_id, r.bucket): r.weight for r in feature_hashing(df, dim=16).collect()}
+        assert got == expected
+
+    def test_partition_invariance(self, spark, sf_dir):
+        from iceberg_evolve_spark.functions.text import feature_hashing
+        from iceberg_evolve_spark.sources import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        a = sorted(tuple(r) for r in feature_hashing(docs.repartition(3)).collect())
+        b = sorted(tuple(r) for r in feature_hashing(docs.repartition(17)).collect())
+        assert a == b and a
