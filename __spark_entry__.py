@@ -831,6 +831,79 @@ def totalprice_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PRIO_K = 200
+PRIO_SALT = "ps"
+
+
+def orders_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted priority sampling + the DLT unbiased total estimator under
+    the hash gate (`functions/sampling.py:priority_sample`; Duffield-Lund-
+    Thorup JACM 2007): top-k rows by priority w/u with deterministic
+    content-addressed u, τ = the (k+1)-th priority, and
+    est_total = Σ max(w_i, τ) over the sample — a k-row answer to
+    "what's the total order value", with the relative error as a checked
+    output. The top-(k+1) runs as TakeOrderedAndProject (per-partition
+    top-k, no global sort); the estimator folds over k+1 rows of driver-side
+    metadata scale. Sums go through the exact-decimal cast."""
+    from iceberg_evolve_spark.functions.sampling import priority_sample
+
+    orders = _t(spark, sf_dir, "orders")
+    topk1 = priority_sample(
+        orders, "o_orderkey", "o_totalprice", PRIO_K, salt=PRIO_SALT
+    ).select("o_orderkey", "o_totalprice", "_priority")
+    w_rank = Window.orderBy(F.col("_priority").desc(), F.col("o_orderkey"))
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = topk1.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "tau", F.max(F.when(F.col("rn") == PRIO_K + 1, F.col("_priority"))).over(w_all)
+    )
+    est = ranked.filter(F.col("rn") <= PRIO_K).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sample"),
+        F.round(F.max("tau"), 4).alias("tau"),
+        F.sum(
+            _dec(F.greatest(F.col("o_totalprice"), F.col("tau")), 4, precision=25)
+        ).cast("double").alias("_est"),
+    )
+    exact = orders.agg(
+        F.sum(_dec(F.col("o_totalprice"), 2)).cast("double").alias("_exact")
+    )
+    return est.join(F.broadcast(exact)).select(
+        F.lit(PRIO_K).cast("bigint").alias("k"),
+        "n_sample",
+        "tau",
+        F.round(F.col("_est"), 4).alias("est_total"),
+        F.round(F.col("_exact"), 4).alias("exact_total"),
+        F.round(F.abs(F.col("_est") - F.col("_exact")) / F.col("_exact"), 4).alias("rel_err"),
+    )
+
+
+def _priority_sample_sql() -> str:
+    h = _H60.format(x=f"CAST(o_orderkey AS VARCHAR) || '{SEP}{PRIO_SALT}'")
+    two60 = "1152921504606846976.0"  # 2^60 exactly, as both engines parse it
+    return f"""
+WITH pr AS (
+    SELECT o_orderkey, o_totalprice,
+           (CAST(o_totalprice AS DOUBLE) * {two60}) / CAST({h} + 1 AS DOUBLE) AS p
+    FROM orders
+),
+top AS (SELECT * FROM pr ORDER BY p DESC, o_orderkey LIMIT {PRIO_K + 1}),
+ranked AS (SELECT *, row_number() OVER (ORDER BY p DESC, o_orderkey) AS rn FROM top),
+tau AS (SELECT p AS tau FROM ranked WHERE rn = {PRIO_K + 1}),
+est AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
+           CAST(SUM(CAST(ROUND(GREATEST(r.o_totalprice, t.tau), 4) AS DECIMAL(25,4))) AS DOUBLE) AS est,
+           MAX(t.tau) AS tau
+    FROM ranked r, tau t WHERE r.rn <= {PRIO_K}
+),
+ex AS (SELECT CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(22,2))) AS DOUBLE) AS exact FROM orders)
+SELECT CAST({PRIO_K} AS BIGINT) AS k, n_sample, ROUND(tau, 4) AS tau,
+       ROUND(est, 4) AS est_total, ROUND(exact, 4) AS exact_total,
+       ROUND(ABS(est - exact) / exact, 4) AS rel_err
+FROM est, ex
+"""
+
+
 ZORDER_BITS = 12
 
 
@@ -5403,6 +5476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synthetic_source_stats": synthetic_source_stats,
         "zorder_codes_orders": zorder_codes_orders,
         "docs_feature_hashing": docs_feature_hashing,
+        "orders_priority_sample": orders_priority_sample,
         # (c) remaining r02-hashed entries (oldest verification still
         #     standing), registry order preserved.
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -5421,8 +5495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": tfidf_top_terms,
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "text_stats": text_stats,
-        "lang_id": lang_id,
         # ---------------------- past the window ----------------------------
+        "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         "bpe_token_counts": bpe_token_counts,
         "multimodal_features": multimodal_features,
@@ -5581,6 +5655,7 @@ def oracle_sql() -> dict[str, str]:
         "synthetic_source_stats": _synth_sql(),
         "zorder_codes_orders": _zorder_sql(),
         "docs_feature_hashing": _feature_hash_sql(),
+        "orders_priority_sample": _priority_sample_sql(),
         "cms_heavy_brands": _CMS_SQL,
         "orders_price_histogram": _HIST_SQL,
         "lineitem_profile": _PROFILE_SQL,

@@ -72,6 +72,40 @@ def smallest_k_sample(df: DataFrame, key: Column | str, k: int, salt: str = "") 
     return df.withColumn("_sk", hash60(_keyed(key, salt))).orderBy("_sk").limit(k).drop("_sk")
 
 
+def priority_sample(
+    df: DataFrame,
+    key: Column | str,
+    weight_col: Column | str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted priority sampling (Duffield, Lund & Thorup, "Priority
+    sampling for estimation of arbitrary subset sums", JACM 2007): each row
+    gets priority ``w / u`` with ``u`` uniform from the content-addressed
+    hash; the sample is the top ``k`` priorities. Heavy rows enter with
+    probability ~min(1, w/τ), and the DLT estimator ``Σ max(w_i, τ)`` over
+    the sample (τ = the (k+1)-th priority) is an UNBIASED estimate of the
+    total weight — subset sums of a 100 TB fact table from a k-row sample.
+
+    Determinism (the property the built-in ``sample()``/rand() can't give):
+    ``u = (hash+1)/2^60``, and the priority is computed as the single-rounded
+    ``(w·2^60)/(hash+1)`` — multiplication and division of deterministic
+    doubles, identical in every IEEE engine — so the sample, τ, and the
+    estimate replay bit-for-bit cross-engine and across partitionings. The
+    top-(k+1) runs as TakeOrderedAndProject (per-partition top-k, merged on
+    the driver; no global sort). Adds ``_priority``; returns k+1 rows — the
+    last carries τ for the estimator (see the entry for the composed form).
+    """
+    c = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = hash60(_keyed(key, salt))
+    pr = (c.cast("double") * F.lit(float(TWO60_INT))) / (h + 1).cast("double")
+    return (
+        df.withColumn("_priority", pr)
+        .orderBy(F.col("_priority").desc(), F.col(key) if isinstance(key, str) else key)
+        .limit(k + 1)
+    )
+
+
 def hash_sample_sql(key_expr: str, fraction: float, salt: str = "") -> str:
     """DuckDB predicate selecting the identical rows."""
     e = f"CAST({key_expr} AS VARCHAR)"

@@ -28,6 +28,9 @@ _SINGLE_ROW_NLJ_OK = {
     # zorder: the 1-row global min/max stats broadcast back onto the data
     # (sources/zorder.py:zorder_column) — a 1×N join with no key by design
     "zorder_codes_orders",
+    # priority sample: the 1-row exact-total aggregate joined onto the 1-row
+    # estimator aggregate for the rel_err column — two scalars, no key
+    "orders_priority_sample",
 }
 
 _QUERIES = entry_mod.queries()

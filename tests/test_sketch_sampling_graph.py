@@ -422,3 +422,27 @@ def test_hll_merge_grouped_keeps_groups(spark):
     one = hll_estimate_from_registers(collapsed, b=7).first()
     direct = hll_estimate_from_registers(hll_registers(df, F.col("v"), b=7), b=7).first()
     assert one.sum_scaled == direct.sum_scaled
+
+
+def test_priority_sample_dlt_estimator(spark):
+    """Priority sampling: partition invariance of the sample, heavy rows
+    always included, and the DLT estimator lands near the true total."""
+    from iceberg_evolve_spark.functions.sampling import priority_sample
+
+    # 1000 light rows (w=1) + 5 heavy rows (w=1000)
+    df = spark.range(0, 1005).select(
+        F.col("id"),
+        F.when(F.col("id") < 5, F.lit(1000.0)).otherwise(F.lit(1.0)).alias("w"),
+    )
+    k = 50
+    a = priority_sample(df.repartition(3), "id", "w", k)
+    b = priority_sample(df.repartition(17), "id", "w", k)
+    ra = [(r.id, r._priority) for r in a.collect()]
+    rb = [(r.id, r._priority) for r in b.collect()]
+    assert ra == rb and len(ra) == k + 1
+    ids = {i for i, _ in ra[:k]}
+    assert set(range(5)) <= ids  # heavy rows always make the sample
+    tau = ra[k][1]
+    est = sum(max(w, tau) for i, _ in ra[:k] for w in [1000.0 if i < 5 else 1.0])
+    true = 5 * 1000.0 + 1000 * 1.0
+    assert abs(est - true) / true < 0.25  # unbiased estimator, single draw
