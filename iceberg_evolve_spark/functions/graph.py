@@ -177,6 +177,114 @@ def connected_components_star(
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**10,
+) -> DataFrame:
+    """PageRank in exact fixed-point integer arithmetic — the iterative
+    link-analysis operator, built so every intermediate is a BIGINT and the
+    result is bit-reproducible across engines (no float summation order).
+
+    Ranks are stored scaled by ``scale``; each push divides by the out-degree
+    with *integer floor division* and the damping step is
+    ``(100-damping_pct)*scale DIV 100 + damping_pct*SUM(contrib) DIV 100`` —
+    all exact, so a SQL oracle that unrolls the same ``iterations`` rounds
+    reproduces every rank to the last bit.
+
+    Scale shape (per round): one shuffle join of the edge list with the rank
+    table on the source key, one map-side-combined SUM keyed by destination,
+    one left join back onto the node set — all partition on a node id, so a
+    cluster reuses one hash partitioning across the whole loop. Lineage is
+    truncated per round with ``localCheckpoint`` (same discipline as
+    :func:`connected_components`). Dangling nodes (no out-edges) keep only
+    their teleport mass — document or symmetrize the graph if mass
+    conservation matters.
+
+    Overflow headroom: total rank mass ≈ n_nodes × scale and the damping
+    multiply adds two decimal digits, so require
+    ``n_nodes * scale * 100 < 2^63`` — at the default ``scale=1e10`` that is
+    ~9M nodes; shrink ``scale`` for larger graphs (rank resolution degrades
+    gracefully).
+    """
+    # Persist the normalized edge list FIRST: degree, the degree-joined edge
+    # table, and the node set all derive from it — without the cache the
+    # upstream edge-mining pipeline re-executes once per derivation.
+    e0 = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .persist()
+    )
+    deg = e0.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
+    e = e0.join(deg, "s").persist()
+    nodes = (
+        e0.select(F.col("s").alias("node"))
+        .union(e0.select(F.col("d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    base = (100 - damping_pct) * scale // 100
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("r")).localCheckpoint()
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e.s == ranks.node)
+            .select(F.col("d"), F.expr("r div od").alias("c"))
+            .groupBy("d")
+            .agg(F.sum("c").alias("cs"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.d, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"{damping_pct} * coalesce(cs, 0L) div 100")
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    e0.unpersist()
+    e.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
+def pagerank_unrolled_sql(
+    edges_cte: str,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**10,
+) -> str:
+    """DuckDB oracle twin of :func:`pagerank`: the same fixed-point rounds
+    unrolled as chained CTEs. ``edges_cte`` must be a CTE body producing
+    directed columns ``(s, d)`` (self-loops and duplicates are removed here).
+    DuckDB's ``SUM(BIGINT)`` returns HUGEINT, so every aggregate is cast back
+    to BIGINT before re-entering the integer pipeline."""
+    base = (100 - damping_pct) * scale // 100
+    parts = [
+        f"e0 AS (SELECT DISTINCT s, d FROM ({edges_cte}) WHERE s <> d)",
+        "deg AS (SELECT s, COUNT(*) AS od FROM e0 GROUP BY s)",
+        "e AS (SELECT e0.s, e0.d, deg.od FROM e0 JOIN deg USING (s))",
+        "n AS (SELECT s AS node FROM e0 UNION SELECT d AS node FROM e0)",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM n)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"""r{i + 1} AS (
+  SELECT n.node,
+         CAST({base} + ({damping_pct} * COALESCE(c.cs, 0)) // 100 AS BIGINT) AS r
+  FROM n LEFT JOIN (
+    SELECT e.d AS node, CAST(SUM(r.r // e.od) AS BIGINT) AS cs
+    FROM e JOIN r{i} r ON e.s = r.node GROUP BY e.d
+  ) c USING (node))"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node, r FROM r{iterations}"
+
+
 def assign_components(
     df: DataFrame,
     id_col: str,
