@@ -2020,6 +2020,94 @@ FROM events GROUP BY 1, 2
 """
 
 
+#: Anomaly-detection tuning (Spark and oracle must agree). The z² threshold is
+#: the rational T2_NUM/T2_DEN so the flag is an exact integer comparison —
+#: no float boundary can disagree between engines.
+ANOM_WINDOW_H = 24
+ANOM_MIN_N = 12
+ANOM_T2_NUM = 25
+ANOM_T2_DEN = 4  # threshold z^2 > 25/4  (|z| > 2.5)
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: flag (event_type, hour) cells whose
+    count deviates from the previous 24 observed hours by more than 2.5
+    sample standard deviations — the monitoring primitive of an ingest
+    pipeline.
+
+    Exactness discipline: mean/variance come from integer window sums
+    (COUNT, SUM(x), SUM(x²) over ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING),
+    and the flag is the cross-multiplied integer inequality
+    ``T2_DEN·(n·x−s)²·(n−1) > T2_NUM·n·(n·ss−s²)`` — z² itself is only
+    computed for display (one division of exact ints, ROUND 4), so the
+    anomaly boundary is bit-deterministic across engines.
+
+    Scale shape: one map-side-combined hourly aggregation, then one window
+    shuffle partitioned by event_type — the per-type hourly series is tiny
+    (#hours rows) regardless of event volume, so the window task never sees
+    raw events. 100 TB of events reduce to #types × #hours cells before the
+    window runs."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-ANOM_WINDOW_H, -1)
+    )
+    base = (
+        hourly.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("s", F.sum("x").over(w))
+        .withColumn("ss", F.sum(F.col("x") * F.col("x")).over(w))
+    )
+    dev = F.col("n") * F.col("x") - F.col("s")
+    var_num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    lhs = F.lit(ANOM_T2_DEN) * dev * dev * (F.col("n") - 1)
+    rhs = F.lit(ANOM_T2_NUM) * F.col("n") * var_num
+    return (
+        base.filter((F.col("n") >= ANOM_MIN_N) & (var_num > 0) & (lhs > rhs))
+        .select(
+            "event_type",
+            "hour",
+            F.col("x").alias("n_events"),
+            F.col("n").alias("base_hours"),
+            F.round(
+                (dev * dev * (F.col("n") - 1)).cast("double")
+                / (F.col("n") * var_num).cast("double"),
+                4,
+            ).alias("z2"),
+            F.when(dev > 0, F.lit(1)).otherwise(F.lit(-1)).alias("direction"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+_ANOMALY_SQL = f"""
+WITH hourly AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT event_type, hour, x,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS s,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS ss
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN {ANOM_WINDOW_H} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour, x AS n_events, n AS base_hours,
+       ROUND(CAST((n*x - s)*(n*x - s)*(n - 1) AS DOUBLE)
+             / CAST(n*(n*ss - s*s) AS DOUBLE), 4) AS z2,
+       CASE WHEN n*x - s > 0 THEN 1 ELSE -1 END AS direction
+FROM b
+WHERE n >= {ANOM_MIN_N} AND n*ss - s*s > 0
+  AND {ANOM_T2_DEN}*(n*x - s)*(n*x - s)*(n - 1) > {ANOM_T2_NUM}*n*(n*ss - s*s)
+ORDER BY event_type, hour
+"""
+
+
 def events_json_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction + aggregation: get_json_object stays JVM-side."""
     ev = _t(spark, sf_dir, "events")
@@ -5557,6 +5645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_feature_hashing": docs_feature_hashing,
         "orders_priority_sample": orders_priority_sample,
         "parts_pagerank": parts_pagerank,
+        "events_anomaly_zscore": events_anomaly_zscore,
         # (c) remaining r02-hashed entries (oldest verification still
         #     standing), registry order preserved.
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -5573,8 +5662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_centroids": embedding_label_centroids,
         "orders_stratified_sample": orders_stratified_sample,
         "tfidf_top_terms": tfidf_top_terms,
-        "ann_topk_bruteforce": ann_topk_bruteforce,
         # ---------------------- past the window ----------------------------
+        "ann_topk_bruteforce": ann_topk_bruteforce,
         "text_stats": text_stats,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
@@ -5729,6 +5818,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_merge_by_source": _hll_by_source_sql(),
         "parts_copurchase_pairs": _COPURCHASE_SQL,
         "parts_pagerank": _pagerank_sql(),
+        "events_anomaly_zscore": _ANOMALY_SQL,
         "dedup_lsh_quality": _LSH_QUALITY_SQL,
         "ann_topk_batch": _ivf_batch_sql(),
         "quantiles_sampled_totalprice": _qsample_sql(),
