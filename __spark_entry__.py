@@ -1581,6 +1581,73 @@ LIMIT {PAGERANK_TOP}
 """
 
 
+#: Entity-resolution entry tuning (Spark and oracle must agree).
+FUZZY_BLOCK_PREFIX = 15  # chars of c_name shared within a block (3 free digits)
+FUZZY_MAX_DIST = 1
+
+
+def customer_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage with blocking
+    (`functions/linkage.py`): near-duplicate customer names (Levenshtein ≤ 1)
+    found WITHOUT the O(n²) all-pairs join — candidates are generated only
+    inside blocks keyed by (nation, 15-char name prefix), so cost is
+    Σ|block|² with engineered-small blocks, the shape that survives 100 TB.
+
+    Edit distance is an exact JVM integer (`levenshtein` built-in — no Python
+    in the hot path) so the match boundary is bit-deterministic. Output is the
+    per-nation linkage summary: candidate pairs examined, pairs matched, and
+    the lexicographically-first matched pair as a deterministic exemplar."""
+    from iceberg_evolve_spark.functions.linkage import fuzzy_match_pairs
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "blk", F.substring("c_name", 1, FUZZY_BLOCK_PREFIX)
+    )
+    pairs = fuzzy_match_pairs(
+        cust,
+        "c_custkey",
+        "c_name",
+        ["c_nationkey", "blk"],
+        max_distance=10**9,  # keep all candidates; classify below
+    )
+    is_match = F.col("dist") <= FUZZY_MAX_DIST
+    return (
+        pairs.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(is_match.cast("long")).alias("n_matches"),
+            F.min(
+                F.when(
+                    is_match, F.concat("c_name_a", F.lit("|"), F.col("c_name_b"))
+                )
+            ).alias("first_match"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_FUZZY_SQL = f"""
+WITH c AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         substr(c_name, 1, {FUZZY_BLOCK_PREFIX}) AS blk
+  FROM customer
+),
+pairs AS (
+  SELECT a.c_nationkey, a.c_name AS name_a, b.c_name AS name_b,
+         levenshtein(a.c_name, b.c_name) AS dist
+  FROM c a JOIN c b
+    ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+   AND a.c_custkey < b.c_custkey
+)
+SELECT c_nationkey,
+       COUNT(*) AS n_candidates,
+       CAST(SUM(CASE WHEN dist <= {FUZZY_MAX_DIST} THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+       MIN(CASE WHEN dist <= {FUZZY_MAX_DIST} THEN name_a || '|' || name_b END) AS first_match
+FROM pairs
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (adapted — no partsupp table): per part, the supplier
     with the lowest observed unit price. Per-group argmin via row_number over
@@ -5646,6 +5713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_priority_sample": orders_priority_sample,
         "parts_pagerank": parts_pagerank,
         "events_anomaly_zscore": events_anomaly_zscore,
+        "customer_fuzzy_matches": customer_fuzzy_matches,
         # (c) remaining r02-hashed entries (oldest verification still
         #     standing), registry order preserved.
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -5661,8 +5729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention_cohorts": events_retention_cohorts,
         "embedding_label_centroids": embedding_label_centroids,
         "orders_stratified_sample": orders_stratified_sample,
-        "tfidf_top_terms": tfidf_top_terms,
         # ---------------------- past the window ----------------------------
+        "tfidf_top_terms": tfidf_top_terms,
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "text_stats": text_stats,
         "lang_id": lang_id,
@@ -5819,6 +5887,7 @@ def oracle_sql() -> dict[str, str]:
         "parts_copurchase_pairs": _COPURCHASE_SQL,
         "parts_pagerank": _pagerank_sql(),
         "events_anomaly_zscore": _ANOMALY_SQL,
+        "customer_fuzzy_matches": _FUZZY_SQL,
         "dedup_lsh_quality": _LSH_QUALITY_SQL,
         "ann_topk_batch": _ivf_batch_sql(),
         "quantiles_sampled_totalprice": _qsample_sql(),
