@@ -2415,6 +2415,72 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_SIG_SQL = f"WITH {_MINHASH_CTE} SELECT doc_id, seed, minhash FROM sigs"
 
 
+#: Incremental-probe entry tuning: docs with doc_id % MOD == RESIDUE play the
+#: "newly arrived batch"; the rest are the indexed corpus.
+PROBE_MOD = 10
+PROBE_RESIDUE = 7
+_R = MINHASH_N // LSH_BANDS  # minhash rows per LSH band
+
+
+def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection (`functions/dedup.py:minhash_lsh_probe`):
+    a simulated new batch (doc_id % 10 == 7, ~10% of documents) probed against
+    the LSH index of the remaining corpus — the PRODUCTION dedup shape. A 100
+    TB corpus builds its banded bucket index once and persists it; each
+    arriving batch then costs one bucket join proportional to the batch, never
+    a corpus self-join. Candidates are verified by exact signature agreement.
+
+    Signatures are computed once for all docs and split (the entry-level
+    stand-in for 'corpus signatures already persisted'); the probe join and
+    verification replay bit-exactly in the oracle from the shared minhash
+    CTE."""
+    from iceberg_evolve_spark.functions.dedup import minhash_lsh_probe
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(
+        docs, "doc_id", num_hashes=MINHASH_N, k=SHINGLE_K
+    ).persist()
+    is_batch = F.col("doc_id") % PROBE_MOD == PROBE_RESIDUE
+    out = minhash_lsh_probe(
+        sig.filter(~is_batch),
+        sig.filter(is_batch),
+        "doc_id",
+        num_hashes=MINHASH_N,
+        bands=LSH_BANDS,
+        threshold=JACCARD_T,
+    )
+    from iceberg_evolve_spark.functions.dedup import _attach_intermediates
+
+    return _attach_intermediates(out.orderBy("new_id", "corpus_id"), sig)
+
+
+_PROBE_SQL = f"""
+WITH {_MINHASH_CTE},
+bands AS (
+    SELECT doc_id, seed // {_R} AS band,
+           md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed ASC)) AS bhash
+    FROM sigs GROUP BY doc_id, seed // {_R}
+),
+cand AS (
+    SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS corpus_id
+    FROM bands nb JOIN bands cb USING (band, bhash)
+    WHERE nb.doc_id % {PROBE_MOD} = {PROBE_RESIDUE}
+      AND cb.doc_id % {PROBE_MOD} <> {PROBE_RESIDUE}
+),
+est AS (
+    SELECT c.new_id, c.corpus_id,
+           SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / {MINHASH_N}.0 AS ej
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.new_id
+    JOIN sigs sb ON sb.doc_id = c.corpus_id AND sb.seed = sa.seed
+    GROUP BY c.new_id, c.corpus_id
+)
+SELECT new_id, corpus_id, CAST(ej AS DOUBLE) AS est_jaccard
+FROM est WHERE ej >= {JACCARD_T}
+ORDER BY new_id, corpus_id
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
@@ -2427,7 +2493,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_R = MINHASH_N // LSH_BANDS
 _MINHASH_LSH_SQL = f"""
 WITH {_MINHASH_CTE},
 bands AS (
@@ -5714,6 +5779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_pagerank": parts_pagerank,
         "events_anomaly_zscore": events_anomaly_zscore,
         "customer_fuzzy_matches": customer_fuzzy_matches,
+        "dedup_incremental_probe": dedup_incremental_probe,
         # (c) remaining r02-hashed entries (oldest verification still
         #     standing), registry order preserved.
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -5728,8 +5794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_profile": lineitem_profile,
         "events_retention_cohorts": events_retention_cohorts,
         "embedding_label_centroids": embedding_label_centroids,
-        "orders_stratified_sample": orders_stratified_sample,
         # ---------------------- past the window ----------------------------
+        "orders_stratified_sample": orders_stratified_sample,
         "tfidf_top_terms": tfidf_top_terms,
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "text_stats": text_stats,
@@ -5888,6 +5954,7 @@ def oracle_sql() -> dict[str, str]:
         "parts_pagerank": _pagerank_sql(),
         "events_anomaly_zscore": _ANOMALY_SQL,
         "customer_fuzzy_matches": _FUZZY_SQL,
+        "dedup_incremental_probe": _PROBE_SQL,
         "dedup_lsh_quality": _LSH_QUALITY_SQL,
         "ann_topk_batch": _ivf_batch_sql(),
         "quantiles_sampled_totalprice": _qsample_sql(),

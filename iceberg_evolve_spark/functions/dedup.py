@@ -297,6 +297,82 @@ def minhash_signatures(
     )
 
 
+def _banded(sig: DataFrame, id_col: str, bands: int, r: int) -> DataFrame:
+    """Explode a signature table into (``_id``, band, band-hash) bucket keys —
+    shared by the self-pairing path (:func:`minhash_lsh_pairs`) and the
+    incremental probe path (:func:`minhash_lsh_probe`)."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)]
+                    )
+                ).alias("bhash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        sig.select(F.col(id_col).alias("_id"), F.explode(band_structs).alias("bd"))
+        .select("_id", F.col("bd.band").alias("band"), F.col("bd.bhash").alias("bhash"))
+    )
+
+
+def _sig_agreement(num_hashes: int) -> Column:
+    """Fraction of agreeing positions between ``sig_a`` and ``sig_b``."""
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (agree / F.lit(num_hashes)).cast("double")
+
+
+def minhash_lsh_probe(
+    corpus_sig: DataFrame,
+    batch_sig: DataFrame,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup detection: probe a NEW batch of signatures against
+    the EXISTING corpus index — the production shape of streaming dedup, where
+    the corpus LSH buckets are built once (and persisted) and every arriving
+    batch costs only its own bucket join, never a corpus self-join.
+
+    Both inputs are signature tables as produced by
+    :func:`minhash_signatures` (``(id, sig array<bigint>)``). The probe is one
+    shuffle join on (band, band-hash): corpus buckets on one side, the batch's
+    bucket keys on the other — candidate volume is output-linear in batch
+    size. Pairs are then verified by exact signature agreement (estimated
+    Jaccard ≥ ``threshold``). Output: (new_id, corpus_id, est_jaccard).
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    cb = _banded(corpus_sig, id_col, bands, r)
+    nb = _banded(batch_sig, id_col, bands, r)
+    cand = (
+        nb.select(F.col("_id").alias("new_id"), "band", "bhash")
+        .join(cb.select(F.col("_id").alias("corpus_id"), "band", "bhash"), ["band", "bhash"])
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    sa = batch_sig.select(F.col(id_col).alias("new_id"), F.col("sig").alias("sig_a"))
+    sb = corpus_sig.select(F.col(id_col).alias("corpus_id"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sa, "new_id")
+        .join(sb, "corpus_id")
+        .withColumn("est_jaccard", _sig_agreement(num_hashes))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "corpus_id", "est_jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -323,19 +399,7 @@ def minhash_lsh_pairs(
     # bucketing and pair verification both reuse it instead of recomputing.
     sig = minhash_signatures(df, id_col, text_col, num_hashes, k, max_df).persist()
 
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)])).alias(
-                    "bhash"
-                ),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(F.col(id_col).alias("_id"), F.explode(band_structs).alias("bd"))
-    banded = banded.select("_id", F.col("bd.band").alias("band"), F.col("bd.bhash").alias("bhash"))
+    banded = _banded(sig, id_col, bands, r)
 
     # Bucket pairing on (band, bhash): one shuffle, pairs emitted inside buckets.
     cand = (
@@ -348,14 +412,8 @@ def minhash_lsh_pairs(
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     cand = cand.join(sa, "id_a").join(sb, "id_b")
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    )
     out = (
-        cand.withColumn("est_jaccard", (agree / F.lit(num_hashes)).cast("double"))
+        cand.withColumn("est_jaccard", _sig_agreement(num_hashes))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
