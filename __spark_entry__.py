@@ -2481,6 +2481,71 @@ ORDER BY new_id, corpus_id
 """
 
 
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-governance view: the source×source near-duplicate matrix —
+    for every unordered source pair, how many LSH-accepted near-dup pairs
+    cross it (diagonal = within-source duplication). This is the report a
+    100 TB ingest pipeline publishes per snapshot to spot a source that is
+    re-crawling another (off-diagonal spike) or self-duplicating (diagonal
+    spike).
+
+    Shape: the banded-LSH pair pipeline (output-linear) + two broadcast-size
+    joins to attach sources + one tiny aggregation — nothing beyond the pair
+    list's cost. Sources are normalized (least, greatest) so the matrix is
+    upper-triangular and engine-stable."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", num_hashes=MINHASH_N, bands=LSH_BANDS, k=SHINGLE_K,
+        threshold=JACCARD_T,
+    )
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_x", "source_y")
+    )
+
+
+_CROSS_SOURCE_SQL = f"""
+WITH {_MINHASH_CTE},
+bands AS (
+    SELECT doc_id, seed // {_R} AS band,
+           md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed ASC)) AS bhash
+    FROM sigs GROUP BY doc_id, seed // {_R}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b USING (band, bhash)
+    WHERE a.doc_id < b.doc_id
+),
+est AS (
+    SELECT c.id_a, c.id_b,
+           SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / {MINHASH_N}.0 AS ej
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+    GROUP BY c.id_a, c.id_b
+),
+acc AS (SELECT id_a, id_b FROM est WHERE ej >= {JACCARD_T})
+SELECT LEAST(da.source, db.source) AS source_x,
+       GREATEST(da.source, db.source) AS source_y,
+       COUNT(*) AS n_pairs
+FROM acc
+JOIN documents da ON da.doc_id = acc.id_a
+JOIN documents db ON db.doc_id = acc.id_b
+GROUP BY 1, 2
+ORDER BY source_x, source_y
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
@@ -5780,6 +5845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_zscore": events_anomaly_zscore,
         "customer_fuzzy_matches": customer_fuzzy_matches,
         "dedup_incremental_probe": dedup_incremental_probe,
+        "dedup_cross_source_matrix": dedup_cross_source_matrix,
         # (c) remaining r02-hashed entries (oldest verification still
         #     standing), registry order preserved.
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -5793,8 +5859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_price_histogram": orders_price_histogram,
         "lineitem_profile": lineitem_profile,
         "events_retention_cohorts": events_retention_cohorts,
-        "embedding_label_centroids": embedding_label_centroids,
         # ---------------------- past the window ----------------------------
+        "embedding_label_centroids": embedding_label_centroids,
         "orders_stratified_sample": orders_stratified_sample,
         "tfidf_top_terms": tfidf_top_terms,
         "ann_topk_bruteforce": ann_topk_bruteforce,
@@ -5955,6 +6021,7 @@ def oracle_sql() -> dict[str, str]:
         "events_anomaly_zscore": _ANOMALY_SQL,
         "customer_fuzzy_matches": _FUZZY_SQL,
         "dedup_incremental_probe": _PROBE_SQL,
+        "dedup_cross_source_matrix": _CROSS_SOURCE_SQL,
         "dedup_lsh_quality": _LSH_QUALITY_SQL,
         "ann_topk_batch": _ivf_batch_sql(),
         "quantiles_sampled_totalprice": _qsample_sql(),
