@@ -2501,7 +2501,7 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = docs.select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
     sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
-    return (
+    out = (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
@@ -2511,6 +2511,13 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_x", "source_y")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("source_x", "source_y")
+    )
+    # Re-attach the signature cache handle minhash_lsh_pairs pinned, so
+    # unpersist_intermediates(result) can release it after materialization.
+    from iceberg_evolve_spark.functions.dedup import _attach_intermediates
+
+    return _attach_intermediates(
+        out, *getattr(pairs, "_persisted_intermediates", ())
     )
 
 

@@ -16,7 +16,7 @@ key, and ``levenshtein`` is a JVM built-in — no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
