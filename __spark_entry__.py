@@ -2481,6 +2481,80 @@ ORDER BY new_id, corpus_id
 """
 
 
+#: Exact-substring dedup window length in tokens (Spark and oracle agree).
+SUBSTR_K = 10
+
+
+def docs_exact_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring duplication (Lee et al. ACL 2022's ExactSubstr dedup,
+    re-expressed relationally — `functions/dedup.py:exact_substring_shared`):
+    a doc's token 10-window is duplicated iff the identical 10-token string
+    occurs in some OTHER document. Complements the set-overlap families
+    (Jaccard/MinHash measure whole-doc similarity; this catches verbatim
+    SPANS — licences, boilerplate, contamination — inside otherwise-distinct
+    docs).
+
+    Cost is linear in corpus tokens: explode windows → one doc-frequency
+    aggregation per window hash → count back per doc; two partition-aligned
+    shuffles, no pairwise join anywhere. Output: per-source duplication
+    report (window totals exact, dup_rate one rounded division; docs shorter
+    than 10 tokens have no windows and are excluded on both sides)."""
+    from iceberg_evolve_spark.functions.dedup import exact_substring_shared
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = exact_substring_shared(docs, "doc_id", k=SUBSTR_K)
+    j = docs.select("doc_id", "source").join(stats, "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_windows").alias("total_windows"),
+            F.sum("n_shared").alias("total_shared"),
+            F.sum((F.col("n_shared") * 2 >= F.col("n_windows")).cast("long")).alias(
+                "n_docs_majority_dup"
+            ),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(
+                F.col("total_shared").cast("double")
+                / F.col("total_windows").cast("double"),
+                6,
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_SUBSTR_SQL = f"""
+WITH tokarr AS (SELECT doc_id, source, {_TOKS} AS ts FROM documents),
+wins AS (
+  SELECT doc_id, source, {_H60.format(x='w')} AS h
+  FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(range(1, len(ts) - {SUBSTR_K} + 2),
+                                 i -> array_to_string(ts[i:i+{SUBSTR_K - 1}], ' '))) AS w
+    FROM tokarr WHERE len(ts) >= {SUBSTR_K}
+  )
+),
+docfreq AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY h),
+per_doc AS (
+  SELECT w.doc_id, w.source, COUNT(*) AS n_windows,
+         CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+  FROM wins w JOIN docfreq d USING (h)
+  GROUP BY w.doc_id, w.source
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_windows) AS BIGINT) AS total_windows,
+       CAST(SUM(n_shared) AS BIGINT) AS total_shared,
+       CAST(SUM(CASE WHEN n_shared * 2 >= n_windows THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_majority_dup,
+       ROUND(CAST(SUM(n_shared) AS DOUBLE) / CAST(SUM(n_windows) AS DOUBLE), 6)
+         AS dup_rate
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-governance view: the source×source near-duplicate matrix —
     for every unordered source pair, how many LSH-accepted near-dup pairs
@@ -5853,6 +5927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_fuzzy_matches": customer_fuzzy_matches,
         "dedup_incremental_probe": dedup_incremental_probe,
         "dedup_cross_source_matrix": dedup_cross_source_matrix,
+        "docs_exact_substring_dup": docs_exact_substring_dup,
         # (c) remaining r02-hashed entries (oldest verification still
         #     standing), registry order preserved.
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -5865,8 +5940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_brands": cms_heavy_brands,
         "orders_price_histogram": orders_price_histogram,
         "lineitem_profile": lineitem_profile,
-        "events_retention_cohorts": events_retention_cohorts,
         # ---------------------- past the window ----------------------------
+        "events_retention_cohorts": events_retention_cohorts,
         "embedding_label_centroids": embedding_label_centroids,
         "orders_stratified_sample": orders_stratified_sample,
         "tfidf_top_terms": tfidf_top_terms,
@@ -6029,6 +6104,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_fuzzy_matches": _FUZZY_SQL,
         "dedup_incremental_probe": _PROBE_SQL,
         "dedup_cross_source_matrix": _CROSS_SOURCE_SQL,
+        "docs_exact_substring_dup": _SUBSTR_SQL,
         "dedup_lsh_quality": _LSH_QUALITY_SQL,
         "ann_topk_batch": _ivf_batch_sql(),
         "quantiles_sampled_totalprice": _qsample_sql(),

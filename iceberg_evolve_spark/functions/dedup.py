@@ -66,6 +66,56 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def word_windows(col: Column | str, k: int) -> Column:
+    """ALL word k-grams of the lowercased text, position-preserving (a bag,
+    not a set — unlike :func:`word_shingles` no ``array_distinct``): the unit
+    of EXACT substring duplication detection, where every occurrence counts."""
+    toks = tokens(col)
+    n = F.size(toks)
+    positions = F.when(
+        n >= k, F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(positions, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+
+def exact_substring_shared(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 10
+) -> DataFrame:
+    """Exact substring duplication per document (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022 — the suffix-array
+    ExactSubstr dedup, re-expressed relationally): a document's token
+    k-window is DUPLICATED if the identical k-token string occurs in some
+    OTHER document. Returns ``(id, n_windows, n_shared)`` — the fraction
+    ``n_shared / n_windows`` is the doc's duplicated-span rate, the signal
+    used to cut boilerplate/licence/contaminated spans at corpus scale.
+
+    Shape: explode all windows with the portable 60-bit hash (one narrow
+    (id, h) relation), ONE aggregation per window hash computing its document
+    frequency (map-side combined), then a semi-join-style count back onto the
+    per-doc windows — two shuffles on the window hash, both partition-aligned,
+    output one row per document. No pairwise comparison anywhere: cost is
+    linear in corpus tokens at any scale (the suffix-array method's O(n log n)
+    with a far simpler distributed story).
+    """
+    base = _ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_windows(F.col(text_col), k)).alias("w"),
+    )
+    wins = base.select("_id", hash60(F.col("w")).alias("h"))
+    # document frequency per window hash (not occurrence count: a gram
+    # repeated only WITHIN one doc is self-repetition, not duplication).
+    docfreq = wins.groupBy("h").agg(F.count_distinct(F.col("_id")).alias("nd"))
+    joined = wins.join(docfreq, "h")
+    return (
+        joined.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("n_shared"),
+        )
+        .select(F.col("_id").alias(id_col), "n_windows", "n_shared")
+    )
+
+
 from iceberg_evolve_spark.functions.parallel import ensure_parallelism as _ensure_parallelism
 
 
