@@ -5641,6 +5641,91 @@ def _feature_hash_sql() -> str:
     return feature_hashing_sql(dim=FEATURE_HASH_DIM)
 
 
+#: Linear-model scoring entry: weights live in [-(LM_WSPAN//2) .. +LM_WSPAN//2].
+LM_WSPAN = 11
+
+
+def _lm_weights() -> list[int]:
+    """The 'shipped model': one deterministic integer weight per hash bucket,
+    derived from the same portable 60-bit md5 hash the engines share — so the
+    driver-side literal array and the oracle's inline computation are equal by
+    construction. In production this is where a trained model's weights load
+    from the registry; the plumbing (KB-scale literal fold into codegen) is
+    identical."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"w{b}".encode()).hexdigest()[:15], 16) % LM_WSPAN
+        - LM_WSPAN // 2
+        for b in range(FEATURE_HASH_DIM)
+    ]
+
+
+def docs_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model inference INSIDE the query plan: a linear classifier applied to
+    the sparse hashing-trick features — score = Σ feature_weight × model
+    weight, the sparse dot product as one join-free projection + one
+    aggregation. The model (64 integer weights) folds into codegen as a
+    literal array indexed by bucket, exactly like IVF centroids / Bloom
+    words: KB-scale broadcast metadata, no UDF, no Python in the hot path.
+
+    Scores are exact integers end-to-end (hashed weights are ±1 sums, model
+    weights are ints), so classification (score > 0) is bit-deterministic;
+    the only float is the per-source mean, one rounded division of exact
+    sums. Output: per-source scoring report. At 100 TB this is the shape of
+    corpus-wide quality-classifier inference: linear in tokens, one shuffle
+    per aggregation, model distributed as plan literals."""
+    from iceberg_evolve_spark.functions.text import feature_hashing
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = feature_hashing(docs, "doc_id", "text", dim=FEATURE_HASH_DIM)
+    warr = F.array(*[F.lit(x).cast("long") for x in _lm_weights()])
+    scored = (
+        feats.select(
+            "doc_id", (F.col("weight") * warr[F.col("bucket")]).alias("c")
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("score_raw"))
+    )
+    j = docs.select("doc_id", "source").join(scored, "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("score_raw") > 0).cast("long")).alias("n_positive"),
+            F.round(
+                F.sum("score_raw").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_score"),
+        )
+        .orderBy("source")
+    )
+
+
+def _model_score_sql() -> str:
+    from iceberg_evolve_spark.functions.text import feature_hashing_sql
+    from iceberg_evolve_spark.functions.hashing import hash60_sql
+
+    feats = feature_hashing_sql(dim=FEATURE_HASH_DIM).strip()
+    wexpr = hash60_sql("'w' || CAST(b AS VARCHAR)")
+    return f"""
+WITH feats AS ({feats}),
+w AS (
+  SELECT CAST(b AS INT) AS bucket,
+         CAST({wexpr} % {LM_WSPAN} - {LM_WSPAN // 2} AS BIGINT) AS wt
+  FROM (SELECT unnest(range(0, {FEATURE_HASH_DIM})) AS b)
+),
+scored AS (
+  SELECT doc_id, CAST(SUM(weight * wt) AS BIGINT) AS score_raw
+  FROM feats JOIN w USING (bucket) GROUP BY doc_id
+)
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN score_raw > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+       ROUND(CAST(SUM(score_raw) AS DOUBLE) / COUNT(*), 4) AS avg_score
+FROM documents d JOIN scored USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher quality-rule battery (`functions/text.py:gopher_signals`):
     token-count bounds, mean word length, alphabetic-word fraction, and the
@@ -5928,6 +6013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_probe": dedup_incremental_probe,
         "dedup_cross_source_matrix": dedup_cross_source_matrix,
         "docs_exact_substring_dup": docs_exact_substring_dup,
+        "docs_model_score": docs_model_score,
         # (c) remaining r02-hashed entries (oldest verification still
         #     standing), registry order preserved.
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -5939,8 +6025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_parts": kmv_distinct_parts,
         "cms_heavy_brands": cms_heavy_brands,
         "orders_price_histogram": orders_price_histogram,
-        "lineitem_profile": lineitem_profile,
         # ---------------------- past the window ----------------------------
+        "lineitem_profile": lineitem_profile,
         "events_retention_cohorts": events_retention_cohorts,
         "embedding_label_centroids": embedding_label_centroids,
         "orders_stratified_sample": orders_stratified_sample,
@@ -6105,6 +6191,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental_probe": _PROBE_SQL,
         "dedup_cross_source_matrix": _CROSS_SOURCE_SQL,
         "docs_exact_substring_dup": _SUBSTR_SQL,
+        "docs_model_score": _model_score_sql(),
         "dedup_lsh_quality": _LSH_QUALITY_SQL,
         "ann_topk_batch": _ivf_batch_sql(),
         "quantiles_sampled_totalprice": _qsample_sql(),
