@@ -5109,6 +5109,98 @@ ORDER BY bucket
 _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
+#: Correlation profiling: measure pairs over lineitem (2-decimal source cols).
+CORR_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_discount"),
+    ("l_extendedprice", "l_tax"),
+]
+
+
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation profiling — the column-relationship half of
+    data profiling (`lineitem_profile` covers per-column stats). Each source
+    double is a 2-decimal value, so ×100 makes it an exact BIGINT; all five
+    moment sums (Σx, Σy, Σxy, Σx², Σy²) accumulate as exact DECIMAL(38,0) —
+    aggregation-order independent — and only the final correlation formula
+    runs in IEEE doubles (identical expression tree both engines, so the
+    rounded result is bit-stable).
+
+    Shape: ONE full-scan aggregation computes every moment for every pair
+    map-side-combined (no per-pair passes); the correlation arithmetic then
+    runs on a single-row relation. At 100 TB: one scan, one 1-row shuffle,
+    regardless of how many pairs are profiled."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = sorted({c for p in CORR_PAIRS for c in p})
+    ints = {c: F.round(F.round(F.col(c), 2) * 100, 0).cast("long") for c in cols}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(ints[c].cast("decimal(38,0)")).alias(f"s_{c}"))
+        aggs.append(
+            F.sum((ints[c] * ints[c]).cast("decimal(38,0)")).alias(f"ss_{c}")
+        )
+    for x, y in CORR_PAIRS:
+        aggs.append(
+            F.sum((ints[x] * ints[y]).cast("decimal(38,0)")).alias(f"sxy_{x}_{y}")
+        )
+    m = li.agg(*aggs)
+
+    def corr_expr(x: str, y: str):
+        n = F.col("n").cast("double")
+        sx, sy = F.col(f"s_{x}").cast("double"), F.col(f"s_{y}").cast("double")
+        sxx, syy = F.col(f"ss_{x}").cast("double"), F.col(f"ss_{y}").cast("double")
+        sxy = F.col(f"sxy_{x}_{y}").cast("double")
+        return (n * sxy - sx * sy) / F.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+
+    # All pair rows explode out of the ONE aggregate row — a union of
+    # per-pair selects would re-run the full-scan aggregation per branch.
+    pairs_arr = F.array(
+        *[
+            F.struct(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                F.round(corr_expr(x, y), 6).alias("pearson_r"),
+            )
+            for x, y in CORR_PAIRS
+        ]
+    )
+    return (
+        m.select(F.col("n").alias("n_rows"), F.explode(pairs_arr).alias("p"))
+        .select("p.col_x", "p.col_y", "n_rows", "p.pearson_r")
+        .orderBy("col_x", "col_y")
+    )
+
+
+def _corr_sql() -> str:
+    cols = sorted({c for p in CORR_PAIRS for c in p})
+    ivals = {c: f"CAST(ROUND(ROUND({c}, 2) * 100, 0) AS BIGINT)" for c in cols}
+    sums = ["COUNT(*) AS n"]
+    for c in cols:
+        sums.append(f"CAST(SUM({ivals[c]}) AS DOUBLE) AS s_{c}")
+        sums.append(f"CAST(SUM({ivals[c]} * {ivals[c]}) AS DOUBLE) AS ss_{c}")
+    for x, y in CORR_PAIRS:
+        sums.append(f"CAST(SUM({ivals[x]} * {ivals[y]}) AS DOUBLE) AS sxy_{x}_{y}")
+    selects = []
+    for x, y in CORR_PAIRS:
+        corr = (
+            f"(CAST(n AS DOUBLE) * sxy_{x}_{y} - s_{x} * s_{y}) / "
+            f"sqrt((CAST(n AS DOUBLE) * ss_{x} - s_{x} * s_{x}) * "
+            f"(CAST(n AS DOUBLE) * ss_{y} - s_{y} * s_{y}))"
+        )
+        selects.append(
+            f"SELECT '{x}' AS col_x, '{y}' AS col_y, n AS n_rows, "
+            f"ROUND({corr}, 6) AS pearson_r FROM m"
+        )
+    return (
+        "WITH m AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY col_x, col_y"
+    )
+
+
 def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass numeric data-profiling: count / nulls / exact distinct /
     min / max for every profiled column in ONE scan (multi-aggregate, then a
@@ -6014,6 +6106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross_source_matrix": dedup_cross_source_matrix,
         "docs_exact_substring_dup": docs_exact_substring_dup,
         "docs_model_score": docs_model_score,
+        "lineitem_correlations": lineitem_correlations,
         # (c) remaining r02-hashed entries (oldest verification still
         #     standing), registry order preserved.
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -6024,8 +6117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": decontaminate_docs,
         "kmv_distinct_parts": kmv_distinct_parts,
         "cms_heavy_brands": cms_heavy_brands,
-        "orders_price_histogram": orders_price_histogram,
         # ---------------------- past the window ----------------------------
+        "orders_price_histogram": orders_price_histogram,
         "lineitem_profile": lineitem_profile,
         "events_retention_cohorts": events_retention_cohorts,
         "embedding_label_centroids": embedding_label_centroids,
@@ -6192,6 +6285,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cross_source_matrix": _CROSS_SOURCE_SQL,
         "docs_exact_substring_dup": _SUBSTR_SQL,
         "docs_model_score": _model_score_sql(),
+        "lineitem_correlations": _corr_sql(),
         "dedup_lsh_quality": _LSH_QUALITY_SQL,
         "ann_topk_batch": _ivf_batch_sql(),
         "quantiles_sampled_totalprice": _qsample_sql(),
