@@ -265,24 +265,26 @@ def pagerank_unrolled_sql(
     DuckDB's ``SUM(BIGINT)`` returns HUGEINT, so every aggregate is cast back
     to BIGINT before re-entering the integer pipeline."""
     base = (100 - damping_pct) * scale // 100
+    # CTE names are pr_-prefixed so they can't capture a table referenced by
+    # the caller's edges_cte (an unprefixed "e" would shadow a table named e).
     parts = [
-        f"e0 AS (SELECT DISTINCT s, d FROM ({edges_cte}) WHERE s <> d)",
-        "deg AS (SELECT s, COUNT(*) AS od FROM e0 GROUP BY s)",
-        "e AS (SELECT e0.s, e0.d, deg.od FROM e0 JOIN deg USING (s))",
-        "n AS (SELECT s AS node FROM e0 UNION SELECT d AS node FROM e0)",
-        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM n)",
+        f"pr_e0 AS (SELECT DISTINCT s, d FROM ({edges_cte}) WHERE s <> d)",
+        "pr_deg AS (SELECT s, COUNT(*) AS od FROM pr_e0 GROUP BY s)",
+        "pr_e AS (SELECT pr_e0.s, pr_e0.d, pr_deg.od FROM pr_e0 JOIN pr_deg USING (s))",
+        "pr_n AS (SELECT s AS node FROM pr_e0 UNION SELECT d AS node FROM pr_e0)",
+        f"pr_r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM pr_n)",
     ]
     for i in range(iterations):
         parts.append(
-            f"""r{i + 1} AS (
-  SELECT n.node,
+            f"""pr_r{i + 1} AS (
+  SELECT pr_n.node,
          CAST({base} + ({damping_pct} * COALESCE(c.cs, 0)) // 100 AS BIGINT) AS r
-  FROM n LEFT JOIN (
-    SELECT e.d AS node, CAST(SUM(r.r // e.od) AS BIGINT) AS cs
-    FROM e JOIN r{i} r ON e.s = r.node GROUP BY e.d
+  FROM pr_n LEFT JOIN (
+    SELECT pr_e.d AS node, CAST(SUM(r.r // pr_e.od) AS BIGINT) AS cs
+    FROM pr_e JOIN pr_r{i} r ON pr_e.s = r.node GROUP BY pr_e.d
   ) c USING (node))"""
         )
-    return "WITH " + ",\n".join(parts) + f"\nSELECT node, r FROM r{iterations}"
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node, r FROM pr_r{iterations}"
 
 
 def assign_components(

@@ -446,3 +446,165 @@ def test_priority_sample_dlt_estimator(spark):
     est = sum(max(w, tau) for i, _ in ra[:k] for w in [1000.0 if i < 5 else 1.0])
     true = 5 * 1000.0 + 1000 * 1.0
     assert abs(est - true) / true < 0.25  # unbiased estimator, single draw
+
+
+# ---------------------------------------------------------------------------
+# PageRank (exact fixed-point)
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_matches_python_reference(spark):
+    """Every rank equals an independent pure-Python fixed-point replay."""
+    from iceberg_evolve_spark.functions.graph import pagerank
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (4, 1), (1, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.r for r in pagerank(df, iterations=3, scale=10**10).collect()}
+
+    # reference: same integer arithmetic, plain dicts
+    scale, d = 10**10, 85
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, set()).add(t)
+    nodes = {n for e in edges for n in e}
+    r = {n: scale for n in nodes}
+    base = (100 - d) * scale // 100
+    for _ in range(3):
+        contrib = {n: 0 for n in nodes}
+        for s, ts in out.items():
+            for t in ts:
+                contrib[t] += r[s] // len(ts)
+        r = {n: base + d * contrib[n] // 100 for n in nodes}
+    assert got == r
+
+
+def test_pagerank_mass_and_order(spark):
+    """On a symmetric star the hub outranks every leaf, and total mass stays
+    within the floor-division loss bound of n*scale."""
+    from iceberg_evolve_spark.functions.graph import pagerank
+
+    star = [(0, i) for i in range(1, 9)] + [(i, 0) for i in range(1, 9)]
+    df = spark.createDataFrame(star, ["src", "dst"])
+    rows = {r.node: r.r for r in pagerank(df, iterations=4, scale=10**10).collect()}
+    assert all(rows[0] > rows[i] for i in range(1, 9))
+    n, scale = 9, 10**10
+    total = sum(rows.values())
+    # each round loses < 1 unit/node to each of the two floor divisions
+    assert n * scale >= total > n * scale - n * 1000
+    leaf_ranks = {rows[i] for i in range(1, 9)}
+    assert len(leaf_ranks) == 1  # symmetric leaves tie exactly
+
+
+def test_pagerank_sql_twin_matches(spark):
+    """The unrolled DuckDB oracle reproduces pagerank() bit-for-bit."""
+    import duckdb
+
+    from iceberg_evolve_spark.functions.graph import pagerank, pagerank_unrolled_sql
+
+    edges = [(i, (i * 3 + 1) % 23) for i in range(23)] + [(5, 7), (7, 5), (0, 11)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = sorted((r.node, r.r) for r in pagerank(df, iterations=3).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e AS SELECT * FROM (VALUES " +
+                ",".join(f"({s},{t})" for s, t in edges) + ") t(s, d)")
+    want = sorted(con.execute(
+        pagerank_unrolled_sql("SELECT s, d FROM e", iterations=3)
+    ).fetchall())
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Exact substring duplication
+# ---------------------------------------------------------------------------
+
+
+def test_exact_substring_shared_semantics(spark):
+    """Cross-doc verbatim spans count; self-repetition and short docs don't."""
+    from iceberg_evolve_spark.functions.dedup import exact_substring_shared
+
+    hand = spark.createDataFrame(
+        [(1, "a b c d"), (2, "z a b c"), (3, "p q r s"),
+         (4, "x y z x y z"), (5, "t u")],
+        ["doc_id", "text"])
+    got = {r.doc_id: (r.n_windows, r.n_shared)
+           for r in exact_substring_shared(hand, "doc_id", k=3).collect()}
+    # doc4's repeated "x y z" lives only in doc4 -> not duplication;
+    # doc5 has no 3-window at all.
+    assert got == {1: (2, 1), 2: (2, 1), 3: (2, 0), 4: (4, 0)}
+
+
+def test_word_windows_is_a_bag(spark):
+    """word_windows keeps every occurrence (unlike word_shingles' set)."""
+    from iceberg_evolve_spark.functions.dedup import word_shingles, word_windows
+
+    df = spark.createDataFrame([("x y x y x",)], ["text"])
+    row = df.select(
+        word_windows(F.col("text"), 2).alias("w"),
+        word_shingles(F.col("text"), 2).alias("s"),
+    ).first()
+    assert row.w == ["x y", "y x", "x y", "y x"]
+    assert sorted(row.s) == ["x y", "y x"]
+
+
+# ---------------------------------------------------------------------------
+# Blocked record linkage
+# ---------------------------------------------------------------------------
+
+
+def test_blocked_pairs_cap_drops_oversized_blocks(spark):
+    from iceberg_evolve_spark.functions.linkage import blocked_candidate_pairs
+
+    df = spark.createDataFrame(
+        [(i, "big", "x") for i in range(10)] + [(100, "ok", "y"), (101, "ok", "z")],
+        ["id", "blk", "nm"])
+    capped = blocked_candidate_pairs(df, "id", ["blk"], ["nm"], max_block_size=5)
+    rows = capped.collect()
+    assert {r.blk for r in rows} == {"ok"} and len(rows) == 1
+    uncapped = blocked_candidate_pairs(df, "id", ["blk"], ["nm"])
+    assert uncapped.count() == 45 + 1  # C(10,2) + C(2,2)
+
+
+def test_fuzzy_match_pairs_distance_boundary(spark):
+    from iceberg_evolve_spark.functions.linkage import fuzzy_match_pairs
+
+    df = spark.createDataFrame(
+        [(1, "b", "abc"), (2, "b", "abd"), (3, "b", "zzz"), (4, "c", "abc")],
+        ["id", "blk", "nm"])
+    m = fuzzy_match_pairs(df, "id", "nm", ["blk"], max_distance=1)
+    got = {(r.id_a, r.id_b, r.dist) for r in m.collect()}
+    assert got == {(1, 2, 1)}  # cross-block (1,4) never considered
+
+
+# ---------------------------------------------------------------------------
+# Incremental LSH probe
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_probe_equals_full_pairs_restriction(spark):
+    """Probe(batch, corpus) == the batch-corpus restriction of full LSH pairs
+    over the union — the incremental path finds exactly what a full rebuild
+    would, at batch cost."""
+    from iceberg_evolve_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_probe,
+        minhash_signatures,
+    )
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again today"),
+        (3, "completely different content about spark query planning at scale"),
+        (11, "the quick brown fox jumps over the lazy dog again and again"),
+        (12, "completely different content about spark query planning at scale"),
+        (13, "unrelated third text that matches nothing else in this corpus"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    sig = minhash_signatures(df, "doc_id", num_hashes=16, k=3)
+    probe = minhash_lsh_probe(
+        sig.filter(F.col("doc_id") >= 10), sig.filter(F.col("doc_id") < 10),
+        "doc_id", num_hashes=16, bands=8, threshold=0.5)
+    got = {(r.new_id, r.corpus_id, r.est_jaccard) for r in probe.collect()}
+    full = minhash_lsh_pairs(df, "doc_id", num_hashes=16, bands=8, k=3, threshold=0.5)
+    want = {(r.id_a, r.id_b, r.est_jaccard) for r in full.collect()
+            if r.id_a < 10 <= r.id_b}
+    assert got == want and any(n == 1 and c == 11 for n, c, _ in got)
