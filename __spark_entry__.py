@@ -2087,6 +2087,77 @@ FROM events GROUP BY 1, 2
 """
 
 
+def orders_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot/time-travel table semantics (`sources/snapshots.py`) under the
+    hash gate: v1 = the 'F'-status orders (initial load), v2 = the full table
+    (backfill), then a LOGICAL rollback to v1 — and the entry proves, via
+    exact aggregates, that (a) pinned reads see their immutable snapshot,
+    (b) an as-of read resolves to the snapshot current at that timestamp, and
+    (c) after rollback the latest read equals v1 again while v2 stays
+    readable. This is the Iceberg snapshot model (manifest commit point,
+    immutable data dirs, orphan-safe crashes) the schema engine targets,
+    exercised without the runtime jar. Timestamps are fixed constants so the
+    run is deterministic; the four 1-row aggregates are collected and
+    surfaced as a local DataFrame (bounded driver data, same pattern as the
+    CLI/metadata entries)."""
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="ies-snapshots-")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "orders_table"))
+        t.write(
+            orders.filter(F.col("o_orderstatus") == "F"), note="initial load", ts=1000.0
+        )
+        t.write(orders, note="full backfill", ts=2000.0)
+        t.rollback(1, ts=3000.0)
+        rows = []
+        for name, spec in [
+            ("asof_1500", dict(as_of=1500.0)),
+            ("latest_after_rollback", dict()),
+            ("v1_pinned", dict(version=1)),
+            ("v2_pinned", dict(version=2)),
+        ]:
+            r = (
+                t.read(spark, **spec)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.round(
+                        F.sum(_dec(F.col("o_totalprice"), 2)).cast("double"), 2
+                    ).alias("s"),
+                )
+                .first()
+            )
+            rows.append((name, r["n"], r["s"]))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "snapshot string, n_rows bigint, sum_totalprice double"
+    ).orderBy("snapshot")
+
+
+_SNAPSHOT_SQL = """
+WITH f AS (
+  SELECT COUNT(*) AS n,
+         ROUND(CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(22,2))) AS DOUBLE), 2) AS s
+  FROM orders WHERE o_orderstatus = 'F'
+),
+a AS (
+  SELECT COUNT(*) AS n,
+         ROUND(CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(22,2))) AS DOUBLE), 2) AS s
+  FROM orders
+)
+SELECT 'asof_1500' AS snapshot, n AS n_rows, s AS sum_totalprice FROM f
+UNION ALL SELECT 'latest_after_rollback', n, s FROM f
+UNION ALL SELECT 'v1_pinned', n, s FROM f
+UNION ALL SELECT 'v2_pinned', n, s FROM a
+ORDER BY snapshot
+"""
+
+
 #: Anomaly-detection tuning (Spark and oracle must agree). The z² threshold is
 #: the rational T2_NUM/T2_DEN so the flag is an exact integer comparison —
 #: no float boundary can disagree between engines.
@@ -6107,6 +6178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_substring_dup": docs_exact_substring_dup,
         "docs_model_score": docs_model_score,
         "lineitem_correlations": lineitem_correlations,
+        "orders_snapshot_time_travel": orders_snapshot_time_travel,
         # (c) remaining r02-hashed entries (oldest verification still
         #     standing), registry order preserved.
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -6116,8 +6188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": dedup_keep_best,
         "decontaminate_docs": decontaminate_docs,
         "kmv_distinct_parts": kmv_distinct_parts,
-        "cms_heavy_brands": cms_heavy_brands,
         # ---------------------- past the window ----------------------------
+        "cms_heavy_brands": cms_heavy_brands,
         "orders_price_histogram": orders_price_histogram,
         "lineitem_profile": lineitem_profile,
         "events_retention_cohorts": events_retention_cohorts,
@@ -6286,6 +6358,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_exact_substring_dup": _SUBSTR_SQL,
         "docs_model_score": _model_score_sql(),
         "lineitem_correlations": _corr_sql(),
+        "orders_snapshot_time_travel": _SNAPSHOT_SQL,
         "dedup_lsh_quality": _LSH_QUALITY_SQL,
         "ann_topk_batch": _ivf_batch_sql(),
         "quantiles_sampled_totalprice": _qsample_sql(),

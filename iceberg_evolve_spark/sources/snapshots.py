@@ -1,0 +1,135 @@
+"""Snapshot / time-travel table layer over plain parquet — the Iceberg
+metadata ideas (immutable snapshots, a manifest as the single source of truth,
+time travel, logical rollback) implemented on a directory, so the concepts the
+schema-evolution engine targets (reference: iceberg-evolve operates on Iceberg
+tables' snapshot metadata) are runnable here without a table-format jar.
+
+Layout::
+
+    table_dir/
+      v00001/           # immutable parquet data dirs, never rewritten
+      v00002/
+      _snapshots.json   # ordered manifest: the ONLY mutable file
+
+Disciplines (the same ones real table formats automate):
+
+* **Data dirs are immutable.** A new snapshot writes a NEW ``vNNNNN`` dir;
+  nothing ever rewrites an existing one, so concurrent readers of any pinned
+  version are never disturbed.
+* **The manifest is the commit point.** Data is written first to a ``.tmp``
+  dir, renamed to its final name, and only then does the manifest gain the
+  entry — installed atomically via write-temp + ``os.replace``. A crash at any
+  step leaves either the old manifest (data dir is an unreferenced orphan,
+  harmless — Iceberg calls these orphan files) or the new one (commit
+  complete). No torn state is observable.
+* **Rollback is logical.** Rolling back appends a new manifest entry pointing
+  at the old version's data dir — history is preserved and the rollback is
+  itself a snapshot, exactly like Iceberg's ``rollback_to_snapshot``.
+
+At 100 TB the only thing that changes is WHERE the bytes live (object store;
+rename becomes copy, so the data-dir rename step is replaced by writing
+directly to the final unique prefix — uniqueness makes it safe) — the manifest
+commit protocol is identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_snapshots.json"
+
+
+class SnapshotTable:
+    """A versioned parquet table rooted at ``path``."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path.rstrip("/")
+        os.makedirs(self.path, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, MANIFEST)
+
+    def versions(self) -> list[dict]:
+        """Ordered snapshot entries: ``{version, data_dir, ts, note}``."""
+        try:
+            with open(self._manifest_path()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return []
+
+    def _commit(self, entries: list[dict]) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(entries, fh, indent=1)
+        os.replace(tmp, self._manifest_path())  # atomic on POSIX
+
+    # -- write path --------------------------------------------------------
+    def write(self, df: DataFrame, note: str | None = None, ts: float | None = None) -> int:
+        """Write ``df`` as the next snapshot; returns the new version number.
+
+        The data lands in a fresh immutable dir; the manifest append is the
+        commit point (see module docstring for the crash analysis)."""
+        entries = self.versions()
+        version = (entries[-1]["version"] + 1) if entries else 1
+        data_dir = f"v{version:05d}"
+        final = os.path.join(self.path, data_dir)
+        tmp = final + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+        entries.append(
+            {
+                "version": version,
+                "data_dir": data_dir,
+                "ts": time.time() if ts is None else ts,
+                "note": note,
+            }
+        )
+        self._commit(entries)
+        return version
+
+    def rollback(self, version: int, note: str | None = None, ts: float | None = None) -> int:
+        """Make ``version``'s data current again by appending a NEW snapshot
+        entry that points at the old data dir (history preserved)."""
+        entries = self.versions()
+        target = next(e for e in entries if e["version"] == version)
+        new_version = entries[-1]["version"] + 1
+        entries.append(
+            {
+                "version": new_version,
+                "data_dir": target["data_dir"],
+                "ts": time.time() if ts is None else ts,
+                "note": note or f"rollback to v{version}",
+            }
+        )
+        self._commit(entries)
+        return new_version
+
+    # -- read path ---------------------------------------------------------
+    def _resolve(self, version: int | None, as_of: float | None) -> dict:
+        entries = self.versions()
+        if not entries:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        if version is not None:
+            return next(e for e in entries if e["version"] == version)
+        if as_of is not None:
+            eligible = [e for e in entries if e["ts"] <= as_of]
+            if not eligible:
+                raise LookupError(f"no snapshot at or before ts={as_of}")
+            return eligible[-1]
+        return entries[-1]
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        as_of: float | None = None,
+    ) -> DataFrame:
+        """Read the latest snapshot, a pinned ``version``, or the snapshot
+        current ``as_of`` a timestamp (time travel)."""
+        entry = self._resolve(version, as_of)
+        return spark.read.parquet(os.path.join(self.path, entry["data_dir"]))
