@@ -3085,6 +3085,45 @@ LIMIT {ANN_K}
 """
 
 
+#: Filtered-ANN entry: restrict the probe to one label and widen n_probe to
+#: compensate the predicate's selectivity (the filtered-ANN recall trade).
+ANN_FILTER_LABEL = 3
+IVF_PROBE_FILTERED = 2 * IVF_PROBE
+
+
+def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN — top-k nearest WITHIN a metadata predicate
+    (`label = 3`), the dominant production serving shape ("similar docs from
+    source X", "neighbors with licence Y"). The predicate is a pushed-down
+    filter INSIDE the partition-pruned cell scan (the store carries payload
+    columns), not a post-filter over an unfiltered top-k — post-filtering
+    returns < k rows whenever the filter is selective. n_probe is doubled vs
+    the unfiltered probe because a selective predicate thins each probed
+    cell (the standard filtered-IVF recall trade)."""
+    return _ivf_index(spark, sf_dir).probe(
+        _query_vec(spark, sf_dir),
+        k=ANN_K,
+        n_probe=IVF_PROBE_FILTERED,
+        where=F.col("label") == ANN_FILTER_LABEL,
+    )
+
+
+def _ivf_filtered_sql() -> str:
+    """DuckDB replay of the filtered probe: the shared IVF CTE machinery with
+    the wider probe list, the label predicate applied to the pruned cells."""
+    prefix = _ivf_cte_prefix().replace(
+        f"LIMIT {IVF_PROBE}\n", f"LIMIT {IVF_PROBE_FILTERED}\n"
+    )
+    return f"""{prefix}
+SELECT p.vec_id, ROUND({_cosine_sql('p.embedding', 'q.qv')}, 6) AS cosine
+FROM pruned p
+JOIN embeddings e ON e.vec_id = p.vec_id, q
+WHERE e.label = {ANN_FILTER_LABEL}
+ORDER BY cosine DESC, p.vec_id ASC
+LIMIT {ANN_K}
+"""
+
+
 IVF_RERANK = 4 * ANN_K  # probe_quantized default: rerank = 4k
 
 
@@ -6179,6 +6218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_model_score": docs_model_score,
         "lineitem_correlations": lineitem_correlations,
         "orders_snapshot_time_travel": orders_snapshot_time_travel,
+        "ann_topk_filtered": ann_topk_filtered,
         # (c) remaining r02-hashed entries (oldest verification still
         #     standing), registry order preserved.
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -6187,8 +6227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_components": dedup_cluster_components,
         "dedup_keep_best": dedup_keep_best,
         "decontaminate_docs": decontaminate_docs,
-        "kmv_distinct_parts": kmv_distinct_parts,
         # ---------------------- past the window ----------------------------
+        "kmv_distinct_parts": kmv_distinct_parts,
         "cms_heavy_brands": cms_heavy_brands,
         "orders_price_histogram": orders_price_histogram,
         "lineitem_profile": lineitem_profile,
@@ -6359,6 +6399,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_model_score": _model_score_sql(),
         "lineitem_correlations": _corr_sql(),
         "orders_snapshot_time_travel": _SNAPSHOT_SQL,
+        "ann_topk_filtered": _ivf_filtered_sql(),
         "dedup_lsh_quality": _LSH_QUALITY_SQL,
         "ann_topk_batch": _ivf_batch_sql(),
         "quantiles_sampled_totalprice": _qsample_sql(),

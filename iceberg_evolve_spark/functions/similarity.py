@@ -531,6 +531,7 @@ class IVFIndex:
         k: int = 10,
         n_probe: int = 4,
         round_digits: int | None = 6,
+        where: Column | None = None,
     ) -> DataFrame:
         """Approximate top-k: scan only the ``n_probe`` cells nearest the query.
 
@@ -538,15 +539,25 @@ class IVFIndex:
         DataFrame plan filters on the ``_cell`` partition column, so Spark
         prunes non-probed partitions at the file listing — the scan touches
         ~n_probe/n_centroids of the corpus. Probing all cells == exact search.
+
+        ``where`` is the FILTERED-ANN path (top-k within a metadata
+        predicate): the store carries the corpus' payload columns, so the
+        predicate is a plain pushed-down filter inside the already-pruned
+        scan — no post-hoc re-query. The recall caveat of filtered ANN
+        applies: a selective predicate thins each probed cell, so callers
+        should raise ``n_probe`` roughly in proportion to 1/selectivity (the
+        same trade documented for filtered IVF in FAISS/Milvus).
         """
         cells = self._probe_cells(query_vec, n_probe)
         qcol = F.array(*[F.lit(float(x)) for x in query_vec])
         sim = cosine_sim(F.col(self.vec_col), qcol)
         if round_digits is not None:
             sim = F.round(sim, round_digits)
+        store = self.assigned.filter(F.col("_cell").isin(cells))
+        if where is not None:
+            store = store.filter(where)
         return (
-            self.assigned.filter(F.col("_cell").isin(cells))
-            .select(F.col(self.id_col), sim.alias("cosine"))
+            store.select(F.col(self.id_col), sim.alias("cosine"))
             .orderBy(F.col("cosine").desc(), F.col(self.id_col).asc())
             .limit(k)
         )
