@@ -2158,6 +2158,62 @@ ORDER BY snapshot
 """
 
 
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling — generating the rows that AREN'T there: per
+    event_type, daily counts with every missing calendar day between the
+    type's first and last day materialized as an explicit zero row (the shape
+    rollup/forecast jobs need; a groupBy alone silently omits empty days).
+    The input is deterministically sparsified (event_id % 97 == 0, ~1% of
+    events) so real gaps exist and the fill path itself sits under the hash
+    gate — the dense corpus has no empty days to fill.
+
+    Shape: one map-side-combined daily aggregation, then the per-type day
+    spine is generated IN-PLAN with `sequence(min_day, max_day)` + explode
+    from the per-type 1-row aggregate — never a driver loop, never a
+    cross-join against a global calendar table (the spine is exactly as long
+    as each type's own span). One left join on (type, day) aligned with the
+    aggregation's partitioning. At 100 TB the spine side is #types × #days
+    rows — metadata-sized regardless of event volume."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 97 == 0)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.col("n").isNull().alias("gap_filled"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_GAPFILL_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events WHERE event_id % 97 = 0 GROUP BY 1, 2
+),
+spine AS (
+  SELECT event_type,
+         CAST(unnest(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY)) AS DATE) AS day
+  FROM daily GROUP BY event_type
+)
+SELECT s.event_type, s.day, COALESCE(d.n, 0) AS n, d.n IS NULL AS gap_filled
+FROM spine s LEFT JOIN daily d USING (event_type, day)
+ORDER BY s.event_type, s.day
+"""
+
+
 #: Anomaly-detection tuning (Spark and oracle must agree). The z² threshold is
 #: the rational T2_NUM/T2_DEN so the flag is an exact integer comparison —
 #: no float boundary can disagree between engines.
@@ -6219,6 +6275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_correlations": lineitem_correlations,
         "orders_snapshot_time_travel": orders_snapshot_time_travel,
         "ann_topk_filtered": ann_topk_filtered,
+        "events_daily_gapfill": events_daily_gapfill,
         # (c) remaining r02-hashed entries (oldest verification still
         #     standing), registry order preserved.
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -6226,8 +6283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_cluster_components": dedup_cluster_components,
         "dedup_keep_best": dedup_keep_best,
-        "decontaminate_docs": decontaminate_docs,
         # ---------------------- past the window ----------------------------
+        "decontaminate_docs": decontaminate_docs,
         "kmv_distinct_parts": kmv_distinct_parts,
         "cms_heavy_brands": cms_heavy_brands,
         "orders_price_histogram": orders_price_histogram,
@@ -6400,6 +6457,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_correlations": _corr_sql(),
         "orders_snapshot_time_travel": _SNAPSHOT_SQL,
         "ann_topk_filtered": _ivf_filtered_sql(),
+        "events_daily_gapfill": _GAPFILL_SQL,
         "dedup_lsh_quality": _LSH_QUALITY_SQL,
         "ann_topk_batch": _ivf_batch_sql(),
         "quantiles_sampled_totalprice": _qsample_sql(),
