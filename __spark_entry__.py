@@ -5984,6 +5984,41 @@ GROUP BY d.source ORDER BY d.source
 """
 
 
+BPE_ROUNDS = 4
+
+
+def docs_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER TRAINING as a query (`functions/text.py:bpe_train_merges`):
+    learn the corpus' first 4 byte-pair merges, Sennrich-style, starting from
+    characters. Training runs on the word-frequency histogram (one explode +
+    one groupBy folds the whole corpus into |vocab| rows), each round is one
+    tiny aggregation + a single-pass symbol merge, and the top pair per round
+    is the only driver read (1 row). Every weight is an exact integer and the
+    merge pass is leftmost non-overlapping replace — identical in Spark and
+    DuckDB — so the unrolled oracle replays the full training run, making
+    this (to our knowledge) a fully hash-gated BPE trainer. Output: the merge
+    table, which IS the tokenizer."""
+    from iceberg_evolve_spark.functions.text import bpe_train_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train_merges(docs, "text", rounds=BPE_ROUNDS)
+    return spark.createDataFrame(
+        merges, "round int, left_sym string, right_sym string, weight bigint"
+    ).select(
+        "round",
+        "left_sym",
+        "right_sym",
+        F.concat("left_sym", "right_sym").alias("merged"),
+        "weight",
+    ).orderBy("round")
+
+
+def _bpe_sql() -> str:
+    from iceberg_evolve_spark.functions.text import bpe_unrolled_sql
+
+    return bpe_unrolled_sql(rounds=BPE_ROUNDS)
+
+
 def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher quality-rule battery (`functions/text.py:gopher_signals`):
     token-count bounds, mean word length, alphabetic-word fraction, and the
@@ -6276,14 +6311,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_snapshot_time_travel": orders_snapshot_time_travel,
         "ann_topk_filtered": ann_topk_filtered,
         "events_daily_gapfill": events_daily_gapfill,
+        "docs_bpe_train": docs_bpe_train,
         # (c) remaining r02-hashed entries (oldest verification still
         #     standing), registry order preserved.
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_cluster_components": dedup_cluster_components,
-        "dedup_keep_best": dedup_keep_best,
         # ---------------------- past the window ----------------------------
+        "dedup_keep_best": dedup_keep_best,
         "decontaminate_docs": decontaminate_docs,
         "kmv_distinct_parts": kmv_distinct_parts,
         "cms_heavy_brands": cms_heavy_brands,
@@ -6458,6 +6494,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_snapshot_time_travel": _SNAPSHOT_SQL,
         "ann_topk_filtered": _ivf_filtered_sql(),
         "events_daily_gapfill": _GAPFILL_SQL,
+        "docs_bpe_train": _bpe_sql(),
         "dedup_lsh_quality": _LSH_QUALITY_SQL,
         "ann_topk_batch": _ivf_batch_sql(),
         "quantiles_sampled_totalprice": _qsample_sql(),

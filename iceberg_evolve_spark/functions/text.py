@@ -275,6 +275,116 @@ def pack_token_sequences(
     )
 
 
+#: Adjacent symbol pairs of the space-separated symbol string ``s`` (empty for
+#: single-symbol words — Spark's sequence(1, 0) is DESCENDING, so guard).
+_BPE_PAIRS = (
+    "CASE WHEN size(split(trim(s), ' ')) >= 2 THEN "
+    "transform(sequence(1, size(split(trim(s), ' ')) - 1), "
+    "i -> struct(element_at(split(trim(s), ' '), i) AS a, "
+    "element_at(split(trim(s), ' '), i + 1) AS b)) "
+    "ELSE array() END"
+)
+
+
+def bpe_train_merges(
+    df: DataFrame, text_col: str = "text", rounds: int = 4
+) -> list[tuple[int, str, str, int]]:
+    """TRAIN a byte-pair-encoding tokenizer on the corpus (Sennrich et al.,
+    "Neural Machine Translation of Rare Words with Subword Units", ACL 2016):
+    start from characters, repeatedly merge the adjacent symbol pair with the
+    highest corpus weight. Returns ``[(round, left, right, weight), ...]`` —
+    the learned merge table, which IS the tokenizer.
+
+    Distribution shape (the standard trick): training runs on the WORD
+    FREQUENCY HISTOGRAM, not the corpus — one token explode + one groupBy
+    compresses 100 TB of text into a |vocab|-row state table, and every merge
+    round is one tiny aggregation over it. Per round the top pair is read to
+    the driver (ONE row — bounded, like IVF centroids) and applied as a
+    single `replace` pass over the symbol strings.
+
+    Determinism: pair weights are exact integer sums; ties break by
+    (weight desc, left asc, right asc); the merge pass is leftmost
+    non-overlapping string replace, which Spark and DuckDB implement
+    identically — so an unrolled SQL oracle (`bpe_unrolled_sql`) replays the
+    whole training bit-for-bit.
+    """
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    seq = (
+        "concat(' ', concat_ws(' ', "
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))), ' ')"
+    )
+    state = vocab.select("c", F.expr(seq).alias("s")).persist()
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        top = (
+            state.select("c", F.explode(F.expr(_BPE_PAIRS)).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("c").alias("wgt"))
+            .orderBy(F.col("wgt").desc(), F.col("a").asc(), F.col("b").asc())
+            .first()
+        )
+        if top is None:
+            break
+        merges.append((r, top["a"], top["b"], int(top["wgt"])))
+        nxt = state.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(f" {top['a']} {top['b']} "),
+                F.lit(f" {top['a']}{top['b']} "),
+            ),
+        ).persist()
+        state.unpersist()
+        state = nxt
+    state.unpersist()
+    return merges
+
+
+def bpe_unrolled_sql(rounds: int = 4, source: str = "documents") -> str:
+    """DuckDB oracle twin of :func:`bpe_train_merges`: the same rounds
+    unrolled as chained CTEs (pair counting → top-1 → replace), ending in the
+    merge table ``(round, left, right, merged, weight)``."""
+    toks = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+    parts = [
+        f"bpe_tok AS (SELECT unnest({toks}) AS w FROM {source})",
+        "bpe_v AS (SELECT w, COUNT(*) AS c FROM bpe_tok GROUP BY w)",
+        (
+            "bpe_s0 AS (SELECT c, ' ' || array_to_string("
+            "list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), ' ') || ' ' AS s "
+            "FROM bpe_v)"
+        ),
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""bpe_p{r} AS (
+  SELECT sy[CAST(i AS INT)] AS a, sy[CAST(i AS INT) + 1] AS b,
+         CAST(SUM(c) AS BIGINT) AS wgt
+  FROM (SELECT c, string_split(trim(s), ' ') AS sy,
+               unnest(range(1, len(string_split(trim(s), ' ')))) AS i
+        FROM bpe_s{r - 1})
+  GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"bpe_t{r} AS (SELECT a, b, wgt FROM bpe_p{r} "
+            f"ORDER BY wgt DESC, a ASC, b ASC LIMIT 1)"
+        )
+        parts.append(
+            f"bpe_s{r} AS (SELECT c, replace(s, "
+            f"(SELECT ' ' || a || ' ' || b || ' ' FROM bpe_t{r}), "
+            f"(SELECT ' ' || a || b || ' ' FROM bpe_t{r})) AS s FROM bpe_s{r - 1})"
+        )
+    heads = "\nUNION ALL ".join(
+        f"SELECT {r} AS round, a AS left_sym, b AS right_sym, "
+        f"a || b AS merged, wgt AS weight FROM bpe_t{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\n{heads}\nORDER BY round"
+
+
 def feature_hashing(
     df: DataFrame,
     id_col: str = "doc_id",
