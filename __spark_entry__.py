@@ -2158,6 +2158,134 @@ ORDER BY snapshot
 """
 
 
+#: Two-proportion significance boundary: z² > CHI2_NUM/CHI2_DEN (χ²₁ at 95%),
+#: applied as an exact integer cross-comparison so the verdict cannot drift.
+CHI2_NUM = 38415
+CHI2_DEN = 10000
+
+
+#: Attribution window: a user converts iff a purchase lands within this many
+#: days after their FIRST click (1 day splits the synthetic corpus ~45/55, so
+#: both branches of the verdict arithmetic are exercised).
+AB_CONV_DAYS = 1
+
+
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis (A/B test readout): users split deterministically
+    into two arms (user_id % 2); a user converts if a purchase lands within
+    AB_CONV_DAYS of their first click. Output is one row: per-arm funnel
+    counts, conversion rates, the pooled two-proportion z² statistic, and
+    the significance verdict — with the verdict computed as an exact integer
+    cross-multiplication against the rational χ²₁ boundary (38415/10000), so
+    no float threshold can disagree between engines. z² itself is one double
+    division of exact integers, for display.
+
+    Shape: ONE groupBy(user) for first clicks, one semi-join of purchases
+    into the attribution window (both shuffles on user_id, partition-
+    aligned), one tiny arm aggregation, one 1-row output. Overflow note: the
+    z² numerator is (c1·n2 − c2·n1)²·N — exact in BIGINT to ~1e9 users per
+    arm; past that, widen to DECIMAL(38,0) (same shape)."""
+    ev = _t(spark, sf_dir, "events")
+    fc = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("fc"))
+        .filter(F.col("fc").isNotNull())
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    conv = (
+        fc.join(
+            pur,
+            (F.col("pu") == F.col("user_id"))
+            & (F.col("pts") > F.col("fc"))
+            & (F.col("pts") <= F.col("fc") + F.expr(f"interval {AB_CONV_DAYS} day")),
+            "left_semi",
+        )
+        .select("user_id")
+        .withColumn("conv", F.lit(1))
+    )
+    per_user = fc.join(conv, "user_id", "left").select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.coalesce("conv", F.lit(0)).cast("long").alias("conv"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")
+    )
+    w = (
+        arms.groupBy()
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+            F.sum(F.when(F.col("arm") == 0, F.col("c"))).alias("c0"),
+            F.sum(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+            F.sum(F.when(F.col("arm") == 1, F.col("c"))).alias("c1"),
+        )
+    )
+    num = (
+        (F.col("c0") * F.col("n1") - F.col("c1") * F.col("n0"))
+        * (F.col("c0") * F.col("n1") - F.col("c1") * F.col("n0"))
+        * (F.col("n0") + F.col("n1"))
+    )
+    den = (
+        F.col("n0")
+        * F.col("n1")
+        * (F.col("c0") + F.col("c1"))
+        * (F.col("n0") + F.col("n1") - F.col("c0") - F.col("c1"))
+    )
+    # Degenerate experiments (zero or universal conversion -> den == 0) get a
+    # NULL z² and a false verdict, on both sides.
+    return w.select(
+        "n0",
+        "c0",
+        F.round(F.col("c0").cast("double") / F.col("n0"), 6).alias("rate0"),
+        "n1",
+        "c1",
+        F.round(F.col("c1").cast("double") / F.col("n1"), 6).alias("rate1"),
+        F.when(den > 0, F.round(num.cast("double") / den.cast("double"), 6)).alias(
+            "z2"
+        ),
+        ((den > 0) & (num * CHI2_DEN > den * CHI2_NUM)).alias("significant"),
+    )
+
+
+_AB_SQL = f"""
+WITH fc AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'click' THEN ts END) AS fc
+  FROM events GROUP BY user_id
+),
+fcv AS (SELECT user_id, fc FROM fc WHERE fc IS NOT NULL),
+conv AS (
+  SELECT DISTINCT f.user_id
+  FROM fcv f JOIN events e
+    ON e.user_id = f.user_id AND e.event_type = 'purchase'
+   AND e.ts > f.fc AND e.ts <= f.fc + INTERVAL {AB_CONV_DAYS} DAY
+),
+arms AS (
+  SELECT f.user_id % 2 AS arm, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM fcv f LEFT JOIN conv c ON c.user_id = f.user_id
+  GROUP BY f.user_id % 2
+),
+wide AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN arm = 0 THEN c END) AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN arm = 1 THEN c END) AS BIGINT) AS c1
+  FROM arms
+)
+SELECT n0, c0, ROUND(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
+       n1, c1, ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
+       CASE WHEN n0*n1*(c0 + c1)*(n0 + n1 - c0 - c1) > 0 THEN
+         ROUND(CAST((c0*n1 - c1*n0)*(c0*n1 - c1*n0)*(n0 + n1) AS DOUBLE)
+               / CAST(n0*n1*(c0 + c1)*(n0 + n1 - c0 - c1) AS DOUBLE), 6)
+       END AS z2,
+       n0*n1*(c0 + c1)*(n0 + n1 - c0 - c1) > 0
+         AND (c0*n1 - c1*n0)*(c0*n1 - c1*n0)*(n0 + n1)*{CHI2_DEN}
+             > n0*n1*(c0 + c1)*(n0 + n1 - c0 - c1)*{CHI2_NUM} AS significant
+FROM wide
+"""
+
+
 def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap filling — generating the rows that AREN'T there: per
     event_type, daily counts with every missing calendar day between the
@@ -6319,6 +6447,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_cluster_components": dedup_cluster_components,
         # ---------------------- past the window ----------------------------
+        # (b3) added after the r4 window filled — never driver-verified;
+        #      these take round-5 window priority.
+        "events_ab_lift": events_ab_lift,
         "dedup_keep_best": dedup_keep_best,
         "decontaminate_docs": decontaminate_docs,
         "kmv_distinct_parts": kmv_distinct_parts,
@@ -6495,6 +6626,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_filtered": _ivf_filtered_sql(),
         "events_daily_gapfill": _GAPFILL_SQL,
         "docs_bpe_train": _bpe_sql(),
+        "events_ab_lift": _AB_SQL,
         "dedup_lsh_quality": _LSH_QUALITY_SQL,
         "ann_topk_batch": _ivf_batch_sql(),
         "quantiles_sampled_totalprice": _qsample_sql(),
