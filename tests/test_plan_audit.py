@@ -148,3 +148,43 @@ def test_mixture_corpus_side_is_broadcast_joined(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     # corpus scan reads only the three output columns
     assert "struct<doc_id:bigint,lang:string,source:string>" in plan
+
+
+def test_filtered_ann_pushes_label_into_pruned_scan(spark, sf_dir):
+    """Filtered ANN: the label predicate must reach the parquet scan
+    (PushedFilters) INSIDE the cell-pruned store — not a post-filter over an
+    unfiltered top-k."""
+    df = _QUERIES["ann_topk_filtered"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters:")[1][:300]
+    assert "label" in pushed
+    assert "_cell" in plan  # partition pruning on the probe cells
+
+
+def test_correlations_are_single_scan(spark, sf_dir):
+    """All pairwise moments must come from ONE parquet scan (a union of
+    per-pair selects would re-scan per branch)."""
+    df = _QUERIES["lineitem_correlations"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+
+
+def test_anomaly_window_runs_over_hourly_aggregate(spark, sf_dir):
+    """The z² window must partition over the hourly AGGREGATE, not raw
+    events: exactly one Window operator downstream of a HashAggregate."""
+    df = _QUERIES["events_anomaly_zscore"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "HashAggregate" in plan
+    # raw-event payload columns never read — the scan is pruned to what the
+    # hourly aggregate needs
+    read_schema = plan.split("ReadSchema:")[1][:200]
+    assert "props" not in read_schema and "value" not in read_schema
+
+
+def test_pagerank_has_no_python_and_bounded_plan(spark, sf_dir):
+    """The pagerank entry must stay JVM-side and its per-round lineage must be
+    checkpoint-truncated (no exponentially nested plan text)."""
+    df = _QUERIES["parts_pagerank"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert len(plan) < 200_000
