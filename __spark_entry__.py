@@ -2158,6 +2158,65 @@ ORDER BY snapshot
 """
 
 
+def snapshot_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA DRIFT MONITORING across table snapshots — the two halves of the
+    repo composed: the snapshot layer (`sources/snapshots.py`) versions the
+    data, and the core diff engine (D3 union-by-name, both directions)
+    reports what changed between any two versions' parquet schemas. v2 of
+    the orders table drops a column, adds a derived one, and narrows a type;
+    the entry reads BOTH versions' schemas from the versioned store and
+    emits the drift report (added / removed / type_changed with rendered
+    types) — what a production pipeline alerts on before a consumer breaks."""
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.canonical import clean_type_str
+    from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="ies-drift-")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "orders_table"))
+        t.write(orders, note="initial", ts=1000.0)
+        v2 = (
+            orders.drop("o_orderpriority")
+            .withColumn(
+                "o_margin", F.round(F.col("o_totalprice") * 0.05, 2).cast("double")
+            )
+            .withColumn("o_orderkey", F.col("o_orderkey").cast("int"))
+        )
+        t.write(v2, note="evolved", ts=2000.0)
+        sa = struct_from_spark(t.read(spark, version=1).schema)
+        sb = struct_from_spark(t.read(spark, version=2).schema)
+        fwd = SchemaDiff.union_by_name(sa, sb)
+        rev = SchemaDiff.union_by_name(sb, sa)
+        rows = sorted(
+            [("added", c.path, clean_type_str(c.new.type)) for c in fwd.added]
+            + [("removed", c.path, clean_type_str(c.new.type)) for c in rev.added]
+            + [
+                (
+                    "type_changed",
+                    c.path,
+                    f"{clean_type_str(c.old.type)}->{clean_type_str(c.new.type)}",
+                )
+                for c in fwd.changed
+            ]
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "kind string, column_name string, detail string")
+
+
+_DRIFT_SQL = """
+SELECT * FROM (VALUES
+  ('added', 'o_margin', 'double'),
+  ('removed', 'o_orderpriority', 'string'),
+  ('type_changed', 'o_orderkey', 'long->int')
+) t(kind, column_name, detail)
+ORDER BY kind, column_name
+"""
+
+
 #: Two-proportion significance boundary: z² > CHI2_NUM/CHI2_DEN (χ²₁ at 95%),
 #: applied as an exact integer cross-comparison so the verdict cannot drift.
 CHI2_NUM = 38415
@@ -6450,6 +6509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b3) added after the r4 window filled — never driver-verified;
         #      these take round-5 window priority.
         "events_ab_lift": events_ab_lift,
+        "snapshot_schema_drift": snapshot_schema_drift,
         "dedup_keep_best": dedup_keep_best,
         "decontaminate_docs": decontaminate_docs,
         "kmv_distinct_parts": kmv_distinct_parts,
@@ -6627,6 +6687,7 @@ def oracle_sql() -> dict[str, str]:
         "events_daily_gapfill": _GAPFILL_SQL,
         "docs_bpe_train": _bpe_sql(),
         "events_ab_lift": _AB_SQL,
+        "snapshot_schema_drift": _DRIFT_SQL,
         "dedup_lsh_quality": _LSH_QUALITY_SQL,
         "ann_topk_batch": _ivf_batch_sql(),
         "quantiles_sampled_totalprice": _qsample_sql(),
