@@ -31,6 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+#: Comma-separated query names to bench SOLO (default: the whole registry).
+#: Solo runs measure a query without the full sweep's session cache pressure —
+#: the number BASELINE.md's per-operator claims rest on.
+ONLY = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
 
 # The whole contract surface is benchmarked — every queries() entry, in
 # registry order — so per-round comparisons cover every operator and a newly
@@ -45,11 +49,18 @@ def main() -> None:
     spark = get_session(app_name="iceberg-evolve-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    qs = entry_mod.queries()
+    all_qs = entry_mod.queries()
+    qs = all_qs
+    if ONLY:
+        wanted = [n.strip() for n in ONLY.split(",") if n.strip()]
+        unknown = set(wanted) - set(all_qs)
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY: unknown queries {sorted(unknown)}")
+        qs = {n: all_qs[n] for n in wanted}
 
     def run(name: str) -> float:
         t0 = time.time()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        all_qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
     # warmup: touch all tables + codegen paths once; also fit a 3-row KMeans so
@@ -74,9 +85,12 @@ def main() -> None:
 
     # Offline IVF index build, timed as its own line item (build once; the
     # measured ann_topk_ivf passes below hit the warm index = serving path).
-    t0 = time.time()
-    entry_mod._ivf_index(spark, SF_DIR)
-    ivf_build_sec = round(time.time() - t0, 3)
+    # Skipped in solo mode when no selected query probes the index.
+    ivf_build_sec = 0.0
+    if not ONLY or any(n.startswith("ann_") for n in qs):
+        t0 = time.time()
+        entry_mod._ivf_index(spark, SF_DIR)
+        ivf_build_sec = round(time.time() - t0, 3)
 
     samples: dict[str, list[float]] = {name: [] for name in qs}
     for _ in range(N_RUNS):
