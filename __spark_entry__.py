@@ -1584,6 +1584,13 @@ LIMIT {PAGERANK_TOP}
 #: Entity-resolution entry tuning (Spark and oracle must agree).
 FUZZY_BLOCK_PREFIX = 15  # chars of c_name shared within a block (3 free digits)
 FUZZY_MAX_DIST = 1
+#: Oversized-block cap, WIRED ON (the stop-shingle lesson from round 3: a cap
+#: that ships disabled protects nothing). 50 BINDS on the gate corpus (sf0.01
+#: max block = 54) so the drop path itself sits under the hash gate; at
+#: production scale this is tuned to the skew tail — a block past the cap
+#: means the blocking key failed there and needs a finer key, not a bigger
+#: join.
+FUZZY_MAX_BLOCK = 50
 
 
 def customer_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1591,7 +1598,9 @@ def customer_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`functions/linkage.py`): near-duplicate customer names (Levenshtein ≤ 1)
     found WITHOUT the O(n²) all-pairs join — candidates are generated only
     inside blocks keyed by (nation, 15-char name prefix), so cost is
-    Σ|block|² with engineered-small blocks, the shape that survives 100 TB.
+    Σ|block|² with engineered-small blocks, the shape that survives 100 TB —
+    and blocks past FUZZY_MAX_BLOCK are DROPPED up front (cap wired on and
+    binding at the gate SF; the oracle mirrors the anti-join).
 
     Edit distance is an exact JVM integer (`levenshtein` built-in — no Python
     in the hot path) so the match boundary is bit-deterministic. Output is the
@@ -1608,6 +1617,7 @@ def customer_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         ["c_nationkey", "blk"],
         max_distance=10**9,  # keep all candidates; classify below
+        max_block_size=FUZZY_MAX_BLOCK,
     )
     is_match = F.col("dist") <= FUZZY_MAX_DIST
     return (
@@ -1626,11 +1636,16 @@ def customer_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FUZZY_SQL = f"""
-WITH c AS (
+WITH c0 AS (
   SELECT c_custkey, c_name, c_nationkey,
          substr(c_name, 1, {FUZZY_BLOCK_PREFIX}) AS blk
   FROM customer
 ),
+oversized AS (
+  SELECT c_nationkey, blk FROM c0
+  GROUP BY c_nationkey, blk HAVING COUNT(*) > {FUZZY_MAX_BLOCK}
+),
+c AS (SELECT * FROM c0 ANTI JOIN oversized USING (c_nationkey, blk)),
 pairs AS (
   SELECT a.c_nationkey, a.c_name AS name_a, b.c_name AS name_b,
          levenshtein(a.c_name, b.c_name) AS dist
