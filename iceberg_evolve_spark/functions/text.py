@@ -338,6 +338,10 @@ def bpe_train_merges(
                 F.lit(f" {top['a']}{top['b']} "),
             ),
         ).persist()
+        # Materialize the child BEFORE releasing the parent: unpersisting
+        # first would drop the cache the child's plan reads from, so every
+        # later round would recompute the whole vocab -> replace chain.
+        nxt.count()
         state.unpersist()
         state = nxt
     state.unpersist()
