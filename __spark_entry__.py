@@ -2256,9 +2256,12 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: ONE groupBy(user) for first clicks, one semi-join of purchases
     into the attribution window (both shuffles on user_id, partition-
-    aligned), one tiny arm aggregation, one 1-row output. Overflow note: the
-    z² numerator is (c1·n2 − c2·n1)²·N — exact in BIGINT to ~1e9 users per
-    arm; past that, widen to DECIMAL(38,0) (same shape)."""
+    aligned), one tiny arm aggregation, one 1-row output. Overflow: the
+    verdict terms are O(n⁵)·4e4, so they run in 128-bit-class exact types
+    (Spark DECIMAL(38,0) / DuckDB HUGEINT) — exact to ~5e6 users per arm,
+    and both engines fail LOUDLY past that rather than wrapping. Beyond
+    that scale, compare the double z² against the boundary instead: at
+    millions of users the statistic is nowhere near 3.8415's last ulp."""
     ev = _t(spark, sf_dir, "events")
     fc = (
         ev.groupBy("user_id")
@@ -2295,16 +2298,12 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("arm") == 1, F.col("c"))).alias("c1"),
         )
     )
-    num = (
-        (F.col("c0") * F.col("n1") - F.col("c1") * F.col("n0"))
-        * (F.col("c0") * F.col("n1") - F.col("c1") * F.col("n0"))
-        * (F.col("n0") + F.col("n1"))
-    )
+    d = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731 — 128-bit math
+    diff = d("c0") * d("n1") - d("c1") * d("n0")
+    num = diff * diff * (d("n0") + d("n1"))
     den = (
-        F.col("n0")
-        * F.col("n1")
-        * (F.col("c0") + F.col("c1"))
-        * (F.col("n0") + F.col("n1") - F.col("c0") - F.col("c1"))
+        d("n0") * d("n1") * (d("c0") + d("c1"))
+        * (d("n0") + d("n1") - d("c0") - d("c1"))
     )
     # Degenerate experiments (zero or universal conversion -> den == 0) get a
     # NULL z² and a false verdict, on both sides.
@@ -2346,17 +2345,20 @@ wide AS (
          CAST(SUM(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1,
          CAST(SUM(CASE WHEN arm = 1 THEN c END) AS BIGINT) AS c1
   FROM arms
+),
+hug AS (
+  SELECT n0, c0, n1, c1,
+         (CAST(c0 AS HUGEINT)*n1 - CAST(c1 AS HUGEINT)*n0) AS diff,
+         CAST(n0 AS HUGEINT)*n1*(c0 + c1)*(n0 + n1 - c0 - c1) AS den
+  FROM wide
 )
 SELECT n0, c0, ROUND(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
        n1, c1, ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
-       CASE WHEN n0*n1*(c0 + c1)*(n0 + n1 - c0 - c1) > 0 THEN
-         ROUND(CAST((c0*n1 - c1*n0)*(c0*n1 - c1*n0)*(n0 + n1) AS DOUBLE)
-               / CAST(n0*n1*(c0 + c1)*(n0 + n1 - c0 - c1) AS DOUBLE), 6)
+       CASE WHEN den > 0 THEN
+         ROUND(CAST(diff*diff*(n0 + n1) AS DOUBLE) / CAST(den AS DOUBLE), 6)
        END AS z2,
-       n0*n1*(c0 + c1)*(n0 + n1 - c0 - c1) > 0
-         AND (c0*n1 - c1*n0)*(c0*n1 - c1*n0)*(n0 + n1)*{CHI2_DEN}
-             > n0*n1*(c0 + c1)*(n0 + n1 - c0 - c1)*{CHI2_NUM} AS significant
-FROM wide
+       den > 0 AND diff*diff*(n0 + n1)*{CHI2_DEN} > den*{CHI2_NUM} AS significant
+FROM hug
 """
 
 
@@ -3301,7 +3303,7 @@ _L2_SQL = (
 )
 
 
-def _ivf_cte_prefix() -> str:
+def _ivf_cte_prefix(n_probe: int = None) -> str:
     """The shared DuckDB replay of the IVF offline/online machinery — centroid
     pick, cell assignment, probe selection, and the pruned-cell corpus — used
     by BOTH `_ivf_sql` and `_ivf_sq8_sql` so the two oracles can never
@@ -3309,7 +3311,10 @@ def _ivf_cte_prefix() -> str:
     is ORDER BY md5('ivf|'||id) LIMIT k in both engines; the squared-L2 folds
     share Spark's association order (0.0 + t1 == t1); the Spark argmin
     (array_position of array_min = first minimum) equals row_number() ORDER BY
-    dist, cell; probe selection sorts the same doubles."""
+    dist, cell; probe selection sorts the same doubles. ``n_probe`` widens
+    the probe list for the filtered-ANN oracle (default: IVF_PROBE)."""
+    if n_probe is None:
+        n_probe = IVF_PROBE
     dist_ec = _L2_SQL.format(a="e.embedding", b="c.cv", d=EMB_DIM)
     dist_qc = _L2_SQL.format(a="q.qv", b="c.cv", d=EMB_DIM)
     h = f"md5('{IVF_SEED}|' || CAST(vec_id AS VARCHAR))"
@@ -3320,7 +3325,7 @@ WITH cent AS (
 ),
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 probe AS (
-    SELECT c.cell FROM cent c, q ORDER BY {dist_qc} ASC, c.cell ASC LIMIT {IVF_PROBE}
+    SELECT c.cell FROM cent c, q ORDER BY {dist_qc} ASC, c.cell ASC LIMIT {n_probe}
 ),
 assigned AS (
     SELECT e.vec_id, e.embedding, c.cell,
@@ -3369,9 +3374,7 @@ def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_filtered_sql() -> str:
     """DuckDB replay of the filtered probe: the shared IVF CTE machinery with
     the wider probe list, the label predicate applied to the pruned cells."""
-    prefix = _ivf_cte_prefix().replace(
-        f"LIMIT {IVF_PROBE}\n", f"LIMIT {IVF_PROBE_FILTERED}\n"
-    )
+    prefix = _ivf_cte_prefix(n_probe=IVF_PROBE_FILTERED)
     return f"""{prefix}
 SELECT p.vec_id, ROUND({_cosine_sql('p.embedding', 'q.qv')}, 6) AS cosine
 FROM pruned p

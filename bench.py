@@ -85,9 +85,14 @@ def main() -> None:
 
     # Offline IVF index build, timed as its own line item (build once; the
     # measured ann_topk_ivf passes below hit the warm index = serving path).
-    # Skipped in solo mode when no selected query probes the index.
+    # Skipped in solo mode when no selected query probes the index
+    # (brute-force and sign-LSH ANN entries never read it).
+    _IVF_QUERIES = {
+        "ann_topk_ivf", "ann_topk_ivf_sq8", "ann_topk_ivf_pq",
+        "ann_topk_batch", "ann_recall_at_k", "ann_topk_filtered",
+    }
     ivf_build_sec = 0.0
-    if not ONLY or any(n.startswith("ann_") for n in qs):
+    if not ONLY or _IVF_QUERIES & set(qs):
         t0 = time.time()
         entry_mod._ivf_index(spark, SF_DIR)
         ivf_build_sec = round(time.time() - t0, 3)

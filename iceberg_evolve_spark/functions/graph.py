@@ -258,6 +258,13 @@ def pagerank(
             )
             .localCheckpoint(eager=eager_checkpoint)
         )
+    if not eager_checkpoint:
+        # Nothing has executed yet under lazy checkpoints — materialize the
+        # final chain (checkpointing every round along the way) BEFORE
+        # releasing the edge/node caches, otherwise the unpersists below
+        # strip the cache markers while the plan is still unexecuted and the
+        # caller's first action recomputes the edge pipeline once per round.
+        ranks.count()
     e0.unpersist()
     e.unpersist()
     nodes.unpersist()

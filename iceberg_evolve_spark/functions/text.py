@@ -307,6 +307,15 @@ def bpe_train_merges(
     non-overlapping string replace, which Spark and DuckDB implement
     identically — so an unrolled SQL oracle (`bpe_unrolled_sql`) replays the
     whole training bit-for-bit.
+
+    Deviation from reference BPE (deliberate, for engine portability): the
+    space-sentinel replace consumes the shared separator, so an immediate
+    RUN of the winning pair ("a a a a") merges one occurrence per round
+    where Sennrich's regex merges every non-overlapping occurrence in one
+    pass ("aa aa"); pair counts likewise include overlapping occurrences.
+    On natural-language words the winning pair is almost never an immediate
+    self-repeat, so learned merges typically coincide — but this is a
+    defined VARIANT, not byte-exact Sennrich/HF/sentencepiece behavior.
     """
     vocab = (
         df.select(F.explode(tokens(text_col)).alias("w"))

@@ -20,8 +20,10 @@ Disciplines (the same ones real table formats automate):
   dir, renamed to its final name, and only then does the manifest gain the
   entry — installed atomically via write-temp + ``os.replace``. A crash at any
   step leaves either the old manifest (data dir is an unreferenced orphan,
-  harmless — Iceberg calls these orphan files) or the new one (commit
-  complete). No torn state is observable.
+  harmless — Iceberg calls these orphan files; the next write of that version
+  number reclaims it) or the new one (commit complete). No torn state is
+  observable. Single-writer protocol: concurrent committers need an external
+  lock, as with table formats lacking a catalog's compare-and-swap.
 * **Rollback is logical.** Rolling back appends a new manifest entry pointing
   at the old version's data dir — history is preserved and the rollback is
   itself a snapshot, exactly like Iceberg's ``rollback_to_snapshot``.
@@ -78,6 +80,16 @@ class SnapshotTable:
         version = (entries[-1]["version"] + 1) if entries else 1
         data_dir = f"v{version:05d}"
         final = os.path.join(self.path, data_dir)
+        # A crash AFTER the data-dir rename but BEFORE the manifest commit
+        # leaves this name as an unreferenced orphan; a retry recomputes the
+        # same version number, so clear the orphan or the rename below fails
+        # forever. Safe because the manifest (the commit point) does not
+        # reference it. Single-writer protocol, like table formats without an
+        # external lock service — concurrent writers need a commit lock.
+        if os.path.isdir(final) and data_dir not in {e["data_dir"] for e in entries}:
+            import shutil
+
+            shutil.rmtree(final)
         tmp = final + ".tmp"
         df.write.mode("overwrite").parquet(tmp)
         os.rename(tmp, final)
@@ -96,7 +108,7 @@ class SnapshotTable:
         """Make ``version``'s data current again by appending a NEW snapshot
         entry that points at the old data dir (history preserved)."""
         entries = self.versions()
-        target = next(e for e in entries if e["version"] == version)
+        target = self._entry_for(entries, version)
         new_version = entries[-1]["version"] + 1
         entries.append(
             {
@@ -110,12 +122,21 @@ class SnapshotTable:
         return new_version
 
     # -- read path ---------------------------------------------------------
+    @staticmethod
+    def _entry_for(entries: list[dict], version: int) -> dict:
+        for e in entries:
+            if e["version"] == version:
+                return e
+        raise LookupError(
+            f"no snapshot version {version}; have {[e['version'] for e in entries]}"
+        )
+
     def _resolve(self, version: int | None, as_of: float | None) -> dict:
         entries = self.versions()
         if not entries:
             raise FileNotFoundError(f"no snapshots at {self.path}")
         if version is not None:
-            return next(e for e in entries if e["version"] == version)
+            return self._entry_for(entries, version)
         if as_of is not None:
             eligible = [e for e in entries if e["ts"] <= as_of]
             if not eligible:
