@@ -612,3 +612,74 @@ class TestStreamingHLL:
         writer(spark.createDataFrame([(3, "purchase")], "event_id long, event_type string"), 1)
         thrice = sorted(tuple(r) for r in spark.read.parquet(target).collect())
         assert thrice != once
+
+
+class TestMultiStatefulChain:
+    """TWO stateful operators in ONE streaming query (Spark 3.4+ capability):
+    watermarked dedup feeding a session-window aggregation — the composed
+    shape of a real ingest pipeline (at-least-once source → exactly-once
+    sessions), not just the operators in isolation."""
+
+    def test_dedup_then_session_window_single_query(self, spark, stream_dir):
+        from iceberg_evolve_spark.streaming.dedup_stream import dedup_stream_exact
+
+        rows = ROWS_BATCH1 + ROWS_BATCH1[:2]  # replay two duplicate events
+        _write_batch(spark, stream_dir, rows, "b1")
+        # sentinel batch a day later: advances the watermark on the SECOND
+        # trigger so append mode can emit the closed day-1 sessions
+        # (availableNow + maxFilesPerTrigger=1 -> one trigger per file).
+        _write_batch(
+            spark, stream_dir,
+            [(99, "2024-01-02 10:00:00", 9, "click", 0.0)], "b2",
+        )
+
+        def chain(stream):
+            deduped = dedup_stream_exact(
+                stream, key_cols=["event_id"], watermark="2 hours"
+            )
+            return (
+                deduped.groupBy(
+                    F.session_window("ts", "30 minutes").alias("w"), "user_id"
+                )
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select("user_id", F.col("w.start").alias("start"), "n")
+            )
+
+        # multi-stateful chains require append mode (complete is rejected)
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        q = (
+            chain(stream)
+            .writeStream.format("memory")
+            .queryName("chained_sessions")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.user_id, str(r.start), r.n)
+            for r in spark.sql("SELECT * FROM chained_sessions").collect()
+        }
+        # batch twin over the DISTINCT events — duplicates must not inflate n
+        batch = spark.createDataFrame(
+            [(i, ts, u, t, v) for i, ts, u, t, v in ROWS_BATCH1],
+            "event_id long, ts string, user_id long, event_type string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        want = {
+            (r.user_id, str(r.start), r.n)
+            for r in batch.groupBy(
+                F.session_window("ts", "30 minutes").alias("w"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("user_id", F.col("w.start").alias("start"), "n")
+            .collect()
+        }
+        # append mode only emits windows the watermark has closed; everything
+        # emitted must match the batch twin, and the duplicated session (user
+        # 1's 10:00 click pair) must have been emitted deduplicated.
+        assert got <= want
+        assert any(u == 1 and n == 2 for u, _, n in got), got
