@@ -30,6 +30,20 @@ from iceberg_evolve_spark.functions.similarity import (
     topk_ivf,
     topk_lsh,
 )
+from iceberg_evolve_spark.functions.dedup import (
+    exact_substring_shared,
+    minhash_lsh_probe,
+)
+from iceberg_evolve_spark.functions.graph import (
+    assign_components,
+    connected_components,
+    pagerank,
+)
+from iceberg_evolve_spark.functions.linkage import (
+    blocked_candidate_pairs,
+    fuzzy_match_pairs,
+)
+from iceberg_evolve_spark.functions.text import bpe_train_merges, feature_hashing
 
 __all__ = [
     "hash60",
@@ -50,4 +64,13 @@ __all__ = [
     "topk_brute_force",
     "topk_ivf",
     "topk_lsh",
+    "exact_substring_shared",
+    "minhash_lsh_probe",
+    "assign_components",
+    "connected_components",
+    "pagerank",
+    "blocked_candidate_pairs",
+    "fuzzy_match_pairs",
+    "bpe_train_merges",
+    "feature_hashing",
 ]
