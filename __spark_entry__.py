@@ -4075,6 +4075,61 @@ FROM p
 """
 
 
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-codec decode — the first payload whose pixel bytes do
+    not appear verbatim in the file: a genuine GIF89a per document
+    (hand-packed header/screen descriptor/palette/image descriptor + an LZW
+    code stream with variable-width codes packed LSB-first into sub-blocks),
+    parsed by an independent reader whose from-scratch LZW decoder rebuilds
+    the dictionary (KwKwK case, 12-bit width growth) to recover the pixels.
+    The 4-color row-parity pattern gives every feature an exact integer
+    closed form, so the oracle verifies the DECOMPRESSED content without
+    implementing LZW. Retires 'compressed containers' from the stub list for
+    the dictionary-coded class (DCT codecs like JPEG/H.264 remain out of
+    scope). See functions/gif.py."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+    from iceberg_evolve_spark.functions.gif import synth_decode_features as gif_feats
+
+    return gif_feats(docs)
+
+
+def _gif_sql() -> str:
+    """Closed forms for the synthesized GIF (functions/gif.py synth_params):
+    w = 6+id%11, h = 3+id%6; even image rows use palette colors (a, b), odd
+    rows their per-channel +1 variants — so each channel sum is a two-term
+    integer expression over the even/odd row counts."""
+
+    def chan_sum(ca: str, cb: str) -> str:
+        ne, no, half = "((h + 1) // 2)", "(h // 2)", "(w // 2)"
+        return (
+            f"CAST({ne} * ({half} * {ca} + (w - {half}) * {cb}) "
+            f"+ {no} * ({half} * (({ca} + 1) % 256) + (w - {half}) * (({cb} + 1) % 256)) "
+            f"AS BIGINT)"
+        )
+
+    return f"""
+WITH p AS (
+    SELECT doc_id,
+           6 + doc_id % 11 AS w, 3 + doc_id % 6 AS h,
+           doc_id % 256 AS r1, (doc_id * 5) % 256 AS g1, (doc_id * 9) % 256 AS b1,
+           (doc_id * 3) % 256 AS r2, (doc_id * 7) % 256 AS g2, (doc_id * 11) % 256 AS b2
+    FROM documents
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(4 AS INTEGER) AS palette_size,
+       {chan_sum('r1', 'r2')} AS sum_r,
+       {chan_sum('g1', 'g2')} AS sum_g,
+       {chan_sum('b1', 'b2')} AS sum_b,
+       CAST(r1 AS INTEGER) AS first_px_r,
+       CAST(g1 AS INTEGER) AS first_px_g,
+       CAST(b1 AS INTEGER) AS first_px_b
+FROM p
+"""
+
+
 def _image_sql() -> str:
     """Closed forms for the synthesized BMP (functions/image.py synth_params):
     w = 8+id%9, h = 4+id%5, left/right channel bases are small multiples of the
@@ -6528,6 +6583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      these take round-5 window priority.
         "events_ab_lift": events_ab_lift,
         "snapshot_schema_drift": snapshot_schema_drift,
+        "multimodal_gif_decode": multimodal_gif_decode,
         "dedup_keep_best": dedup_keep_best,
         "decontaminate_docs": decontaminate_docs,
         "kmv_distinct_parts": kmv_distinct_parts,
@@ -6706,6 +6762,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_bpe_train": _bpe_sql(),
         "events_ab_lift": _AB_SQL,
         "snapshot_schema_drift": _DRIFT_SQL,
+        "multimodal_gif_decode": _gif_sql(),
         "dedup_lsh_quality": _LSH_QUALITY_SQL,
         "ann_topk_batch": _ivf_batch_sql(),
         "quantiles_sampled_totalprice": _qsample_sql(),

@@ -1,0 +1,278 @@
+"""Real COMPRESSED-codec decode over binary media columns — no external
+libraries. Extends the uncompressed decode trilogy (BMP / WAV PCM / AVI DIB)
+with GIF89a: the first payload here whose pixel bytes do NOT appear verbatim
+in the file — they must be recovered through a real LZW decompressor
+(variable-width codes, dictionary growth, clear/end codes, the KwKwK case).
+
+- :func:`synth_gif_payload` writes REAL ``.gif`` bytes: header, logical
+  screen descriptor, global color table, image descriptor, and an LZW-
+  compressed index stream packed LSB-first into 255-byte sub-blocks — all
+  hand-assembled from the public GIF89a specification.
+- :func:`decode_gif_features` parses those bytes with an independent reader:
+  header walk, palette load, sub-block reassembly, and a from-scratch LZW
+  decoder that rebuilds the code dictionary (including the code-not-yet-in-
+  dictionary KwKwK case and 12-bit width growth).
+
+The synthesized image is a two-column pattern whose colors alternate by row
+parity (4 palette entries), so every feature — dimensions, palette size,
+per-channel sums, first pixel — is an exact integer closed form of the id
+and the DuckDB oracle can verify the DECOMPRESSED content bit-for-bit
+without implementing LZW itself. Compressed byte length is deliberately NOT
+a feature (it is an artifact of the code stream, not the image).
+
+Encoder/decoder independence: the encoder builds its dictionary keyed by
+index tuples while walking pixels; the decoder rebuilds entries from the
+code stream alone — they share no state and no helper code. Round-trip
+equality over arbitrary index streams (hypothesis, including adversarial
+KwKwK runs) pins the pair to the same spec reading; the stream layout
+(initial width = min_code_size+1, width bump when the next free slot
+reaches 2^width, cap at 12 bits) follows the GIF89a appendix.
+
+Scale notes: identical to image.py — per-row Arrow decode, no shuffle,
+batch-size-bounded memory.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: 4-entry palette → GIF minimum LZW code size 2 (clear=4, end=5, first=6).
+MIN_CODE_SIZE = 2
+
+
+def synth_params(doc_id: int) -> tuple[int, int, tuple, tuple]:
+    """(width, height, colorA RGB, colorB RGB) — integer-exact functions of
+    the id, shared by encoder, tests, and the oracle SQL. The palette is
+    [A, B, A+1, B+1] (per-channel mod 256); even image rows use A/B, odd rows
+    the +1 variants, so the index stream varies row to row."""
+    w = 6 + (doc_id % 11)
+    h = 3 + (doc_id % 6)
+    a = (doc_id % 256, (doc_id * 5) % 256, (doc_id * 9) % 256)
+    b = ((doc_id * 3) % 256, (doc_id * 7) % 256, (doc_id * 11) % 256)
+    return w, h, a, b
+
+
+def _indices(w: int, h: int) -> list[int]:
+    """Palette-index stream of the synthesized pattern, row-major top-down:
+    index = (0 if x < w//2 else 1) + 2 * (y % 2)."""
+    half = w // 2
+    return [(0 if x < half else 1) + 2 * (y % 2) for y in range(h) for x in range(w)]
+
+
+def _lzw_encode(indices: list[int], min_code: int) -> bytes:
+    """GIF-variant LZW: emit CLEAR, then dictionary-grown variable-width
+    codes, then END — packed LSB-first."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    table = {(i,): i for i in range(1 << min_code)}
+    next_code = end + 1
+    width = min_code + 1
+
+    out_bits: list[tuple[int, int]] = [(clear, width)]
+    buf: tuple = ()
+    for px in indices:
+        cand = buf + (px,)
+        if cand in table:
+            buf = cand
+            continue
+        out_bits.append((table[buf], width))
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                # the just-assigned slot crossed the width boundary: codes
+                # from here on (and the entry's own future emission) need
+                # one more bit
+                width += 1
+        buf = (px,)
+    if buf:
+        out_bits.append((table[buf], width))
+    out_bits.append((end, width))
+
+    # LSB-first bit packing
+    acc = n = 0
+    data = bytearray()
+    for code, wbits in out_bits:
+        acc |= code << n
+        n += wbits
+        while n >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _lzw_decode(data: bytes, min_code: int) -> list[int]:
+    """Independent GIF-LZW decoder: rebuilds the dictionary from the code
+    stream alone, handling CLEAR resets, the KwKwK (code == next_code) case,
+    and width growth to the 12-bit cap."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+
+    def fresh():
+        return {i: (i,) for i in range(1 << min_code)}
+
+    table = fresh()
+    next_code = end + 1
+    width = min_code + 1
+    acc = n = pos = 0
+    out: list[int] = []
+    prev: tuple | None = None
+    while True:
+        while n < width:
+            if pos >= len(data):
+                return out  # truncated stream: emit what we have
+            acc |= data[pos] << n
+            pos += 1
+            n += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n -= width
+        if code == clear:
+            table = fresh()
+            next_code = end + 1
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + (prev[0],)  # KwKwK
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code}")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            # The decoder's table lags the encoder's by one entry, so it must
+            # widen one slot EARLIER than the encoder's (next-1 == 2^w) rule:
+            # the very next incoming code may be the encoder's just-assigned
+            # index next_code, which needs the wider width already.
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _gif_bytes(w: int, h: int, a: tuple, b: tuple) -> bytes:
+    """Hand-assembled GIF89a: header + logical screen descriptor + 4-entry
+    global color table + image descriptor + LZW data sub-blocks + trailer."""
+    a2 = tuple((c + 1) % 256 for c in a)
+    b2 = tuple((c + 1) % 256 for c in b)
+    palette = [a, b, a2, b2]
+    out = bytearray(b"GIF89a")
+    # packed: global color table flag=1, color resolution=7, sort=0, size=1
+    # (2^(1+1)=4 entries)
+    out += struct.pack("<HHBBB", w, h, 0b1_111_0_001, 0, 0)
+    for rgb in palette:
+        out += bytes(rgb)
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor
+    out.append(MIN_CODE_SIZE)
+    data = _lzw_encode(_indices(w, h), MIN_CODE_SIZE)
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out.append(len(block))
+        out += block
+    out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+GIF_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("palette_size", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("first_px_r", T.IntegerType()),
+        T.StructField("first_px_g", T.IntegerType()),
+        T.StructField("first_px_b", T.IntegerType()),
+    ]
+)
+
+
+def decode_one_gif(payload: bytes) -> dict:
+    """Parse one GIF89a with an independent reader: header, screen
+    descriptor, palette, image descriptor, sub-block reassembly, LZW
+    decompression, then per-channel statistics over the DECODED pixels."""
+    if payload[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    palette = []
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        for i in range(n):
+            palette.append(tuple(payload[pos + 3 * i : pos + 3 * i + 3]))
+        pos += 3 * n
+    # walk to the image descriptor (skip any extension blocks)
+    while payload[pos] == 0x21:
+        pos += 2
+        while payload[pos]:
+            pos += 1 + payload[pos]
+        pos += 1
+    if payload[pos] != 0x2C:
+        raise ValueError(f"expected image descriptor, got {payload[pos]:#x}")
+    _, _, _, iw, ih, ipacked = struct.unpack_from("<BHHHHB", payload, pos)
+    pos += 10
+    if ipacked & 0x80:
+        raise ValueError("local color tables not produced by this corpus")
+    min_code = payload[pos]
+    pos += 1
+    data = bytearray()
+    while payload[pos]:
+        ln = payload[pos]
+        data += payload[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    idx = _lzw_decode(bytes(data), min_code)
+    if len(idx) != iw * ih:
+        raise ValueError(f"decoded {len(idx)} pixels for {iw}x{ih}")
+    sum_r = sum_g = sum_b = 0
+    for i in idx:
+        r, g, b = palette[i]
+        sum_r += r
+        sum_g += g
+        sum_b += b
+    fr, fg, fb = palette[idx[0]]
+    return {
+        "width": iw,
+        "height": ih,
+        "n_pixels": iw * ih,
+        "palette_size": len(palette),
+        "sum_r": sum_r,
+        "sum_g": sum_g,
+        "sum_b": sum_b,
+        "first_px_r": fr,
+        "first_px_g": fg,
+        "first_px_b": fb,
+    }
+
+
+def synth_decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fused synth→encode→decode→features in ONE Arrow stage (the pattern of
+    audio/image/video: no intermediate payload materialization)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                feats = decode_one_gif(_gif_bytes(*synth_params(d)))
+                feats["doc_id"] = d
+                rows.append(feats)
+            yield pd.DataFrame(rows)[[f.name for f in GIF_FEATURE_SCHEMA.fields]]
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        run, schema=GIF_FEATURE_SCHEMA
+    )

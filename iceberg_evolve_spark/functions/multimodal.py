@@ -2,10 +2,11 @@
 with typed metadata, processed in Arrow batches.
 
 :func:`decode_payload` routes to REAL decoders for all three modalities —
-BMP images (:mod:`.image`), RIFF/WAVE audio (:mod:`.audio`), and uncompressed
-RIFF/AVI video (:mod:`.video`), all stdlib/struct-based since no imaging or
-codec library ships in this environment. Only codec-compressed video
-(mp4/mkv/H.264) remains a documented ``NotImplementedError`` stub. The
+BMP and LZW-compressed GIF images (:mod:`.image`, :mod:`.gif`), RIFF/WAVE
+audio (:mod:`.audio`), and uncompressed RIFF/AVI video (:mod:`.video`), all
+stdlib/struct-based since no imaging or codec library ships in this
+environment. Only DCT-class codec video (mp4/mkv/H.264) remains a documented
+``NotImplementedError`` stub — dictionary-coded compression is covered. The
 deterministic fake (:func:`fake_decode_features`) is kept for plumbing tests
 whose payloads are not real containers.
 
@@ -79,6 +80,11 @@ def decode_payload(payload: bytes, media_meta: dict) -> "object":
     codec this environment does not ship."""
     mt = (media_meta or {}).get("media_type")
     if mt == "image":
+        # sniff the container: uncompressed BMP or LZW-compressed GIF
+        if payload[:3] == b"GIF":
+            from iceberg_evolve_spark.functions.gif import decode_one_gif
+
+            return decode_one_gif(payload)
         from iceberg_evolve_spark.functions.image import decode_one_bmp
 
         return decode_one_bmp(payload)
@@ -97,8 +103,8 @@ def decode_payload(payload: bytes, media_meta: dict) -> "object":
             "real above — wire the codec path here in production"
         )
     raise ValueError(
-        f"unknown media_type {mt!r}: decode_payload handles 'image' (BMP), "
-        "'audio' (WAV), and 'video' (uncompressed AVI)"
+        f"unknown media_type {mt!r}: decode_payload handles 'image' (BMP or "
+        "LZW-compressed GIF), 'audio' (WAV), and 'video' (uncompressed AVI)"
     )
 
 
