@@ -2232,6 +2232,63 @@ ORDER BY kind, column_name
 """
 
 
+COMPACT_SLIVERS = 64  # deliberately-fragmented input file count
+
+
+def orders_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction under the hash gate (`sources/compact.py`): the
+    orders table is deliberately shattered into 64 sliver files (the
+    streaming-sink pathology), compacted back through the crash-safe
+    swap-rewrite, and the entry proves CONTENT PRESERVATION with exact
+    aggregates plus the file-count collapse as checked numbers. At 100 TB
+    this is the nightly maintenance job — the measured claim is that a
+    layout rewrite never changes a single value."""
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.sources.compact import compact, dir_stats
+
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="ies-compact-")
+    try:
+        path = os.path.join(tmp, "orders")
+        orders.repartition(COMPACT_SLIVERS).write.parquet(path)
+        files_before, _ = dir_stats(path)
+        files_after = compact(spark, path, target_mb=128)
+        agg = (
+            spark.read.parquet(path)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(_dec(F.col("o_totalprice"), 2)).cast("double"), 2
+                ).alias("s"),
+                F.count_distinct("o_orderkey").alias("nd"),
+            )
+            .first()
+        )
+        rows = [
+            (int(files_before), int(files_after), agg["n"], agg["s"], agg["nd"])
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "files_before int, files_after int, n_rows bigint, "
+        "sum_totalprice double, n_orderkeys bigint",
+    )
+
+
+_COMPACT_SQL = f"""
+SELECT {COMPACT_SLIVERS} AS files_before,
+       1 AS files_after,
+       COUNT(*) AS n_rows,
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(22,2))) AS DOUBLE), 2)
+         AS sum_totalprice,
+       COUNT(DISTINCT o_orderkey) AS n_orderkeys
+FROM orders
+"""
+
+
 #: Two-proportion significance boundary: z² > CHI2_NUM/CHI2_DEN (χ²₁ at 95%),
 #: applied as an exact integer cross-comparison so the verdict cannot drift.
 CHI2_NUM = 38415
@@ -6584,6 +6641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ab_lift": events_ab_lift,
         "snapshot_schema_drift": snapshot_schema_drift,
         "multimodal_gif_decode": multimodal_gif_decode,
+        "orders_compact_roundtrip": orders_compact_roundtrip,
         "dedup_keep_best": dedup_keep_best,
         "decontaminate_docs": decontaminate_docs,
         "kmv_distinct_parts": kmv_distinct_parts,
@@ -6763,6 +6821,7 @@ def oracle_sql() -> dict[str, str]:
         "events_ab_lift": _AB_SQL,
         "snapshot_schema_drift": _DRIFT_SQL,
         "multimodal_gif_decode": _gif_sql(),
+        "orders_compact_roundtrip": _COMPACT_SQL,
         "dedup_lsh_quality": _LSH_QUALITY_SQL,
         "ann_topk_batch": _ivf_batch_sql(),
         "quantiles_sampled_totalprice": _qsample_sql(),
