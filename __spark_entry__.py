@@ -2255,6 +2255,10 @@ def orders_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.repartition(COMPACT_SLIVERS).write.parquet(path)
         files_before, _ = dir_stats(path)
         files_after = compact(spark, path, target_mb=128)
+        # The oracle can't see parquet byte sizes, so the layout claim is the
+        # scale-independent COLLAPSE flag (files_after < files_before), which
+        # holds whenever the table is under 64 x 128 MB (~sf 400) — not the
+        # absolute post-compaction file count, which is a function of bytes.
         agg = (
             spark.read.parquet(path)
             .agg(
@@ -2267,20 +2271,26 @@ def orders_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .first()
         )
         rows = [
-            (int(files_before), int(files_after), agg["n"], agg["s"], agg["nd"])
+            (
+                int(files_before),
+                bool(files_after < files_before),
+                agg["n"],
+                agg["s"],
+                agg["nd"],
+            )
         ]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
         rows,
-        "files_before int, files_after int, n_rows bigint, "
+        "files_before int, collapsed boolean, n_rows bigint, "
         "sum_totalprice double, n_orderkeys bigint",
     )
 
 
 _COMPACT_SQL = f"""
 SELECT {COMPACT_SLIVERS} AS files_before,
-       1 AS files_after,
+       TRUE AS collapsed,
        COUNT(*) AS n_rows,
        ROUND(CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(22,2))) AS DOUBLE), 2)
          AS sum_totalprice,
@@ -2316,7 +2326,9 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     aligned), one tiny arm aggregation, one 1-row output. Overflow: the
     verdict terms are O(n⁵)·4e4, so they run in 128-bit-class exact types
     (Spark DECIMAL(38,0) / DuckDB HUGEINT) — exact to ~5e6 users per arm,
-    and both engines fail LOUDLY past that rather than wrapping. Beyond
+    and both engines fail LOUDLY past that rather than wrapping (Spark's
+    decimal overflow error assumes ANSI mode, the Spark 4 default this
+    engine runs under; a legacy non-ANSI session would yield NULL). Beyond
     that scale, compare the double z² against the boundary instead: at
     millions of users the statistic is nowhere near 3.8415's last ulp."""
     ev = _t(spark, sf_dir, "events")

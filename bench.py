@@ -86,7 +86,10 @@ def main() -> None:
     # Offline IVF index build, timed as its own line item (build once; the
     # measured ann_topk_ivf passes below hit the warm index = serving path).
     # Skipped in solo mode when no selected query probes the index
-    # (brute-force and sign-LSH ANN entries never read it).
+    # (brute-force and sign-LSH ANN entries never read it). MAINTENANCE: any
+    # new entry that calls entry_mod._ivf_index must be added here, or its
+    # solo measurement silently folds the ~9 s offline build into the first
+    # timed pass.
     _IVF_QUERIES = {
         "ann_topk_ivf", "ann_topk_ivf_sq8", "ann_topk_ivf_pq",
         "ann_topk_batch", "ann_recall_at_k", "ann_topk_filtered",

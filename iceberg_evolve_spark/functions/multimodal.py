@@ -75,7 +75,9 @@ def attach_fake_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "
 def decode_payload(payload: bytes, media_meta: dict) -> "object":
     """Real decode entry point. Image (24-bit BMP), audio (RIFF/WAVE PCM), and
     video (uncompressed RIFF/AVI) have genuine stdlib/struct decoders in this
-    repo (:mod:`.image`, :mod:`.audio`, :mod:`.video`); codec-compressed video
+    repo (:mod:`.image`, :mod:`.gif`, :mod:`.audio`, :mod:`.video`) — the
+    image branch sniffs the container and routes LZW-compressed GIF89a/87a
+    to the real GIF decoder; codec-compressed video
     containers (mp4/mkv/H.264) remain an explicit stub — they need a demuxer +
     codec this environment does not ship."""
     mt = (media_meta or {}).get("media_type")

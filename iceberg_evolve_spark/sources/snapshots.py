@@ -83,10 +83,12 @@ class SnapshotTable:
         # A crash AFTER the data-dir rename but BEFORE the manifest commit
         # leaves this name as an unreferenced orphan; a retry recomputes the
         # same version number, so clear the orphan or the rename below fails
-        # forever. Safe because the manifest (the commit point) does not
-        # reference it. Single-writer protocol, like table formats without an
+        # forever. Safe by construction: this name is v{last_version + 1} and
+        # every manifest entry (rollbacks included) references a strictly
+        # older version's dir, so an existing dir here CANNOT be committed
+        # data. Single-writer protocol, like table formats without an
         # external lock service — concurrent writers need a commit lock.
-        if os.path.isdir(final) and data_dir not in {e["data_dir"] for e in entries}:
+        if os.path.isdir(final):
             import shutil
 
             shutil.rmtree(final)
