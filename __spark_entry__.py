@@ -2509,6 +2509,14 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed for display (one division of exact ints, ROUND 4), so the
     anomaly boundary is bit-deterministic across engines.
 
+    Overflow headroom (r5): the cross-multiplied terms are DECIMAL(38,0)
+    (HUGEINT in the oracle), same discipline as events_ab_lift. With n ≤ 24
+    the worst term is ``T2_DEN·(n·x−s)²·(n−1) ≤ 4·(24x)²·23 ≈ 5.3e4·x²``,
+    so hourly counts x up to ~1e16 stay inside 38 digits — plain BIGINT
+    would already overflow at x ≈ 6.3e8, a realistic hourly volume at
+    100 TB scale. ``ss = Σx²`` itself is summed as DECIMAL for the same
+    reason (24·(1e9)² ≈ 2.4e19 > int64 max).
+
     Scale shape: one map-side-combined hourly aggregation, then one window
     shuffle partitioned by event_type — the per-type hourly series is tiny
     (#hours rows) regardless of event volume, so the window task never sees
@@ -2526,10 +2534,15 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         hourly.withColumn("n", F.count(F.lit(1)).over(w))
         .withColumn("s", F.sum("x").over(w))
-        .withColumn("ss", F.sum(F.col("x") * F.col("x")).over(w))
+        .withColumn(
+            "ss",
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).over(w),
+        )
     )
-    dev = F.col("n") * F.col("x") - F.col("s")
-    var_num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    # Cast BEFORE the multiply: s·s and n·x must not round-trip through int64.
+    s_d = F.col("s").cast("decimal(38,0)")
+    dev = F.col("n") * F.col("x").cast("decimal(38,0)") - s_d
+    var_num = F.col("n") * F.col("ss") - s_d * s_d
     lhs = F.lit(ANOM_T2_DEN) * dev * dev * (F.col("n") - 1)
     rhs = F.lit(ANOM_T2_NUM) * F.col("n") * var_num
     return (
@@ -2556,10 +2569,13 @@ WITH hourly AS (
   FROM events GROUP BY 1, 2
 ),
 b AS (
+  -- HUGEINT (int128) mirrors the Spark side's DECIMAL(38,0) headroom: s·s
+  -- and the cross-multiplied threshold terms overflow int64 at realistic
+  -- hourly volumes (x ≈ 6.3e8); values here are identical integers.
   SELECT event_type, hour, x,
          COUNT(*) OVER w AS n,
-         CAST(SUM(x) OVER w AS BIGINT) AS s,
-         CAST(SUM(x * x) OVER w AS BIGINT) AS ss
+         CAST(SUM(x) OVER w AS HUGEINT) AS s,
+         SUM(CAST(x AS HUGEINT) * x) OVER w AS ss
   FROM hourly
   WINDOW w AS (PARTITION BY event_type ORDER BY hour
                ROWS BETWEEN {ANOM_WINDOW_H} PRECEDING AND 1 PRECEDING)
@@ -2837,10 +2853,11 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_evolve_spark.functions.dedup import minhash_lsh_probe
 
     docs = _t(spark, sf_dir, "documents")
-    sig = minhash_signatures(
-        docs, "doc_id", num_hashes=MINHASH_N, k=SHINGLE_K
-    ).persist()
+    sig = minhash_signatures(docs, "doc_id", num_hashes=MINHASH_N, k=SHINGLE_K)
     is_batch = F.col("doc_id") % PROBE_MOD == PROBE_RESIDUE
+    # minhash_lsh_probe persists both signature sides internally (r5); the
+    # doc_id filters push below the signature groupBy, so each side computes
+    # its disjoint half of the corpus exactly once.
     out = minhash_lsh_probe(
         sig.filter(~is_batch),
         sig.filter(is_batch),
@@ -2851,7 +2868,9 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from iceberg_evolve_spark.functions.dedup import _attach_intermediates
 
-    return _attach_intermediates(out.orderBy("new_id", "corpus_id"), sig)
+    return _attach_intermediates(
+        out.orderBy("new_id", "corpus_id"), *out._persisted_intermediates
+    )
 
 
 _PROBE_SQL = f"""

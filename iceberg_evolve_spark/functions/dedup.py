@@ -404,6 +404,12 @@ def minhash_lsh_probe(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
+    # Each side is read twice (band bucketing + the verification join below);
+    # persist so a caller passing an unpersisted signature PIPELINE doesn't
+    # recompute the full minhash stage per read. Handles are attached for
+    # release via unpersist_intermediates, same as minhash_lsh_pairs.
+    corpus_sig = corpus_sig.persist()
+    batch_sig = batch_sig.persist()
     cb = _banded(corpus_sig, id_col, bands, r)
     nb = _banded(batch_sig, id_col, bands, r)
     cand = (
@@ -414,13 +420,14 @@ def minhash_lsh_probe(
     )
     sa = batch_sig.select(F.col(id_col).alias("new_id"), F.col("sig").alias("sig_a"))
     sb = corpus_sig.select(F.col(id_col).alias("corpus_id"), F.col("sig").alias("sig_b"))
-    return (
+    out = (
         cand.join(sa, "new_id")
         .join(sb, "corpus_id")
         .withColumn("est_jaccard", _sig_agreement(num_hashes))
         .filter(F.col("est_jaccard") >= threshold)
         .select("new_id", "corpus_id", "est_jaccard")
     )
+    return _attach_intermediates(out, corpus_sig, batch_sig)
 
 
 def minhash_lsh_pairs(

@@ -228,6 +228,11 @@ def decode_one_gif(payload: bytes) -> dict:
     pos += 10
     if ipacked & 0x80:
         raise ValueError("local color tables not produced by this corpus")
+    if ipacked & 0x40:
+        # Interlaced GIFs store rows in 8/8/4/2-line passes; decoding them as
+        # sequential rows would silently scramble row order (and the
+        # first-pixel features). Fail loudly like the local-color-table case.
+        raise ValueError("interlaced row order not supported by this decoder")
     min_code = payload[pos]
     pos += 1
     data = bytearray()
