@@ -6606,73 +6606,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stays fresh (union of recent rounds covers the whole registry); see
     # COVERAGE.md for the schedule and the per-round history.
     return {
-        # ---------- ROUND-4 WINDOW (first 50; driver hashes these) ----------
-        # (a) the 16 entries whose last hash is r01 — this completes the
-        #     rotation: after r4 every registry entry's latest hash is r02+.
-        "totalprice_percentiles": totalprice_percentiles,
-        "dedup_exact": dedup_exact,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_minhash_signatures": dedup_minhash_signatures,
-        "q4_priority_semijoin": q4_priority_semijoin,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q7_nation_volume": q7_nation_volume,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q14_promo_share": q14_promo_share,
-        "q16_supplier_part_counts": q16_supplier_part_counts,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q19_bracket_revenue": q19_bracket_revenue,
-        "q20_excess_suppliers": q20_excess_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        # (b) changed this round, MUST re-hash: the fixed variant oracle, the
-        #     two entries that gained the NGRAM_MAX_DF stop-shingle cap, and
-        #     the new ANN recall@k quality entry.
-        "events_variant_extract": events_variant_extract,
-        "dedup_ngram_containment": dedup_ngram_containment,
-        "decontaminate_overlap_rate": decontaminate_overlap_rate,
-        "ann_recall_at_k": ann_recall_at_k,
-        # (b2) NEW this round — never driver-verified, so they take window
-        #      priority; one (c) entry moves to the deferred set per addition.
-        "hll_distinct_lineitems": hll_distinct_lineitems,
-        "dedup_semantic_cells": dedup_semantic_cells,
-        "docs_gopher_rules": docs_gopher_rules,
-        "ann_topk_ivf_pq": ann_topk_ivf_pq,
-        "hll_merge_by_source": hll_merge_by_source,
-        "parts_copurchase_pairs": parts_copurchase_pairs,
-        "dedup_lsh_quality": dedup_lsh_quality,
-        "ann_topk_batch": ann_topk_batch,
-        "quantiles_sampled_totalprice": quantiles_sampled_totalprice,
-        "incremental_status_rollup": incremental_status_rollup,
-        "synthetic_source_stats": synthetic_source_stats,
-        "zorder_codes_orders": zorder_codes_orders,
-        "docs_feature_hashing": docs_feature_hashing,
-        "orders_priority_sample": orders_priority_sample,
-        "parts_pagerank": parts_pagerank,
-        "events_anomaly_zscore": events_anomaly_zscore,
-        "customer_fuzzy_matches": customer_fuzzy_matches,
-        "dedup_incremental_probe": dedup_incremental_probe,
-        "dedup_cross_source_matrix": dedup_cross_source_matrix,
-        "docs_exact_substring_dup": docs_exact_substring_dup,
-        "docs_model_score": docs_model_score,
-        "lineitem_correlations": lineitem_correlations,
-        "orders_snapshot_time_travel": orders_snapshot_time_travel,
-        "ann_topk_filtered": ann_topk_filtered,
-        "events_daily_gapfill": events_daily_gapfill,
-        "docs_bpe_train": docs_bpe_train,
-        # (c) remaining r02-hashed entries (oldest verification still
-        #     standing), registry order preserved.
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_simhash": dedup_simhash,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
-        "dedup_cluster_components": dedup_cluster_components,
-        # ---------------------- past the window ----------------------------
-        # (b3) added after the r4 window filled — never driver-verified;
-        #      these take round-5 window priority.
+        # ---------- ROUND-5 WINDOW (first 50; driver hashes these) ----------
+        # (a) the 4 entries added after the r4 window filled — never
+        #     driver-verified (judge spot-checked them in the r4 review).
         "events_ab_lift": events_ab_lift,
         "snapshot_schema_drift": snapshot_schema_drift,
         "multimodal_gif_decode": multimodal_gif_decode,
         "orders_compact_roundtrip": orders_compact_roundtrip,
+        # (b) changed this round, MUST re-hash: the DECIMAL(38,0)/HUGEINT
+        #     overflow-headroom rewrite and the probe-side persistence move.
+        "events_anomaly_zscore": events_anomaly_zscore,
+        "dedup_incremental_probe": dedup_incremental_probe,
+        # (b2) NEW this round — never driver-verified; each addition defers
+        #      one (c) tail entry to round 6.
+        # (c) the r02-hashed entries (oldest verification still standing),
+        #     registry order preserved. 43 here + 7 above: the last entries
+        #     of this group past position 50 defer to round 6's window head.
         "dedup_keep_best": dedup_keep_best,
         "decontaminate_docs": decontaminate_docs,
         "kmv_distinct_parts": kmv_distinct_parts,
@@ -6697,9 +6646,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_by_flag": q12_priority_by_flag,
         "ann_topk_lsh": ann_topk_lsh,
         "dedup_embedding_lsh": dedup_embedding_lsh,
-        # (d) r02-hashed entries deferred to round 5's window (the group-(c)
-        #     tail displaced by this round's new entries, then the original
-        #     17 deferred).
         "dedup_cluster_star": dedup_cluster_star,
         "evolve_required_flips": evolve_required_flips,
         "docs_pii_redaction": docs_pii_redaction,
@@ -6719,6 +6665,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
+        # ---------------------- past the window ----------------------------
+        # (d) hash-verified in CORRECTNESS_r04 (fresh).
+        "totalprice_percentiles": totalprice_percentiles,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_signatures": dedup_minhash_signatures,
+        "q4_priority_semijoin": q4_priority_semijoin,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_share": q14_promo_share,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_bracket_revenue": q19_bracket_revenue,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "events_variant_extract": events_variant_extract,
+        "dedup_ngram_containment": dedup_ngram_containment,
+        "decontaminate_overlap_rate": decontaminate_overlap_rate,
+        "ann_recall_at_k": ann_recall_at_k,
+        "hll_distinct_lineitems": hll_distinct_lineitems,
+        "dedup_semantic_cells": dedup_semantic_cells,
+        "docs_gopher_rules": docs_gopher_rules,
+        "ann_topk_ivf_pq": ann_topk_ivf_pq,
+        "hll_merge_by_source": hll_merge_by_source,
+        "parts_copurchase_pairs": parts_copurchase_pairs,
+        "dedup_lsh_quality": dedup_lsh_quality,
+        "ann_topk_batch": ann_topk_batch,
+        "quantiles_sampled_totalprice": quantiles_sampled_totalprice,
+        "incremental_status_rollup": incremental_status_rollup,
+        "synthetic_source_stats": synthetic_source_stats,
+        "zorder_codes_orders": zorder_codes_orders,
+        "docs_feature_hashing": docs_feature_hashing,
+        "orders_priority_sample": orders_priority_sample,
+        "parts_pagerank": parts_pagerank,
+        "customer_fuzzy_matches": customer_fuzzy_matches,
+        "dedup_cross_source_matrix": dedup_cross_source_matrix,
+        "docs_exact_substring_dup": docs_exact_substring_dup,
+        "docs_model_score": docs_model_score,
+        "lineitem_correlations": lineitem_correlations,
+        "orders_snapshot_time_travel": orders_snapshot_time_travel,
+        "ann_topk_filtered": ann_topk_filtered,
+        "events_daily_gapfill": events_daily_gapfill,
+        "docs_bpe_train": docs_bpe_train,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_cluster_components": dedup_cluster_components,
         # (e) the 49 entries hash-verified in CORRECTNESS_r03.json (freshest).
         "schema_s3_source": schema_s3_source,
         "schema_json_schema_dict": schema_json_schema_dict,
