@@ -6367,6 +6367,148 @@ def _bpe_sql() -> str:
     return bpe_unrolled_sql(rounds=BPE_ROUNDS)
 
 
+#: First-k token ids carried per doc in docs_bpe_encode (bounded array column).
+BPE_HEAD_K = 12
+
+
+def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZE THE CORPUS with the trained tokenizer — the natural pair of
+    `docs_bpe_train` and the #1 step of a real training-data pipeline
+    (`functions/text.py:bpe_apply_merges`). Train the merge table, encode
+    every DISTINCT word once (chained leftmost-non-overlapping replaces — a
+    pure projection over |vocab| rows, one codegen span, zero shuffles),
+    assign dense token ids by corpus frequency (row_number over the
+    vocab-sized symbol histogram), then join the per-word token arrays back
+    onto the document word stream. Per doc: word/char/token counts, the
+    chars-per-token compression ratio, and the first 12 token ids of the
+    encoded stream (exact ids, order-preserving via posexplode positions).
+
+    Scale shape: the corpus is touched exactly twice (word histogram build +
+    the final stream join); everything merge-related happens on vocab-sized
+    relations. The token-id window runs over |symbols| rows, never the
+    corpus; the vocab→doc join broadcasts (a tokenizer vocabulary is KB–MB
+    at any corpus size). 100 TB of text costs two scans + one broadcast
+    join — the production tokenizer-amortization pattern.
+
+    The oracle replays the WHOLE pipeline — training rounds, the same merge
+    applications, id assignment, and the stream join — so the token ids are
+    hash-gated end to end with no literals smuggled between engines."""
+    from iceberg_evolve_spark.functions.text import (
+        bpe_apply_merges,
+        bpe_train_merges,
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train_merges(docs, "text", rounds=BPE_ROUNDS)
+    words = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "w"))
+    hist = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    enc = bpe_apply_merges(hist, merges)  # (w, c, toks)
+    sym_counts = (
+        enc.select(F.explode("toks").alias("sym"), "c")
+        .groupBy("sym")
+        .agg(F.sum("c").alias("cnt"))
+    )
+    ids = sym_counts.select(
+        "sym",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("sym").asc()))
+        .cast("long")
+        .alias("tid"),
+    )
+    word_tids = (
+        enc.select("w", F.posexplode("toks").alias("sp", "sym"))
+        .join(F.broadcast(ids), "sym")
+        .groupBy("w")
+        .agg(F.sort_array(F.collect_list(F.struct("sp", "tid"))).alias("st"))
+        .select("w", F.transform("st", lambda x: x["tid"]).alias("tids"))
+    )
+    stream = words.join(F.broadcast(word_tids), "w")
+    return (
+        stream.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).alias("n_chars"),
+            F.sum(F.size("tids")).alias("n_tokens"),
+            F.sort_array(F.collect_list(F.struct("pos", "tids"))).alias("ps"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"), 4
+            ).alias("compression"),
+            F.slice(
+                F.flatten(F.transform("ps", lambda x: x["tids"])), 1, BPE_HEAD_K
+            ).alias("token_head"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_encode_sql() -> str:
+    from iceberg_evolve_spark.functions.text import bpe_unrolled_ctes
+
+    parts = bpe_unrolled_ctes(rounds=BPE_ROUNDS)
+    toks = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+    # Re-apply the learned merges to the word vocabulary (same chained
+    # replaces as training, but keyed by w so the result joins back).
+    parts.append(
+        "benc0 AS (SELECT w, c, ' ' || array_to_string("
+        "list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), ' ') || ' ' AS s "
+        "FROM bpe_v)"
+    )
+    for r in range(1, BPE_ROUNDS + 1):
+        parts.append(
+            f"benc{r} AS (SELECT w, c, replace(s, "
+            f"(SELECT ' ' || a || ' ' || b || ' ' FROM bpe_t{r}), "
+            f"(SELECT ' ' || a || b || ' ' FROM bpe_t{r})) AS s FROM benc{r - 1})"
+        )
+    parts += [
+        f"bencf AS (SELECT w, c, string_split(trim(s), ' ') AS toks FROM benc{BPE_ROUNDS})",
+        (
+            "bsym AS (SELECT sym, CAST(SUM(c) AS BIGINT) AS cnt FROM "
+            "(SELECT unnest(toks) AS sym, c FROM bencf) GROUP BY sym)"
+        ),
+        "bids AS (SELECT sym, ROW_NUMBER() OVER (ORDER BY cnt DESC, sym ASC) AS tid FROM bsym)",
+        (
+            "bws AS (SELECT w, toks, unnest(range(1, len(toks) + 1)) AS sp FROM bencf)"
+        ),
+        (
+            "bws2 AS (SELECT w, CAST(sp AS INT) AS sp, toks[CAST(sp AS INT)] AS sym FROM bws)"
+        ),
+        (
+            "bwt AS (SELECT w, list(i.tid ORDER BY sp ASC) AS tids "
+            "FROM bws2 JOIN bids i USING (sym) GROUP BY w)"
+        ),
+        (
+            f"bdt AS (SELECT doc_id, lst, unnest(range(1, len(lst) + 1)) AS pos "
+            f"FROM (SELECT doc_id, {toks} AS lst FROM documents))"
+        ),
+        (
+            "bdt2 AS (SELECT doc_id, CAST(pos AS INT) AS pos, "
+            "lst[CAST(pos AS INT)] AS w FROM bdt)"
+        ),
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT d.doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(length(d.w)) AS BIGINT) AS n_chars,
+       CAST(SUM(len(t.tids)) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(length(d.w)) AS DOUBLE)
+             / CAST(SUM(len(t.tids)) AS DOUBLE), 4) AS compression,
+       (flatten(list(t.tids ORDER BY d.pos ASC)))[1:{BPE_HEAD_K}] AS token_head
+FROM bdt2 d JOIN bwt t USING (w)
+GROUP BY d.doc_id
+ORDER BY d.doc_id"""
+    )
+
+
 def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher quality-rule battery (`functions/text.py:gopher_signals`):
     token-count bounds, mean word length, alphabetic-word fraction, and the
@@ -6619,6 +6761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_probe": dedup_incremental_probe,
         # (b2) NEW this round — never driver-verified; each addition defers
         #      one (c) tail entry to round 6.
+        "docs_bpe_encode": docs_bpe_encode,
         # (c) the r02-hashed entries (oldest verification still standing),
         #     registry order preserved. 43 here + 7 above: the last entries
         #     of this group past position 50 defer to round 6's window head.
@@ -6845,6 +6988,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_filtered": _ivf_filtered_sql(),
         "events_daily_gapfill": _GAPFILL_SQL,
         "docs_bpe_train": _bpe_sql(),
+        "docs_bpe_encode": _bpe_encode_sql(),
         "events_ab_lift": _AB_SQL,
         "snapshot_schema_drift": _DRIFT_SQL,
         "multimodal_gif_decode": _gif_sql(),

@@ -357,10 +357,41 @@ def bpe_train_merges(
     return merges
 
 
-def bpe_unrolled_sql(rounds: int = 4, source: str = "documents") -> str:
-    """DuckDB oracle twin of :func:`bpe_train_merges`: the same rounds
-    unrolled as chained CTEs (pair counting → top-1 → replace), ending in the
-    merge table ``(round, left, right, merged, weight)``."""
+def bpe_apply_merges(
+    words: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    word_col: str = "w",
+    out_col: str = "toks",
+) -> DataFrame:
+    """ENCODE with a trained tokenizer: apply the merge table from
+    :func:`bpe_train_merges` to a relation of DISTINCT WORDS, in training
+    order, as chained leftmost-non-overlapping replaces over the
+    space-separated symbol string. Appends ``out_col`` (array<string> of
+    final symbols) and keeps every input column.
+
+    Scale shape (the same histogram trick as training): encoding runs on the
+    word VOCABULARY, never the corpus — each merge is a pure string
+    projection over |vocab| rows (all merges fuse into one whole-stage
+    codegen span, zero shuffles), and the corpus token stream is then a
+    vocab join away. This is exactly how production tokenizers amortize:
+    encode each distinct word once, look the result up per occurrence."""
+    seq = (
+        f"concat(' ', concat_ws(' ', transform(sequence(1, length({word_col})), "
+        f"i -> substring({word_col}, i, 1))), ' ')"
+    )
+    out = words.withColumn("_s", F.expr(seq))
+    for _r, a, b, _wgt in merges:
+        out = out.withColumn(
+            "_s", F.replace(F.col("_s"), F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+        )
+    return out.withColumn(out_col, F.split(F.trim(F.col("_s")), " ")).drop("_s")
+
+
+def bpe_unrolled_ctes(rounds: int = 4, source: str = "documents") -> list[str]:
+    """The CTE chain shared by the training oracle (:func:`bpe_unrolled_sql`)
+    and the encode oracle: pair counting → top-1 merge → replace, per round.
+    ``bpe_s{rounds}`` holds the final (c, symbol-string) state and
+    ``bpe_t{r}`` the round-r winning pair."""
     toks = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
     parts = [
         f"bpe_tok AS (SELECT unnest({toks}) AS w FROM {source})",
@@ -390,6 +421,14 @@ def bpe_unrolled_sql(rounds: int = 4, source: str = "documents") -> str:
             f"(SELECT ' ' || a || ' ' || b || ' ' FROM bpe_t{r}), "
             f"(SELECT ' ' || a || b || ' ' FROM bpe_t{r})) AS s FROM bpe_s{r - 1})"
         )
+    return parts
+
+
+def bpe_unrolled_sql(rounds: int = 4, source: str = "documents") -> str:
+    """DuckDB oracle twin of :func:`bpe_train_merges`: the same rounds
+    unrolled as chained CTEs (pair counting → top-1 → replace), ending in the
+    merge table ``(round, left, right, merged, weight)``."""
+    parts = bpe_unrolled_ctes(rounds, source)
     heads = "\nUNION ALL ".join(
         f"SELECT {r} AS round, a AS left_sym, b AS right_sym, "
         f"a || b AS merged, wgt AS weight FROM bpe_t{r}"

@@ -210,3 +210,48 @@ class TestBPETraining:
             for i in range(len(sy) - 1):
                 pc[(sy[i], sy[i + 1])] += c
         assert pc.get((a, b), 0) < w
+
+
+# ---------------------------------------------------------------------------
+# BPE encoding (applying a trained merge table)
+# ---------------------------------------------------------------------------
+
+def _encode_ref(word: str, merges) -> list[str]:
+    """Independent reference encoder: same chained leftmost-non-overlapping
+    space-sentinel replaces as the engines."""
+    s = f" {' '.join(word)} "
+    for _r, a, b, *_ in merges:
+        s = s.replace(f" {a} {b} ", f" {a}{b} ")
+    return s.split()
+
+
+class TestBPEEncode:
+    def test_spark_encode_hand_case(self, spark):
+        from iceberg_evolve_spark.functions.text import (
+            bpe_apply_merges,
+            bpe_train_merges,
+        )
+
+        texts = ["the cat the hat", "the bat the cat", "rat cat the"]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        merges = bpe_train_merges(df, "text", rounds=3)
+        ref = _bpe_ref(texts, 3)
+        assert [(r, a, b, w) for r, a, b, w in merges] == [
+            (r, a, b, w) for r, a, b, _m, w in ref
+        ]
+        vocab = sorted({w for t in texts for w in t.split()})
+        wdf = spark.createDataFrame([(w,) for w in vocab], "w string")
+        got = {
+            r["w"]: list(r["toks"])
+            for r in bpe_apply_merges(wdf, merges).collect()
+        }
+        for w in vocab:
+            assert got[w] == _encode_ref(w, merges), w
+            assert "".join(got[w]) == w  # lossless: symbols re-concatenate
+
+    def test_encode_no_merges_is_characters(self, spark):
+        from iceberg_evolve_spark.functions.text import bpe_apply_merges
+
+        wdf = spark.createDataFrame([("abc",), ("x",)], "w string")
+        got = {r["w"]: list(r["toks"]) for r in bpe_apply_merges(wdf, []).collect()}
+        assert got == {"abc": ["a", "b", "c"], "x": ["x"]}
