@@ -2900,6 +2900,124 @@ ORDER BY new_id, corpus_id
 """
 
 
+def snapshot_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SNAPSHOT INCREMENTAL DEDUP — the governance query a daily crawl
+    pipeline runs: snapshot v2's NEW documents probed against snapshot v1's
+    MinHash-LSH index, emitting the per-doc novel/dup split. Composes the two
+    existing halves end to end: the snapshot layer (`sources/snapshots.py`)
+    versions the corpus (v1 = yesterday's crawl, v2 = today's full table,
+    new docs = v2 anti-join v1 on doc_id), and the incremental probe
+    (`functions/dedup.py:minhash_lsh_probe`) costs one bucket join linear in
+    the batch — the corpus index is built once per day, never a self-join.
+
+    Per new doc: its best prior-corpus match (highest estimated Jaccard,
+    ties to the higher corpus id via one row_number window over the HIT set —
+    hit-sized, not corpus-sized) or NULL if novel. The ~batch-sized report is
+    collected because the snapshot tempdir is torn down before the driver
+    evaluates the returned frame (same bounded-driver pattern as
+    orders_snapshot_time_travel); a production run writes it to a sink
+    instead. The oracle replays the split, the banding, the probe join and
+    the best-match window from the raw table."""
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.functions.dedup import (
+        minhash_lsh_probe,
+        unpersist_intermediates,
+    )
+    from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="ies-incr-dedup-")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "documents_table"))
+        is_new = F.col("doc_id") % PROBE_MOD == PROBE_RESIDUE
+        t.write(docs.filter(~is_new), note="yesterday crawl", ts=1000.0)
+        t.write(docs, note="today crawl", ts=2000.0)
+        v1 = t.read(spark, version=1)
+        new_docs = t.read(spark, version=2).join(
+            v1.select("doc_id"), "doc_id", "left_anti"
+        )
+        corpus_sig = minhash_signatures(
+            v1, "doc_id", num_hashes=MINHASH_N, k=SHINGLE_K
+        )
+        batch_sig = minhash_signatures(
+            new_docs, "doc_id", num_hashes=MINHASH_N, k=SHINGLE_K
+        )
+        hits = minhash_lsh_probe(
+            corpus_sig,
+            batch_sig,
+            "doc_id",
+            num_hashes=MINHASH_N,
+            bands=LSH_BANDS,
+            threshold=JACCARD_T,
+        )
+        w = Window.partitionBy("new_id").orderBy(
+            F.col("est_jaccard").desc(), F.col("corpus_id").desc()
+        )
+        best = (
+            hits.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        rows = (
+            new_docs.select("doc_id")
+            .join(best, F.col("doc_id") == F.col("new_id"), "left")
+            .select(
+                "doc_id",
+                F.col("corpus_id").alias("dup_of"),
+                "est_jaccard",
+                F.col("corpus_id").isNotNull().alias("is_dup"),
+            )
+            .orderBy("doc_id")
+            .collect()
+        )
+        unpersist_intermediates(hits)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, dup_of long, est_jaccard double, is_dup boolean"
+    ).orderBy("doc_id")
+
+
+_SNAP_INCR_SQL = f"""
+WITH {_MINHASH_CTE},
+si_bands AS (
+    SELECT doc_id, seed // {_R} AS band,
+           md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed ASC)) AS bhash
+    FROM sigs GROUP BY doc_id, seed // {_R}
+),
+si_cand AS (
+    SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS corpus_id
+    FROM si_bands nb JOIN si_bands cb USING (band, bhash)
+    WHERE nb.doc_id % {PROBE_MOD} = {PROBE_RESIDUE}
+      AND cb.doc_id % {PROBE_MOD} <> {PROBE_RESIDUE}
+),
+si_est AS (
+    SELECT c.new_id, c.corpus_id,
+           SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / {MINHASH_N}.0 AS ej
+    FROM si_cand c
+    JOIN sigs sa ON sa.doc_id = c.new_id
+    JOIN sigs sb ON sb.doc_id = c.corpus_id AND sb.seed = sa.seed
+    GROUP BY c.new_id, c.corpus_id
+),
+si_hits AS (
+    SELECT new_id, corpus_id, CAST(ej AS DOUBLE) AS est_jaccard,
+           ROW_NUMBER() OVER (PARTITION BY new_id
+                              ORDER BY ej DESC, corpus_id DESC) AS rn
+    FROM si_est WHERE ej >= {JACCARD_T}
+)
+SELECT d.doc_id, h.corpus_id AS dup_of, h.est_jaccard,
+       h.corpus_id IS NOT NULL AS is_dup
+FROM (SELECT doc_id FROM documents
+      WHERE doc_id % {PROBE_MOD} = {PROBE_RESIDUE}) d
+LEFT JOIN (SELECT new_id, corpus_id, est_jaccard
+           FROM si_hits WHERE rn = 1) h
+  ON d.doc_id = h.new_id
+ORDER BY d.doc_id
+"""
+
+
 #: Exact-substring dedup window length in tokens (Spark and oracle agree).
 SUBSTR_K = 10
 
@@ -3043,6 +3161,156 @@ JOIN documents da ON da.doc_id = acc.id_a
 JOIN documents db ON db.doc_id = acc.id_b
 GROUP BY 1, 2
 ORDER BY source_x, source_y
+"""
+
+
+def docs_domain_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DOMAIN DEDUP + MIXTURE REWEIGHTING — CCNet's per-domain treatment
+    (Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets from
+    Web Crawl Data", LREC 2020) as one governance query: measure each
+    source's within-domain near-duplication (LSH pair matrix diagonal), set
+    its target mixture weight to its UNIQUE volume (docs − near-dup docs,
+    floored at 1), and resample the corpus toward those weights with the
+    content-addressed mixture sampler (`functions/sampling.py:
+    domain_mixture_sample`). Dup-inflated domains are downweighted toward
+    their deduplicated size; the least-duplicated domain binds and keeps all
+    rows. Output per source: volume, dup stats, derived target weight, and
+    the kept count + rate after resampling.
+
+    Shape: the banded-LSH pair pipeline (output-linear) + three |domains|-row
+    aggregates; the derived weights are a |domains|-row driver read (bounded,
+    like IVF centroids) folded back as literal thresholds, and the corpus
+    itself sees exactly one narrow hash filter — no corpus shuffle beyond the
+    pair pipeline's own. The oracle recomputes pairs, weights, thresholds and
+    the resample from the raw table — no literals cross engines."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", num_hashes=MINHASH_N, bands=LSH_BANDS, k=SHINGLE_K,
+        threshold=JACCARD_T,
+    )
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    within = (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .filter(F.col("src_a") == F.col("src_b"))
+    )
+    dup_docs = (
+        within.select(F.col("id_a").alias("doc_id"), F.col("src_a").alias("source"))
+        .unionAll(
+            within.select(F.col("id_b").alias("doc_id"), F.col("src_b").alias("source"))
+        )
+        .distinct()
+    )
+    dup_per_src = dup_docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_dup_docs"))
+    base = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    stats = (
+        base.join(dup_per_src, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_dup_docs", F.lit(0)).alias("n_dup_docs"),
+        )
+        .withColumn(
+            "target_weight",
+            F.greatest(F.lit(1), F.col("n_docs") - F.col("n_dup_docs")).cast("long"),
+        )
+    )
+    wrows = stats.select("source", "target_weight").collect()  # |domains| rows
+    weights = {r["source"]: float(r["target_weight"]) for r in wrows}
+    kept = (
+        domain_mixture_sample(docs, "source", "doc_id", weights)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    out = (
+        stats.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            F.round(
+                F.col("n_dup_docs").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("dup_rate"),
+            "target_weight",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .withColumn(
+            "kept_rate",
+            F.round(F.col("n_kept").cast("double") / F.col("n_docs").cast("double"), 6),
+        )
+        .orderBy("source")
+    )
+    from iceberg_evolve_spark.functions.dedup import _attach_intermediates
+
+    return _attach_intermediates(out, *getattr(pairs, "_persisted_intermediates", ()))
+
+
+_DOMAIN_GOV_SQL = f"""
+WITH {_MINHASH_CTE},
+dg_bands AS (
+    SELECT doc_id, seed // {_R} AS band,
+           md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed ASC)) AS bhash
+    FROM sigs GROUP BY doc_id, seed // {_R}
+),
+dg_cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM dg_bands a JOIN dg_bands b USING (band, bhash)
+    WHERE a.doc_id < b.doc_id
+),
+dg_est AS (
+    SELECT c.id_a, c.id_b,
+           SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / {MINHASH_N}.0 AS ej
+    FROM dg_cand c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+    GROUP BY c.id_a, c.id_b
+),
+dg_within AS (
+    SELECT e.id_a, e.id_b, da.source
+    FROM (SELECT id_a, id_b FROM dg_est WHERE ej >= {JACCARD_T}) e
+    JOIN documents da ON da.doc_id = e.id_a
+    JOIN documents db ON db.doc_id = e.id_b
+    WHERE da.source = db.source
+),
+dg_dupdocs AS (
+    SELECT DISTINCT doc_id, source FROM (
+        SELECT id_a AS doc_id, source FROM dg_within
+        UNION ALL
+        SELECT id_b AS doc_id, source FROM dg_within)
+),
+dg_dup AS (SELECT source, COUNT(*) AS n_dup_docs FROM dg_dupdocs GROUP BY source),
+dg_stats AS (
+    SELECT b.source, b.n_docs, COALESCE(d.n_dup_docs, 0) AS n_dup_docs,
+           GREATEST(1, b.n_docs - COALESCE(d.n_dup_docs, 0)) AS w
+    FROM (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source) b
+    LEFT JOIN dg_dup d USING (source)
+),
+dg_scale AS (
+    SELECT MIN(CAST(n_docs AS DOUBLE) / CAST(w AS DOUBLE)) AS s FROM dg_stats
+),
+dg_thr AS (
+    SELECT source,
+           CAST(floor(least(1.0, s * CAST(w AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                      * {float(TWO60_INT)!r}) AS BIGINT) AS t
+    FROM dg_stats, dg_scale
+),
+dg_kept AS (
+    SELECT d.source, COUNT(*) AS n_kept
+    FROM documents d JOIN dg_thr ON d.source = dg_thr.source
+    WHERE {hash60_sql('CAST(d.doc_id AS VARCHAR)')} < dg_thr.t
+    GROUP BY d.source
+)
+SELECT st.source,
+       CAST(st.n_docs AS BIGINT) AS n_docs,
+       CAST(st.n_dup_docs AS BIGINT) AS n_dup_docs,
+       ROUND(CAST(st.n_dup_docs AS DOUBLE) / CAST(st.n_docs AS DOUBLE), 6) AS dup_rate,
+       CAST(st.w AS BIGINT) AS target_weight,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       ROUND(CAST(COALESCE(k.n_kept, 0) AS DOUBLE)
+             / CAST(st.n_docs AS DOUBLE), 6) AS kept_rate
+FROM dg_stats st LEFT JOIN dg_kept k USING (source)
+ORDER BY st.source
 """
 
 
@@ -6762,6 +7030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b2) NEW this round — never driver-verified; each addition defers
         #      one (c) tail entry to round 6.
         "docs_bpe_encode": docs_bpe_encode,
+        "snapshot_incremental_dedup": snapshot_incremental_dedup,
+        "docs_domain_governance": docs_domain_governance,
         # (c) the r02-hashed entries (oldest verification still standing),
         #     registry order preserved. 43 here + 7 above: the last entries
         #     of this group past position 50 defer to round 6's window head.
@@ -6989,6 +7259,8 @@ def oracle_sql() -> dict[str, str]:
         "events_daily_gapfill": _GAPFILL_SQL,
         "docs_bpe_train": _bpe_sql(),
         "docs_bpe_encode": _bpe_encode_sql(),
+        "snapshot_incremental_dedup": _SNAP_INCR_SQL,
+        "docs_domain_governance": _DOMAIN_GOV_SQL,
         "events_ab_lift": _AB_SQL,
         "snapshot_schema_drift": _DRIFT_SQL,
         "multimodal_gif_decode": _gif_sql(),

@@ -25,6 +25,8 @@ _SINGLE_ROW_NLJ_OK = {
     "nation_revenue_share",
     "q22_dormant_rich_customers",
     "docs_domain_mixture",
+    # domain governance reuses domain_mixture_sample's 1-row scale broadcast
+    "docs_domain_governance",
     # zorder: the 1-row global min/max stats broadcast back onto the data
     # (sources/zorder.py:zorder_column) — a 1×N join with no key by design
     "zorder_codes_orders",
