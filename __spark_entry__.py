@@ -4486,6 +4486,76 @@ FROM p
 """
 
 
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT-class codec decode — baseline sequential JPEG (ITU-T T.81) per
+    document, hand-packed (SOI/APP0/DQT/SOF0/DHT/SOS + byte-stuffed entropy
+    segment) and decoded by an independent reader: canonical-Huffman tables
+    rebuilt from DHT bytes (Annex C/F mincode/maxcode/valptr), DC prediction
+    + magnitude EXTEND, zigzag → dequantize → 8×8 inverse DCT → level shift,
+    and the fixed-point YCbCr→RGB transform. Fixtures are flat DC-only
+    blocks with quant step 8, so every decoded pixel is an exact integer
+    closed form the oracle replays without implementing JPEG; the general
+    path (arbitrary coefficients, cropping) is pinned by
+    tests/test_jpeg_decode.py against an independent double-loop IDCT.
+    Retires the 'no transform-coded codec' caveat — with GIF/LZW (r4) both
+    compression classes real images use are now decoded from scratch; only
+    codec VIDEO (mp4/H.264) remains the documented stub. See
+    functions/jpeg.py."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+    from iceberg_evolve_spark.functions.jpeg import synth_decode_features as jpeg_feats
+
+    return jpeg_feats(docs)
+
+
+def _jpeg_sql() -> str:
+    """Closed forms for the synthesized JPEG (functions/jpeg.py synth_params
+    / block_ycc): wb = 1+id%3, hb = 1+id%2 blocks of 8×8; each block is a
+    flat colour from per-block YCbCr levels through the SAME 16.16
+    fixed-point transform (floor((k·(c−128)+32768)/65536) — exact: the
+    divisor is a power of two)."""
+    from iceberg_evolve_spark.functions.jpeg import (
+        FIX_B_CB,
+        FIX_G_CB,
+        FIX_G_CR,
+        FIX_R_CR,
+    )
+
+    return f"""
+WITH jp AS (
+    SELECT doc_id, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb FROM documents
+),
+jbx AS (SELECT doc_id, wb, hb, CAST(unnest(range(0, wb)) AS INT) AS bx FROM jp),
+jblk AS (SELECT doc_id, wb, hb, bx, CAST(unnest(range(0, hb)) AS INT) AS by FROM jbx),
+jycc AS (
+    SELECT doc_id, wb, hb, bx, by,
+           64 + ((doc_id * 7 + bx * 13 + by * 29) % 128) AS y,
+           96 + ((doc_id * 3 + bx * 5 + by * 11) % 64) AS cb,
+           96 + ((doc_id * 5 + bx * 7 + by * 3) % 64) AS cr
+    FROM jblk
+),
+jrgb AS (
+    SELECT doc_id, wb, hb, bx, by,
+           y + CAST(floor(({FIX_R_CR} * (cr - 128) + 32768) / 65536.0) AS BIGINT) AS r,
+           y - CAST(floor(({FIX_G_CB} * (cb - 128) + {FIX_G_CR} * (cr - 128) + 32768)
+                          / 65536.0) AS BIGINT) AS g,
+           y + CAST(floor(({FIX_B_CB} * (cb - 128) + 32768) / 65536.0) AS BIGINT) AS b
+    FROM jycc
+)
+SELECT doc_id,
+       CAST(MAX(wb) * 8 AS INTEGER) AS width,
+       CAST(MAX(hb) * 8 AS INTEGER) AS height,
+       CAST(MAX(wb) * MAX(hb) * 64 AS BIGINT) AS n_pixels,
+       CAST(3 AS INTEGER) AS n_components,
+       CAST(SUM(64 * r) AS BIGINT) AS sum_r,
+       CAST(SUM(64 * g) AS BIGINT) AS sum_g,
+       CAST(SUM(64 * b) AS BIGINT) AS sum_b,
+       CAST(MAX(CASE WHEN bx = 0 AND by = 0 THEN r END) AS INTEGER) AS first_px_r,
+       CAST(MAX(CASE WHEN bx = 0 AND by = 0 THEN g END) AS INTEGER) AS first_px_g,
+       CAST(MAX(CASE WHEN bx = 0 AND by = 0 THEN b END) AS INTEGER) AS first_px_b
+FROM jrgb GROUP BY doc_id
+"""
+
+
 def _image_sql() -> str:
     """Closed forms for the synthesized BMP (functions/image.py synth_params):
     w = 8+id%9, h = 4+id%5, left/right channel bases are small multiples of the
@@ -7032,6 +7102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_encode": docs_bpe_encode,
         "snapshot_incremental_dedup": snapshot_incremental_dedup,
         "docs_domain_governance": docs_domain_governance,
+        "multimodal_jpeg_decode": multimodal_jpeg_decode,
         # (c) the r02-hashed entries (oldest verification still standing),
         #     registry order preserved. 43 here + 7 above: the last entries
         #     of this group past position 50 defer to round 6's window head.
@@ -7261,6 +7332,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_bpe_encode": _bpe_encode_sql(),
         "snapshot_incremental_dedup": _SNAP_INCR_SQL,
         "docs_domain_governance": _DOMAIN_GOV_SQL,
+        "multimodal_jpeg_decode": _jpeg_sql(),
         "events_ab_lift": _AB_SQL,
         "snapshot_schema_drift": _DRIFT_SQL,
         "multimodal_gif_decode": _gif_sql(),

@@ -2,11 +2,13 @@
 with typed metadata, processed in Arrow batches.
 
 :func:`decode_payload` routes to REAL decoders for all three modalities —
-BMP and LZW-compressed GIF images (:mod:`.image`, :mod:`.gif`), RIFF/WAVE
-audio (:mod:`.audio`), and uncompressed RIFF/AVI video (:mod:`.video`), all
-stdlib/struct-based since no imaging or codec library ships in this
-environment. Only DCT-class codec video (mp4/mkv/H.264) remains a documented
-``NotImplementedError`` stub — dictionary-coded compression is covered. The
+BMP, LZW-compressed GIF, and DCT-compressed baseline JPEG images
+(:mod:`.image`, :mod:`.gif`, :mod:`.jpeg`), RIFF/WAVE audio
+(:mod:`.audio`), and uncompressed RIFF/AVI video (:mod:`.video`), all
+stdlib/struct/numpy-based since no imaging or codec library ships in this
+environment. Only codec video (mp4/mkv/H.264) remains a documented
+``NotImplementedError`` stub — both dictionary (LZW) and transform (DCT)
+image compression are covered. The
 deterministic fake (:func:`fake_decode_features`) is kept for plumbing tests
 whose payloads are not real containers.
 
@@ -82,11 +84,16 @@ def decode_payload(payload: bytes, media_meta: dict) -> "object":
     codec this environment does not ship."""
     mt = (media_meta or {}).get("media_type")
     if mt == "image":
-        # sniff the container: uncompressed BMP or LZW-compressed GIF
+        # sniff the container: uncompressed BMP, LZW-compressed GIF, or
+        # DCT-compressed baseline JPEG
         if payload[:3] == b"GIF":
             from iceberg_evolve_spark.functions.gif import decode_one_gif
 
             return decode_one_gif(payload)
+        if payload[:2] == b"\xff\xd8":
+            from iceberg_evolve_spark.functions.jpeg import decode_one_jpeg
+
+            return decode_one_jpeg(payload)
         from iceberg_evolve_spark.functions.image import decode_one_bmp
 
         return decode_one_bmp(payload)
