@@ -3500,6 +3500,90 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.3
 """
 
+#: Hard-negative mining tuning (Spark and oracle agree): anchors are the
+#: deterministic vec_id % 25 == 3 subset; negatives must sit BELOW the
+#: near-dup band (cosine < 0.3, the same threshold the dedup entries use on
+#: these near-orthogonal synthetic vectors) so positives/dups are excluded.
+HN_ANCHOR_MOD = 25
+HN_ANCHOR_RES = 3
+HN_DUP_BAND = 0.3
+HN_K = 5
+HN_BLOCKS = 8
+
+
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTRASTIVE-PAIR MINING — for each anchor, the k most-similar corpus
+    vectors that are NOT near-duplicates: the "hard negatives" an embedding
+    trainer pairs with its positives (items just below the dup band are the
+    informative ones; random negatives are too easy). Exact brute-force
+    baseline: the corpus is blocked on vec_id and each anchor REPLICATED to
+    every block — an equi-join on the block key (never a cartesian), cosine
+    in one codegen span per pair, then a per-anchor top-k window over the
+    sub-band survivors. At index scale the same query runs through
+    `IVFIndex.probe_batch` (one job for the whole anchor table) with the
+    dup-band filter in the probe predicate — this entry is the exact oracle
+    for that path's quality, the ann_recall_at_k pattern applied to mining.
+
+    Shape: anchors are a training-batch-sized set, so replication is
+    |anchors|·blocks rows of metadata; the corpus is scanned once; the
+    window partitions by anchor over pair rows only. Cosine is the same
+    sequential fold both engines run, so ranks — and the hash — are
+    bit-stable."""
+    from iceberg_evolve_spark.functions.similarity import cosine_sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("embedding").alias("cand_emb"),
+        (F.col("vec_id") % HN_BLOCKS).cast("int").alias("_blk"),
+    )
+    anchors = (
+        emb.filter(F.col("vec_id") % HN_ANCHOR_MOD == HN_ANCHOR_RES)
+        .select(F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("anchor_emb"))
+        .withColumn("_blk", F.explode(F.array(*[F.lit(i) for i in range(HN_BLOCKS)])))
+    )
+    pairs = (
+        corpus.join(anchors, "_blk")
+        .filter(F.col("negative_id") != F.col("anchor_id"))
+        .withColumn("cos_raw", cosine_sim(F.col("anchor_emb"), F.col("cand_emb")))
+        .filter(F.col("cos_raw") < HN_DUP_BAND)
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_raw").desc(), F.col("negative_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HN_K)
+        .select(
+            "anchor_id",
+            "negative_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+        .orderBy("anchor_id", "rank")
+    )
+
+
+_HARD_NEG_SQL = f"""
+WITH hn_pairs AS (
+    SELECT a.vec_id AS anchor_id, c.vec_id AS negative_id,
+           {_cosine_sql('a.embedding', 'c.embedding')} AS cos_raw
+    FROM embeddings a JOIN embeddings c ON c.vec_id <> a.vec_id
+    WHERE a.vec_id % {HN_ANCHOR_MOD} = {HN_ANCHOR_RES}
+),
+hn_rank AS (
+    SELECT anchor_id, negative_id, cos_raw,
+           ROW_NUMBER() OVER (PARTITION BY anchor_id
+                              ORDER BY cos_raw DESC, negative_id ASC) AS rn
+    FROM hn_pairs WHERE cos_raw < {HN_DUP_BAND}
+)
+SELECT anchor_id, negative_id, ROUND(cos_raw, 6) AS cosine,
+       CAST(rn AS INTEGER) AS rank
+FROM hn_rank WHERE rn <= {HN_K}
+ORDER BY anchor_id, rank
+"""
+
+
 SEMDEDUP_SEED = "semdedup"
 SEMDEDUP_CELLS = 16
 SEMDEDUP_THRESHOLD = 0.3  # synthetic vectors are near-orthogonal (cf. _EMB_DEDUP_SQL)
@@ -5775,6 +5859,116 @@ ORDER BY d.doc_id
 """
 
 
+#: SoftDeDup weight scale: weight_ppm = SCALE ÷ cluster_size (integer), so
+#: per-source effective sizes are exact integer sums — orderless, no float
+#: accumulation anywhere until the single display division.
+SOFT_SCALE = 1_000_000
+
+
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT deduplication — reweight near-dup clusters instead of dropping
+    them (the SoftDedup idea, ACL 2024: hard removal discards signal;
+    down-weighting keeps one "effective copy" per cluster spread across its
+    members). Every document's sampling weight is 1/cluster_size over the
+    MinHash-LSH connected components, carried as the exact integer
+    ``SOFT_SCALE div size`` so per-source effective totals are orderless
+    integer sums (float accumulation would make the hash order-dependent).
+    Output per source: docs, docs in >1-size clusters, the summed weight in
+    ppm, and the effective-corpus rate — the knob a data-mixing pipeline
+    feeds into its sampler instead of a drop list.
+
+    Shape: the pair pipeline (output-linear) + components (O(log d) rounds)
+    + one cluster-size agg + one source rollup — nothing beyond what hard
+    dedup already costs. The oracle replays components with a recursive CTE
+    and the same integer weight division."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", num_hashes=MINHASH_N, bands=LSH_BANDS, k=SHINGLE_K,
+        threshold=JACCARD_T,
+    )
+    comp = assign_components(docs.select("doc_id"), "doc_id", pairs)
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("csize"))
+    per_doc = (
+        comp.join(sizes, "cluster_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("w_ppm", F.expr(f"CAST({SOFT_SCALE} DIV csize AS BIGINT)"))
+    )
+    out = (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("csize") > 1).cast("long")).alias("n_in_dup_clusters"),
+            F.sum("w_ppm").alias("weight_ppm_sum"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_in_dup_clusters",
+            "weight_ppm_sum",
+            F.round(
+                F.col("weight_ppm_sum").cast("double")
+                / F.lit(float(SOFT_SCALE))
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("effective_rate"),
+        )
+        .orderBy("source")
+    )
+    from iceberg_evolve_spark.functions.dedup import _attach_intermediates
+
+    return _attach_intermediates(out, *getattr(pairs, "_persisted_intermediates", ()))
+
+
+_SOFT_DEDUP_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTE},
+sw_bands AS (
+    SELECT doc_id, seed // {_R} AS band,
+           md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed ASC)) AS bhash
+    FROM sigs GROUP BY doc_id, seed // {_R}
+),
+sw_cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sw_bands a JOIN sw_bands b USING (band, bhash)
+    WHERE a.doc_id < b.doc_id
+),
+sw_est AS (
+    SELECT c.id_a, c.id_b,
+           SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / {MINHASH_N}.0 AS ej
+    FROM sw_cand c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+    GROUP BY c.id_a, c.id_b
+),
+sw_edges AS (
+    SELECT id_a AS u, id_b AS v FROM sw_est WHERE ej >= {JACCARD_T}
+    UNION
+    SELECT id_b AS u, id_a AS v FROM sw_est WHERE ej >= {JACCARD_T}
+),
+sw_reach(node, lbl) AS (
+    SELECT u, u FROM sw_edges
+    UNION
+    SELECT e.v, r.lbl FROM sw_reach r JOIN sw_edges e ON e.u = r.node
+),
+sw_comp AS (SELECT node, min(lbl) AS component FROM sw_reach GROUP BY node),
+sw_lbl AS (
+    SELECT d.doc_id, d.source, COALESCE(c.component, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN sw_comp c ON d.doc_id = c.node
+),
+sw_siz AS (SELECT cluster_id, COUNT(*) AS csize FROM sw_lbl GROUP BY cluster_id),
+sw_w AS (
+    SELECT l.source, s.csize, {SOFT_SCALE} // s.csize AS w_ppm
+    FROM sw_lbl l JOIN sw_siz s USING (cluster_id)
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_dup_clusters,
+       CAST(SUM(w_ppm) AS BIGINT) AS weight_ppm_sum,
+       ROUND(CAST(SUM(w_ppm) AS DOUBLE) / {float(SOFT_SCALE)!r}
+             / CAST(COUNT(*) AS DOUBLE), 6) AS effective_rate
+FROM sw_w GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Point-in-time enrichment (events × SCD2 intervals)
 # ---------------------------------------------------------------------------
@@ -7103,6 +7297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_incremental_dedup": snapshot_incremental_dedup,
         "docs_domain_governance": docs_domain_governance,
         "multimodal_jpeg_decode": multimodal_jpeg_decode,
+        "dedup_soft_weights": dedup_soft_weights,
+        "embedding_hard_negatives": embedding_hard_negatives,
         # (c) the r02-hashed entries (oldest verification still standing),
         #     registry order preserved. 43 here + 7 above: the last entries
         #     of this group past position 50 defer to round 6's window head.
@@ -7333,6 +7529,8 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_incremental_dedup": _SNAP_INCR_SQL,
         "docs_domain_governance": _DOMAIN_GOV_SQL,
         "multimodal_jpeg_decode": _jpeg_sql(),
+        "dedup_soft_weights": _SOFT_DEDUP_SQL,
+        "embedding_hard_negatives": _HARD_NEG_SQL,
         "events_ab_lift": _AB_SQL,
         "snapshot_schema_drift": _DRIFT_SQL,
         "multimodal_gif_decode": _gif_sql(),
