@@ -2232,6 +2232,208 @@ ORDER BY kind, column_name
 """
 
 
+def snapshot_drift_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE WHOLE REFERENCE LOOP END TO END — drift detected between two
+    snapshot versions, an evolution-op plan derived by the core diff engine,
+    and the OLD data actually migrated into the new schema, with the result
+    verified column by column under the hash gate. Composes four layers:
+    the snapshot store (`sources/snapshots.py`), the field-id diff + op
+    planner (D1/P1, `diff.py`), and the DataFrame migration executor
+    (`operators/migrate_df.py` — the rebuild's data-rewrite backend, one
+    projection, no shuffle). Carried-over fields are id-aligned by name so
+    the ID-keyed migrator pairs them (what a catalog does automatically);
+    the added column arrives NULL, the narrowed key is cast in-plan.
+
+    Output: the op plan rows (op_name + target path) and one profile row
+    per migrated field — position, rendered type, non-null and distinct
+    counts over the MIGRATED data — so the oracle checks the migration's
+    output values, not just its metadata. Bounded driver data (one
+    aggregate row + |fields| rows), same pattern as the time-travel entry
+    because the snapshot tempdir is torn down before the driver evaluates
+    the returned frame."""
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.canonical import clean_type_str
+    from iceberg_evolve_spark.operators.migrate_df import migrate_dataframe
+    from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="ies-drift-migrate-")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "orders_table"))
+        t.write(orders, note="initial", ts=1000.0)
+        v2 = (
+            orders.drop("o_orderpriority")
+            .withColumn(
+                "o_margin", F.round(F.col("o_totalprice") * 0.05, 2).cast("double")
+            )
+            .withColumn("o_orderkey", F.col("o_orderkey").cast("int"))
+        )
+        t.write(v2, note="evolved", ts=2000.0)
+        v1df = t.read(spark, version=1)
+        sa = struct_from_spark(v1df.schema)
+        sb_raw = struct_from_spark(t.read(spark, version=2).schema)
+        sa_ids = {f.name: f.field_id for f in sa.fields}
+        next_id = max(sa_ids.values()) + 1
+        tgt_fields = []
+        for f in sb_raw.fields:
+            fid = sa_ids.get(f.name)
+            if fid is None:
+                fid, next_id = next_id, next_id + 1
+            tgt_fields.append(Field(fid, f.name, f.type))
+        target = StructType(tgt_fields)
+        ops = SchemaDiff.from_schemas(sa, target).to_evolution_operations()
+        rows = [("op", o.op_name, o.name) for o in ops]
+        migrated = migrate_dataframe(v1df, sa, target)
+        aggs = []
+        for f in target.fields:
+            aggs.append(F.count(F.col(f.name)).alias(f"n_{f.name}"))
+            aggs.append(F.countDistinct(F.col(f.name)).alias(f"d_{f.name}"))
+        prof = migrated.agg(*aggs).first()
+        for pos, f in enumerate(target.fields):
+            rows.append(
+                (
+                    "field",
+                    f"{pos:02d}:{f.name}",
+                    f"{clean_type_str(f.type)}|nonnull={prof[f'n_{f.name}']}"
+                    f"|distinct={prof[f'd_{f.name}']}",
+                )
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "kind string, name string, detail string"
+    ).orderBy("kind", "name", "detail")
+
+
+_DRIFT_MIGRATE_SQL = """
+WITH dm_prof AS (
+  SELECT COUNT(o_orderkey) AS n_ok, COUNT(DISTINCT o_orderkey) AS d_ok,
+         COUNT(o_custkey) AS n_ck, COUNT(DISTINCT o_custkey) AS d_ck,
+         COUNT(o_orderstatus) AS n_st, COUNT(DISTINCT o_orderstatus) AS d_st,
+         COUNT(o_totalprice) AS n_tp, COUNT(DISTINCT o_totalprice) AS d_tp,
+         COUNT(o_orderdate) AS n_od, COUNT(DISTINCT o_orderdate) AS d_od
+  FROM orders
+)
+SELECT kind, name, detail FROM (
+  SELECT 'op' AS kind, 'update_column' AS name, 'o_orderkey' AS detail
+  UNION ALL SELECT 'op', 'add_column', 'o_margin'
+  UNION ALL SELECT 'op', 'drop_column', 'o_orderpriority'
+  UNION ALL SELECT 'field', '00:o_orderkey',
+    'int|nonnull=' || n_ok || '|distinct=' || d_ok FROM dm_prof
+  UNION ALL SELECT 'field', '01:o_custkey',
+    'long|nonnull=' || n_ck || '|distinct=' || d_ck FROM dm_prof
+  UNION ALL SELECT 'field', '02:o_orderstatus',
+    'string|nonnull=' || n_st || '|distinct=' || d_st FROM dm_prof
+  UNION ALL SELECT 'field', '03:o_totalprice',
+    'double|nonnull=' || n_tp || '|distinct=' || d_tp FROM dm_prof
+  UNION ALL SELECT 'field', '04:o_orderdate',
+    'timestamp|nonnull=' || n_od || '|distinct=' || d_od FROM dm_prof
+  UNION ALL SELECT 'field', '05:o_margin', 'double|nonnull=0|distinct=0'
+)
+ORDER BY kind, name, detail
+"""
+
+
+def orders_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARATIVE DATA-QUALITY VERIFICATION (`functions/dq.py` — the Deequ
+    idea, Schelter VLDB'18): an expectation list over orders + a
+    referential check from lineitem, compiled into ONE full-scan
+    aggregation per table (every row-local predicate is a conditional sum
+    in the same pass; uniqueness rides the multi-distinct) plus one
+    broadcast anti-join for the foreign key. Attaching more expectations
+    costs zero extra scans — the property that makes DQ affordable at
+    100 TB. Violation counts are exact integers; `unique(o_custkey)` FAILS
+    by design (customers repeat), so the report proves counting, not just
+    all-green assertions. |checks| rows of bounded driver data."""
+    from iceberg_evolve_spark.functions.dq import (
+        accepted_values,
+        foreign_key,
+        in_range,
+        matches,
+        not_null,
+        run_checks,
+        unique,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rows = [
+        ("orders",) + r
+        for r in run_checks(
+            orders,
+            [
+                not_null("o_orderkey"),
+                unique("o_orderkey"),
+                unique("o_custkey"),
+                in_range("o_totalprice", 0.0, 400000.0),
+                accepted_values("o_orderstatus", ["F", "O", "P"]),
+                matches("o_orderpriority", r"^[1-5]-[A-Z ]+$"),
+            ],
+        )
+    ]
+    rows += [
+        ("lineitem",) + r
+        for r in run_checks(
+            li,
+            [
+                not_null("l_orderkey"),
+                foreign_key("l_orderkey", orders, "o_orderkey"),
+            ],
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "table_name string, check_kind string, column_name string, "
+        "n_rows bigint, n_violations bigint, passed boolean",
+    ).orderBy("table_name", "check_kind", "column_name")
+
+
+_DQ_SQL = """
+WITH dq_o AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+         COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS v_uk,
+         COUNT(o_custkey) - COUNT(DISTINCT o_custkey) AS v_uc,
+         CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                        AND (o_totalprice < 0 OR o_totalprice > 400000)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS v_rng,
+         CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                        AND o_orderstatus NOT IN ('F', 'O', 'P')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS v_av,
+         CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                        AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS v_re
+  FROM orders
+),
+dq_l AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn
+  FROM lineitem
+),
+dq_fk AS (
+  SELECT COUNT(*) AS v FROM lineitem li
+  WHERE li.l_orderkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_orderkey = li.l_orderkey)
+)
+SELECT * FROM (
+  SELECT 'orders' AS table_name, 'not_null' AS check_kind,
+         'o_orderkey' AS column_name, n AS n_rows, v_nn AS n_violations,
+         v_nn = 0 AS passed FROM dq_o
+  UNION ALL SELECT 'orders', 'unique', 'o_orderkey', n, v_uk, v_uk = 0 FROM dq_o
+  UNION ALL SELECT 'orders', 'unique', 'o_custkey', n, v_uc, v_uc = 0 FROM dq_o
+  UNION ALL SELECT 'orders', 'in_range', 'o_totalprice', n, v_rng, v_rng = 0 FROM dq_o
+  UNION ALL SELECT 'orders', 'accepted_values', 'o_orderstatus', n, v_av, v_av = 0 FROM dq_o
+  UNION ALL SELECT 'orders', 'matches', 'o_orderpriority', n, v_re, v_re = 0 FROM dq_o
+  UNION ALL SELECT 'lineitem', 'not_null', 'l_orderkey', n, v_nn, v_nn = 0 FROM dq_l
+  UNION ALL SELECT 'lineitem', 'foreign_key', 'l_orderkey',
+                   (SELECT n FROM dq_l), v, v = 0 FROM dq_fk
+)
+ORDER BY table_name, check_kind, column_name
+"""
+
+
 COMPACT_SLIVERS = 64  # deliberately-fragmented input file count
 
 
@@ -7299,6 +7501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_decode": multimodal_jpeg_decode,
         "dedup_soft_weights": dedup_soft_weights,
         "embedding_hard_negatives": embedding_hard_negatives,
+        "snapshot_drift_migrate": snapshot_drift_migrate,
+        "orders_dq_expectations": orders_dq_expectations,
         # (c) the r02-hashed entries (oldest verification still standing),
         #     registry order preserved. 43 here + 7 above: the last entries
         #     of this group past position 50 defer to round 6's window head.
@@ -7531,6 +7735,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_jpeg_decode": _jpeg_sql(),
         "dedup_soft_weights": _SOFT_DEDUP_SQL,
         "embedding_hard_negatives": _HARD_NEG_SQL,
+        "snapshot_drift_migrate": _DRIFT_MIGRATE_SQL,
+        "orders_dq_expectations": _DQ_SQL,
         "events_ab_lift": _AB_SQL,
         "snapshot_schema_drift": _DRIFT_SQL,
         "multimodal_gif_decode": _gif_sql(),

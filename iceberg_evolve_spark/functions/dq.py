@@ -1,0 +1,134 @@
+"""Declarative data-quality expectations — the Deequ idea (Schelter et al.,
+"Automating large-scale data quality verification", VLDB 2018) re-expressed
+as plain Catalyst aggregation: a check list compiles into ONE full-scan
+aggregation per table (every row-local predicate becomes a conditional-sum
+column in the same pass), plus one aggregation-free semi/anti join per
+referential check. No per-check scans, no driver-side row loops — 100 TB
+costs one scan regardless of how many expectations are attached.
+
+Check vocabulary (all exact integer violation counts):
+
+- ``not_null(col)`` — NULL count.
+- ``unique(col)`` — rows carrying a duplicated value (count − distinct
+  yields the EXTRA rows; the violation count is rows in >1-size groups,
+  computed as ``count − countDistinct`` which equals extras — we report
+  extras: 0 ⇔ unique).
+- ``in_range(col, lo, hi)`` — rows outside [lo, hi] (NULLs not counted;
+  pair with not_null to assert both).
+- ``accepted_values(col, values)`` — rows whose value is non-NULL and not
+  in the list.
+- ``matches(col, regex)`` — non-NULL rows not fully matching the pattern
+  (portable Java∩RE2 subset, same discipline as redact_pii).
+- ``foreign_key(col, ref_df, ref_col)`` — rows whose non-NULL value has no
+  match in the reference column (left-anti count). Each FK check is its own
+  join (broadcast when the reference is dimension-sized), NOT part of the
+  single-pass aggregate.
+
+``run_checks`` returns one row per check: (check, column, n_rows,
+n_violations, passed) — exact integers, so the report is hash-gatable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    kind: str
+    column: str
+    params: tuple = field(default_factory=tuple)
+
+
+def not_null(column: str) -> Check:
+    return Check("not_null", column)
+
+
+def unique(column: str) -> Check:
+    return Check("unique", column)
+
+
+def in_range(column: str, lo: Any, hi: Any) -> Check:
+    return Check("in_range", column, (lo, hi))
+
+
+def accepted_values(column: str, values: Sequence[Any]) -> Check:
+    return Check("accepted_values", column, tuple(values))
+
+
+def matches(column: str, regex: str) -> Check:
+    return Check("matches", column, (regex,))
+
+
+def foreign_key(column: str, ref_df: DataFrame, ref_col: str) -> Check:
+    return Check("foreign_key", column, (ref_df, ref_col))
+
+
+def _violations(c: Check) -> Column:
+    """Row-local violation predicate → conditional sum (one column of the
+    shared single-pass aggregate)."""
+    col = F.col(c.column)
+    if c.kind == "not_null":
+        bad = col.isNull()
+    elif c.kind == "in_range":
+        lo, hi = c.params
+        bad = col.isNotNull() & ((col < F.lit(lo)) | (col > F.lit(hi)))
+    elif c.kind == "accepted_values":
+        bad = col.isNotNull() & ~col.isin(list(c.params))
+    elif c.kind == "matches":
+        bad = col.isNotNull() & ~col.rlike(c.params[0])
+    else:  # pragma: no cover - guarded by run_checks dispatch
+        raise ValueError(c.kind)
+    return F.sum(bad.cast("long"))
+
+
+def local_check_aggregate(df: DataFrame, local: Sequence[Check]) -> DataFrame:
+    """The shared single-pass aggregate for all row-local checks: one
+    column per predicate sum, count/countDistinct pairs for uniqueness.
+    Exposed separately so the one-scan property is plan-assertable."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(local):
+        if c.kind == "unique":
+            aggs.append(F.count(F.col(c.column)).alias(f"_cnt{i}"))
+            aggs.append(F.countDistinct(F.col(c.column)).alias(f"_dst{i}"))
+        else:
+            aggs.append(_violations(c).alias(f"_v{i}"))
+    return df.agg(*aggs)
+
+
+def run_checks(df: DataFrame, checks: Sequence[Check]) -> list[tuple]:
+    """Evaluate every check; returns ``[(check, column, n_rows,
+    n_violations, passed), ...]`` driver-side (|checks| rows — bounded).
+
+    One aggregation pass covers all row-local checks and every ``unique``
+    (count/countDistinct pairs ride the same pass via multi-distinct);
+    each ``foreign_key`` adds one anti-join count. The input is scanned
+    ``1 + #fk_checks`` times total."""
+    local = [c for c in checks if c.kind not in ("foreign_key",)]
+    row = local_check_aggregate(df, local).first()
+    n = int(row["_n"])
+    out: list[tuple] = []
+    for i, c in enumerate(local):
+        if c.kind == "unique":
+            v = int(row[f"_cnt{i}"]) - int(row[f"_dst{i}"])
+        else:
+            v = int(row[f"_v{i}"] or 0)
+        out.append((c.kind, c.column, n, v, v == 0))
+    for c in (c for c in checks if c.kind == "foreign_key"):
+        ref_df, ref_col = c.params
+        v = (
+            df.select(F.col(c.column))
+            .filter(F.col(c.column).isNotNull())
+            .join(
+                F.broadcast(ref_df.select(F.col(ref_col).alias(c.column)).distinct()),
+                c.column,
+                "left_anti",
+            )
+            .count()
+        )
+        out.append((c.kind, c.column, n, v, v == 0))
+    return out
