@@ -683,3 +683,84 @@ class TestMultiStatefulChain:
         # 1's 10:00 click pair) must have been emitted deduplicated.
         assert got <= want
         assert any(u == 1 and n == 2 for u, _, n in got), got
+
+
+DOCS_SCHEMA = "doc_id long, text string"
+
+
+def _write_doc_batch(spark, d, rows, name):
+    df = spark.createDataFrame(rows, DOCS_SCHEMA)
+    stage = f"{d}/_stage_{name}"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    os.makedirs(d, exist_ok=True)
+    part = glob.glob(f"{stage}/part-*.parquet")[0]
+    shutil.copy(part, f"{d}/{name}.parquet")
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+class TestStreamingLSHIndex:
+    """Incremental near-dup index maintenance: the streamed index must equal
+    the batch signature relation over all micro-batches, cross-batch dups
+    must be logged exactly once (new batch vs prior corpus — never a corpus
+    self-join), and a replayed batch_id must be a no-op."""
+
+    B1 = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "pack my box with five dozen liquor jugs right now"),
+        (3, "sphinx of black quartz judge my vow again please"),
+    ]
+    B2 = [
+        # doc 11 is an exact copy of doc 1 -> must be logged as a dup of 1
+        (11, "the quick brown fox jumps over the lazy dog tonight"),
+        (12, "completely unrelated sentence about distributed query engines"),
+    ]
+
+    def test_streamed_index_and_dup_log(self, spark, stream_dir):
+        from iceberg_evolve_spark.functions.dedup import minhash_signatures
+        from iceberg_evolve_spark.streaming.dedup_index import run_lsh_dedup_stream
+
+        _write_doc_batch(spark, stream_dir, self.B1, "d1")
+        _write_doc_batch(spark, stream_dir, self.B2, "d2")
+        target = tempfile.mkdtemp(prefix="lsh_snap_") + "/state"
+        ckpt = tempfile.mkdtemp(prefix="lsh_ckpt_")
+        stream = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")  # force >= 2 micro-batches
+            .parquet(stream_dir)
+        )
+        q = run_lsh_dedup_stream(stream, target, ckpt, threshold=0.9)
+        q.awaitTermination(120)
+
+        streamed = {
+            (r["doc_id"], tuple(r["sig"]))
+            for r in spark.read.parquet(f"{target}/index").collect()
+        }
+        all_docs = spark.createDataFrame(self.B1 + self.B2, DOCS_SCHEMA)
+        expected = {
+            (r["doc_id"], tuple(r["sig"]))
+            for r in minhash_signatures(all_docs, "doc_id").collect()
+        }
+        assert streamed == expected
+
+        dups = {
+            frozenset((r["new_id"], r["corpus_id"]))
+            for r in spark.read.parquet(f"{target}/dups").collect()
+        }
+        # exactly the cross-batch exact-copy pair; within-batch pairs are
+        # not the probe's job (the corpus index existed before the batch)
+        assert dups == {frozenset((11, 1))}
+
+    def test_replayed_batch_is_noop(self, spark):
+        from iceberg_evolve_spark.streaming.dedup_index import lsh_index_batch_writer
+
+        target = tempfile.mkdtemp(prefix="lsh_replay_") + "/state"
+        write = lsh_index_batch_writer(spark, target)
+        b1 = spark.createDataFrame(self.B1, DOCS_SCHEMA)
+        b2 = spark.createDataFrame(self.B2, DOCS_SCHEMA)
+        write(b1, 0)
+        write(b2, 1)
+        n_index = spark.read.parquet(f"{target}/index").count()
+        n_dups = spark.read.parquet(f"{target}/dups").count()
+        write(b2, 1)  # at-least-once replay
+        assert spark.read.parquet(f"{target}/index").count() == n_index == 5
+        assert spark.read.parquet(f"{target}/dups").count() == n_dups == 1
