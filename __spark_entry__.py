@@ -3839,6 +3839,119 @@ ORDER BY anchor_id, rank
 """
 
 
+#: Retrieval-quality tuning. MRR contributions are carried as the exact
+#: integer 2520/rank (2520 = lcm(1..10), so the division is exact for every
+#: rank ≤ RQ_K) — the mean is ONE final double division, so float summation
+#: order can never perturb the hash.
+RQ_K = 10
+RQ_LCM = 2520
+
+
+def ann_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVAL EVALUATION — MRR@k and precision@k of cosine top-k against
+    label relevance (a neighbor is relevant iff it shares the anchor's
+    label): the task-level quality number an embedding pipeline tracks next
+    to `ann_recall_at_k`'s index-approximation number. Anchors are the
+    deterministic vec_id % 25 subset; candidates come from the same
+    block-replicated equi-join as `embedding_hard_negatives` (no cartesian),
+    ranked per anchor by the engine-identical cosine fold.
+
+    Exactness: per-anchor first-relevant rank and hit counts are integers;
+    the reciprocal-rank sum is Σ (2520 div rank) — exact because 2520 is
+    lcm(1..10) — so MRR@10 is one double division at the very end. The
+    oracle replays ranks and both metrics bit-for-bit."""
+    from iceberg_evolve_spark.functions.similarity import cosine_sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("cand_emb"),
+        (F.col("vec_id") % HN_BLOCKS).cast("int").alias("_blk"),
+    )
+    anchors = (
+        emb.filter(F.col("vec_id") % HN_ANCHOR_MOD == HN_ANCHOR_RES)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("a_label"),
+            F.col("embedding").alias("anchor_emb"),
+        )
+        .withColumn("_blk", F.explode(F.array(*[F.lit(i) for i in range(HN_BLOCKS)])))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_raw").desc(), F.col("cand_id").asc()
+    )
+    topk = (
+        corpus.join(anchors, "_blk")
+        .filter(F.col("cand_id") != F.col("anchor_id"))
+        .withColumn("cos_raw", cosine_sim(F.col("anchor_emb"), F.col("cand_emb")))
+        .withColumn("rel", (F.col("a_label") == F.col("c_label")).cast("int"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= RQ_K)
+    )
+    per_anchor = topk.groupBy("anchor_id").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_rel"),
+        F.sum("rel").alias("n_rel"),
+    )
+    return per_anchor.agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.sum(
+            F.when(
+                F.col("first_rel").isNotNull(),
+                F.expr(f"CAST({RQ_LCM} DIV first_rel AS BIGINT)"),
+            ).otherwise(F.lit(0))
+        ).alias("mrr_num"),
+        F.sum("n_rel").cast("long").alias("rel_hits"),
+    ).select(
+        "n_anchors",
+        "mrr_num",
+        F.round(
+            F.col("mrr_num").cast("double")
+            / F.lit(float(RQ_LCM))
+            / F.col("n_anchors").cast("double"),
+            6,
+        ).alias("mrr_at_k"),
+        "rel_hits",
+        F.round(
+            F.col("rel_hits").cast("double")
+            / (F.lit(float(RQ_K)) * F.col("n_anchors").cast("double")),
+            6,
+        ).alias("precision_at_k"),
+    )
+
+
+_RETRIEVAL_SQL = f"""
+WITH rq_pairs AS (
+    SELECT a.vec_id AS anchor_id, c.vec_id AS cand_id,
+           {_cosine_sql('a.embedding', 'c.embedding')} AS cos_raw,
+           CASE WHEN a.label = c.label THEN 1 ELSE 0 END AS rel
+    FROM embeddings a JOIN embeddings c ON c.vec_id <> a.vec_id
+    WHERE a.vec_id % {HN_ANCHOR_MOD} = {HN_ANCHOR_RES}
+),
+rq_top AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                 ORDER BY cos_raw DESC, cand_id ASC) AS rnk
+    FROM rq_pairs
+),
+rq_pa AS (
+    SELECT anchor_id,
+           MIN(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
+           CAST(SUM(rel) AS BIGINT) AS n_rel
+    FROM rq_top WHERE rnk <= {RQ_K} GROUP BY anchor_id
+)
+SELECT COUNT(*) AS n_anchors,
+       CAST(SUM(CASE WHEN first_rel IS NOT NULL
+                     THEN {RQ_LCM} // first_rel ELSE 0 END) AS BIGINT) AS mrr_num,
+       ROUND(CAST(SUM(CASE WHEN first_rel IS NOT NULL
+                           THEN {RQ_LCM} // first_rel ELSE 0 END) AS DOUBLE)
+             / {float(RQ_LCM)!r} / CAST(COUNT(*) AS DOUBLE), 6) AS mrr_at_k,
+       CAST(SUM(n_rel) AS BIGINT) AS rel_hits,
+       ROUND(CAST(SUM(n_rel) AS DOUBLE)
+             / ({float(RQ_K)!r} * CAST(COUNT(*) AS DOUBLE)), 6) AS precision_at_k
+FROM rq_pa
+"""
+
+
 SEMDEDUP_SEED = "semdedup"
 SEMDEDUP_CELLS = 16
 SEMDEDUP_THRESHOLD = 0.3  # synthetic vectors are near-orthogonal (cf. _EMB_DEDUP_SQL)
@@ -7557,6 +7670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_drift_migrate": snapshot_drift_migrate,
         "orders_dq_expectations": orders_dq_expectations,
         "orders_footer_minmax": orders_footer_minmax,
+        "ann_retrieval_quality": ann_retrieval_quality,
         # (c) the r02-hashed entries (oldest verification still standing),
         #     registry order preserved. 43 here + 7 above: the last entries
         #     of this group past position 50 defer to round 6's window head.
@@ -7792,6 +7906,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_drift_migrate": _DRIFT_MIGRATE_SQL,
         "orders_dq_expectations": _DQ_SQL,
         "orders_footer_minmax": _FOOTER_SQL,
+        "ann_retrieval_quality": _RETRIEVAL_SQL,
         "events_ab_lift": _AB_SQL,
         "snapshot_schema_drift": _DRIFT_SQL,
         "multimodal_gif_decode": _gif_sql(),

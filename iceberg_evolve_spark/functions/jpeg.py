@@ -16,9 +16,11 @@ level shift → clamp, and fixed-point YCbCr→RGB for 3-component scans.
   its Huffman decoder rebuilds mincode/maxcode/valptr tables from the DHT
   BITS/HUFFVAL bytes (T.81 Annex C/F algorithm — a different structure from
   the encoder's symbol→code dict), and its IDCT is the orthonormal basis
-  product. Non-baseline features fail loudly (progressive SOF2, 16-bit
-  quant tables, chroma subsampling, restart intervals), mirroring the
-  interlaced-GIF guard.
+  product. Restart intervals (DRI + byte-aligned RSTm markers with DC
+  prediction reset and sequence-number validation) are supported — they are
+  part of baseline and what real encoders emit for error resilience.
+  Non-baseline features fail loudly (progressive SOF2, 16-bit quant
+  tables, chroma subsampling), mirroring the interlaced-GIF guard.
 
 Exactness: the synthesized fixtures are DC-only blocks with a uniform
 quant table of 8 — the dequantized DC passes through the IDCT as an exact
@@ -200,11 +202,14 @@ def _jpeg_bytes(
     height: int,
     comp_blocks: list[list[list[int]]],
     qts: tuple[list[int], ...] = (QT_LUMA, QT_CHROMA),
+    restart_interval: int | None = None,
 ) -> bytes:
     """Assemble a real baseline JFIF file. ``comp_blocks[c]`` is that
     component's quantized 8×8 blocks (64 ints each, natural order) in MCU
     scan order (row-major over ceil(h/8) × ceil(w/8)); 1 component = gray,
-    3 = YCbCr 4:4:4. Component 0 quantizes with table 0, others table 1."""
+    3 = YCbCr 4:4:4. Component 0 quantizes with table 0, others table 1.
+    ``restart_interval`` emits a DRI segment and an RSTm marker (byte-
+    aligned, DC predictors reset) after every ``restart_interval`` MCUs."""
     ncomp = len(comp_blocks)
     if ncomp not in (1, 3):
         raise ValueError("1 (gray) or 3 (YCbCr) components")
@@ -220,6 +225,8 @@ def _jpeg_bytes(
     dht = bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
     dht += bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
     out += _seg(0xC4, dht)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for c in range(ncomp):
         sos += bytes([c + 1, 0x00])  # DC table 0, AC table 0 for all
@@ -230,7 +237,14 @@ def _jpeg_bytes(
     w = _BitWriter()
     preds = [0] * ncomp
     n_mcus = len(comp_blocks[0])
+    rst = 0
     for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            out += w.flush()
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            w = _BitWriter()
+            preds = [0] * ncomp
         for c in range(ncomp):
             preds[c] = _encode_block(w, comp_blocks[c][m], preds[c], dc_codes, ac_codes)
     out += w.flush()
@@ -332,8 +346,9 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
     ac_tabs: dict[int, _HuffTable] = {}
     width = height = 0
     comps: list[tuple[int, int]] = []  # (component id, quant table id)
-    scan: bytes | None = None
+    scan: list[bytes] | None = None  # restart segments (one if no DRI)
     scan_tabs: list[tuple[int, int]] = []
+    restart_interval = 0
     while scan is None:
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}, got {payload[pos]:#x}")
@@ -382,14 +397,16 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
                         0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential DCT (SOF0) supported")
         elif marker == 0xDD:
-            raise ValueError("restart intervals (DRI) not supported")
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
             ns = body[0]
             if ns != len(comps):
                 raise ValueError("partial scans not supported")
             for c in range(ns):
                 scan_tabs.append((body[2 + 2 * c] >> 4, body[2 + 2 * c] & 15))
-            # unstuff the entropy-coded segment up to EOI
+            # unstuff the entropy-coded data up to EOI; RSTm markers split it
+            # into byte-aligned restart segments (DC prediction resets there)
+            segments: list[bytes] = []
             data = bytearray()
             while True:
                 if pos + 1 >= len(payload):
@@ -404,10 +421,19 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
                 if nxt == 0x00:
                     data.append(0xFF)
                 elif nxt == 0xD9:
-                    scan = bytes(data)
+                    segments.append(bytes(data))
+                    scan = segments
                     break
                 elif 0xD0 <= nxt <= 0xD7:
-                    raise ValueError("restart markers not supported")
+                    if not restart_interval:
+                        raise ValueError("RST marker without a DRI interval")
+                    if nxt - 0xD0 != len(segments) % 8:
+                        raise ValueError(
+                            f"RST sequence error: got {nxt - 0xD0}, "
+                            f"expected {len(segments) % 8}"
+                        )
+                    segments.append(bytes(data))
+                    data = bytearray()
                 else:
                     raise ValueError(f"unexpected marker in scan: {nxt:#x}")
         else:
@@ -415,11 +441,27 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
     if not comps or not width or not height:
         raise ValueError("missing SOF0 before SOS")
     wb, hb = (width + 7) // 8, (height + 7) // 8
+    n_mcus = wb * hb
+    if restart_interval:
+        expect = -(-n_mcus // restart_interval)
+        if len(scan) != expect:
+            raise ValueError(
+                f"DRI={restart_interval}: {len(scan)} restart segments for "
+                f"{n_mcus} MCUs (expected {expect})"
+            )
+    elif len(scan) != 1:
+        raise ValueError("restart segments present without DRI")
     planes = [np.zeros((hb * 8, wb * 8), dtype=np.int64) for _ in comps]
-    reader = _BitReader(scan)
+    reader = _BitReader(scan[0])
     preds = [0] * len(comps)
+    mcu = 0
     for by in range(hb):
         for bx in range(wb):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # byte-aligned restart: fresh segment, DC prediction resets
+                reader = _BitReader(scan[mcu // restart_interval])
+                preds = [0] * len(comps)
+            mcu += 1
             for ci, (_cid, tq) in enumerate(comps):
                 dct, act = scan_tabs[ci]
                 sym = dc_tabs[dct].decode(reader)

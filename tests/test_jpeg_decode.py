@@ -98,6 +98,24 @@ class TestRoundTrip:
         # top-left block constant 128+0, second MCU (cols 8..11) 128+10
         assert planes[0][0, 0] == 128 and planes[0][0, 11] == 138
 
+    @given(st.lists(sparse_block, min_size=2, max_size=6), st.integers(1, 3))
+    @settings(max_examples=15, deadline=None)
+    def test_restart_intervals_round_trip(self, blocks, interval):
+        """DRI + RSTm markers: byte-aligned segments with DC-prediction
+        resets decode identically to the unrestarted stream."""
+        w = 8 * len(blocks)
+        plain = decode_jpeg_planes(_jpeg_bytes(w, 8, [blocks]))
+        restarted = decode_jpeg_planes(
+            _jpeg_bytes(w, 8, [blocks], restart_interval=interval)
+        )
+        assert (plain[2][0] == restarted[2][0]).all()
+
+    def test_restart_markers_present_in_stream(self):
+        blocks = [[0] * 64 for _ in range(5)]
+        p = _jpeg_bytes(40, 8, [blocks], restart_interval=2)
+        assert b"\xff\xd0" in p and b"\xff\xd1" in p  # two restarts for 5 MCUs
+        assert struct.pack(">BBHH", 0xFF, 0xDD, 4, 2) in p  # DRI segment
+
     def test_dc_prediction_chains_across_blocks(self):
         """DC is coded differentially; three blocks with distinct levels
         decode to their absolute values."""
@@ -191,12 +209,20 @@ class TestGuards:
         with pytest.raises(ValueError, match="subsampling"):
             decode_one_jpeg(bytes(p))
 
-    def test_rejects_restart_intervals(self):
+    def test_rejects_rst_without_dri(self):
+        # an RST marker appearing in the scan of a DRI-less file is corrupt
         p = synth_jpeg_payload(3)
-        i = p.index(bytes([0xFF, 0xDA]))
-        dri = struct.pack(">BBHH", 0xFF, 0xDD, 4, 8)
-        with pytest.raises(ValueError, match="DRI"):
-            decode_one_jpeg(p[:i] + dri + p[i:])
+        i = p.index(b"\xff\xd9")
+        with pytest.raises(ValueError, match="without a DRI"):
+            decode_one_jpeg(p[:i] + b"\xff\xd0" + p[i:])
+
+    def test_rejects_rst_sequence_error(self):
+        blocks = [[0] * 64 for _ in range(4)]
+        p = bytearray(_jpeg_bytes(32, 8, [blocks], restart_interval=1))
+        i = p.index(b"\xff\xd1")  # second restart marker (sequence 1)
+        p[i + 1] = 0xD5  # wrong sequence number
+        with pytest.raises(ValueError, match="RST sequence"):
+            decode_one_jpeg(bytes(p))
 
     def test_rejects_truncated_scan(self):
         p = synth_jpeg_payload(3)
