@@ -44,6 +44,7 @@ from iceberg_evolve_spark.functions.sampling import (
     stratified_hash_sample,
 )
 from iceberg_evolve_spark.functions.sketch import (
+    cms_counters,
     cms_counters_weighted,
     cms_estimate,
     hll_estimate_sql,
@@ -2739,6 +2740,101 @@ spine AS (
 SELECT s.event_type, s.day, COALESCE(d.n, 0) AS n, d.n IS NULL AS gap_filled
 FROM spine s LEFT JOIN daily d USING (event_type, day)
 ORDER BY s.event_type, s.day
+"""
+
+
+def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED TREND FITTING — per-event-type ordinary least squares over
+    the zero-filled daily series (the capacity-planning readout: is this
+    event type growing, and what does tomorrow look like?). The day spine
+    is generated in-plan per type (the `events_daily_gapfill` shape —
+    missing days are real zeros, not gaps), x is the day index, and the
+    fit is closed-form OLS from four exact moment sums:
+    ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)``.
+
+    Exactness discipline: moments accumulate as DECIMAL(38,0) (HUGEINT in
+    the oracle — x·y already brushes int64 at 100 TB volumes with
+    multi-year spines), numerators/denominators are exact integers, and
+    slope/intercept/one-step forecast are each ONE final double division
+    (ROUND 6) — the same no-float-accumulation rule as the anomaly and
+    correlation entries. Scale shape: one map-side-combined daily agg, a
+    metadata-sized spine, one moment aggregation; the window never sees
+    raw events."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    spans = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = spans.select(
+        "event_type",
+        "d0",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    full = spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        F.datediff("day", "d0").cast("long").alias("x"),
+        F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+    )
+    m = full.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    num_s = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    num_i = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        m.filter(F.col("n") >= 2)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.col("sy").cast("long").alias("total_events"),
+            F.round(num_s.cast("double") / den.cast("double"), 6).alias("slope"),
+            F.round(num_i.cast("double") / den.cast("double"), 6).alias("intercept"),
+            F.round(
+                (num_s * F.col("n") + num_i).cast("double") / den.cast("double"), 6
+            ).alias("forecast_next"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_TREND_SQL = """
+WITH tr_daily AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS y
+    FROM events GROUP BY 1, 2
+),
+tr_span AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM tr_daily GROUP BY 1),
+tr_spine AS (
+    SELECT event_type, d0,
+           CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM tr_span
+),
+tr_full AS (
+    SELECT s.event_type, datediff('day', s.d0, s.day) AS x, COALESCE(d.y, 0) AS y
+    FROM tr_spine s LEFT JOIN tr_daily d USING (event_type, day)
+),
+tr_m AS (
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(x) AS HUGEINT) AS sx,
+           CAST(SUM(y) AS HUGEINT) AS sy,
+           SUM(CAST(x AS HUGEINT) * y) AS sxy,
+           SUM(CAST(x AS HUGEINT) * x) AS sxx
+    FROM tr_full GROUP BY 1
+)
+SELECT event_type, n AS n_days, CAST(sy AS BIGINT) AS total_events,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+       ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept,
+       ROUND(CAST((n * sxy - sx * sy) * n + (sy * sxx - sx * sxy) AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS forecast_next
+FROM tr_m WHERE n >= 2
+ORDER BY event_type
 """
 
 
@@ -6659,6 +6755,90 @@ FROM lineitem"""
 CMS_D = 4
 CMS_W = 1024
 
+#: Join-size estimation sketch shape: 4×8192 counters ≈ 256 KB per column —
+#: catalog-metadata scale — lands rel_err ≈ 0.14 on this key distribution
+#: (512 buckets gave 2.9, 2048 gave 0.61: the ε = e/width trade measured).
+JS_D = 4
+JS_W = 8192
+
+
+def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN CARDINALITY ESTIMATION from mergeable sketches — the
+    Count-Min inner-product estimator (Cormode & Muthukrishnan 2005, §4.2):
+    ``|A ⋈ B|`` is estimated as ``min over seeds of Σ_bucket cmsA·cmsB``,
+    computed here for events.user_id ⋈ orders.o_custkey next to the EXACT
+    join size, with the relative error as a hash-gated number. This is what
+    a catalog/optimizer keeps per column to cost join orders without
+    touching data: two depth×width counter tables (KB), maintained
+    incrementally (counters add — same linearity the streaming CMS sink
+    exploits), answering any pairwise join-size question in sketch-sized
+    work.
+
+    Exactness: counters and dot products are exact integers over the
+    portable hash, the estimate is their MIN, and the exact size is the
+    aggregate-then-join Σ n_a·n_b (never a materialized join). CMS never
+    undercounts, so rel_err ≥ 0 by construction."""
+    ev = _t(spark, sf_dir, "events")
+    od = _t(spark, sf_dir, "orders")
+    ca = cms_counters(
+        ev.select(F.col("user_id").cast("string").alias("k")), "k",
+        depth=JS_D, width=JS_W,
+    ).selectExpr("seed", "bucket", "cnt AS ca")
+    cb = cms_counters(
+        od.select(F.col("o_custkey").cast("string").alias("k")), "k",
+        depth=JS_D, width=JS_W,
+    ).selectExpr("seed", "bucket", "cnt AS cb")
+    est = (
+        ca.join(cb, ["seed", "bucket"])
+        .groupBy("seed")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+        .agg(F.min("dot").cast("long").alias("cms_est"))
+    )
+    ea = ev.groupBy(F.col("user_id").alias("k")).agg(F.count(F.lit(1)).alias("na"))
+    eb = od.groupBy(F.col("o_custkey").alias("k")).agg(F.count(F.lit(1)).alias("nb"))
+    exact = ea.join(eb, "k").agg(
+        F.sum(F.col("na") * F.col("nb")).cast("long").alias("exact_size")
+    )
+    return est.join(F.broadcast(exact)).select(
+        "exact_size",
+        "cms_est",
+        F.round(
+            (F.col("cms_est") - F.col("exact_size")).cast("double")
+            / F.col("exact_size").cast("double"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+_JOIN_EST_SQL = f"""
+WITH js_seeds AS (SELECT unnest(range(0, {JS_D})) AS seed),
+js_a AS (
+    SELECT seed,
+           {_H60.format(x=f"CAST(user_id AS VARCHAR) || '{SEP}' || CAST(seed AS VARCHAR)")} % {JS_W} AS bucket,
+           COUNT(*) AS ca
+    FROM events CROSS JOIN js_seeds GROUP BY 1, 2
+),
+js_b AS (
+    SELECT seed,
+           {_H60.format(x=f"CAST(o_custkey AS VARCHAR) || '{SEP}' || CAST(seed AS VARCHAR)")} % {JS_W} AS bucket,
+           COUNT(*) AS cb
+    FROM orders CROSS JOIN js_seeds GROUP BY 1, 2
+),
+js_dot AS (
+    SELECT seed, CAST(SUM(ca * cb) AS BIGINT) AS dot
+    FROM js_a JOIN js_b USING (seed, bucket) GROUP BY seed
+),
+js_exact AS (
+    SELECT CAST(SUM(na * nb) AS BIGINT) AS exact_size
+    FROM (SELECT user_id AS k, COUNT(*) AS na FROM events GROUP BY 1) a
+    JOIN (SELECT o_custkey AS k, COUNT(*) AS nb FROM orders GROUP BY 1) b USING (k)
+)
+SELECT e.exact_size, m.cms_est,
+       ROUND(CAST(m.cms_est - e.exact_size AS DOUBLE)
+             / CAST(e.exact_size AS DOUBLE), 6) AS rel_err
+FROM (SELECT CAST(MIN(dot) AS BIGINT) AS cms_est FROM js_dot) m, js_exact e
+"""
+
 
 def cms_heavy_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter estimation with a Count-Min Sketch: the depth×width counter
@@ -7671,6 +7851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_dq_expectations": orders_dq_expectations,
         "orders_footer_minmax": orders_footer_minmax,
         "ann_retrieval_quality": ann_retrieval_quality,
+        "join_size_estimate_cms": join_size_estimate_cms,
+        "events_daily_trend": events_daily_trend,
         # (c) the r02-hashed entries (oldest verification still standing),
         #     registry order preserved. 43 here + 7 above: the last entries
         #     of this group past position 50 defer to round 6's window head.
@@ -7907,6 +8089,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_dq_expectations": _DQ_SQL,
         "orders_footer_minmax": _FOOTER_SQL,
         "ann_retrieval_quality": _RETRIEVAL_SQL,
+        "join_size_estimate_cms": _JOIN_EST_SQL,
+        "events_daily_trend": _TREND_SQL,
         "events_ab_lift": _AB_SQL,
         "snapshot_schema_drift": _DRIFT_SQL,
         "multimodal_gif_decode": _gif_sql(),

@@ -33,6 +33,8 @@ _SINGLE_ROW_NLJ_OK = {
     # priority sample: the 1-row exact-total aggregate joined onto the 1-row
     # estimator aggregate for the rel_err column — two scalars, no key
     "orders_priority_sample",
+    # CMS join-size estimate: 1-row estimate × 1-row exact for rel_err
+    "join_size_estimate_cms",
 }
 
 _QUERIES = entry_mod.queries()
