@@ -1011,6 +1011,68 @@ GROUP BY o_orderstatus
 """
 
 
+def incremental_retract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance UNDER DELETES
+    (`operators/incremental.py:merge_with_retractions`): the per-status
+    rollup maintained through a delta that both inserts new orders
+    (o_orderkey % 10 == 0) and RETRACTS existing ones (o_orderkey % 7 == 3
+    of the base). SUM/COUNT merge as signed Z-set deltas with no base-data
+    access (the DBSP/Materialize formulation); MAX — not group-invertible —
+    is repaired only for the delete-touched groups from the post-delta
+    rows. The ORACLE is the one-shot rollup over the FINAL state, so hash
+    equality is the retraction-correctness theorem checked on real data —
+    including that the additive path alone would have kept deleted maxima
+    alive."""
+    from iceberg_evolve_spark.operators.incremental import (
+        aggregate_delta,
+        merge_with_retractions,
+    )
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "_p", _dec(F.col("o_totalprice"), 2)
+    )
+    is_new = F.col("o_orderkey") % 10 == 0
+    base_data = orders.filter(~is_new)
+    base_agg = aggregate_delta(
+        base_data,
+        ["o_orderstatus"],
+        sum_cols={"_p": "sum_price"},
+        max_cols={"o_totalprice": "max_price"},
+    )
+    inserts = orders.filter(is_new).withColumn("op", F.lit(1))
+    deletes = base_data.filter(F.col("o_orderkey") % 7 == 3).withColumn(
+        "op", F.lit(-1)
+    )
+    merged = merge_with_retractions(
+        base_agg,
+        inserts.unionByName(deletes),
+        base_data,
+        ["o_orderstatus"],
+        row_key="o_orderkey",
+        sum_cols={"_p": "sum_price"},
+        max_cols={"o_totalprice": "max_price"},
+    )
+    return merged.select(
+        "o_orderstatus",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+        F.round("max_price", 2).alias("max_price"),
+    ).orderBy("o_orderstatus")
+
+
+_RETRACT_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(22,2))) AS DOUBLE) AS sum_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM orders
+WHERE o_orderkey % 10 = 0
+   OR (o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 3)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 SYNTH_ROWS = 400
 SYNTH_PARTS = 8
 SYNTH_SEED = 7
@@ -7853,6 +7915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_retrieval_quality": ann_retrieval_quality,
         "join_size_estimate_cms": join_size_estimate_cms,
         "events_daily_trend": events_daily_trend,
+        "incremental_retract_rollup": incremental_retract_rollup,
         # (c) the r02-hashed entries (oldest verification still standing),
         #     registry order preserved. 43 here + 7 above: the last entries
         #     of this group past position 50 defer to round 6's window head.
@@ -8091,6 +8154,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_retrieval_quality": _RETRIEVAL_SQL,
         "join_size_estimate_cms": _JOIN_EST_SQL,
         "events_daily_trend": _TREND_SQL,
+        "incremental_retract_rollup": _RETRACT_SQL,
         "events_ab_lift": _AB_SQL,
         "snapshot_schema_drift": _DRIFT_SQL,
         "multimodal_gif_decode": _gif_sql(),

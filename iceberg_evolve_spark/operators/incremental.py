@@ -76,3 +76,101 @@ def merge_aggregates(
     for c in max_cols or []:
         out_cols.append(F.greatest(bcol(c), dcol(c)).alias(c))
     return joined.select(*out_cols)
+
+
+# ---------------------------------------------------------------------------
+# Retractions (deletes in the delta)
+# ---------------------------------------------------------------------------
+
+
+def retract_aggregate_delta(
+    delta: DataFrame,
+    keys: list[str],
+    op_col: str,
+    sum_cols: dict[str, str] | None = None,
+    count_col: str = "n",
+) -> DataFrame:
+    """SIGNED partial aggregate of a delta carrying inserts AND deletes
+    (``op_col`` = +1 / −1): COUNT becomes Σop, SUM(x) becomes Σop·x — the
+    group-invertible measures retract exactly with no base access (the DBSP
+    / Materialize Z-set formulation). MIN/MAX are NOT invertible; see
+    :func:`merge_with_retractions` for their group-scoped repair."""
+    sign = F.col(op_col).cast("long")
+    aggs = [F.sum(sign).alias(count_col)]
+    for src, out in (sum_cols or {}).items():
+        aggs.append(F.sum(sign * F.col(src)).alias(out))
+    return delta.groupBy(*keys).agg(*aggs)
+
+
+def merge_with_retractions(
+    base_agg: DataFrame,
+    delta: DataFrame,
+    base_data: DataFrame,
+    keys: list[str],
+    row_key: str,
+    op_col: str = "op",
+    sum_cols: dict[str, str] | None = None,
+    count_col: str = "n",
+    max_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Maintain a materialized rollup under a delta containing DELETES.
+
+    SUM/COUNT merge as signed deltas — one key-partitioned join, base DATA
+    never read. MAX cannot un-see a deleted maximum, so it is REPAIRED for
+    exactly the groups a delete touched: the post-delta rows of those groups
+    (base_data anti-join deleted row keys, plus the delta's inserts) are
+    re-aggregated and override the additive candidate. Untouched groups pay
+    nothing beyond ``greatest(old, inserted)``; at scale the repair scan is
+    partition-pruned to the touched groups. Groups whose count reaches zero
+    disappear (a rollup never shows empty groups)."""
+    sum_cols = sum_cols or {}
+    d = retract_aggregate_delta(delta, keys, op_col, sum_cols, count_col)
+    ins = delta.filter(F.col(op_col) == 1).drop(op_col)
+    if max_cols:
+        d_max = ins.groupBy(*keys).agg(
+            *[F.max(src).alias(out) for src, out in max_cols.items()]
+        )
+        d = d.join(d_max, keys, "left")
+    dd = d.select([F.col(c).alias(f"_d_{c}") for c in d.columns])
+    cond = [base_agg[k].eqNullSafe(dd[f"_d_{k}"]) for k in keys]
+    joined = base_agg.join(dd, cond, "full")
+    zero = F.lit(0)
+    out_cols = [
+        F.coalesce(base_agg[k], dd[f"_d_{k}"]).alias(k) for k in keys
+    ]
+    out_cols.append(
+        (
+            F.coalesce(base_agg[count_col], zero)
+            + F.coalesce(dd[f"_d_{count_col}"], zero)
+        ).alias(count_col)
+    )
+    for out in sum_cols.values():
+        out_cols.append(
+            (F.coalesce(base_agg[out], zero) + F.coalesce(dd[f"_d_{out}"], zero)).alias(out)
+        )
+    for out in (max_cols or {}).values():
+        out_cols.append(F.greatest(base_agg[out], dd[f"_d_{out}"]).alias(out))
+    merged = joined.select(*out_cols)
+    if max_cols:
+        deletes = delta.filter(F.col(op_col) == -1)
+        touched = deletes.select(*keys).distinct()
+        post = (
+            base_data.join(deletes.select(row_key), row_key, "left_anti")
+            .unionByName(ins)
+            .join(touched, keys, "left_semi")
+        )
+        repaired = post.groupBy(*keys).agg(
+            *[F.max(src).alias(f"_r_{out}") for src, out in max_cols.items()]
+        )
+        merged = merged.join(repaired, keys, "left")
+        fixed = [F.col(k) for k in keys] + [F.col(count_col)]
+        fixed += [F.col(out) for out in sum_cols.values()]
+        # a touched group takes the repaired max (NULL if emptied — the
+        # count filter drops it); untouched keeps the additive candidate
+        is_touched = F.col(f"_r_{list(max_cols.values())[0]}").isNotNull()
+        for out in max_cols.values():
+            fixed.append(
+                F.when(is_touched, F.col(f"_r_{out}")).otherwise(F.col(out)).alias(out)
+            )
+        merged = merged.select(*fixed)
+    return merged.filter(F.col(count_col) > 0)

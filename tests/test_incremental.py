@@ -79,3 +79,73 @@ class TestIncrementalAggregates:
                 sum_cols=["total"], min_cols=["first_order"], max_cols=["last_order"],
             )
         assert _rows(acc) == _rows(_full(orders))
+
+
+class TestRetractions:
+    """merge_with_retractions == one-shot recompute over the post-delta
+    state, including the cases the additive path cannot see: a deleted
+    maximum and a fully-emptied group."""
+
+    def _roll(self, df):
+        return {
+            r["k"]: (r["n"], r["s"], r["mx"])
+            for r in df.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx"))
+            .collect()
+        }
+
+    def test_merge_equals_recompute_with_deletes(self, spark):
+        from iceberg_evolve_spark.operators.incremental import (
+            aggregate_delta,
+            merge_with_retractions,
+        )
+
+        base = spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 99), (3, "b", 5), (4, "b", 7), (5, "c", 1)],
+            "id long, k string, v long",
+        )
+        # delete the CURRENT MAX of group a (99), all of group c, insert into b
+        delta = spark.createDataFrame(
+            [(2, "a", 99, -1), (5, "c", 1, -1), (6, "b", 50, 1)],
+            "id long, k string, v long, op int",
+        )
+        base_agg = aggregate_delta(
+            base, ["k"], sum_cols={"v": "s"}, max_cols={"v": "mx"}
+        )
+        merged = merge_with_retractions(
+            base_agg,
+            delta,
+            base,
+            ["k"],
+            row_key="id",
+            sum_cols={"v": "s"},
+            max_cols={"v": "mx"},
+        )
+        got = {r["k"]: (r["n"], r["s"], r["mx"]) for r in merged.collect()}
+        final = spark.createDataFrame(
+            [(1, "a", 10), (3, "b", 5), (4, "b", 7), (6, "b", 50)],
+            "id long, k string, v long",
+        )
+        assert got == self._roll(final)
+        assert got["a"][2] == 10  # the deleted max 99 is GONE (not additive)
+        assert "c" not in got  # emptied group disappears
+
+    def test_sum_count_only_never_touches_base_data(self, spark):
+        from iceberg_evolve_spark.operators.incremental import (
+            aggregate_delta,
+            merge_with_retractions,
+        )
+
+        base = spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20)], "id long, k string, v long"
+        )
+        delta = spark.createDataFrame(
+            [(1, "a", 10, -1), (9, "a", 5, 1)], "id long, k string, v long, op int"
+        )
+        base_agg = aggregate_delta(base, ["k"], sum_cols={"v": "s"})
+        poisoned = base.filter(F.lit(False))  # would yield wrong repair rows
+        merged = merge_with_retractions(
+            base_agg, delta, poisoned, ["k"], row_key="id", sum_cols={"v": "s"}
+        )
+        ((k, n, s),) = [(r["k"], r["n"], r["s"]) for r in merged.collect()]
+        assert (k, n, s) == ("a", 2, 25)  # signed merge alone is exact
