@@ -2805,6 +2805,102 @@ ORDER BY s.event_type, s.day
 """
 
 
+def parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE COUNTING + global clustering coefficient over the co-purchase
+    graph — the graph-density diagnostic next to `parts_pagerank`'s
+    centrality. Edges mine exactly like the pagerank entry (basket
+    collect_set → double explode, support-pruned); triangles are counted
+    once each via the id-orientation trick: canonical a<b edges joined as
+    (a,b)⋈(b,c)⋈(a,c) forces a<b<c, so no triangle is seen twice and the
+    join is a plain two-step equi-join (degree-orientation is the skew
+    refinement at scale — id-orientation is exactly replayable and
+    sufficient on a support-pruned graph). Wedge counts come from one
+    degree aggregation (Σd(d−1)), so the clustering coefficient
+    ``3·triangles / wedges`` is exact integers into ONE final division.
+    Output: one row (nodes, edges, triangles, clustering)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    und = (
+        baskets.select(F.explode("ps").alias("a"), F.col("ps"))
+        .select("a", F.explode("ps").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= PAGERANK_MIN_SUPPORT)
+        .select("a", "b")
+        .persist()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("CAST(SUM(d) DIV 2 AS BIGINT)").alias("n_edges"),
+        F.sum(F.col("d") * (F.col("d") - 1)).alias("wedges2"),
+    )
+    return stats.join(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        F.when(
+            F.col("wedges2") > 0,
+            F.round(
+                (F.lit(6) * F.col("n_triangles")).cast("double")
+                / F.col("wedges2").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("global_clustering"),
+    )
+
+
+_TRIANGLE_SQL = f"""
+WITH tc_b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+tc_e AS (
+    SELECT a.l_partkey AS a, b.l_partkey AS b
+    FROM tc_b a JOIN tc_b b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {PAGERANK_MIN_SUPPORT}
+),
+tc_deg AS (
+    SELECT v, COUNT(*) AS d FROM (
+        SELECT a AS v FROM tc_e UNION ALL SELECT b AS v FROM tc_e
+    ) GROUP BY v
+),
+tc_tri AS (
+    SELECT COUNT(*) AS n_triangles
+    FROM tc_e e1
+    JOIN tc_e e2 ON e1.b = e2.a
+    JOIN tc_e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tc_stats AS (
+    SELECT COUNT(*) AS n_nodes,
+           CAST(SUM(d) // 2 AS BIGINT) AS n_edges,
+           CAST(SUM(d * (d - 1)) AS BIGINT) AS wedges2
+    FROM tc_deg
+)
+SELECT s.n_nodes, s.n_edges, t.n_triangles,
+       CASE WHEN s.wedges2 > 0
+            THEN ROUND(CAST(6 * t.n_triangles AS DOUBLE)
+                       / CAST(s.wedges2 AS DOUBLE), 6)
+            ELSE 0.0 END AS global_clustering
+FROM tc_stats s, tc_tri t
+"""
+
+
 def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPED TREND FITTING — per-event-type ordinary least squares over
     the zero-filled daily series (the capacity-planning readout: is this
@@ -7916,6 +8012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate_cms": join_size_estimate_cms,
         "events_daily_trend": events_daily_trend,
         "incremental_retract_rollup": incremental_retract_rollup,
+        "parts_triangle_count": parts_triangle_count,
         # (c) the r02-hashed entries (oldest verification still standing),
         #     registry order preserved. 43 here + 7 above: the last entries
         #     of this group past position 50 defer to round 6's window head.
@@ -8155,6 +8252,7 @@ def oracle_sql() -> dict[str, str]:
         "join_size_estimate_cms": _JOIN_EST_SQL,
         "events_daily_trend": _TREND_SQL,
         "incremental_retract_rollup": _RETRACT_SQL,
+        "parts_triangle_count": _TRIANGLE_SQL,
         "events_ab_lift": _AB_SQL,
         "snapshot_schema_drift": _DRIFT_SQL,
         "multimodal_gif_decode": _gif_sql(),

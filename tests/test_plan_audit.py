@@ -35,6 +35,8 @@ _SINGLE_ROW_NLJ_OK = {
     "orders_priority_sample",
     # CMS join-size estimate: 1-row estimate × 1-row exact for rel_err
     "join_size_estimate_cms",
+    # triangle count: 1-row degree stats × 1-row triangle total
+    "parts_triangle_count",
 }
 
 _QUERIES = entry_mod.queries()
