@@ -7866,6 +7866,40 @@ def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey", "version")
 
 
+def scd2_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 MAINTAINED INCREMENTALLY from a CDC batch
+    (`operators/scd.py:scd2_apply_changes`): the dimension built from
+    pre-cutoff orders has the cutoff-onward change events APPLIED — closed
+    history untouched, open intervals closed at each key's first real
+    change, leading no-op changes absorbed into the open interval, version
+    numbers continuing. The ORACLE is the one-shot `scd2_intervals` build
+    over ALL orders (the same SQL as `scd2_customer_priority`), so hash
+    equality is the apply-equals-rebuild theorem — the correctness property
+    a warehouse MERGE-into-SCD2 job relies on every day. Scale shape: the
+    batch collapses with one batch-keyed window; the dimension is touched
+    by key-partitioned joins only, never rebuilt."""
+    from iceberg_evolve_spark.operators.scd import scd2_apply_changes
+
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit(INCR_CUTOFF).cast("date")
+    dim = scd2_intervals(
+        orders.filter(F.col("o_orderdate") < cut),
+        key="o_custkey",
+        attrs=["o_orderpriority"],
+        ts="o_orderdate",
+        tiebreak="o_orderkey",
+    )
+    out = scd2_apply_changes(
+        dim,
+        orders.filter(~(F.col("o_orderdate") < cut)),
+        key="o_custkey",
+        attrs=["o_orderpriority"],
+        ts="o_orderdate",
+        tiebreak="o_orderkey",
+    )
+    return out.orderBy("o_custkey", "version")
+
+
 _SCD2_SQL = """
 WITH e AS (
     SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
@@ -8013,6 +8047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_trend": events_daily_trend,
         "incremental_retract_rollup": incremental_retract_rollup,
         "parts_triangle_count": parts_triangle_count,
+        "scd2_incremental_apply": scd2_incremental_apply,
         # (c) the r02-hashed entries (oldest verification still standing),
         #     registry order preserved. 43 here + 7 above: the last entries
         #     of this group past position 50 defer to round 6's window head.
@@ -8253,6 +8288,7 @@ def oracle_sql() -> dict[str, str]:
         "events_daily_trend": _TREND_SQL,
         "incremental_retract_rollup": _RETRACT_SQL,
         "parts_triangle_count": _TRIANGLE_SQL,
+        "scd2_incremental_apply": _SCD2_SQL,
         "events_ab_lift": _AB_SQL,
         "snapshot_schema_drift": _DRIFT_SQL,
         "multimodal_gif_decode": _gif_sql(),

@@ -85,3 +85,79 @@ def as_of_lookup(
         & (t < F.coalesce(d[valid_to], F.lit("9999-12-31").cast("timestamp")))
     )
     return facts.join(d, cond, "left").drop("_dim_key")
+
+
+def scd2_apply_changes(
+    dim: DataFrame,
+    changes: DataFrame,
+    key: str,
+    attrs: list[str],
+    ts: str,
+    tiebreak: str | None = None,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    version: str = "version",
+) -> DataFrame:
+    """Incrementally maintain an SCD2 dimension from a CDC batch — the
+    warehouse MERGE-into-SCD2 pattern: closed history is untouched, each
+    changed key's OPEN interval is closed at its first real change, and the
+    batch's new intervals append with continuing version numbers. A leading
+    change event whose attributes equal the key's current state is a no-op
+    (it extends the open interval instead of opening a duplicate version),
+    so replaying full-state CDC snapshots cannot inflate history.
+
+    Precondition (the CDC invariant): every change timestamp must be >= the
+    key's current ``valid_from``; late events that belong INSIDE closed
+    history need a history rebuild (`scd2_intervals` over the full event
+    log), not an incremental apply.
+
+    Scale shape: the batch collapses to intervals with one batch-keyed
+    window; everything else is key-partitioned joins between the batch's
+    keys and the dimension — untouched keys move through a single
+    left join with no rewrite. ``apply(intervals(events < t), events >= t)``
+    equals ``intervals(all events)`` — hash-gated by the
+    `scd2_incremental_apply` entry."""
+    batch = scd2_intervals(
+        changes, key, attrs, ts, tiebreak, valid_from, valid_to, version
+    )
+    cur = dim.filter(F.col(valid_to).isNull()).select(
+        F.col(key),
+        *[F.col(a).alias(f"_c_{a}") for a in attrs],
+        F.col(version).alias("_c_ver"),
+    )
+    b = batch.join(cur, key, "left")
+    same_as_cur = F.lit(True)
+    for a in attrs:
+        same_as_cur = same_as_cur & F.col(a).eqNullSafe(F.col(f"_c_{a}"))
+    lead_noop = (
+        (F.col(version) == 1) & F.col("_c_ver").isNotNull() & same_as_cur
+    )
+    b = b.withColumn("_drop", lead_noop)
+    shift = b.groupBy(key).agg(F.max(F.col("_drop").cast("int")).alias("_shift"))
+    surv = (
+        b.filter(~F.col("_drop"))
+        .join(shift, key)
+        .select(
+            key,
+            *attrs,
+            valid_from,
+            valid_to,
+            (
+                F.col(version) - F.col("_shift") + F.coalesce(F.col("_c_ver"), F.lit(0))
+            ).cast("int").alias(version),
+        )
+    )
+    first_new = surv.groupBy(key).agg(F.min(valid_from).alias("_close_at"))
+    open_rows = (
+        dim.filter(F.col(valid_to).isNull())
+        .join(first_new, key, "left")
+        .select(
+            *[
+                F.col("_close_at").alias(valid_to) if c == valid_to else F.col(c)
+                for c in dim.columns
+            ]
+        )
+    )
+    return dim.filter(F.col(valid_to).isNotNull()).unionByName(open_rows).unionByName(
+        surv.select(*dim.columns)
+    )

@@ -137,3 +137,66 @@ class TestScd2Properties:
                     assert a_iv.attr != b_iv.attr
 
         check()
+
+
+class TestScd2ApplyChanges:
+    """Incremental CDC apply == full rebuild, plus the edge cases that make
+    MERGE-into-SCD2 subtle: leading no-op changes, brand-new keys, multi-run
+    batches, untouched keys."""
+
+    def _build(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "k long, a string, ts timestamp"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def test_apply_equals_rebuild(self, spark):
+        from iceberg_evolve_spark.operators.scd import (
+            scd2_apply_changes,
+            scd2_intervals,
+        )
+
+        old = [
+            (1, "x", "2024-01-01"), (1, "x", "2024-01-05"), (1, "y", "2024-02-01"),
+            (2, "p", "2024-01-03"),
+            (3, "m", "2024-01-02"),
+        ]
+        new = [
+            (1, "y", "2024-03-01"),   # leading no-op for key 1 (still y)
+            (1, "z", "2024-03-10"),   # then a real change
+            (2, "q", "2024-03-02"), (2, "r", "2024-03-20"),  # two runs
+            (4, "n", "2024-03-05"),   # brand-new key
+            # key 3 untouched
+        ]
+        mk = lambda rows: spark.createDataFrame(
+            [(k, a, t) for k, a, t in rows], "k long, a string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        dim = scd2_intervals(mk(old), "k", ["a"], "ts")
+        applied = scd2_apply_changes(dim, mk(new), "k", ["a"], "ts")
+        rebuilt = scd2_intervals(mk(old + new), "k", ["a"], "ts")
+        key = lambda df: sorted(
+            (r["k"], r["a"], r["valid_from"], r["valid_to"], r["version"])
+            for r in df.collect()
+        )
+        assert key(applied) == key(rebuilt)
+        got = {(r["k"], r["version"]): (r["a"], r["valid_to"]) for r in applied.collect()}
+        assert got[(1, 2)][0] == "y"          # no-op did NOT open version 3
+        assert got[(1, 3)][0] == "z"          # the real change did
+        assert got[(3, 1)][1] is None         # untouched key stays open
+        assert got[(4, 1)][0] == "n"          # new key starts at version 1
+
+    def test_noop_only_batch_changes_nothing(self, spark):
+        from iceberg_evolve_spark.operators.scd import (
+            scd2_apply_changes,
+            scd2_intervals,
+        )
+
+        mk = lambda rows: spark.createDataFrame(
+            rows, "k long, a string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        dim = scd2_intervals(mk([(1, "x", "2024-01-01")]), "k", ["a"], "ts")
+        applied = scd2_apply_changes(
+            dim, mk([(1, "x", "2024-02-01")]), "k", ["a"], "ts"
+        )
+        rows = applied.collect()
+        assert len(rows) == 1
+        assert rows[0]["valid_to"] is None and rows[0]["version"] == 1
