@@ -4038,7 +4038,7 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     window partitions by anchor over pair rows only. Cosine is the same
     sequential fold both engines run, so ranks — and the hash — are
     bit-stable."""
-    from iceberg_evolve_spark.functions.similarity import cosine_sim
+    from iceberg_evolve_spark.functions.similarity import cosine_sim_unrolled
 
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.select(
@@ -4054,7 +4054,10 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         corpus.join(anchors, "_blk")
         .filter(F.col("negative_id") != F.col("anchor_id"))
-        .withColumn("cos_raw", cosine_sim(F.col("anchor_emb"), F.col("cand_emb")))
+        .withColumn(
+            "cos_raw",
+            cosine_sim_unrolled(F.col("anchor_emb"), F.col("cand_emb"), EMB_DIM),
+        )
         .filter(F.col("cos_raw") < HN_DUP_BAND)
     )
     w = Window.partitionBy("anchor_id").orderBy(
@@ -4114,7 +4117,7 @@ def ann_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reciprocal-rank sum is Σ (2520 div rank) — exact because 2520 is
     lcm(1..10) — so MRR@10 is one double division at the very end. The
     oracle replays ranks and both metrics bit-for-bit."""
-    from iceberg_evolve_spark.functions.similarity import cosine_sim
+    from iceberg_evolve_spark.functions.similarity import cosine_sim_unrolled
 
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.select(
@@ -4138,7 +4141,10 @@ def ann_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = (
         corpus.join(anchors, "_blk")
         .filter(F.col("cand_id") != F.col("anchor_id"))
-        .withColumn("cos_raw", cosine_sim(F.col("anchor_emb"), F.col("cand_emb")))
+        .withColumn(
+            "cos_raw",
+            cosine_sim_unrolled(F.col("anchor_emb"), F.col("cand_emb"), EMB_DIM),
+        )
         .withColumn("rel", (F.col("a_label") == F.col("c_label")).cast("int"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= RQ_K)
