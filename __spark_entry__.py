@@ -2550,6 +2550,105 @@ ORDER BY column_name
 """
 
 
+#: Data-drift histogram bin width over o_totalprice (both engines agree).
+DRIFT_BIN = 50_000
+
+
+def snapshot_data_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA drift between snapshot versions — the value-distribution
+    counterpart of `snapshot_schema_drift`: v1 (the pre-cutoff load) and v2
+    (after the backfill) compared as fixed-width histograms over
+    o_totalprice, with the total-variation distance as the drift score.
+    TV is computed EXACTLY: per bin ``|c1·n2 − c2·n1|`` is an integer
+    cross-multiplication (no per-bin share floats), summed over the
+    bin-sized relation by a window, and divided once at the end —
+    ``TV = Σ|c1·n2 − c2·n1| / (2·n1·n2)``. Per-bin rows carry both counts
+    and the exact cross term, so the oracle checks the distributions AND
+    the score. Scale shape: two map-side-combined histogram aggregations
+    (bin-sized output at any volume) + one bin-keyed join; the window runs
+    over ≤ #bins rows. Monitoring a 100 TB table costs two aggregates."""
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit(INCR_CUTOFF).cast("date")
+    tmp = tempfile.mkdtemp(prefix="ies-data-drift-")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "orders_table"))
+        t.write(orders.filter(F.col("o_orderdate") < cut), note="initial", ts=1000.0)
+        t.write(orders, note="backfill", ts=2000.0)
+
+        def hist(df):
+            return df.groupBy(
+                F.floor(F.col("o_totalprice") / DRIFT_BIN).cast("int").alias("bin")
+            ).agg(F.count(F.lit(1)).alias("c"))
+
+        h1 = hist(t.read(spark, version=1)).selectExpr("bin", "c AS c1")
+        h2 = hist(t.read(spark, version=2)).selectExpr("bin", "c AS c2")
+        j = (
+            h1.join(h2, "bin", "full")
+            .select(
+                "bin",
+                F.coalesce("c1", F.lit(0)).alias("c1"),
+                F.coalesce("c2", F.lit(0)).alias("c2"),
+            )
+            .withColumn("n1", F.sum("c1").over(Window.partitionBy()))
+            .withColumn("n2", F.sum("c2").over(Window.partitionBy()))
+            .withColumn(
+                "cross_abs",
+                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")),
+            )
+            .withColumn(
+                "tv_distance",
+                F.round(
+                    F.sum("cross_abs").over(Window.partitionBy()).cast("double")
+                    / (F.lit(2.0) * F.col("n1") * F.col("n2")).cast("double"),
+                    6,
+                ),
+            )
+        )
+        rows = (
+            j.select("bin", "c1", "c2", "cross_abs", "tv_distance")
+            .orderBy("bin")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "bin int, c1 bigint, c2 bigint, cross_abs bigint, tv_distance double"
+    ).orderBy("bin")
+
+
+_DATA_DRIFT_SQL = f"""
+WITH dd_h1 AS (
+    SELECT CAST(floor(o_totalprice / {DRIFT_BIN}) AS INT) AS bin, COUNT(*) AS c1
+    FROM orders WHERE o_orderdate < DATE '{INCR_CUTOFF}' GROUP BY 1
+),
+dd_h2 AS (
+    SELECT CAST(floor(o_totalprice / {DRIFT_BIN}) AS INT) AS bin, COUNT(*) AS c2
+    FROM orders GROUP BY 1
+),
+dd_j AS (
+    SELECT COALESCE(h1.bin, h2.bin) AS bin,
+           COALESCE(c1, 0) AS c1, COALESCE(c2, 0) AS c2
+    FROM dd_h1 h1 FULL JOIN dd_h2 h2 ON h1.bin = h2.bin
+),
+dd_t AS (
+    SELECT bin, c1, c2,
+           SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+    FROM dd_j
+)
+SELECT bin, c1, c2,
+       CAST(abs(c1 * n2 - c2 * n1) AS BIGINT) AS cross_abs,
+       ROUND(CAST(SUM(abs(c1 * n2 - c2 * n1)) OVER () AS DOUBLE)
+             / CAST(2.0 * n1 * n2 AS DOUBLE), 6) AS tv_distance
+FROM dd_t
+ORDER BY bin
+"""
+
+
 COMPACT_SLIVERS = 64  # deliberately-fragmented input file count
 
 
@@ -8054,6 +8153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_retract_rollup": incremental_retract_rollup,
         "parts_triangle_count": parts_triangle_count,
         "scd2_incremental_apply": scd2_incremental_apply,
+        "snapshot_data_drift": snapshot_data_drift,
         # (c) the r02-hashed entries (oldest verification still standing),
         #     registry order preserved. 43 here + 7 above: the last entries
         #     of this group past position 50 defer to round 6's window head.
@@ -8295,6 +8395,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_retract_rollup": _RETRACT_SQL,
         "parts_triangle_count": _TRIANGLE_SQL,
         "scd2_incremental_apply": _SCD2_SQL,
+        "snapshot_data_drift": _DATA_DRIFT_SQL,
         "events_ab_lift": _AB_SQL,
         "snapshot_schema_drift": _DRIFT_SQL,
         "multimodal_gif_decode": _gif_sql(),
