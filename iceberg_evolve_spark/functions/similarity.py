@@ -53,8 +53,17 @@ def _unrolled_sum(terms: list[Column]) -> Column:
 
 def dot_unrolled(a: Column, b: Column, dims: int) -> Column:
     """Known-width dot product as explicit element_at multiply-adds — same
-    values as :func:`dot` (same summation order), ~3-4× faster per pair at
-    dim 64 because the whole expression compiles into the generated code."""
+    values as :func:`dot` (same summation order), compiled by whole-stage
+    codegen where the fold's lambda stays interpreted.
+
+    WHEN TO USE (measured at dim 64, sf0.1): only where per-row pair
+    compute dominates — two array COLUMNS per row in a large join
+    (hard-negative mining: 7.4 s → 4.5 s). Do NOT use against literal
+    query vectors or composed per-row many-dot shapes: the ~200-node tree
+    slows analysis/constant-folding more than execution saves on small
+    scans (topk_lsh 1.4 s → 11.6 s), and stacking it per centroid/plane
+    overflows the JVM's 64 KB generated-method limit (IVF build save
+    failed). The fold stays the default everywhere else."""
     return _unrolled_sum(
         [
             F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
@@ -222,7 +231,14 @@ def l2sq_to_literal(vec_col: Column, centroid: list[float]) -> Column:
     """Squared L2 distance of an array column to a LITERAL centroid, as a
     sequential double fold: ``0.0 + (v1-c1)² + (v2-c2)² + ...`` — the exact
     association order DuckDB's ``list_reduce`` and a plain Python loop
-    produce, so all three engines compute bit-identical doubles."""
+    produce, so all three engines compute bit-identical doubles.
+
+    Deliberately NOT unrolled: :func:`assign_cell` instantiates this once
+    per centroid, and 16 centroids × 64 dims of explicit terms overflow the
+    JVM's 64 KB generated-method limit inside write projections (observed:
+    the IVF build's save failing with "Code grows beyond 64 KB"). The fold
+    stays compact; unrolling pays off only for ONE pair per row
+    (:func:`cosine_sim_unrolled`)."""
     c = F.array(*[F.lit(float(x)) for x in centroid])
     return F.aggregate(
         F.zip_with(

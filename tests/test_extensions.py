@@ -694,3 +694,33 @@ class TestIVFBatchProbe:
         )
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+class TestUnrolledFoldEquivalence:
+    """The codegen-friendly unrolled expressions must be BIT-identical to
+    the higher-order-function folds they replace (same left-assoc order;
+    IEEE 0.0 + x == x) — the property that let the hot similarity paths
+    switch without invalidating a single oracle hash."""
+
+    def test_cosine_bitwise_equal(self, spark, sf_dir):
+        from iceberg_evolve_spark.functions.similarity import (
+            cosine_sim,
+            cosine_sim_unrolled,
+            dot,
+            dot_unrolled,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+        dims = len(emb.first()["embedding"])
+        centroid = [((i * 37) % 200 - 100) / 100.0 for i in range(dims)]
+        q = F.array(*[F.lit(float(x)) for x in centroid])
+        rows = emb.select(
+            dot_unrolled(F.col("embedding"), q, dims).alias("du"),
+            dot(F.col("embedding"), q).alias("df"),
+            cosine_sim_unrolled(F.col("embedding"), q, dims).alias("cu"),
+            cosine_sim(F.col("embedding"), q).alias("cf"),
+        ).collect()
+        assert rows
+        for r in rows:
+            assert r["du"] == r["df"]  # exact, not approx
+            assert r["cu"] == r["cf"]
