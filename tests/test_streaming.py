@@ -764,3 +764,24 @@ class TestStreamingLSHIndex:
         write(b2, 1)  # at-least-once replay
         assert spark.read.parquet(f"{target}/index").count() == n_index == 5
         assert spark.read.parquet(f"{target}/dups").count() == n_dups == 1
+
+    def test_crash_between_renames_recovers(self, spark):
+        """Simulate the swap crash window: the live snapshot moved aside but
+        the replacement not yet installed. The next batch's recover() call
+        must restore the previous index+dup-log pair ATOMICALLY (both live
+        under one snapshot dir), and the retried batch then applies
+        normally."""
+        import os
+
+        from iceberg_evolve_spark.streaming.dedup_index import lsh_index_batch_writer
+
+        target = tempfile.mkdtemp(prefix="lsh_crash_") + "/state"
+        write = lsh_index_batch_writer(spark, target)
+        write(spark.createDataFrame(self.B1, DOCS_SCHEMA), 0)
+        # crash window: live dir moved aside, new dir never arrived
+        os.rename(target, target + "._old")
+        assert not os.path.isdir(target)
+        write(spark.createDataFrame(self.B2, DOCS_SCHEMA), 1)  # recovers, then applies
+        assert spark.read.parquet(f"{target}/index").count() == 5
+        assert spark.read.parquet(f"{target}/dups").count() == 1
+        assert not os.path.isdir(target + "._old")
