@@ -255,3 +255,36 @@ class TestBPEEncode:
         wdf = spark.createDataFrame([("abc",), ("x",)], "w string")
         got = {r["w"]: list(r["toks"]) for r in bpe_apply_merges(wdf, []).collect()}
         assert got == {"abc": ["a", "b", "c"], "x": ["x"]}
+
+    def test_encode_matches_reference_on_random_corpora(self, spark):
+        """Train on random corpora, encode the vocabulary, compare every
+        word's token sequence to the independent reference encoder (pure
+        Python, shares no code). Non-hypothesis loop: Spark per-example is
+        too slow for @given, so iterate a fixed seed battery."""
+        import random
+
+        from iceberg_evolve_spark.functions.text import (
+            bpe_apply_merges,
+            bpe_train_merges,
+        )
+
+        rng = random.Random(11)
+        for trial in range(3):
+            texts = [
+                " ".join(
+                    "".join(rng.choice("abcd") for _ in range(rng.randint(1, 6)))
+                    for _ in range(rng.randint(1, 8))
+                )
+                for _ in range(5)
+            ]
+            df = spark.createDataFrame([(t,) for t in texts], "text string")
+            merges = bpe_train_merges(df, "text", rounds=3)
+            vocab = sorted({w for t in texts for w in t.split()})
+            wdf = spark.createDataFrame([(w,) for w in vocab], "w string")
+            got = {
+                r["w"]: list(r["toks"])
+                for r in bpe_apply_merges(wdf, merges).collect()
+            }
+            for w in vocab:
+                assert got[w] == _encode_ref(w, merges), (trial, w, merges)
+                assert "".join(got[w]) == w
