@@ -5665,6 +5665,85 @@ WHERE {hash60_sql('CAST(d.doc_id AS VARCHAR)')} < thr.t
 """
 
 
+def docs_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-budget domain mixing — what an LLM data recipe actually
+    specifies ("40% of TOKENS english, 30% chinese, …"), not document
+    shares: `domain_mixture_sample(size_col=...)` switches the domain
+    masses from row counts to per-language token sums, the binding language
+    keeps everything, and over-budget ones hash-downsample toward
+    ``s·w_d`` expected tokens. Selection stays whole-doc and
+    content-addressed (one narrow filter over the corpus — no shuffle);
+    the report shows target-vs-achieved by construction: per language the
+    doc/token totals, the kept counts, and the achieved kept-token share
+    (ONE final division off exact integer sums). Doc-length variance makes
+    achieved ≠ target exactly — that gap is the number this report exists
+    to surface."""
+    from iceberg_evolve_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_nt", F.size(tokens("text")).cast("long")
+    )
+    kept = domain_mixture_sample(
+        docs, "lang", "doc_id", MIX_WEIGHTS, size_col="_nt"
+    )
+    k = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("_nt").alias("kept_tokens"),
+    )
+    tot = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum("_nt").alias("total_tokens"),
+    )
+    return (
+        tot.join(k, "lang")
+        .withColumn(
+            "kept_token_share",
+            F.round(
+                F.col("kept_tokens").cast("double")
+                / F.sum("kept_tokens").over(Window.partitionBy()).cast("double"),
+                6,
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _token_mix_sql() -> str:
+    toks = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+    w_case = " ".join(
+        f"WHEN '{v}' THEN CAST({w} AS DOUBLE)" for v, w in sorted(MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH tbm AS (SELECT doc_id, lang, len({toks}) AS nt FROM documents),
+tbm_c AS (
+    SELECT lang, CAST(SUM(nt) AS DOUBLE) AS n,
+           CASE lang {w_case} ELSE NULL END AS w
+    FROM tbm GROUP BY lang
+),
+tbm_s AS (SELECT MIN(n / w) AS s FROM tbm_c WHERE w IS NOT NULL),
+tbm_thr AS (
+    SELECT lang,
+           CAST(floor(least(1.0, s * w / n) * {float(TWO60_INT)!r}) AS BIGINT) AS t
+    FROM tbm_c, tbm_s WHERE w IS NOT NULL
+),
+tbm_kept AS (
+    SELECT d.lang, COUNT(*) AS kept_docs, CAST(SUM(d.nt) AS BIGINT) AS kept_tokens
+    FROM tbm d JOIN tbm_thr ON d.lang = tbm_thr.lang
+    WHERE {hash60_sql("CAST(d.doc_id AS VARCHAR)")} < tbm_thr.t
+    GROUP BY d.lang
+),
+tbm_tot AS (
+    SELECT lang, COUNT(*) AS total_docs, CAST(SUM(nt) AS BIGINT) AS total_tokens
+    FROM tbm GROUP BY lang
+)
+SELECT t.lang, t.total_docs, t.total_tokens, k.kept_docs, k.kept_tokens,
+       ROUND(CAST(k.kept_tokens AS DOUBLE)
+             / CAST(SUM(k.kept_tokens) OVER () AS DOUBLE), 6) AS kept_token_share
+FROM tbm_tot t JOIN tbm_kept k USING (lang)
+ORDER BY t.lang
+"""
+
+
 def docs_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle + shard layout for training order: every
     document gets a hash-balanced shard and a dense in-shard position along
@@ -6335,6 +6414,120 @@ _KMV_SQL = kmv_estimate_sql(
 )
 
 HLL_B = 8  # 256 registers → 1.04/sqrt(256) ≈ 6.5% standard error
+
+
+#: Vocabulary-overlap sketch sources (two crawl sources compared).
+HLL_OVL_A = "src0"
+HLL_OVL_B = "src1"
+
+
+def hll_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH-BASED SET OVERLAP — how much vocabulary do two crawl sources
+    share? Estimated by inclusion–exclusion over mergeable HLL sketches:
+    ``|A∩B|̂ = Ê(A) + Ê(B) − Ê(A∪B)``, where the union estimate comes from
+    the register MAX-merge of the two per-source sketches (the
+    merge-equals-whole theorem `hll_merge_by_source` hash-gates) — so the
+    overlap of two 100 TB sources is answered from two KB-scale register
+    tables that each side maintains independently. The EXACT overlap rides
+    along (one per-word presence aggregation) so the estimator's error is a
+    checked number, the recall@k discipline applied to set sketches.
+
+    All register math is exact integers; the three estimates and the
+    subtraction are the only doubles (each a single engine-identical
+    expression), and the final 1-row×1-row broadcast is allow-listed."""
+    from iceberg_evolve_spark.functions.dedup import word_windows
+    from iceberg_evolve_spark.functions.sketch import (
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_registers,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin(HLL_OVL_A, HLL_OVL_B)
+    )
+    # word BIGRAMS, not words: the synthetic sources share almost the whole
+    # unigram vocabulary (overlap == both sides), while bigram sets genuinely
+    # differ — the estimator has something to estimate.
+    words = docs.select("source", F.explode(word_windows("text", 2)).alias("w"))
+    regs = hll_registers(words, "w", b=HLL_B, group_cols=["source"])
+    per_src = hll_estimate_from_registers(regs, HLL_B, group_cols=["source"])
+    union_est = hll_estimate_from_registers(
+        hll_merge(regs, group_cols=None), HLL_B
+    )
+    ests = per_src.select("source", "est_distinct").unionByName(
+        union_est.select(F.lit("union").alias("source"), "est_distinct")
+    )
+    est_row = ests.agg(
+        F.max(F.when(F.col("source") == HLL_OVL_A, F.col("est_distinct"))).alias(
+            "est_a"
+        ),
+        F.max(F.when(F.col("source") == HLL_OVL_B, F.col("est_distinct"))).alias(
+            "est_b"
+        ),
+        F.max(F.when(F.col("source") == "union", F.col("est_distinct"))).alias(
+            "est_union"
+        ),
+    )
+    presence = words.groupBy("w").agg(
+        F.max((F.col("source") == HLL_OVL_A).cast("int")).alias("in_a"),
+        F.max((F.col("source") == HLL_OVL_B).cast("int")).alias("in_b"),
+    )
+    exact_row = presence.agg(
+        F.sum((F.col("in_a") * F.col("in_b")).cast("long")).alias("exact_overlap")
+    )
+    return est_row.join(F.broadcast(exact_row)).select(
+        "est_a",
+        "est_b",
+        "est_union",
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4).alias(
+            "est_overlap"
+        ),
+        "exact_overlap",
+        F.round(
+            F.col("est_a") + F.col("est_b") - F.col("est_union")
+            - F.col("exact_overlap").cast("double"),
+            4,
+        ).alias("overlap_err"),
+    )
+
+
+def _hll_overlap_sql() -> str:
+    from iceberg_evolve_spark.functions.sketch import hll_estimate_sql
+
+    toks = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+    grams = (
+        f"unnest(list_transform(range(1, len({toks})), "
+        f"i -> {toks}[i] || ' ' || {toks}[i + 1]))"
+    )
+    side = lambda cond: (
+        f"(SELECT {grams} AS w FROM documents WHERE {cond})"
+    )
+    est = lambda cond: (
+        f"(SELECT est_distinct FROM ({hll_estimate_sql(side(cond), hash60_sql('w'), b=HLL_B)}) _e)"
+    )
+    both = f"source IN ('{HLL_OVL_A}', '{HLL_OVL_B}')"
+    return f"""
+WITH ho_est AS (
+    SELECT {est(f"source = '{HLL_OVL_A}'")} AS est_a,
+           {est(f"source = '{HLL_OVL_B}'")} AS est_b,
+           {est(both)} AS est_union
+),
+ho_exact AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_overlap FROM (
+        SELECT w FROM (
+            SELECT source, {grams} AS w FROM documents WHERE {both}
+        ) GROUP BY w
+        HAVING MAX(CASE WHEN source = '{HLL_OVL_A}' THEN 1 ELSE 0 END) = 1
+           AND MAX(CASE WHEN source = '{HLL_OVL_B}' THEN 1 ELSE 0 END) = 1
+    )
+)
+SELECT est_a, est_b, est_union,
+       ROUND(est_a + est_b - est_union, 4) AS est_overlap,
+       exact_overlap,
+       ROUND(est_a + est_b - est_union - CAST(exact_overlap AS DOUBLE), 4)
+           AS overlap_err
+FROM ho_est, ho_exact
+"""
 
 
 def hll_distinct_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8300,6 +8493,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_balance_quartiles": customer_balance_quartiles,
         "orders_pivot_priority": orders_pivot_priority,
         "balance_order_setops": balance_order_setops,
+        # (f) added after the r5 window was allocated — never
+        #     driver-verified; these take round-6 window priority (the same
+        #     post-window queue discipline as r4's group b3).
+        "docs_token_budget_mixture": docs_token_budget_mixture,
+        "hll_overlap_sources": hll_overlap_sources,
     }
 
 
@@ -8396,6 +8594,8 @@ def oracle_sql() -> dict[str, str]:
         "parts_triangle_count": _TRIANGLE_SQL,
         "scd2_incremental_apply": _SCD2_SQL,
         "snapshot_data_drift": _DATA_DRIFT_SQL,
+        "docs_token_budget_mixture": _token_mix_sql(),
+        "hll_overlap_sources": _hll_overlap_sql(),
         "events_ab_lift": _AB_SQL,
         "snapshot_schema_drift": _DRIFT_SQL,
         "multimodal_gif_decode": _gif_sql(),

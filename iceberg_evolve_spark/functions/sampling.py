@@ -120,6 +120,7 @@ def domain_mixture_sample(
     key: Column | str,
     weights: dict[str, float],
     salt: str = "",
+    size_col: str | None = None,
 ) -> DataFrame:
     """Resample a corpus toward a target domain mixture (the data-mixing step
     of training-set construction: "40% web, 30% code, ...").
@@ -130,20 +131,29 @@ def domain_mixture_sample(
     hash-downsampled to ``s·w_d`` expected rows, so the output composition
     matches ``weights`` up to binomial noise while no row is upsampled.
 
+    ``size_col`` switches the budget unit: domain masses ``n_d`` become
+    ``Σ size_col`` instead of row counts, so the mixture targets (for a
+    token-count column) TOKEN shares — what an LLM data recipe actually
+    specifies — while selection stays whole-doc and content-addressed. Keep
+    probability is still per-row, so achieved token shares match the target
+    in expectation (doc-length variance is reported, not hidden, by the
+    `docs_token_budget_mixture` entry).
+
     Selection is content-addressed (portable hash threshold), so the row set
     is engine- and parallelism-independent. Scale shape: one map-side-combined
-    count per domain (output is |domains| rows), thresholds derived on that
-    tiny relation and broadcast back; the corpus itself is touched by exactly
-    one narrow filter — no corpus shuffle.
+    count/sum per domain (output is |domains| rows), thresholds derived on
+    that tiny relation and broadcast back; the corpus itself is touched by
+    exactly one narrow filter — no corpus shuffle.
     """
     if not weights or any(w <= 0 for w in weights.values()):
         raise ValueError("weights must be a non-empty map of positive weights")
     w_col: Column = F.lit(None).cast("double")
     for value, w in sorted(weights.items()):
         w_col = F.when(F.col(domain) == value, F.lit(float(w))).otherwise(w_col)
+    mass = F.sum(size_col) if size_col else F.count(F.lit(1))
     counts = (
         df.groupBy(domain)
-        .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        .agg(mass.cast("double").alias("_n"))
         .withColumn("_w", w_col)
         .filter(F.col("_w").isNotNull())
     )

@@ -27,6 +27,8 @@ _SINGLE_ROW_NLJ_OK = {
     "docs_domain_mixture",
     # domain governance reuses domain_mixture_sample's 1-row scale broadcast
     "docs_domain_governance",
+    # token-budget mixture: same 1-row scale broadcast
+    "docs_token_budget_mixture",
     # zorder: the 1-row global min/max stats broadcast back onto the data
     # (sources/zorder.py:zorder_column) — a 1×N join with no key by design
     "zorder_codes_orders",
@@ -37,6 +39,8 @@ _SINGLE_ROW_NLJ_OK = {
     "join_size_estimate_cms",
     # triangle count: 1-row degree stats × 1-row triangle total
     "parts_triangle_count",
+    # HLL overlap: 1-row estimates × 1-row exact overlap
+    "hll_overlap_sources",
 }
 
 _QUERIES = entry_mod.queries()
