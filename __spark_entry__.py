@@ -5367,6 +5367,88 @@ FROM jrgb GROUP BY doc_id
 """
 
 
+#: Real-resize target geometry (Spark and oracle agree).
+RESIZE_TW = 8
+RESIZE_TH = 6
+
+
+def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end to end — the operator `resize_images` used to
+    fake: per document, a synthesized BMP is DECODED, nearest-neighbor
+    RESAMPLED to 8×6 (target pixel (x,y) reads source
+    ``(x·w div 8, y·h div 6)`` — integer-exact floor mapping), RE-ENCODED
+    as a standard bottom-up BMP (`functions/image.py:resize_one_bmp`), and
+    then the independent feature decoder parses the RESIZED bytes. Every
+    feature of the resized image is therefore an integer closed form of
+    the id, and the hash gate verifies the whole
+    decode→resample→re-encode→decode chain — not a passthrough. Codec
+    formats (JPEG/GIF) keep the documented passthrough branch: this repo
+    decodes them from scratch but deliberately does not re-encode.
+    One fused Arrow stage per batch, no shuffle."""
+    from iceberg_evolve_spark.functions.image import (
+        decode_bmp_features,
+        synth_bmp_payload,
+    )
+    from iceberg_evolve_spark.functions.multimodal import resize_images
+
+    ids = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+    media = synth_bmp_payload(ids).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("bmp").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ),
+    )
+    resized = resize_images(media, RESIZE_TW, RESIZE_TH)
+    return decode_bmp_features(resized).orderBy("doc_id")
+
+
+def _resize_sql() -> str:
+    """Closed forms for the RESIZED synth BMP: source pixel (sx, sy) =
+    (tx·w div 8, ty·h div 6); channel = (base + sy) % 256 with left/right
+    chosen by sx < w div 2; byte_len = 54 + stride(8)·6 (constant)."""
+    stride = (3 * RESIZE_TW + 3) // 4 * 4
+    blen = 14 + 40 + stride * RESIZE_TH
+    return f"""
+WITH rz AS (
+    SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h,
+           doc_id % 256 AS lr, (doc_id * 3) % 256 AS lg, (doc_id * 7) % 256 AS lb,
+           (doc_id * 11) % 256 AS rr2, (doc_id * 13) % 256 AS rg, (doc_id * 17) % 256 AS rb
+    FROM documents
+),
+rzx AS (SELECT *, CAST(unnest(range(0, {RESIZE_TW})) AS INT) AS tx FROM rz),
+rzc AS (SELECT *, CAST(unnest(range(0, {RESIZE_TH})) AS INT) AS ty FROM rzx),
+rzp AS (
+    SELECT doc_id, tx, ty,
+           (tx * w) // {RESIZE_TW} AS sx, (ty * h) // {RESIZE_TH} AS sy,
+           w, lr, lg, lb, rr2, rg, rb
+    FROM rzc
+),
+rzch AS (
+    SELECT doc_id, tx, ty,
+           CASE WHEN sx < w // 2 THEN (lr + sy) % 256 ELSE (rr2 + sy) % 256 END AS r,
+           CASE WHEN sx < w // 2 THEN (lg + sy) % 256 ELSE (rg + sy) % 256 END AS g,
+           CASE WHEN sx < w // 2 THEN (lb + sy) % 256 ELSE (rb + sy) % 256 END AS b
+    FROM rzp
+)
+SELECT doc_id,
+       CAST({RESIZE_TW} AS INTEGER) AS width,
+       CAST({RESIZE_TH} AS INTEGER) AS height,
+       CAST({blen} AS BIGINT) AS byte_len,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(MAX(CASE WHEN tx = 0 AND ty = 0 THEN r END) AS INTEGER) AS first_px_r,
+       CAST(MAX(CASE WHEN tx = 0 AND ty = 0 THEN g END) AS INTEGER) AS first_px_g,
+       CAST(MAX(CASE WHEN tx = 0 AND ty = 0 THEN b END) AS INTEGER) AS first_px_b
+FROM rzch GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def _image_sql() -> str:
     """Closed forms for the synthesized BMP (functions/image.py synth_params):
     w = 8+id%9, h = 4+id%5, left/right channel bases are small multiples of the
@@ -8498,6 +8580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     post-window queue discipline as r4's group b3).
         "docs_token_budget_mixture": docs_token_budget_mixture,
         "hll_overlap_sources": hll_overlap_sources,
+        "multimodal_resize_real": multimodal_resize_real,
     }
 
 
@@ -8596,6 +8679,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_data_drift": _DATA_DRIFT_SQL,
         "docs_token_budget_mixture": _token_mix_sql(),
         "hll_overlap_sources": _hll_overlap_sql(),
+        "multimodal_resize_real": _resize_sql(),
         "events_ab_lift": _AB_SQL,
         "snapshot_schema_drift": _DRIFT_SQL,
         "multimodal_gif_decode": _gif_sql(),

@@ -91,6 +91,71 @@ def _bmp_bytes(w: int, h: int, left: tuple[int, int, int], right: tuple[int, int
     return header + b"".join(rows)
 
 
+def _decode_pixels(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Parse a 24-bit uncompressed BMP to image-order (top-down) RGB rows —
+    the resizer's input side. Same header walk as :func:`decode_one_bmp`
+    (which stays the independent verification witness)."""
+    magic, _fs, _, _, px_offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    hdr_size, width, height, planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError("unsupported BMP variant")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (3 * width + 3) // 4 * 4
+    rows: list[list[tuple[int, int, int]]] = [None] * height  # type: ignore[list-item]
+    for file_row in range(height):
+        y = (height - 1 - file_row) if bottom_up else file_row
+        base = px_offset + file_row * stride
+        rows[y] = [
+            (
+                payload[base + 3 * x + 2],
+                payload[base + 3 * x + 1],
+                payload[base + 3 * x],
+            )
+            for x in range(width)
+        ]
+    return width, height, rows
+
+
+def _encode_bmp(width: int, height: int, rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Pack image-order RGB rows as a standard bottom-up 24-bit BMP."""
+    stride = (3 * width + 3) // 4 * 4
+    data_size = stride * height
+    out = bytearray(
+        struct.pack("<2sIHHI", b"BM", 14 + 40 + data_size, 0, 0, 14 + 40)
+    )
+    out += struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    pad = b"\x00" * (stride - 3 * width)
+    for y in range(height - 1, -1, -1):
+        row = bytearray()
+        for r, g, b in rows[y]:
+            row += bytes((b, g, r))
+        out += bytes(row) + pad
+    return bytes(out)
+
+
+def resize_one_bmp(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """REAL image resize — decode, nearest-neighbor resample, re-encode.
+
+    Target pixel (x, y) samples source pixel ``(x·w div tw, y·h div th)``
+    (floor mapping, the standard NN grid) — integer-exact, so resized
+    payloads have closed-form pixel witnesses for the oracle. This is the
+    production body `multimodal.resize_images` promised: decode → resample
+    → re-encode on the same Arrow batch shape."""
+    w, h, rows = _decode_pixels(payload)
+    resized = [
+        [rows[y * h // target_h][x * w // target_w] for x in range(target_w)]
+        for y in range(target_h)
+    ]
+    return _encode_bmp(target_w, target_h, resized)
+
+
 BMP_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

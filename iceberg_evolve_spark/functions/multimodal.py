@@ -168,25 +168,52 @@ def resize_images(
     payload_col: str = "payload",
     meta_col: str = "media_meta",
 ) -> DataFrame:
-    """Resize plumbing: Arrow-batched map over (payload, meta) → resized
-    payload + new dimensions + scale factors. The pixel resampling itself is
-    faked (bytes pass through) so schema/batching/partitioning are testable
-    end-to-end without an imaging library; in production the body calls
-    decode → resize → re-encode on the same batch shape."""
+    """Resize over (payload, meta) Arrow batches → resized payload + new
+    dimensions + scale factors.
+
+    BMP payloads are resized FOR REAL (r5): decode → nearest-neighbor
+    resample → re-encode (`image.resize_one_bmp`), with scale factors from
+    the decoded source geometry. Codec formats (JPEG/GIF re-encode needs an
+    entropy coder this repo only decodes) keep the documented passthrough so
+    schema/batching/partitioning stay testable end-to-end — production
+    swaps the passthrough branch for codec-library calls on the same batch
+    shape."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from iceberg_evolve_spark.functions.image import resize_one_bmp
+
         for pdf in batches:
-            metas = pdf[meta_col]
-            w = metas.map(lambda m: m["width"] or 0)
-            h = metas.map(lambda m: m["height"] or 0)
+            out: dict[str, list] = {
+                "doc_id": [], "payload": [], "width": [], "height": [],
+                "scale_x": [], "scale_y": [],
+            }
+            for did, payload, meta in zip(
+                pdf[id_col].astype("int64"), pdf[payload_col], pdf[meta_col]
+            ):
+                if payload is not None and bytes(payload[:2]) == b"BM":
+                    import struct as _s
+
+                    w0, h0 = _s.unpack_from("<ii", payload, 18)
+                    h0 = abs(h0)
+                    new_payload = resize_one_bmp(bytes(payload), target_w, target_h)
+                else:  # codec formats: documented passthrough
+                    w0 = (meta["width"] if meta else 0) or 0
+                    h0 = (meta["height"] if meta else 0) or 0
+                    new_payload = payload
+                out["doc_id"].append(did)
+                out["payload"].append(new_payload)
+                out["width"].append(target_w)
+                out["height"].append(target_h)
+                out["scale_x"].append(target_w / w0 if w0 else 0.0)
+                out["scale_y"].append(target_h / h0 if h0 else 0.0)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64"),
-                    "payload": pdf[payload_col],  # fake: bytes pass through
-                    "width": target_w,
-                    "height": target_h,
-                    "scale_x": w.map(lambda x: target_w / x if x else 0.0).astype("float64"),
-                    "scale_y": h.map(lambda x: target_h / x if x else 0.0).astype("float64"),
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "payload": pd.Series(out["payload"], dtype="object"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "scale_x": pd.Series(out["scale_x"], dtype="float64"),
+                    "scale_y": pd.Series(out["scale_y"], dtype="float64"),
                 }
             )
 

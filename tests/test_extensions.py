@@ -724,3 +724,62 @@ class TestUnrolledFoldEquivalence:
         for r in rows:
             assert r["du"] == r["df"]  # exact, not approx
             assert r["cu"] == r["cf"]
+
+
+class TestRealBmpResize:
+    def test_resize_pipeline_decodes_to_target(self, spark):
+        """synth BMP → REAL nearest-neighbor resize → independent decode of
+        the RESIZED bytes: geometry, scale factors, and the first pixel (a
+        row-order + NN-mapping witness) must match the closed forms."""
+        from iceberg_evolve_spark.functions.image import (
+            decode_bmp_features,
+            synth_bmp_payload,
+            synth_params,
+        )
+        from iceberg_evolve_spark.functions.multimodal import resize_images
+
+        ids = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+        media = synth_bmp_payload(ids).withColumn(
+            "media_meta",
+            F.struct(
+                F.lit("image").alias("media_type"),
+                F.lit("bmp").alias("format"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("long").alias("duration_ms"),
+            ),
+        )
+        rz = resize_images(media, 8, 6)
+        feats = {
+            r["doc_id"]: r for r in decode_bmp_features(rz).collect()
+        }
+        scales = {r["doc_id"]: (r["scale_x"], r["scale_y"]) for r in rz.collect()}
+        for did in range(10):
+            w, h, left, right = synth_params(did)
+            f = feats[did]
+            assert (f["width"], f["height"]) == (8, 6)
+            assert scales[did] == (8 / w, 6 / h)
+            # first target pixel samples source (0,0) -> left colors, row 0
+            assert (
+                f["first_px_r"], f["first_px_g"], f["first_px_b"]
+            ) == left
+
+    def test_non_bmp_payload_passes_through(self, spark):
+        from iceberg_evolve_spark.functions.multimodal import resize_images
+
+        media = spark.createDataFrame(
+            [(1, bytearray(b"\xff\xd8notreallyajpeg"))],
+            "doc_id long, payload binary",
+        ).withColumn(
+            "media_meta",
+            F.struct(
+                F.lit("image").alias("media_type"),
+                F.lit("jpeg").alias("format"),
+                F.lit(100).alias("width"),
+                F.lit(50).alias("height"),
+                F.lit(None).cast("long").alias("duration_ms"),
+            ),
+        )
+        (row,) = resize_images(media, 10, 5).collect()
+        assert bytes(row["payload"]) == b"\xff\xd8notreallyajpeg"
+        assert row["scale_x"] == 0.1 and row["scale_y"] == 0.1
