@@ -5367,6 +5367,50 @@ FROM jrgb GROUP BY doc_id
 """
 
 
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOWED ENERGY / voice-activity detection over decoded PCM
+    (`functions/audio.py:decode_wav_energy_windows`) — the frame-energy
+    primitive an audio pipeline runs before anything else (silence
+    trimming, VAD gating, segment selection). The burst/silence fixture
+    (`synth_params_gated`: amplitude for ``gate`` samples, zero for the
+    next ``gate``) makes per-window energy genuinely vary; the decoder
+    splits the REAL decoded stream into 4 near-equal windows and reports
+    each window's EXACT integer energy Σs² and activity flag. The oracle
+    needs no sample explosion: the active-sample count below x has the
+    closed form ``(x div 2g)·g + min(x mod 2g, g)``, so per-window energy
+    is pure arithmetic per (doc, window). One fused Arrow stage, no
+    shuffle."""
+    from iceberg_evolve_spark.functions.audio import synth_vad_features
+
+    ids = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+    return synth_vad_features(ids).orderBy("doc_id", "win")
+
+
+_VAD_SQL = """
+WITH va AS (
+    SELECT doc_id, 400 + doc_id % 400 AS n,
+           500 + doc_id % 1000 AS amp, 16 + doc_id % 48 AS g
+    FROM documents
+),
+vw AS (SELECT *, CAST(unnest(range(0, 4)) AS INT) AS win FROM va),
+vb AS (
+    SELECT doc_id, win, amp, g,
+           (win * n) // 4 AS lo, ((win + 1) * n) // 4 AS hi
+    FROM vw
+),
+ve AS (
+    SELECT doc_id, win, CAST(hi - lo AS BIGINT) AS n_in_window,
+           CAST(amp * amp * (
+                ((hi // (2 * g)) * g + LEAST(hi % (2 * g), g))
+              - ((lo // (2 * g)) * g + LEAST(lo % (2 * g), g))
+           ) AS BIGINT) AS energy
+    FROM vb
+)
+SELECT doc_id, win, n_in_window, energy, energy > 0 AS active
+FROM ve ORDER BY doc_id, win
+"""
+
+
 #: Real-resize target geometry (Spark and oracle agree).
 RESIZE_TW = 8
 RESIZE_TH = 6
@@ -8581,6 +8625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_budget_mixture": docs_token_budget_mixture,
         "hll_overlap_sources": hll_overlap_sources,
         "multimodal_resize_real": multimodal_resize_real,
+        "multimodal_audio_vad": multimodal_audio_vad,
     }
 
 
@@ -8680,6 +8725,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_budget_mixture": _token_mix_sql(),
         "hll_overlap_sources": _hll_overlap_sql(),
         "multimodal_resize_real": _resize_sql(),
+        "multimodal_audio_vad": _VAD_SQL,
         "events_ab_lift": _AB_SQL,
         "snapshot_schema_drift": _DRIFT_SQL,
         "multimodal_gif_decode": _gif_sql(),

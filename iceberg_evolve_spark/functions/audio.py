@@ -203,3 +203,102 @@ def synth_decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col).mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Windowed energy / voice-activity detection (r5)
+# ---------------------------------------------------------------------------
+
+#: Fixed analysis-window count for the VAD feature rows.
+VAD_WINDOWS = 4
+
+
+def synth_params_gated(doc_id: int) -> tuple[int, int, int]:
+    """(n_samples, amplitude, gate) for the BURST/SILENCE fixture: sample i
+    is ``amplitude`` when ``(i // gate) % 2 == 0`` and 0 otherwise —
+    alternating speech bursts and silence of ``gate`` samples each, so
+    windowed energy actually varies (the plain square-wave fixture has
+    constant per-sample energy and would make a VAD vacuous)."""
+    n_samples = 400 + (doc_id % 400)
+    amplitude = 500 + (doc_id % 1000)
+    gate = 16 + (doc_id % 48)
+    return n_samples, amplitude, gate
+
+
+def _wav_bytes_gated(n_samples: int, amplitude: int, gate: int) -> bytes:
+    i = np.arange(n_samples, dtype=np.int64)
+    samples = np.where((i // gate) % 2 == 0, amplitude, 0).astype("<i2")
+    data = samples.tobytes()
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(data),
+        b"WAVE",
+        b"fmt ",
+        16,
+        1,          # PCM
+        1,          # mono
+        16000,
+        16000 * 2,
+        2,
+        16,
+        b"data",
+        len(data),
+    )
+    return header + data
+
+
+VAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("win", T.IntegerType()),
+        T.StructField("n_in_window", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("active", T.BooleanType()),
+    ]
+)
+
+
+def decode_wav_energy_windows(payload: bytes, n_windows: int = VAD_WINDOWS) -> list[dict]:
+    """REAL windowed-energy analysis over decoded PCM — the frame-energy /
+    voice-activity primitive of an audio pipeline: split the decoded sample
+    stream into ``n_windows`` near-equal windows (window w covers
+    ``[w·n div W, (w+1)·n div W)``) and report each window's EXACT integer
+    energy ``Σ s²`` plus the activity flag. Integer energies make the
+    report hash-gatable — no float RMS accumulation order to drift."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n = w.getnframes()
+        frames = w.readframes(n)
+    pcm = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+    out = []
+    for wi in range(n_windows):
+        lo, hi = wi * n // n_windows, (wi + 1) * n // n_windows
+        seg = pcm[lo:hi]
+        energy = int((seg * seg).sum())
+        out.append(
+            {
+                "win": wi,
+                "n_in_window": hi - lo,
+                "energy": energy,
+                "active": energy > 0,
+            }
+        )
+    return out
+
+
+def synth_vad_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fused synth(gated)→encode→decode→windowed-energy in ONE Arrow stage,
+    one output row per (doc, window)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                payload = _wav_bytes_gated(*synth_params_gated(d))
+                for feat in decode_wav_energy_windows(payload):
+                    feat["doc_id"] = d
+                    rows.append(feat)
+            yield pd.DataFrame(rows)[[f.name for f in VAD_SCHEMA.fields]]
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(run, schema=VAD_SCHEMA)
