@@ -1698,6 +1698,122 @@ def customer_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_entity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY RESOLUTION COMPLETED — match → cluster → GOLDEN RECORD: the
+    blocked fuzzy matches (`functions/linkage.py`) become edges, connected
+    components (`functions/graph.py`) merge transitively-linked customers
+    into entities, and a survivorship rule picks each entity's canonical
+    record (highest account balance, ties to the lowest key — one struct-max
+    per group, no window over the corpus). This is the full MDM pipeline a
+    warehouse runs: duplicate customers collapse to one golden row with the
+    member count and pooled balance. Only multi-member entities are emitted
+    (the singletons are the boring 99%). Shapes: the blocked pair join
+    (Σ|block|², capped) + O(log d) component rounds + one entity-keyed
+    aggregation. The oracle replays matching, the recursive closure, and
+    the survivorship rule."""
+    from iceberg_evolve_spark.functions.linkage import fuzzy_match_pairs
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "blk", F.substring("c_name", 1, FUZZY_BLOCK_PREFIX)
+    )
+    pairs = fuzzy_match_pairs(
+        cust,
+        "c_custkey",
+        "c_name",
+        ["c_nationkey", "blk"],
+        max_distance=FUZZY_MAX_DIST,
+        max_block_size=FUZZY_MAX_BLOCK,
+    )
+    labeled = assign_components(
+        cust.select("c_custkey", "c_name", "c_acctbal"),
+        "c_custkey",
+        pairs,
+        src="c_custkey_a",
+        dst="c_custkey_b",
+    )
+    golden = F.max(
+        F.struct(
+            F.col("c_acctbal").alias("ab"),
+            (-F.col("c_custkey")).alias("nk"),
+            F.col("c_name").alias("nm"),
+        )
+    )
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            golden.alias("g"),
+            F.round(
+                F.sum(_dec(F.col("c_acctbal"), 2)).cast("double"), 2
+            ).alias("total_acctbal"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select(
+            F.col("cluster_id").alias("entity_id"),
+            "n_members",
+            (-F.col("g.nk")).cast("long").alias("canonical_custkey"),
+            F.col("g.nm").alias("canonical_name"),
+            F.col("g.ab").alias("canonical_acctbal"),
+            "total_acctbal",
+        )
+        .orderBy("entity_id")
+    )
+
+
+_ENTITY_GROUPS_SQL = f"""
+WITH RECURSIVE eg_c0 AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+         substr(c_name, 1, {FUZZY_BLOCK_PREFIX}) AS blk
+  FROM customer
+),
+eg_oversized AS (
+  SELECT c_nationkey, blk FROM eg_c0
+  GROUP BY c_nationkey, blk HAVING COUNT(*) > {FUZZY_MAX_BLOCK}
+),
+eg_c AS (SELECT * FROM eg_c0 ANTI JOIN eg_oversized USING (c_nationkey, blk)),
+eg_pairs AS (
+  SELECT a.c_custkey AS u, b.c_custkey AS v
+  FROM eg_c a JOIN eg_c b
+    ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+   AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_DIST}
+),
+eg_edges AS (
+  SELECT u, v FROM eg_pairs UNION SELECT v AS u, u AS v FROM eg_pairs
+),
+eg_reach(node, lbl) AS (
+  SELECT u, u FROM eg_edges
+  UNION
+  SELECT e.v, r.lbl FROM eg_reach r JOIN eg_edges e ON e.u = r.node
+),
+eg_comp AS (SELECT node, MIN(lbl) AS component FROM eg_reach GROUP BY node),
+eg_lab AS (
+  SELECT c.c_custkey, c.c_name, c.c_acctbal,
+         COALESCE(m.component, c.c_custkey) AS entity_id
+  FROM customer c LEFT JOIN eg_comp m ON c.c_custkey = m.node
+),
+eg_rank AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY entity_id
+                               ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+  FROM eg_lab
+),
+eg_sum AS (
+  SELECT entity_id, COUNT(*) AS n_members,
+         ROUND(CAST(SUM(CAST(ROUND(c_acctbal, 2) AS DECIMAL(22,2))) AS DOUBLE), 2)
+             AS total_acctbal
+  FROM eg_lab GROUP BY entity_id
+)
+SELECT s.entity_id, s.n_members,
+       r.c_custkey AS canonical_custkey,
+       r.c_name AS canonical_name,
+       r.c_acctbal AS canonical_acctbal,
+       s.total_acctbal
+FROM eg_sum s JOIN eg_rank r ON r.entity_id = s.entity_id AND r.rn = 1
+WHERE s.n_members >= 2
+ORDER BY s.entity_id
+"""
+
+
 _FUZZY_SQL = f"""
 WITH c0 AS (
   SELECT c_custkey, c_name, c_nationkey,
@@ -8626,6 +8742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_overlap_sources": hll_overlap_sources,
         "multimodal_resize_real": multimodal_resize_real,
         "multimodal_audio_vad": multimodal_audio_vad,
+        "customer_entity_groups": customer_entity_groups,
     }
 
 
@@ -8726,6 +8843,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_overlap_sources": _hll_overlap_sql(),
         "multimodal_resize_real": _resize_sql(),
         "multimodal_audio_vad": _VAD_SQL,
+        "customer_entity_groups": _ENTITY_GROUPS_SQL,
         "events_ab_lift": _AB_SQL,
         "snapshot_schema_drift": _DRIFT_SQL,
         "multimodal_gif_decode": _gif_sql(),
