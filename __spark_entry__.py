@@ -5483,6 +5483,50 @@ FROM jrgb GROUP BY doc_id
 """
 
 
+def multimodal_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-SEQUENCE VIDEO MOTION PROFILE
+    (`functions/video.py:decode_avi_motion`) — the scene-change primitive:
+    every frame of each synthesized AVI is decoded and each consecutive
+    pair reports its EXACT integer total absolute pixel difference (the
+    first/last `motion` feature of `multimodal_video_decode` is this
+    profile's two-point approximation). Frames are solid-colour with a
+    top-row +128 witness, so each pair's difference has the closed form
+    ``w·(h−1)·Σ|Δbody| + w·Σ|Δtop|`` — mod-256 wrap of the top row
+    included, which a decoder that ignored the witness row would get
+    wrong. One fused Arrow stage, no shuffle; rows = Σ(n_frames−1)."""
+    from iceberg_evolve_spark.functions.video import synth_motion_features
+
+    ids = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+    return synth_motion_features(ids).orderBy("doc_id", "frame")
+
+
+_MOTION_SQL = """
+WITH vm AS (
+    SELECT doc_id, 8 + (doc_id % 8) * 2 AS w, 4 + (doc_id % 6) * 2 AS h,
+           2 + doc_id % 6 AS nf
+    FROM documents
+),
+vmf AS (SELECT *, CAST(unnest(range(1, nf)) AS INT) AS f FROM vm),
+vmc AS (
+    SELECT doc_id, w, h, f,
+           (doc_id * 7 + f * 31) % 256 AS b1,
+           (doc_id * 13 + f * 17) % 256 AS g1,
+           (doc_id * 3 + f * 5) % 256 AS r1,
+           (doc_id * 7 + (f - 1) * 31) % 256 AS b0,
+           (doc_id * 13 + (f - 1) * 17) % 256 AS g0,
+           (doc_id * 3 + (f - 1) * 5) % 256 AS r0
+    FROM vmf
+)
+SELECT doc_id, f AS frame,
+       CAST(w * (h - 1) * (abs(b1 - b0) + abs(g1 - g0) + abs(r1 - r0))
+          + w * (abs((b1 + 128) % 256 - (b0 + 128) % 256)
+               + abs((g1 + 128) % 256 - (g0 + 128) % 256)
+               + abs((r1 + 128) % 256 - (r0 + 128) % 256)) AS BIGINT) AS abs_diff
+FROM vmc
+ORDER BY doc_id, frame
+"""
+
+
 def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WINDOWED ENERGY / voice-activity detection over decoded PCM
     (`functions/audio.py:decode_wav_energy_windows`) — the frame-energy
@@ -8743,6 +8787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize_real": multimodal_resize_real,
         "multimodal_audio_vad": multimodal_audio_vad,
         "customer_entity_groups": customer_entity_groups,
+        "multimodal_video_motion": multimodal_video_motion,
     }
 
 
@@ -8844,6 +8889,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize_real": _resize_sql(),
         "multimodal_audio_vad": _VAD_SQL,
         "customer_entity_groups": _ENTITY_GROUPS_SQL,
+        "multimodal_video_motion": _MOTION_SQL,
         "events_ab_lift": _AB_SQL,
         "snapshot_schema_drift": _DRIFT_SQL,
         "multimodal_gif_decode": _gif_sql(),

@@ -254,6 +254,83 @@ def decode_one_avi(payload: bytes) -> dict:
     }
 
 
+MOTION_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame", T.IntegerType()),
+        T.StructField("abs_diff", T.LongType()),
+    ]
+)
+
+
+def decode_avi_motion(payload: bytes) -> list[dict]:
+    """Per-frame MOTION PROFILE — the scene-change primitive the first/last
+    sample of :func:`decode_one_avi` approximates: decode EVERY frame and
+    report, for each consecutive pair, the exact integer total absolute
+    per-channel pixel difference. Same chunk walk and DIB handling; every
+    value is an integer so the profile hash-gates."""
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    strf = None
+    frames: list[tuple[int, int]] = []
+    for fourcc, off, size in _walk(payload, 12, len(payload)):
+        if fourcc != b"LIST":
+            continue
+        kind = payload[off : off + 4]
+        if kind == b"hdrl":
+            for fc2, off2, size2 in _walk(payload, off + 4, off + size):
+                if fc2 == b"LIST" and payload[off2 : off2 + 4] == b"strl":
+                    for fc3, off3, _sz3 in _walk(payload, off2 + 4, off2 + size2):
+                        if fc3 == b"strf" and strf is None:
+                            strf = struct.unpack_from("<IiiHHI", payload, off3)
+        elif kind == b"movi":
+            frames = [
+                (o, s)
+                for fc2, o, s in _walk(payload, off + 4, off + size)
+                if fc2[2:4] in (b"db", b"dc")
+            ]
+    if strf is None:
+        raise ValueError("missing strf (BITMAPINFOHEADER) stream format")
+    _, width, height, _planes, bitcount, compression = strf
+    if compression != 0 or bitcount != 24:
+        raise NotImplementedError("only uncompressed 24-bit DIB streams decode")
+    rb = _row_bytes(width)
+
+    def plane(i: int) -> np.ndarray:
+        off, size = frames[i]
+        raw = np.frombuffer(payload, dtype=np.uint8, count=size, offset=off)
+        return raw.reshape(height, rb)[:, : 3 * width].astype(np.int64)
+
+    out = []
+    prev = plane(0)
+    for f in range(1, len(frames)):
+        cur = plane(f)
+        out.append({"frame": f, "abs_diff": int(np.abs(cur - prev).sum())})
+        prev = cur
+    return out
+
+
+def synth_motion_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fused synth→encode→full-frame decode→motion rows in ONE Arrow stage;
+    one output row per consecutive frame pair."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                w, h, nf = synth_params(d)
+                payload = _avi_bytes(d, w, h, nf)
+                for feat in decode_avi_motion(payload):
+                    feat["doc_id"] = d
+                    rows.append(feat)
+            yield pd.DataFrame(rows)[[f.name for f in MOTION_SCHEMA.fields]]
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        run, schema=MOTION_SCHEMA
+    )
+
+
 VIDEO_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
