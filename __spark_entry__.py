@@ -1730,6 +1730,9 @@ def customer_entity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs,
         src="c_custkey_a",
         dst="c_custkey_b",
+        algorithm="star",  # digit-edit name chains are LONG; large-star/
+        # small-star collapses them in bounded rounds where min-label
+        # propagation pays a round per hop
     )
     golden = F.max(
         F.struct(
