@@ -252,3 +252,67 @@ class TestSparkStage:
             wb, hb = synth_params(did)
             assert (r["width"], r["height"]) == (wb * 8, hb * 8)
             assert r["n_pixels"] == wb * hb * 64
+
+
+class TestCanonicalHuffmanGenerality:
+    """The DHT machinery must handle ANY spec-legal canonical table, not
+    just the two tables our encoder writes: build random Kraft-valid
+    BITS/HUFFVAL tables, encode random symbol streams with the encoder-side
+    code map, and decode them back with the decoder-side
+    mincode/maxcode/valptr structure."""
+
+    @given(st.data())
+    @settings(max_examples=40, deadline=None)
+    def test_random_tables_round_trip(self, data):
+        from iceberg_evolve_spark.functions.jpeg import (
+            _BitReader,
+            _BitWriter,
+            _canonical_codes,
+            _HuffTable,
+        )
+
+        # build a random Kraft-valid BITS vector greedily
+        n_symbols = data.draw(st.integers(1, 40))
+        bits = [0] * 16
+        budget = 1.0
+        placed = 0
+        for length in range(1, 17):
+            if placed >= n_symbols:
+                break
+            max_here = min(
+                n_symbols - placed, int(budget * (1 << length)) - (1 if length < 16 else 0)
+            )
+            if max_here <= 0:
+                continue
+            take = data.draw(st.integers(0, max_here)) if length < 16 else max_here
+            bits[length - 1] = take
+            budget -= take / (1 << length)
+            placed += take
+        if placed < n_symbols:
+            n_symbols = placed
+        if n_symbols == 0:
+            return
+        vals = data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=n_symbols, max_size=n_symbols, unique=True
+            )
+        )
+        codes = _canonical_codes(bits, vals)
+        stream = data.draw(st.lists(st.sampled_from(vals), min_size=1, max_size=64))
+        w = _BitWriter()
+        for s in stream:
+            code, ln = codes[s]
+            w.put(code, ln)
+        payload = w.flush()
+        # un-stuff (the writer stuffs 0xFF with 0x00, as in a real scan)
+        unstuffed = bytearray()
+        i = 0
+        while i < len(payload):
+            unstuffed.append(payload[i])
+            if payload[i] == 0xFF:
+                assert payload[i + 1] == 0x00
+                i += 1
+            i += 1
+        table = _HuffTable(bits, vals)
+        r = _BitReader(bytes(unstuffed))
+        assert [table.decode(r) for _ in range(len(stream))] == stream
