@@ -5193,6 +5193,61 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(docs).select("doc_id", "pred_lang")
 
 
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSIFIER EVALUATION as a query — the marker-based language
+    identifier scored against the corpus's ground-truth ``lang`` labels:
+    the full confusion matrix plus overall accuracy, hash-gated (the
+    recall@k / LSH-quality discipline applied to the text classifier, so
+    lang-ID quality is a regression NUMBER, not an assertion). One
+    prediction pass + one (true, pred) aggregation; the scalars replicate
+    onto the matrix rows via windows over the matrix-sized relation. The
+    oracle replays the classifier itself (the `lang_id` SQL embedded as a
+    CTE) — no predictions cross engines as literals."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = language_id(docs).select("doc_id", "pred_lang")
+    j = docs.select("doc_id", F.col("lang").alias("true_lang")).join(pred, "doc_id")
+    cm = j.groupBy("true_lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    correct = F.sum(
+        F.when(F.col("true_lang") == F.col("pred_lang"), F.col("n")).otherwise(
+            F.lit(0)
+        )
+    ).over(w)
+    return (
+        cm.withColumn("n_total", F.sum("n").over(w).cast("long"))
+        .withColumn("n_correct", correct.cast("long"))
+        .withColumn(
+            "accuracy",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_total").cast("double"), 6
+            ),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+def _lang_confusion_sql() -> str:
+    return f"""
+WITH lc_pred AS ({_lang_sql()}),
+lc_j AS (
+    SELECT d.lang AS true_lang, p.pred_lang
+    FROM documents d JOIN lc_pred p ON d.doc_id = p.doc_id
+),
+lc_cm AS (
+    SELECT true_lang, pred_lang, COUNT(*) AS n FROM lc_j GROUP BY 1, 2
+)
+SELECT true_lang, pred_lang, n,
+       CAST(SUM(n) OVER () AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END) OVER ()
+            AS BIGINT) AS n_correct,
+       ROUND(CAST(SUM(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END) OVER ()
+                  AS DOUBLE)
+             / CAST(SUM(n) OVER () AS DOUBLE), 6) AS accuracy
+FROM lc_cm
+ORDER BY true_lang, pred_lang
+"""
+
+
 def _lang_sql() -> str:
     score_exprs = []
     for lang, markers in LANG_MARKERS.items():
@@ -8791,6 +8846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_vad": multimodal_audio_vad,
         "customer_entity_groups": customer_entity_groups,
         "multimodal_video_motion": multimodal_video_motion,
+        "lang_id_confusion": lang_id_confusion,
     }
 
 
@@ -8893,6 +8949,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio_vad": _VAD_SQL,
         "customer_entity_groups": _ENTITY_GROUPS_SQL,
         "multimodal_video_motion": _MOTION_SQL,
+        "lang_id_confusion": _lang_confusion_sql(),
         "events_ab_lift": _AB_SQL,
         "snapshot_schema_drift": _DRIFT_SQL,
         "multimodal_gif_decode": _gif_sql(),
