@@ -3067,7 +3067,7 @@ def parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(SUM(d) DIV 2 AS BIGINT)").alias("n_edges"),
         F.sum(F.col("d") * (F.col("d") - 1)).alias("wedges2"),
     )
-    return stats.join(F.broadcast(tri)).select(
+    out = stats.join(F.broadcast(tri)).select(
         "n_nodes",
         "n_edges",
         "n_triangles",
@@ -3082,6 +3082,11 @@ def parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("global_clustering"),
     )
+    # release handle for the persisted canonical edge set (review fix: it
+    # was pinned for the session with no unpersist route)
+    from iceberg_evolve_spark.functions.dedup import _attach_intermediates
+
+    return _attach_intermediates(out, und)
 
 
 _TRIANGLE_SQL = f"""
@@ -6064,11 +6069,11 @@ tbm_c AS (
            CASE lang {w_case} ELSE NULL END AS w
     FROM tbm GROUP BY lang
 ),
-tbm_s AS (SELECT MIN(n / w) AS s FROM tbm_c WHERE w IS NOT NULL),
+tbm_s AS (SELECT MIN(n / w) AS s FROM tbm_c WHERE w IS NOT NULL AND n > 0),
 tbm_thr AS (
     SELECT lang,
            CAST(floor(least(1.0, s * w / n) * {float(TWO60_INT)!r}) AS BIGINT) AS t
-    FROM tbm_c, tbm_s WHERE w IS NOT NULL
+    FROM tbm_c, tbm_s WHERE w IS NOT NULL AND n > 0
 ),
 tbm_kept AS (
     SELECT d.lang, COUNT(*) AS kept_docs, CAST(SUM(d.nt) AS BIGINT) AS kept_tokens

@@ -80,7 +80,9 @@ def _violations(c: Check) -> Column:
     elif c.kind == "accepted_values":
         bad = col.isNotNull() & ~col.isin(list(c.params))
     elif c.kind == "matches":
-        bad = col.isNotNull() & ~col.rlike(c.params[0])
+        # rlike is substring-search; anchor so the check means FULL match
+        # (wrapping an already-anchored pattern is a no-op)
+        bad = col.isNotNull() & ~col.rlike(f"^(?:{c.params[0]})$")
     else:  # pragma: no cover - guarded by run_checks dispatch
         raise ValueError(c.kind)
     return F.sum(bad.cast("long"))
@@ -120,11 +122,14 @@ def run_checks(df: DataFrame, checks: Sequence[Check]) -> list[tuple]:
         out.append((c.kind, c.column, n, v, v == 0))
     for c in (c for c in checks if c.kind == "foreign_key"):
         ref_df, ref_col = c.params
+        # no forced broadcast: the optimizer broadcasts dimension-sized
+        # references on its own, and a fact-sized reference must fall back
+        # to a shuffle anti-join instead of a driver-OOM broadcast
         v = (
             df.select(F.col(c.column))
             .filter(F.col(c.column).isNotNull())
             .join(
-                F.broadcast(ref_df.select(F.col(ref_col).alias(c.column)).distinct()),
+                ref_df.select(F.col(ref_col).alias(c.column)).distinct(),
                 c.column,
                 "left_anti",
             )

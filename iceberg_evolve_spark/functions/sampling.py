@@ -156,6 +156,10 @@ def domain_mixture_sample(
         .agg(mass.cast("double").alias("_n"))
         .withColumn("_w", w_col)
         .filter(F.col("_w").isNotNull())
+        # a weighted domain with zero/NULL mass (all-empty docs under a
+        # size_col) has nothing to keep — it must not drive the global
+        # scale s = min(n/w) to 0 and silently empty EVERY domain's sample
+        .filter(F.col("_n") > 0)
     )
     scale = counts.agg(F.min(F.col("_n") / F.col("_w")).alias("_s"))
     thr = (

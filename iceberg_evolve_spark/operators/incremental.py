@@ -159,15 +159,17 @@ def merge_with_retractions(
             .unionByName(ins)
             .join(touched, keys, "left_semi")
         )
+        # touched-ness must be an explicit marker, NOT repaired-value
+        # nullability: a touched group whose surviving rows are all NULL in
+        # the max column has a NULL repaired max that must still override
+        # the additive candidate (the deleted maximum is gone).
         repaired = post.groupBy(*keys).agg(
             *[F.max(src).alias(f"_r_{out}") for src, out in max_cols.items()]
-        )
+        ).withColumn("_r_touched", F.lit(True))
         merged = merged.join(repaired, keys, "left")
         fixed = [F.col(k) for k in keys] + [F.col(count_col)]
         fixed += [F.col(out) for out in sum_cols.values()]
-        # a touched group takes the repaired max (NULL if emptied — the
-        # count filter drops it); untouched keeps the additive candidate
-        is_touched = F.col(f"_r_{list(max_cols.values())[0]}").isNotNull()
+        is_touched = F.coalesce(F.col("_r_touched"), F.lit(False))
         for out in max_cols.values():
             fixed.append(
                 F.when(is_touched, F.col(f"_r_{out}")).otherwise(F.col(out)).alias(out)

@@ -11,10 +11,14 @@ exposed here as a library call so pipelines can serve table profiles without
 a cluster job at all: 100 TB of data costs #files footer reads, driver-side.
 
 Correctness boundary (why this is safe ONLY for these aggregates): stats
-may be absent (written without statistics) or truncated for long strings —
-``table_stats_from_footers`` raises on missing stats and refuses truncated
-(non-exact) min/max rather than silently answering wrong. AVG/SUM are NOT
-served (null_count gives exact COUNT, but sums are not in the footer).
+may be absent (written without statistics), and for BYTE_ARRAY columns
+(strings/binary) writers may TRUNCATE min/max — a truncated min is a
+prefix and the max an incremented prefix, neither an actual value — and
+pyarrow exposes no exactness flag to detect it. ``table_stats_from_footers``
+therefore raises on missing stats AND refuses BYTE_ARRAY columns outright
+(numeric/temporal stats are always exact), rather than silently answering
+wrong. AVG/SUM are NOT served (null_count gives exact COUNT, but sums are
+not in the footer).
 """
 
 from __future__ import annotations
@@ -70,6 +74,12 @@ def table_stats_from_footers(path: str, columns: list[str]) -> dict[str, ColumnS
         for c in columns:
             if c not in name_to_idx:
                 raise ValueError(f"column {c!r} not in {fp}")
+            if meta.schema.column(name_to_idx[c]).physical_type == "BYTE_ARRAY":
+                raise ValueError(
+                    f"column {c!r} is BYTE_ARRAY: writers may truncate string "
+                    "min/max and no exactness flag exists — refusing rather "
+                    "than risking a silently wrong answer"
+                )
         for rg in range(meta.num_row_groups):
             group = meta.row_group(rg)
             for c in columns:

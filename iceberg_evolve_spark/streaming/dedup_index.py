@@ -123,7 +123,7 @@ def run_lsh_dedup_stream(
     """Start the stream with the incremental LSH-index sink; the checkpoint
     pins batch_ids across restarts so the replay markers line up."""
     return (
-        stream.writeStream.foreachBatch(
+        stream.writeStream.trigger(availableNow=True).foreachBatch(
             lsh_index_batch_writer(
                 stream.sparkSession,
                 target_path,

@@ -73,3 +73,11 @@ class TestFooterStats:
         assert (st["l_extendedprice"].min_value, st["l_extendedprice"].max_value) == (
             flo, fhi,
         )
+
+    def test_refuses_string_columns(self, tmp_path):
+        """BYTE_ARRAY min/max may be writer-truncated with no exactness flag
+        — the guard refuses rather than risking a wrong answer."""
+        f = str(tmp_path / "s.parquet")
+        pq.write_table(pa.table({"s": ["aaa", "zzz"]}), f)
+        with pytest.raises(ValueError, match="BYTE_ARRAY"):
+            table_stats_from_footers(f, ["s"])

@@ -149,3 +149,27 @@ class TestRetractions:
         )
         ((k, n, s),) = [(r["k"], r["n"], r["s"]) for r in merged.collect()]
         assert (k, n, s) == ("a", 2, 25)  # signed merge alone is exact
+
+    def test_deleted_max_gone_even_when_survivors_are_null(self, spark):
+        """Review fix: a delete-touched group whose surviving rows are all
+        NULL in the max column must NOT keep the deleted maximum — repair
+        is keyed on an explicit touched marker, not value nullability."""
+        from iceberg_evolve_spark.operators.incremental import (
+            aggregate_delta,
+            merge_with_retractions,
+        )
+
+        base = spark.createDataFrame(
+            [(1, "a", 10), (2, "a", None)], "id long, k string, v long"
+        )
+        delta = spark.createDataFrame(
+            [(1, "a", 10, -1)], "id long, k string, v long, op int"
+        )
+        base_agg = aggregate_delta(base, ["k"], sum_cols={"v": "s"}, max_cols={"v": "mx"})
+        merged = merge_with_retractions(
+            base_agg, delta, base, ["k"], row_key="id",
+            sum_cols={"v": "s"}, max_cols={"v": "mx"},
+        )
+        ((k, n, mx),) = [(r["k"], r["n"], r["mx"]) for r in merged.collect()]
+        assert (k, n) == ("a", 1)
+        assert mx is None  # the deleted max 10 is GONE, not kept additively
