@@ -293,7 +293,7 @@ def synth_vad_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for d in pdf[id_col].astype("int64"):
+            for d in pdf["doc_id"].astype("int64"):
                 d = int(d)
                 payload = _wav_bytes_gated(*synth_params_gated(d))
                 for feat in decode_wav_energy_windows(payload):

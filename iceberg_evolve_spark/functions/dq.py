@@ -49,6 +49,10 @@ def not_null(column: str) -> Check:
 
 
 def unique(column: str) -> Check:
+    """0 violations ⇔ no non-NULL value appears twice. NULLs are IGNORED
+    (count(col) and countDistinct(col) both skip them — SQL ``DISTINCT``
+    semantics), so duplicated NULLs pass; pair with :func:`not_null` for a
+    full key check, the same composition Deequ's isPrimaryKey uses."""
     return Check("unique", column)
 
 

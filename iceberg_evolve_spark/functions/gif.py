@@ -271,7 +271,7 @@ def synth_decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for d in pdf[id_col].astype("int64"):
+            for d in pdf["doc_id"].astype("int64"):
                 d = int(d)
                 feats = decode_one_gif(_gif_bytes(*synth_params(d)))
                 feats["doc_id"] = d

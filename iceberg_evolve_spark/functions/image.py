@@ -169,7 +169,9 @@ def synth_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids = pdf[id_col].astype("int64")
+            # the select below aliases id_col to "doc_id" before the Arrow
+            # boundary, so the batch column is always "doc_id"
+            ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame(
                 {
                     "doc_id": ids,

@@ -403,6 +403,14 @@ def decode_jpeg_planes(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
             if ns != len(comps):
                 raise ValueError("partial scans not supported")
             for c in range(ns):
+                # Table selectors are read positionally, so the scan's
+                # component order MUST equal SOF order — a spec-legal file
+                # listing them differently would silently pair the wrong
+                # quant/Huffman tables. Fail loudly instead (module policy).
+                if body[1 + 2 * c] != comps[c][0]:
+                    raise ValueError(
+                        "SOS component order differs from SOF order"
+                    )
                 scan_tabs.append((body[2 + 2 * c] >> 4, body[2 + 2 * c] & 15))
             # unstuff the entropy-coded data up to EOI; RSTm markers split it
             # into byte-aligned restart segments (DC prediction resets there)
@@ -581,7 +589,7 @@ def synth_decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for d in pdf[id_col].astype("int64"):
+            for d in pdf["doc_id"].astype("int64"):
                 d = int(d)
                 feats = decode_one_jpeg(synth_jpeg_payload(d))
                 feats["doc_id"] = d

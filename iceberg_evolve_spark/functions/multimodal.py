@@ -103,13 +103,23 @@ def decode_payload(payload: bytes, media_meta: dict) -> "object":
         return decode_one_wav(payload)
     if mt == "video":
         if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-            from iceberg_evolve_spark.functions.video import decode_one_avi
+            from iceberg_evolve_spark.functions.video import (
+                MJPG_FOURCC,
+                avi_compression,
+                decode_avi_mjpeg,
+                decode_one_avi,
+            )
 
+            if avi_compression(payload) == MJPG_FOURCC:
+                # Motion-JPEG: every frame is a self-contained baseline JFIF
+                # — decoded for real through functions/jpeg.py (r6).
+                return decode_avi_mjpeg(payload)
             return decode_one_avi(payload)
         raise NotImplementedError(
-            "codec-compressed video (mp4/mkv) needs a demuxer (ffmpeg) not "
-            "present in this environment; uncompressed RIFF/AVI decodes for "
-            "real above — wire the codec path here in production"
+            "inter-frame codec video (mp4/mkv, H.264) needs a demuxer+codec "
+            "(ffmpeg) not present in this environment; uncompressed RIFF/AVI "
+            "and MJPEG-in-AVI decode for real above — wire the codec path "
+            "here in production"
         )
     raise ValueError(
         f"unknown media_type {mt!r}: decode_payload handles 'image' (BMP or "

@@ -376,7 +376,7 @@ def synth_avi_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids = pdf[id_col].astype("int64")
+            ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
@@ -422,3 +422,189 @@ def synth_decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield out.astype(_FEATURE_DTYPES)
 
     return df.select(id_col).mapInPandas(run, schema=VIDEO_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI: codec-compressed video from already-proven parts (r6)
+# ---------------------------------------------------------------------------
+# Motion-JPEG is the one mainstream *codec* video format that decomposes
+# exactly into components this package already decodes from scratch: an AVI
+# chunk walk (above) whose ``00dc`` frames are each a complete baseline JFIF
+# (functions/jpeg.py — Huffman + dequant + IDCT + fixed-point YCbCr→RGB).
+# biCompression = 'MJPG' marks the stream; inter-frame codecs (H.264/mp4)
+# still raise the documented NotImplementedError.
+
+#: 'MJPG' as the little-endian BITMAPINFOHEADER biCompression value.
+MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
+
+
+def synth_mjpeg_params(doc_id: int) -> tuple[int, int, int]:
+    """(blocks across, blocks down, n_frames) — frame geometry reuses the
+    JPEG fixture grid (multiples of 8), frame count varies per id."""
+    return 1 + doc_id % 3, 1 + doc_id % 2, 2 + doc_id % 4
+
+
+#: Per-frame JPEG fixtures reuse jpeg.block_ycc keyed by this shifted seed,
+#: so frame f of doc d decodes like a standalone JPEG of id d + 977·f —
+#: one closed form shared by the Spark decoder, the oracle, and the tests.
+MJPEG_FRAME_SEED_STEP = 977
+
+
+def _mjpeg_frame_jpeg(doc_id: int, f: int, wb: int, hb: int) -> bytes:
+    """One frame = a real DC-only baseline JFIF (quant step 8, flat blocks),
+    encoded by the jpeg module's writer."""
+    from iceberg_evolve_spark.functions.jpeg import _jpeg_bytes, block_ycc
+
+    seed = doc_id + MJPEG_FRAME_SEED_STEP * f
+    comp: list[list[list[int]]] = [[], [], []]
+    for by in range(hb):
+        for bx in range(wb):
+            y, cb, cr = block_ycc(seed, bx, by)
+            for ci, lvl in enumerate((y, cb, cr)):
+                blk = [0] * 64
+                blk[0] = lvl - 128
+                comp[ci].append(blk)
+    return _jpeg_bytes(wb * 8, hb * 8, comp)
+
+
+def _mjpeg_avi_bytes(doc_id: int) -> bytes:
+    """Hand-assembled MJPEG AVI: same RIFF skeleton as :func:`_avi_bytes`
+    but fccHandler/biCompression = 'MJPG' and ``00dc`` (compressed) frame
+    chunks of varying size."""
+    wb, hb, n_frames = synth_mjpeg_params(doc_id)
+    width, height = wb * 8, hb * 8
+    jpegs = [_mjpeg_frame_jpeg(doc_id, f, wb, hb) for f in range(n_frames)]
+    bufsz = max(len(j) for j in jpegs)
+
+    avih = struct.pack(
+        "<14I",
+        USEC_PER_FRAME, bufsz * FPS_RATE, 0, 0x10, n_frames, 0, 1,
+        bufsz, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI4h",
+        b"vids", b"MJPG", 0, 0, 0, 0,
+        FPS_SCALE, FPS_RATE, 0, n_frames, bufsz, 0, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, MJPG_FOURCC, bufsz, 0, 0, 0, 0,
+    )
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def list_chunk(kind: bytes, payload: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", 4 + len(payload)) + kind + payload
+
+    strl = list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = list_chunk(b"hdrl", chunk(b"avih", avih) + strl)
+    movi = list_chunk(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    body = hdrl + movi
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def avi_compression(payload: bytes) -> int:
+    """biCompression of the first video stream (0 = uncompressed DIB,
+    'MJPG' = Motion-JPEG, anything else = a real inter-frame codec)."""
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    for fourcc, off, size in _walk(payload, 12, len(payload)):
+        if fourcc == b"LIST" and payload[off : off + 4] == b"hdrl":
+            for fc2, off2, size2 in _walk(payload, off + 4, off + size):
+                if fc2 == b"LIST" and payload[off2 : off2 + 4] == b"strl":
+                    for fc3, off3, _sz3 in _walk(payload, off2 + 4, off2 + size2):
+                        if fc3 == b"strf":
+                            return struct.unpack_from("<IiiHHI", payload, off3)[5]
+    raise ValueError("missing strf (BITMAPINFOHEADER) stream format")
+
+
+def decode_avi_mjpeg(payload: bytes) -> list[dict]:
+    """Decode EVERY frame of an MJPEG AVI through the from-scratch JPEG
+    decoder; one dict per frame with exact-integer features (the same
+    surface as ``jpeg.decode_one_jpeg``, plus the frame index).
+
+    Raises ``NotImplementedError`` for non-MJPG compression — inter-frame
+    codecs genuinely need a codec library; Motion-JPEG does not, because
+    every frame is self-contained."""
+    from iceberg_evolve_spark.functions.jpeg import decode_one_jpeg
+
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    strf = None
+    frames: list[tuple[int, int]] = []
+    for fourcc, off, size in _walk(payload, 12, len(payload)):
+        if fourcc != b"LIST":
+            continue
+        kind = payload[off : off + 4]
+        if kind == b"hdrl":
+            for fc2, off2, size2 in _walk(payload, off + 4, off + size):
+                if fc2 == b"LIST" and payload[off2 : off2 + 4] == b"strl":
+                    for fc3, off3, _sz3 in _walk(payload, off2 + 4, off2 + size2):
+                        if fc3 == b"strf" and strf is None:
+                            strf = struct.unpack_from("<IiiHHI", payload, off3)
+        elif kind == b"movi":
+            frames = [
+                (o, s)
+                for fc2, o, s in _walk(payload, off + 4, off + size)
+                if fc2[2:4] in (b"db", b"dc")
+            ]
+    if strf is None:
+        raise ValueError("missing strf (BITMAPINFOHEADER) stream format")
+    _, width, height, _planes, _bitcount, compression = strf
+    if compression != MJPG_FOURCC:
+        raise NotImplementedError(
+            f"biCompression={compression:#x} needs an inter-frame codec; "
+            "only MJPG (per-frame JPEG) decodes here"
+        )
+    out = []
+    for f, (off, size) in enumerate(frames):
+        feats = decode_one_jpeg(payload[off : off + size])
+        if feats["width"] != width or feats["height"] != height:
+            raise ValueError(
+                f"frame {f} is {feats['width']}x{feats['height']}, "
+                f"stream header says {width}x{height}"
+            )
+        feats["frame"] = f
+        out.append(feats)
+    return out
+
+
+MJPEG_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("first_px_r", T.IntegerType()),
+        T.StructField("first_px_g", T.IntegerType()),
+        T.StructField("first_px_b", T.IntegerType()),
+    ]
+)
+
+
+def synth_mjpeg_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fused synth→mux→demux→per-frame JPEG decode in ONE Arrow stage; one
+    output row per frame. The AVI bytes are really assembled and really
+    re-parsed per row (encoder and decoder share no code)."""
+
+    cols = [f.name for f in MJPEG_FEATURE_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                for feat in decode_avi_mjpeg(_mjpeg_avi_bytes(d)):
+                    feat["doc_id"] = d
+                    rows.append(feat)
+            yield pd.DataFrame(rows)[cols]
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        run, schema=MJPEG_FEATURE_SCHEMA
+    )

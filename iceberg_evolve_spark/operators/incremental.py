@@ -153,11 +153,20 @@ def merge_with_retractions(
     merged = joined.select(*out_cols)
     if max_cols:
         deletes = delta.filter(F.col(op_col) == -1)
-        touched = deletes.select(*keys).distinct()
-        post = (
-            base_data.join(deletes.select(row_key), row_key, "left_anti")
-            .unionByName(ins)
-            .join(touched, keys, "left_semi")
+        # NULL grouping keys are legal groups: every repair-path join below
+        # must match them null-safely, or a NULL-keyed group touched by a
+        # delete keeps its stale additive max — the exact bug the repair
+        # exists to fix (mirrors the eqNullSafe main merge above).
+        touched = deletes.select(
+            *[F.col(k).alias(f"_t_{k}") for k in keys]
+        ).distinct()
+        survivors = base_data.join(
+            deletes.select(row_key), row_key, "left_anti"
+        ).unionByName(ins)
+        post = survivors.join(
+            touched,
+            [survivors[k].eqNullSafe(touched[f"_t_{k}"]) for k in keys],
+            "left_semi",
         )
         # touched-ness must be an explicit marker, NOT repaired-value
         # nullability: a touched group whose surviving rows are all NULL in
@@ -166,7 +175,16 @@ def merge_with_retractions(
         repaired = post.groupBy(*keys).agg(
             *[F.max(src).alias(f"_r_{out}") for src, out in max_cols.items()]
         ).withColumn("_r_touched", F.lit(True))
-        merged = merged.join(repaired, keys, "left")
+        repaired = repaired.select(
+            *[F.col(k).alias(f"_rk_{k}") for k in keys],
+            *[F.col(f"_r_{out}") for out in max_cols.values()],
+            F.col("_r_touched"),
+        )
+        merged = merged.join(
+            repaired,
+            [merged[k].eqNullSafe(repaired[f"_rk_{k}"]) for k in keys],
+            "left",
+        ).drop(*[f"_rk_{k}" for k in keys])
         fixed = [F.col(k) for k in keys] + [F.col(count_col)]
         fixed += [F.col(out) for out in sum_cols.values()]
         is_touched = F.coalesce(F.col("_r_touched"), F.lit(False))

@@ -44,7 +44,14 @@ def _to_comparable(v: object) -> object:
     """Normalize footer stat values: naive timestamps -> epoch micros (the
     parquet physical representation), everything else passes through."""
     if isinstance(v, datetime.datetime):
-        base = v.replace(tzinfo=None) if v.tzinfo else v
+        # Aware values must be CONVERTED to UTC, not have their offset
+        # stripped: dropping tzinfo from 12:00+02:00 would yield the epoch
+        # micros of 12:00Z instead of 10:00Z — wrong min/max by the offset.
+        base = (
+            v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            if v.tzinfo
+            else v
+        )
         td = base - _EPOCH
         return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
     return v

@@ -14,6 +14,8 @@ import duckdb
 import pyarrow as pa
 import pytest
 
+from pyspark.sql import types as T
+
 import __spark_entry__ as entry_mod
 from iceberg_evolve_spark.sources.tables import TABLES
 
@@ -115,6 +117,22 @@ def test_every_query_has_oracle_or_documented_absence():
 def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
     fn = entry_mod.queries()[name]
     sdf = fn(spark, sf_dir)
+    # REGISTRY-SURFACE LINT (r6, VERDICT task 3): no entry may return an
+    # array/map/struct column — the driver's canonicalizer sorts result
+    # frames with pandas, which cannot hash list cells, so such an entry
+    # errors at the driver before any comparison runs (exactly how
+    # docs_bpe_encode's array<long> slipped through five local gates).
+    # Stringify instead (concat_ws / to_json) on BOTH engines.
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"{name} returns non-hashable column(s) {complex_cols}; the driver "
+        "canonicalizer cannot sort/hash array/map/struct cells — emit a "
+        "string surface (concat_ws) in both the entry and its oracle"
+    )
     scols, srows = _norm(sdf.columns, [tuple(r) for r in sdf.collect()])
     oracle = entry_mod.oracle_sql().get(name)
     if oracle is None:

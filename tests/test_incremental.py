@@ -173,3 +173,35 @@ class TestRetractions:
         ((k, n, mx),) = [(r["k"], r["n"], r["mx"]) for r in merged.collect()]
         assert (k, n) == ("a", 1)
         assert mx is None  # the deleted max 10 is GONE, not kept additively
+
+    def test_null_grouping_key_max_repair(self, spark):
+        """Review fix (r6): the MAX-repair path joins must be null-SAFE — a
+        NULL-keyed group whose maximum is deleted must get the repaired max,
+        not keep the stale additive one (the main merge was already
+        eqNullSafe; the repair semi/left joins were not)."""
+        from iceberg_evolve_spark.operators.incremental import (
+            aggregate_delta,
+            merge_with_retractions,
+        )
+
+        base = spark.createDataFrame(
+            [(1, None, 99), (2, None, 10), (3, "a", 7)],
+            "id long, k string, v long",
+        )
+        # delete the NULL group's current max (99)
+        delta = spark.createDataFrame(
+            [(1, None, 99, -1)], "id long, k string, v long, op int"
+        )
+        base_agg = aggregate_delta(
+            base, ["k"], sum_cols={"v": "s"}, max_cols={"v": "mx"}
+        )
+        merged = merge_with_retractions(
+            base_agg, delta, base, ["k"], row_key="id",
+            sum_cols={"v": "s"}, max_cols={"v": "mx"},
+        )
+        got = {r["k"]: (r["n"], r["s"], r["mx"]) for r in merged.collect()}
+        final = spark.createDataFrame(
+            [(2, None, 10), (3, "a", 7)], "id long, k string, v long"
+        )
+        assert got == self._roll(final)
+        assert got[None] == (1, 10, 10)  # deleted max repaired under NULL key

@@ -215,3 +215,150 @@ class TestAviProperties:
             assert feats["sum_b_first"] == w * ((h - 1) * b0 + (b0 + 128) % 256)
 
         check()
+
+
+class TestMjpegAvi:
+    """MJPEG-in-AVI (r6): codec video decoded by composition — AVI demux +
+    per-frame baseline JPEG decode, sharing no code with the muxer."""
+
+    def _closed(self, doc_id, f):
+        import math
+
+        from iceberg_evolve_spark.functions.jpeg import (
+            FIX_B_CB,
+            FIX_G_CB,
+            FIX_G_CR,
+            FIX_R_CR,
+            block_ycc,
+        )
+        from iceberg_evolve_spark.functions.video import (
+            MJPEG_FRAME_SEED_STEP,
+            synth_mjpeg_params,
+        )
+
+        wb, hb, _ = synth_mjpeg_params(doc_id)
+        seed = doc_id + MJPEG_FRAME_SEED_STEP * f
+        sr = sg = sb = 0
+        first = None
+        for by in range(hb):
+            for bx in range(wb):
+                y, cb, cr = block_ycc(seed, bx, by)
+                r = y + math.floor((FIX_R_CR * (cr - 128) + 32768) / 65536)
+                g = y - math.floor(
+                    (FIX_G_CB * (cb - 128) + FIX_G_CR * (cr - 128) + 32768) / 65536
+                )
+                b = y + math.floor((FIX_B_CB * (cb - 128) + 32768) / 65536)
+                sr += 64 * r
+                sg += 64 * g
+                sb += 64 * b
+                if bx == 0 and by == 0:
+                    first = (r, g, b)
+        return sr, sg, sb, first
+
+    def test_every_frame_decodes_to_closed_forms(self):
+        from iceberg_evolve_spark.functions.video import (
+            _mjpeg_avi_bytes,
+            decode_avi_mjpeg,
+            synth_mjpeg_params,
+        )
+
+        for doc_id in (0, 1, 2, 7, 11, 123, 10**9 + 7):
+            wb, hb, nf = synth_mjpeg_params(doc_id)
+            frames = decode_avi_mjpeg(_mjpeg_avi_bytes(doc_id))
+            assert len(frames) == nf
+            for f, feat in enumerate(frames):
+                assert (feat["width"], feat["height"]) == (wb * 8, hb * 8)
+                sr, sg, sb, first = self._closed(doc_id, f)
+                assert (feat["sum_r"], feat["sum_g"], feat["sum_b"]) == (sr, sg, sb)
+                assert (
+                    feat["first_px_r"],
+                    feat["first_px_g"],
+                    feat["first_px_b"],
+                ) == first
+
+    def test_compression_probe_and_routing(self):
+        from iceberg_evolve_spark.functions.multimodal import decode_payload
+        from iceberg_evolve_spark.functions.video import (
+            MJPG_FOURCC,
+            _mjpeg_avi_bytes,
+            avi_compression,
+            synth_mjpeg_params,
+        )
+
+        p = _mjpeg_avi_bytes(9)
+        assert avi_compression(p) == MJPG_FOURCC
+        # DIB AVIs probe as 0
+        assert avi_compression(_avi_bytes(9, *synth_params(9))) == 0
+        feats = decode_payload(p, {"media_type": "video"})
+        assert isinstance(feats, list)
+        assert len(feats) == synth_mjpeg_params(9)[2]
+
+    def test_dib_decoder_still_refuses_mjpeg(self):
+        from iceberg_evolve_spark.functions.video import _mjpeg_avi_bytes
+
+        with pytest.raises(NotImplementedError):
+            decode_one_avi(_mjpeg_avi_bytes(3))
+
+    def test_mjpeg_decoder_refuses_interframe_codec(self):
+        from iceberg_evolve_spark.functions.video import (
+            MJPG_FOURCC,
+            _mjpeg_avi_bytes,
+            decode_avi_mjpeg,
+        )
+
+        p = bytearray(_mjpeg_avi_bytes(3))
+        # strf biCompression lives 16 bytes into the strf payload (the
+        # first 'MJPG' in the file is strh's fccHandler — not this field)
+        i = p.find(b"strf")
+        assert p[i + 8 + 16 : i + 8 + 20] == struct.pack("<I", MJPG_FOURCC)
+        p[i + 8 + 16 : i + 8 + 20] = b"H264"
+        with pytest.raises(NotImplementedError):
+            decode_avi_mjpeg(bytes(p))
+
+    def test_header_frame_size_cross_check(self):
+        from iceberg_evolve_spark.functions.video import (
+            _mjpeg_avi_bytes,
+            decode_avi_mjpeg,
+        )
+
+        # corrupt the strf width so frame JPEGs disagree with the header
+        p = bytearray(_mjpeg_avi_bytes(4))
+        i = p.find(b"strf")
+        struct.pack_into("<i", p, i + 8 + 4, 999)
+        with pytest.raises(ValueError):
+            decode_avi_mjpeg(bytes(p))
+
+    def test_fused_spark_stage(self, spark):
+        from iceberg_evolve_spark.functions.video import (
+            synth_mjpeg_features,
+            synth_mjpeg_params,
+        )
+
+        df = spark.range(0, 12)
+        rows = synth_mjpeg_features(df, id_col="id").collect()
+        assert len(rows) == sum(synth_mjpeg_params(d)[2] for d in range(12))
+        by_key = {(r["doc_id"], r["frame"]): r for r in rows}
+        sr, sg, sb, first = self._closed(7, 2)
+        got = by_key[(7, 2)]
+        assert (got["sum_r"], got["sum_g"], got["sum_b"]) == (sr, sg, sb)
+
+    def test_mjpeg_property_roundtrip(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from iceberg_evolve_spark.functions.video import (
+            _mjpeg_avi_bytes,
+            decode_avi_mjpeg,
+            synth_mjpeg_params,
+        )
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.integers(min_value=0, max_value=10**12))
+        def check(doc_id):
+            frames = decode_avi_mjpeg(_mjpeg_avi_bytes(doc_id))
+            assert len(frames) == synth_mjpeg_params(doc_id)[2]
+            for f, feat in enumerate(frames):
+                sr, sg, sb, first = self._closed(doc_id, f)
+                assert (feat["sum_r"], feat["sum_g"], feat["sum_b"]) == (sr, sg, sb)
+
+        check()
