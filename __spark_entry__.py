@@ -8757,6 +8757,463 @@ ORDER BY l_returnflag, metric
 
 
 # ---------------------------------------------------------------------------
+# Round 6: interval analytics, join-view IVM, temperature mixing, surprisal,
+# Matryoshka recall, perceptual image hashing
+# ---------------------------------------------------------------------------
+
+#: Interval-overlap tuning (Spark and oracle agree).
+OVL_BUCKET_S = 3600
+OVL_TOPK = 20
+
+
+def sessions_overlap_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL×INTERVAL OVERLAP JOIN — concurrency analytics over user
+    sessions (`functions/range_join.py:interval_overlap_join`): for each
+    session, how many OTHER users' sessions were active at the same time,
+    top-20 most concurrent. This is the band-join class `range_join`
+    (point-in-interval) cannot express: both sides are ranges.
+
+    Scale shape: both session relations replicate to the hour buckets they
+    span (gap-bounded sessions span ~1-2 buckets), the pair join is a plain
+    equi-join on the bucket, and a multi-bucket pair is emitted exactly once
+    — in the bucket of ``floor(max(s_a, s_b)/W)`` — so no distinct pass. The
+    pair relation is bounded by true temporal concurrency (the operator's
+    output-complexity), and the degree aggregation on top is linear. The
+    oracle replays sessionization + a quadratic overlap join + the same
+    top-k."""
+    from iceberg_evolve_spark.functions.range_join import interval_overlap_join
+    from iceberg_evolve_spark.streaming.sessionize import epoch_seconds, sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, gap_minutes=GAP_MIN)
+    epoch = epoch_seconds(s, "ts")
+    sess = s.groupBy("user_id", "session_id").agg(
+        F.min(epoch).alias("s_start"), F.max(epoch).alias("s_end")
+    )
+    right = sess.select(
+        F.col("user_id").alias("user_b"),
+        F.col("session_id").alias("session_b"),
+        F.col("s_start").alias("b_start"),
+        F.col("s_end").alias("b_end"),
+    )
+    pairs = interval_overlap_join(
+        sess,
+        right,
+        on=[],
+        left_start="s_start",
+        left_end="s_end",
+        right_start="b_start",
+        right_end="b_end",
+        bucket_seconds=OVL_BUCKET_S,
+    ).filter(F.col("user_id") != F.col("user_b"))
+    return (
+        pairs.groupBy("user_id", "session_id", "s_start", "s_end")
+        .agg(F.count(F.lit(1)).alias("n_concurrent"))
+        .select(
+            "user_id",
+            F.col("session_id").cast("bigint").alias("session_id"),
+            "s_start",
+            "s_end",
+            "n_concurrent",
+        )
+        .orderBy(F.col("n_concurrent").desc(), "user_id", "session_id")
+        .limit(OVL_TOPK)
+    )
+
+
+_OVL_SQL = f"""
+WITH ovl_flag AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > {GAP_MIN * 60}
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+ovl_num AS (
+    SELECT user_id, ts,
+           CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM ovl_flag
+),
+ovl_sess AS (
+    SELECT user_id, session_id,
+           MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS s_start,
+           MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS s_end
+    FROM ovl_num GROUP BY 1, 2
+)
+SELECT a.user_id, a.session_id, a.s_start, a.s_end,
+       CAST(COUNT(*) AS BIGINT) AS n_concurrent
+FROM ovl_sess a JOIN ovl_sess b
+  ON b.user_id <> a.user_id AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+GROUP BY 1, 2, 3, 4
+ORDER BY n_concurrent DESC, a.user_id ASC, a.session_id ASC
+LIMIT {OVL_TOPK}
+"""
+
+#: incremental_join_view split rule (Spark and oracle agree).
+IJV_ORD_MOD = 10  # orders with o_orderkey % 10 == 0 arrive as the delta
+IJV_CUST_MOD = 7  # customers with c_custkey % 7 == 0 arrive as the delta
+
+
+def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-VIEW MAINTENANCE — the bilinear delta rule
+    (`operators/incremental.py:delta_join_rows`, DBSP / differential
+    dataflow): a materialized ``customer ⋈ orders`` view receives inserts
+    on BOTH sides, and the refresh is ``ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB`` — the
+    base relations are never re-joined against each other. The entry
+    aggregates the MAINTAINED view per market segment; the oracle is the
+    one-shot join of the post-delta inputs, so the hash gate proves
+    merge == full recompute (the same proof discipline as the aggregate
+    IVM entries). Scale shape: day-sized deltas broadcast; refreshing a
+    100 TB join view costs two broadcast joins + a delta×delta join,
+    never a base×base shuffle."""
+    from iceberg_evolve_spark.operators.incremental import delta_join_rows
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    base_c = cust.filter(F.col("custkey") % IJV_CUST_MOD != 0)
+    delta_c = cust.filter(F.col("custkey") % IJV_CUST_MOD == 0)
+    base_o = orders.filter(F.col("o_orderkey") % IJV_ORD_MOD != 0)
+    delta_o = orders.filter(F.col("o_orderkey") % IJV_ORD_MOD == 0)
+    view = base_c.join(base_o, "custkey", "inner")
+    merged = view.unionByName(
+        delta_join_rows(base_c, base_o, delta_c, delta_o, ["custkey"])
+    )
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)")
+            ).cast("double").alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_IJV_SQL = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(o.o_totalprice, 2) AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def docs_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTEGER UNIGRAM SURPRISAL — the exactness-friendly perplexity proxy
+    (`functions/text.py:unigram_surprisal`): per word,
+    ``bit_length(total_words div freq)`` = ⌊log₂(1/p)⌋ in pure integer ops
+    (the HLL `length(bin(x))` primitive); per doc, the exact integer sum
+    and ONE final mean division. CCNet-style quality filtering ranks docs
+    by LM perplexity — with no LM runtime, corpus-fit unigram surprisal is
+    the same ranking signal for the distribution head, and unlike a real
+    LM it is bit-replayable by the oracle. Scale: histogram to vocab size,
+    surprisal attached by one broadcast join (the BPE amortization
+    pattern), no corpus self-join."""
+    from iceberg_evolve_spark.functions.text import unigram_surprisal
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_surprisal(docs).orderBy("doc_id")
+
+
+def _surprisal_sql() -> str:
+    toks = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+    return f"""
+WITH su_words AS (
+    SELECT doc_id, unnest({toks}) AS w FROM documents
+),
+su_hist AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM su_words GROUP BY w),
+su_tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM su_hist),
+su_s AS (SELECT w, length(bin(t // c)) AS s FROM su_hist, su_tot)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(s.s) AS BIGINT) AS sum_surprisal,
+       ROUND(CAST(SUM(s.s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS mean_surprisal
+FROM su_words d JOIN su_s s USING (w)
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+#: Temperature-mixing exponent (alpha = 8/16 = 0.5 — evaluated through the
+#: sqrt chain so both engines produce bit-identical weights).
+TEMP_ALPHA = 0.5
+
+
+def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-BASED DOMAIN REBALANCING
+    (`functions/sampling.py:temperature_mixture_sample`) — the
+    multilingual/multi-domain recipe (mBERT/XLM-R): target share of
+    language d ∝ ``n_d^0.5``, which up-weights tail sources without
+    drowning the head. Unlike `docs_domain_mixture`, the weights are NOT
+    caller literals — they are derived IN-PLAN from the per-source masses
+    (``n^α`` via a sqrt chain: `pow` is not correctly rounded and can
+    differ across engines by an ulp, enough to flip a floor()ed hash
+    threshold; sqrt/multiply are exact-rounded everywhere). The report
+    shows per source: totals, kept counts, the α-target share and the
+    achieved share (each ONE final division). Selection is
+    content-addressed; the corpus sees one narrow filter, zero shuffles."""
+    from iceberg_evolve_spark.functions.sampling import temperature_mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = temperature_mixture_sample(
+        docs, "lang", F.col("doc_id").cast("string"), alpha=TEMP_ALPHA
+    )
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    kc = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    wsum = totals.agg(
+        F.sum(F.sqrt(F.col("n_total").cast("double"))).alias("w_sum")
+    )
+    ktot = kc.agg(F.sum("n_kept").alias("k_sum"))
+    return (
+        totals.join(kc, "lang", "left")
+        .na.fill({"n_kept": 0})
+        .join(F.broadcast(wsum))
+        .join(F.broadcast(ktot))
+        .select(
+            "lang",
+            "n_total",
+            "n_kept",
+            F.round(
+                F.sqrt(F.col("n_total").cast("double")) / F.col("w_sum"), 6
+            ).alias("target_share"),
+            F.round(
+                F.col("n_kept").cast("double") / F.col("k_sum").cast("double"), 6
+            ).alias("achieved_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _temperature_sql() -> str:
+    return f"""
+WITH tm_counts AS (
+    SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+    WHERE lang IS NOT NULL GROUP BY lang
+),
+tm_w AS (SELECT lang, n, sqrt(n) AS w FROM tm_counts),
+tm_scale AS (SELECT MIN(n / w) AS s FROM tm_w),
+tm_thr AS (
+    SELECT lang,
+           CAST(floor(least(1.0, s * w / n) * {float(TWO60_INT)!r}) AS BIGINT) AS t
+    FROM tm_w, tm_scale
+),
+tm_kept AS (
+    SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM documents d JOIN tm_thr ON d.lang = tm_thr.lang
+    WHERE {hash60_sql('CAST(d.doc_id AS VARCHAR)')} < tm_thr.t
+    GROUP BY d.lang
+),
+tm_tot AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total FROM documents GROUP BY lang
+),
+tm_wsum AS (SELECT SUM(sqrt(CAST(n_total AS DOUBLE))) AS w_sum FROM tm_tot),
+tm_ksum AS (SELECT CAST(SUM(n_kept) AS BIGINT) AS k_sum FROM tm_kept)
+SELECT t.lang, t.n_total, COALESCE(k.n_kept, 0) AS n_kept,
+       ROUND(sqrt(CAST(t.n_total AS DOUBLE)) / w.w_sum, 6) AS target_share,
+       ROUND(CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / CAST(s.k_sum AS DOUBLE), 6)
+           AS achieved_share
+FROM tm_tot t LEFT JOIN tm_kept k USING (lang), tm_wsum w, tm_ksum s
+ORDER BY t.lang
+"""
+
+
+#: Matryoshka evaluation tuning (Spark and oracle agree).
+MAT_DIMS = (8, 16, 32)
+MAT_ANCHOR_MOD = 50
+MAT_ANCHOR_RES = 7
+MAT_K = 10
+MAT_BLOCKS = 8
+
+
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA-TRUNCATION RETRIEVAL QUALITY — recall@k of cosine top-k
+    computed on PREFIX dimensions (8/16/32 of 64) against the full-dim
+    exact top-k, averaged over a deterministic anchor set. This is the
+    evaluation behind MRL-style embedding serving (truncate stored vectors
+    to cut memory/bandwidth; how much retrieval survives?) — here it is a
+    hash-gated regression number, not a one-off notebook. One
+    block-replicated equi-join builds the anchor×corpus pair relation ONCE
+    (never a cartesian); all four rankings (3 prefixes + full) are windows
+    over the same relation, so adding a truncation level costs no extra
+    scan. The oracle replays the joins, the left-fold dot products, and
+    every ranking."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cand_emb"),
+        (F.col("vec_id") % MAT_BLOCKS).cast("int").alias("_blk"),
+    )
+    anchors = (
+        emb.filter(F.col("vec_id") % MAT_ANCHOR_MOD == MAT_ANCHOR_RES)
+        .select(F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("anchor_emb"))
+        .withColumn("_blk", F.explode(F.array(*[F.lit(i) for i in range(MAT_BLOCKS)])))
+    )
+    from iceberg_evolve_spark.functions.similarity import cosine_sim
+
+    pairs = corpus.join(anchors, "_blk").filter(
+        F.col("cand_id") != F.col("anchor_id")
+    )
+    cols = {"cos_full": cosine_sim(F.col("anchor_emb"), F.col("cand_emb"))}
+    for d in MAT_DIMS:
+        cols[f"cos_{d}"] = cosine_sim(
+            F.slice(F.col("anchor_emb"), 1, d), F.slice(F.col("cand_emb"), 1, d)
+        )
+    ranked = pairs.select(
+        "anchor_id", "cand_id", *[c.alias(n) for n, c in cols.items()]
+    )
+    for name in cols:
+        w = Window.partitionBy("anchor_id").orderBy(
+            F.col(name).desc(), F.col("cand_id").asc()
+        )
+        ranked = ranked.withColumn(f"rk_{name}", F.row_number().over(w))
+    ranked = ranked.filter(F.col("rk_cos_full") <= MAT_K).persist()
+    n_anchors = F.countDistinct("anchor_id")
+    parts = []
+    for d in MAT_DIMS:
+        parts.append(
+            ranked.agg(
+                F.lit(d).alias("dims"),
+                F.lit(MAT_K).alias("k"),
+                F.sum(
+                    (F.col(f"rk_cos_{d}") <= MAT_K).cast("long")
+                ).alias("n_hits"),
+                F.round(
+                    F.sum((F.col(f"rk_cos_{d}") <= MAT_K).cast("long"))
+                    / (n_anchors * MAT_K),
+                    6,
+                ).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("dims")
+
+
+def _matryoshka_sql() -> str:
+    def dot(a: str, b: str, d: int) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {d} + 1), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+        )
+
+    def cos(a: str, b: str, d: int) -> str:
+        return f"({dot(a, b, d)}) / (sqrt({dot(a, a, d)}) * sqrt({dot(b, b, d)}))"
+
+    cos_cols = ",\n           ".join(
+        [f"{cos('a.embedding', 'c.embedding', EMB_DIM)} AS cos_full"]
+        + [
+            f"{cos('a.embedding', 'c.embedding', d)} AS cos_{d}"
+            for d in MAT_DIMS
+        ]
+    )
+    rank_cols = ",\n           ".join(
+        f"ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cos_{s} DESC, cand_id ASC) AS rk_{s}"
+        for s in ["full"] + [str(d) for d in MAT_DIMS]
+    )
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {d} AS dims, {MAT_K} AS k, "
+        f"CAST(SUM(CASE WHEN rk_{d} <= {MAT_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_hits, "
+        f"ROUND(CAST(SUM(CASE WHEN rk_{d} <= {MAT_K} THEN 1 ELSE 0 END) AS DOUBLE) "
+        f"/ ((SELECT COUNT(DISTINCT anchor_id) FROM mat_top) * {MAT_K}), 6) AS recall "
+        f"FROM mat_top"
+        for d in MAT_DIMS
+    )
+    return f"""
+WITH mat_pairs AS (
+    SELECT a.vec_id AS anchor_id, c.vec_id AS cand_id,
+           {cos_cols}
+    FROM embeddings a JOIN embeddings c ON c.vec_id <> a.vec_id
+    WHERE a.vec_id % {MAT_ANCHOR_MOD} = {MAT_ANCHOR_RES}
+),
+mat_rank AS (
+    SELECT anchor_id, cand_id,
+           {rank_cols}
+    FROM mat_pairs
+),
+mat_top AS (SELECT * FROM mat_rank WHERE rk_full <= {MAT_K})
+SELECT * FROM ({arms}) ORDER BY dims
+"""
+
+
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL IMAGE HASHING for image dedup
+    (`functions/image.py:average_hash_one`) — the aHash fingerprint every
+    image-dedup pipeline starts with: decode the REAL BMP bytes, bin into
+    a 4×4 luminance grid (integer nearest-rank bins), one bit per cell
+    brighter than the image mean via the exact cross-multiplied comparison
+    ``cell_sum·n_px > total·cell_n`` (no float, no division), then group
+    the corpus by hash — images sharing a hash are near-dup candidates
+    (identical synth params collide exactly; perceptually-similar
+    brightness layouts collide by design). One fused Arrow decode stage +
+    one hash-keyed aggregation; the oracle replays every pixel, every bin,
+    and every bucket count."""
+    from iceberg_evolve_spark.functions.image import synth_ahash_features
+
+    ids = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+    feats = synth_ahash_features(ids)
+    buckets = feats.groupBy("ahash").agg(F.count(F.lit(1)).alias("n_bucket"))
+    return (
+        feats.join(F.broadcast(buckets), "ahash")
+        .select("doc_id", "width", "height", "gray_total", "ahash", "n_bucket")
+        .orderBy("doc_id")
+    )
+
+
+_AHASH_SQL = """
+WITH ah_geom AS (
+    SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h FROM documents
+),
+ah_y AS (SELECT doc_id, w, h, CAST(unnest(range(0, h)) AS BIGINT) AS y FROM ah_geom),
+ah_px AS (
+    SELECT doc_id, w, h, y, CAST(unnest(range(0, w)) AS BIGINT) AS x FROM ah_y
+),
+ah_gray AS (
+    SELECT doc_id, w, h, x, y,
+           CASE WHEN x < w // 2
+                THEN (doc_id + y) % 256 + (doc_id * 3 + y) % 256 + (doc_id * 7 + y) % 256
+                ELSE (doc_id * 11 + y) % 256 + (doc_id * 13 + y) % 256 + (doc_id * 17 + y) % 256
+           END AS gray,
+           (x * 4) // w AS gx, (y * 4) // h AS gy
+    FROM ah_px
+),
+ah_cells AS (
+    SELECT doc_id, gy, gx,
+           CAST(SUM(gray) AS BIGINT) AS cell_sum,
+           CAST(COUNT(*) AS BIGINT) AS cell_n,
+           CAST(MAX(w) * MAX(h) AS BIGINT) AS n_px
+    FROM ah_gray GROUP BY 1, 2, 3
+),
+ah_tot AS (
+    SELECT doc_id, CAST(SUM(cell_sum) AS BIGINT) AS total FROM ah_cells GROUP BY 1
+),
+ah_hash AS (
+    SELECT c.doc_id,
+           CAST(SUM(CASE WHEN c.cell_sum * c.n_px > t.total * c.cell_n
+                         THEN CAST(1 AS BIGINT) << CAST(c.gy * 4 + c.gx AS INT)
+                         ELSE 0 END) AS BIGINT) AS ahash,
+           CAST(MAX(t.total) AS BIGINT) AS gray_total
+    FROM ah_cells c JOIN ah_tot t USING (doc_id)
+    GROUP BY c.doc_id
+),
+ah_buckets AS (
+    SELECT ahash, CAST(COUNT(*) AS BIGINT) AS n_bucket FROM ah_hash GROUP BY ahash
+)
+SELECT g.doc_id, CAST(g.w AS INTEGER) AS width, CAST(g.h AS INTEGER) AS height,
+       h.gray_total, h.ahash, b.n_bucket
+FROM ah_geom g JOIN ah_hash h USING (doc_id) JOIN ah_buckets b USING (ahash)
+ORDER BY g.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
 
@@ -8796,6 +9253,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (c) NEW in round 6 — never driver-verified; each addition defers
         #     one (e) entry to round 7.
         "multimodal_video_mjpeg": multimodal_video_mjpeg,
+        "sessions_overlap_degree": sessions_overlap_degree,
+        "incremental_join_view": incremental_join_view,
+        "docs_surprisal_score": docs_surprisal_score,
+        "docs_temperature_mixture": docs_temperature_mixture,
+        "ann_matryoshka_recall": ann_matryoshka_recall,
+        "multimodal_image_ahash": multimodal_image_ahash,
+        "sessions_overlap_degree": sessions_overlap_degree,
+        "incremental_join_view": incremental_join_view,
+        "docs_surprisal_score": docs_surprisal_score,
+        "docs_temperature_mixture": docs_temperature_mixture,
+        "ann_matryoshka_recall": ann_matryoshka_recall,
+        "multimodal_image_ahash": multimodal_image_ahash,
         # (d) the 15 r02-hashed entries displaced by round 5's additions —
         #     re-hashing these makes union(r03..r06) cover the whole registry.
         "docs_repetition_score": docs_repetition_score,
@@ -9060,6 +9529,18 @@ def oracle_sql() -> dict[str, str]:
         "customer_entity_groups": _ENTITY_GROUPS_SQL,
         "multimodal_video_motion": _MOTION_SQL,
         "multimodal_video_mjpeg": _mjpeg_avi_sql(),
+        "sessions_overlap_degree": _OVL_SQL,
+        "incremental_join_view": _IJV_SQL,
+        "docs_surprisal_score": _surprisal_sql(),
+        "docs_temperature_mixture": _temperature_sql(),
+        "ann_matryoshka_recall": _matryoshka_sql(),
+        "multimodal_image_ahash": _AHASH_SQL,
+        "sessions_overlap_degree": _OVL_SQL,
+        "incremental_join_view": _IJV_SQL,
+        "docs_surprisal_score": _surprisal_sql(),
+        "docs_temperature_mixture": _temperature_sql(),
+        "ann_matryoshka_recall": _matryoshka_sql(),
+        "multimodal_image_ahash": _AHASH_SQL,
         "lang_id_confusion": _lang_confusion_sql(),
         "events_ab_lift": _AB_SQL,
         "snapshot_schema_drift": _DRIFT_SQL,

@@ -293,3 +293,81 @@ def synth_decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield out.astype(_FEATURE_DTYPES)
 
     return df.select(id_col).mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (r6): average-hash for image near-dup detection
+# ---------------------------------------------------------------------------
+
+#: aHash grid — 4×4 (16-bit hash) rather than the classic 8×8 because the
+#: synthetic fixtures are as small as 8×4; the construction is identical.
+AHASH_GRID = 4
+
+
+def average_hash_one(payload: bytes, grid: int = AHASH_GRID) -> dict:
+    """Average-hash of a decoded BMP — the standard perceptual image
+    fingerprint (aHash): downsample to ``grid×grid`` luminance cells, set a
+    bit per cell that is brighter than the image mean. All-integer: "gray"
+    is the channel SUM r+g+b (no /3), cells are nearest-rank bins
+    (``gx = x·grid div w``), and brighter-than-mean is the exact
+    cross-multiplied comparison ``cell_sum · n_pixels > total_sum ·
+    cell_n`` — no float ever, so the hash is bit-reproducible and
+    oracle-replayable. Bit order: ``gy·grid + gx``, LSB first."""
+    w, h, rows = _decode_pixels(payload)
+    cell_sum = [[0] * grid for _ in range(grid)]
+    cell_n = [[0] * grid for _ in range(grid)]
+    total = 0
+    for y in range(h):
+        gy = y * grid // h
+        for x in range(w):
+            gx = x * grid // w
+            r, g, b = rows[y][x]
+            gray = r + g + b
+            cell_sum[gy][gx] += gray
+            cell_n[gy][gx] += 1
+            total += gray
+    n_px = w * h
+    ahash = 0
+    for gy in range(grid):
+        for gx in range(grid):
+            if cell_sum[gy][gx] * n_px > total * cell_n[gy][gx]:
+                ahash |= 1 << (gy * grid + gx)
+    return {
+        "width": w,
+        "height": h,
+        "gray_total": total,
+        "ahash": ahash,
+    }
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("gray_total", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def synth_ahash_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fused synth→encode→decode→aHash in ONE Arrow stage (one row per
+    image); the hash itself is computed from REAL re-parsed BMP bytes."""
+
+    cols = [f.name for f in AHASH_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                w, h, left, right = synth_params(d)
+                feats = average_hash_one(_bmp_bytes(w, h, left, right))
+                feats["doc_id"] = d
+                rows.append(feats)
+            yield pd.DataFrame(rows)[cols]
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        run, schema=AHASH_SCHEMA
+    )

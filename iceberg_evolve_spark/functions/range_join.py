@@ -94,3 +94,68 @@ def range_join(
         if c != on:
             unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
     return joined.drop("_rid").unionByName(unmatched.drop("_rid"))
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "start",
+    right_end: str = "end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Join interval rows to interval rows: every (l, r) pair with equal
+    ``on`` keys whose closed ranges ``[left_start, left_end]`` and
+    ``[right_start, right_end]`` intersect. ``on`` may be empty (global
+    overlap join, bucketed on time alone).
+
+    Scale shape (the band-join trick, two-sided): BOTH sides replicate to
+    the ``bucket_seconds``-wide buckets they span, the join is a plain
+    equi-join on (keys…, bucket), and a pair that shares several buckets is
+    emitted exactly ONCE — only in the bucket containing the overlap's
+    START, ``floor(max(s_l, s_r)/W)`` — so no distinct pass is needed. Work
+    per bucket is |L_b|×|R_b| instead of |L|×|R|; output size is inherently
+    pair-bound, which is the operator's nature (degree aggregations on top
+    stay linear). Column names must be disjoint apart from the keys."""
+    wlit = F.lit(bucket_seconds)
+
+    def secs(df: DataFrame, c: str):
+        col = df[c]
+        if dict(df.dtypes)[c].startswith("timestamp"):
+            col = col.cast("timestamp")
+        return col.cast("long")
+
+    l = left.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                (secs(left, left_start) / wlit).cast("long"),
+                (secs(left, left_end) / wlit).cast("long"),
+            )
+        ),
+    )
+    r = right.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                (secs(right, right_start) / wlit).cast("long"),
+                (secs(right, right_end) / wlit).cast("long"),
+            )
+        ),
+    )
+    cond = l["_bkt"] == r["_bkt"]
+    for k in on:
+        cond = cond & (l[k] == r[k])
+    ls, le = secs(l, left_start), secs(l, left_end)
+    rs, re_ = secs(r, right_start), secs(r, right_end)
+    cond = cond & (ls <= re_) & (rs <= le)
+    # exactly-once: only the bucket holding the overlap start emits the pair
+    cond = cond & (
+        (F.greatest(ls, rs) / wlit).cast("long") == l["_bkt"]
+    )
+    out_cols = [l[c] for c in left.columns] + [
+        r[c] for c in right.columns if c not in on
+    ]
+    return l.join(r, cond, "inner").select(*out_cols)

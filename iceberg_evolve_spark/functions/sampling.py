@@ -218,3 +218,75 @@ def shard_assignments(
         out.withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
         .drop("_h")
     )
+
+
+def _pow_halves(x: Column, alpha: float) -> Column:
+    """``x ** alpha`` for alpha a dyadic rational in (0, 1] with up to 4
+    binary digits (0.5, 0.25, 0.75, 0.625, ...), computed ONLY from
+    IEEE-correctly-rounded primitives: repeated ``sqrt`` and one product
+    chain. ``pow(x, alpha)`` is NOT correctly rounded and may differ
+    between engines by an ulp — enough to flip a floor()ed hash threshold;
+    sqrt/multiply are exact-rounded everywhere, so this form is
+    bit-reproducible (the oracle replays the same sqrt chain)."""
+    num = alpha * 16
+    if not (0 < alpha <= 1) or num != int(num):
+        raise ValueError("alpha must be k/16 in (0, 1]")
+    bits = int(num)  # alpha = bits / 16, binary digits over sqrt chain
+    term = x  # x^1
+    out: Column | None = None
+    for i in range(5):  # x^(1/2^0) .. x^(1/2^4)
+        if bits & (16 >> i):
+            out = term if out is None else out * term
+        term = F.sqrt(term)
+    assert out is not None
+    return out
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    domain: str,
+    key: Column | str,
+    alpha: float = 0.5,
+    salt: str = "",
+    size_col: str | None = None,
+) -> DataFrame:
+    """Temperature-based domain rebalancing — the multilingual/multi-domain
+    recipe (mBERT/XLM-R style): target share of domain d is
+    ``n_d^alpha / Σ n_e^alpha``. alpha = 1 keeps the natural mixture,
+    alpha → 0 approaches uniform; 0.5–0.7 is the usual range that
+    up-weights the tail without drowning the head.
+
+    Unlike :func:`domain_mixture_sample` the weights are NOT caller
+    literals — they are computed IN-PLAN from the same tiny per-domain
+    mass relation, so the entry/oracle replay the whole derivation and no
+    statistics cross engines. alpha is restricted to dyadic rationals
+    (k/16) so ``n^alpha`` evaluates through a sqrt chain
+    (:func:`_pow_halves`) — bit-reproducible across engines, unlike
+    ``pow``. Since the feasible scale ``s = min_d(n_d / w_d)`` adapts to
+    any positive rescaling of w, the weights need no normalization.
+
+    Scale shape: identical to domain_mixture_sample — one map-side
+    aggregate to |domains| rows, thresholds broadcast back, ONE narrow
+    corpus filter, zero corpus shuffles."""
+    mass = F.sum(size_col) if size_col else F.count(F.lit(1))
+    counts = (
+        df.groupBy(domain)
+        .agg(mass.cast("double").alias("_n"))
+        .filter(F.col(domain).isNotNull() & (F.col("_n") > 0))
+        .withColumn("_w", _pow_halves(F.col("_n"), alpha))
+    )
+    scale = counts.agg(F.min(F.col("_n") / F.col("_w")).alias("_s"))
+    thr = counts.join(F.broadcast(scale)).select(
+        domain,
+        F.floor(
+            F.least(F.lit(1.0), F.col("_s") * F.col("_w") / F.col("_n"))
+            * F.lit(float(TWO60_INT))
+        )
+        .cast("bigint")
+        .alias("_thr"),
+    )
+    return (
+        df.join(F.broadcast(thr), domain)
+        .filter(hash60(_keyed(key, salt)) < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -828,3 +828,55 @@ def ngram_novelty(
             F.round((F.col("n_novel") / F.col("n_grams")).cast("double"), 6),
         )
     )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document INTEGER surprisal score — the exactness-friendly unigram
+    perplexity proxy used for quality filtering (CCNet filters on LM
+    perplexity; without an LM runtime, corpus-fit unigram surprisal ranks
+    documents the same way for the head of the distribution).
+
+    Per word w: ``surprisal(w) = bit_length(total_words // freq(w))`` — the
+    integer ⌊log₂(1/p)⌋ computed with pure integer ops (``length(bin(x))``,
+    the same primitive the HLL sketch uses), so every per-doc sum is an
+    exact integer the oracle replays bit-for-bit; the per-doc MEAN is the
+    single final division. High mean ⇒ the doc is full of corpus-rare
+    words (gibberish, boilerplate IDs); low mean ⇒ stopword soup. Output:
+    (id, n_words, sum_surprisal, mean_surprisal ROUND 4).
+
+    Scale shape: one word explode → map-side-combined histogram (vocab-
+    sized), surprisal attached by ONE broadcast join back onto the word
+    stream (a vocabulary is KB–MB at any corpus size — the same
+    amortization as the BPE encoder), one per-doc aggregation. No corpus
+    self-join, no window."""
+    words = df.select(id_col, F.explode(tokens(text_col)).alias("w"))
+    hist = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = hist.agg(F.sum("c").alias("t"))
+    # t DIV c: true integer division (Spark `div`, DuckDB `//`) — float
+    # division + floor can misround near integer boundaries at large t.
+    surp = hist.join(F.broadcast(total)).select(
+        "w",
+        F.length(F.bin(F.expr("t DIV c"))).alias("s"),
+    )
+    return (
+        words.join(F.broadcast(surp), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("s").cast("long").alias("sum_surprisal"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "sum_surprisal",
+            F.round(
+                F.col("sum_surprisal").cast("double")
+                / F.col("n_words").cast("double"),
+                4,
+            ).alias("mean_surprisal"),
+        )
+    )

@@ -194,3 +194,27 @@ def merge_with_retractions(
             )
         merged = merged.select(*fixed)
     return merged.filter(F.col(count_col) > 0)
+
+
+def delta_join_rows(
+    base_left: DataFrame,
+    base_right: DataFrame,
+    delta_left: DataFrame,
+    delta_right: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """The NEW rows of a materialized inner-join view after both inputs
+    receive inserts — the bilinear delta rule (DBSP / differential
+    dataflow): ``Δ(A ⋈ B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB``. The maintained view
+    is ``V ∪ delta_join_rows(...)``; neither base relation is re-joined
+    against the other.
+
+    Scale shape: each term joins a DELTA against a base (or the other
+    delta) — with day-sized deltas both ΔA sides broadcast, so refreshing
+    a 100 TB join view costs two broadcast joins plus a delta×delta join,
+    never a base×base shuffle. Inserts only; deletes compose with the
+    signed Z-set discipline of :func:`merge_with_retractions`."""
+    t1 = delta_left.join(base_right, keys, "inner")
+    t2 = base_left.join(delta_right, keys, "inner")
+    t3 = delta_left.join(delta_right, keys, "inner")
+    return t1.unionByName(t2).unionByName(t3)

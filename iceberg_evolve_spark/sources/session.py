@@ -30,6 +30,16 @@ def get_session(
     return (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # local[N] runs driver and executors in ONE JVM: the default 1g heap
+        # that is fine at sf0.1 collapses into GC thrash at sf1 (32 threads
+        # sharing shuffle/codegen buffers). The box has 128 GiB; 16g is the
+        # measured knee — parts_pagerank at sf1 went >560 s (GCLocker
+        # retries) on the default and 29.7 s at 16g. Only effective at JVM
+        # launch; a pre-existing session keeps its heap.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")

@@ -41,6 +41,18 @@ _SINGLE_ROW_NLJ_OK = {
     "parts_triangle_count",
     # HLL overlap: 1-row estimates × 1-row exact overlap
     "hll_overlap_sources",
+    # surprisal: the 1-row corpus-total aggregate joined onto the
+    # vocab-sized histogram (the corpus stream itself sees a hash join)
+    "docs_surprisal_score",
+}
+
+#: entries whose scalar-attach shape needs MORE than one single-row NLJ —
+#: each is a 1-row aggregate cross-joined onto a bounded relation; the
+#: corpus-sized streams still never meet a nested-loop join.
+_SINGLE_ROW_NLJ_BUDGET = {
+    # temperature mixture: feasible-scale (in the sampler) + α-weight sum +
+    # kept-total scalars, each attached to the |domains|-row report
+    "docs_temperature_mixture": 4,
 }
 
 _QUERIES = entry_mod.queries()
@@ -52,7 +64,9 @@ def test_plan_criteria(name, spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
     nlj = plan.count("BroadcastNestedLoopJoin") + plan.count("CartesianProduct")
-    allowed = 1 if name in _SINGLE_ROW_NLJ_OK else 0
+    allowed = _SINGLE_ROW_NLJ_BUDGET.get(
+        name, 1 if name in _SINGLE_ROW_NLJ_OK else 0
+    )
     assert nlj <= allowed, f"{name}: {nlj} nested-loop/cartesian joins in plan"
 
 
