@@ -9213,6 +9213,85 @@ ORDER BY g.doc_id
 """
 
 
+#: Label-propagation tuning (Spark and oracle agree).
+LP_MIN_SUPPORT = 2
+LP_ROUNDS = 4
+LP_TOPK = 25
+
+
+def parts_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMUNITY DETECTION over the part co-purchase graph
+    (`functions/graph.py:label_propagation`) — synchronous label
+    propagation with exact integer counts and a total tie-break (smallest
+    label wins), so the unrolled DuckDB oracle replays every round label
+    for label. Communities answer a different question than
+    `parts_pagerank` (centrality) or `parts_triangle_count` (cohesion):
+    which parts form co-purchase CLUSTERS — the assortment/substitution
+    structure. Same support-pruned edge mining as pagerank (one
+    collect_set shuffle, basket-bounded pair fan-out, noise edges pruned
+    BEFORE the fixpoint); each of the 4 rounds is one join + two
+    map-side-combined aggregations on the node key. Output: the top-25
+    communities by size with exact member stats."""
+    from iceberg_evolve_spark.functions.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    edges = (
+        baskets.select(F.explode("ps").alias("s"), F.col("ps"))
+        .select("s", F.explode("ps").alias("d"))
+        .filter(F.col("s") < F.col("d"))
+        .groupBy("s", "d")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= LP_MIN_SUPPORT)
+        .select("s", "d")
+    )
+    labels = label_propagation(edges, "s", "d", rounds=LP_ROUNDS)
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("node").alias("min_part"),
+            F.max("node").alias("max_part"),
+            F.sum("node").cast("long").alias("sum_parts"),
+        )
+        .select(
+            F.col("label").alias("community"),
+            "n_members",
+            "min_part",
+            "max_part",
+            "sum_parts",
+        )
+        .orderBy(F.col("n_members").desc(), F.col("community").asc())
+        .limit(LP_TOPK)
+    )
+
+
+def _lp_sql() -> str:
+    from iceberg_evolve_spark.functions.graph import label_propagation_unrolled_sql
+
+    edges_cte = f"""
+        SELECT a.l_partkey AS s, b.l_partkey AS d
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {LP_MIN_SUPPORT}
+    """
+    unrolled = label_propagation_unrolled_sql(edges_cte, rounds=LP_ROUNDS)
+    unrolled = unrolled.split("\n-- final labels")[0]
+    return f"""
+WITH {unrolled}
+SELECT label AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MIN(node) AS min_part,
+       MAX(node) AS max_part,
+       CAST(SUM(node) AS BIGINT) AS sum_parts
+FROM lp_l{LP_ROUNDS}
+GROUP BY label
+ORDER BY n_members DESC, community ASC
+LIMIT {LP_TOPK}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -9259,12 +9338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_temperature_mixture": docs_temperature_mixture,
         "ann_matryoshka_recall": ann_matryoshka_recall,
         "multimodal_image_ahash": multimodal_image_ahash,
-        "sessions_overlap_degree": sessions_overlap_degree,
-        "incremental_join_view": incremental_join_view,
-        "docs_surprisal_score": docs_surprisal_score,
-        "docs_temperature_mixture": docs_temperature_mixture,
-        "ann_matryoshka_recall": ann_matryoshka_recall,
-        "multimodal_image_ahash": multimodal_image_ahash,
+        "parts_label_communities": parts_label_communities,
         # (d) the 15 r02-hashed entries displaced by round 5's additions —
         #     re-hashing these makes union(r03..r06) cover the whole registry.
         "docs_repetition_score": docs_repetition_score,
@@ -9535,12 +9609,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_temperature_mixture": _temperature_sql(),
         "ann_matryoshka_recall": _matryoshka_sql(),
         "multimodal_image_ahash": _AHASH_SQL,
-        "sessions_overlap_degree": _OVL_SQL,
-        "incremental_join_view": _IJV_SQL,
-        "docs_surprisal_score": _surprisal_sql(),
-        "docs_temperature_mixture": _temperature_sql(),
-        "ann_matryoshka_recall": _matryoshka_sql(),
-        "multimodal_image_ahash": _AHASH_SQL,
+        "parts_label_communities": _lp_sql(),
         "lang_id_confusion": _lang_confusion_sql(),
         "events_ab_lift": _AB_SQL,
         "snapshot_schema_drift": _DRIFT_SQL,

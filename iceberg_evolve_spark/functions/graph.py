@@ -329,3 +329,106 @@ def assign_components(
         *[df[c] for c in df.columns],
         F.coalesce(comp.component, df[id_col]).alias("cluster_id"),
     ).withColumn("is_representative", F.col(id_col) == F.col("cluster_id"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+    eager_checkpoint: bool | None = None,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) — community
+    detection as K deterministic rounds of "adopt the most frequent label
+    among yourself and your neighbors", ties to the SMALLEST label.
+
+    Deliberately the *synchronous, fixed-round, deterministically
+    tie-broken* variant: classic LPA updates asynchronously in random
+    order, which is irreproducible by construction. Here every round is a
+    pure function of the previous labeling — argmax by exact integer count
+    with a total tie-break — so an unrolled SQL oracle
+    (:func:`label_propagation_unrolled_sql`) replays the entire run label
+    for label, and the result is independent of partitioning.
+
+    Scale shape per round (same as :func:`pagerank`): one shuffle join of
+    the symmetrized edge list with the label table on the source key, one
+    map-side-combined (node, label) count, one argmax aggregation — all
+    partitioned on a node id, lineage truncated per round with
+    ``localCheckpoint`` (lazy for small fixed round counts). Returns
+    (node, label); nodes sharing a label are one community."""
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .persist()
+    )
+    if eager_checkpoint is None:
+        eager_checkpoint = rounds > 8
+    labels = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=eager_checkpoint)
+    )
+    for _ in range(rounds):
+        nb = e.join(labels, e["s"] == labels["node"]).select(
+            e["d"].alias("node"), labels["label"]
+        )
+        counts = (
+            nb.unionByName(labels)
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("label"))
+            .localCheckpoint(eager=eager_checkpoint)
+        )
+    if not eager_checkpoint:
+        labels.count()  # materialize before releasing the edge cache
+    e.unpersist()
+    return labels
+
+
+def label_propagation_unrolled_sql(
+    edges_cte: str, rounds: int = 4
+) -> str:
+    """DuckDB oracle twin of :func:`label_propagation`: the same rounds
+    unrolled as chained CTEs. ``edges_cte`` must produce directed columns
+    ``(s, d)``; symmetrization, self-loop and duplicate removal happen
+    here, mirroring the Spark side."""
+    parts = [
+        f"lp_e0 AS (SELECT s, d FROM ({edges_cte}) WHERE s <> d)",
+        (
+            "lp_e AS (SELECT DISTINCT s, d FROM "
+            "(SELECT s, d FROM lp_e0 UNION ALL SELECT d AS s, s AS d FROM lp_e0))"
+        ),
+        "lp_n AS (SELECT DISTINCT s AS node FROM lp_e)",
+        "lp_l0 AS (SELECT node, node AS label FROM lp_n)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""lp_c{r} AS (
+  SELECT node, label, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT lp_e.d AS node, l.label FROM lp_e JOIN lp_l{r} l ON lp_e.s = l.node
+    UNION ALL SELECT node, label FROM lp_l{r}
+  ) GROUP BY node, label
+)"""
+        )
+        parts.append(
+            f"""lp_l{r + 1} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM lp_c{r}
+  ) WHERE rn = 1
+)"""
+        )
+    return ",\n".join(parts) + f"\n-- final labels in lp_l{rounds}"

@@ -265,3 +265,56 @@ class TestAverageHash:
         h2 = average_hash_one(_bmp_bytes(8, 8, bright, dark))["ahash"]
         mask = (1 << (AHASH_GRID * AHASH_GRID)) - 1
         assert h1 == (~h2) & mask
+
+
+class TestLabelPropagation:
+    def test_two_cliques_with_bridge(self, spark):
+        from iceberg_evolve_spark.functions.graph import label_propagation
+
+        # two triangles joined by one bridge edge: LPA must find 2
+        # communities (bridge is outvoted), labeled by each clique's min id
+        edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["label"] for r in label_propagation(df, rounds=4).collect()}
+        assert got[1] == got[2] == got[3] == 1
+        assert got[10] == got[11] == got[12]
+        assert got[10] != got[1]
+
+    def test_matches_unrolled_sql(self, spark):
+        import duckdb
+
+        from iceberg_evolve_spark.functions.graph import (
+            label_propagation,
+            label_propagation_unrolled_sql,
+        )
+
+        import random
+
+        rnd = random.Random(66)
+        edges = list({(rnd.randrange(0, 40), rnd.randrange(0, 40)) for _ in range(90)})
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = sorted(
+            (r["node"], r["label"]) for r in label_propagation(df, rounds=3).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE lp_in (s BIGINT, d BIGINT)")
+        con.executemany("INSERT INTO lp_in VALUES (?, ?)", edges)
+        sql = (
+            "WITH "
+            + label_propagation_unrolled_sql(
+                "SELECT s, d FROM lp_in", rounds=3
+            ).split("\n-- final labels")[0]
+            + "\nSELECT node, label FROM lp_l3 ORDER BY node"
+        )
+        want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == want
+
+    def test_determinism_across_partitionings(self, spark):
+        from iceberg_evolve_spark.functions.graph import label_propagation
+
+        edges = [(i, i + 1) for i in range(0, 30, 2)] + [(0, 28), (1, 17)]
+        a = spark.createDataFrame(edges, "src long, dst long").repartition(1)
+        b = spark.createDataFrame(edges, "src long, dst long").repartition(13)
+        ra = sorted(tuple(r) for r in label_propagation(a, rounds=4).collect())
+        rb = sorted(tuple(r) for r in label_propagation(b, rounds=4).collect())
+        assert ra == rb
