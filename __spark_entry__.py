@@ -4238,15 +4238,39 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.3
 """
 
-#: Hard-negative mining tuning (Spark and oracle agree): anchors are the
-#: deterministic vec_id % 25 == 3 subset; negatives must sit BELOW the
-#: near-dup band (cosine < 0.3, the same threshold the dedup entries use on
-#: these near-orthogonal synthetic vectors) so positives/dups are excluded.
-HN_ANCHOR_MOD = 25
-HN_ANCHOR_RES = 3
+#: Hard-negative mining tuning (Spark and oracle agree): negatives must sit
+#: BELOW the near-dup band (cosine < 0.3, the same threshold the dedup
+#: entries use on these near-orthogonal synthetic vectors) so
+#: positives/dups are excluded.
 HN_DUP_BAND = 0.3
 HN_K = 5
 HN_BLOCKS = 8
+
+#: FIXED-SIZE evaluation anchor panel, shared by every exact-baseline
+#: embedding entry (hard negatives, MRR/precision, Matryoshka recall).
+#: Round-6 scale fix: the previous ``vec_id % 25`` selection grew the
+#: anchor set WITH the corpus, making the exact anchor×corpus join
+#: O(n²/25) — measured 26-62× wall-clock at a 10× scale-up (BASELINE.md
+#: "Scale evidence"). A quality panel does not need to grow with the
+#: data: the smallest-``ANCHOR_PANEL`` vec_ids by the portable 60-bit
+#: hash form a content-addressed, engine-replayable sample of CONSTANT
+#: size, so the exact evaluation becomes linear in the corpus.
+ANCHOR_PANEL = 64
+
+
+def _anchor_panel(emb: DataFrame) -> DataFrame:
+    """The fixed evaluation panel: smallest ANCHOR_PANEL vec_ids by
+    portable hash (TakeOrderedAndProject — panel-sized, no full sort)."""
+    return emb.orderBy(
+        hash60(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc()
+    ).limit(ANCHOR_PANEL)
+
+
+_ANCHOR_PANEL_CTE = (
+    "SELECT vec_id, label, embedding FROM embeddings "
+    f"ORDER BY {hash60_sql('CAST(vec_id AS VARCHAR)')} ASC, vec_id ASC "
+    f"LIMIT {ANCHOR_PANEL}"
+)
 
 
 def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4267,7 +4291,7 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     window partitions by anchor over pair rows only. Cosine is the same
     sequential fold both engines run, so ranks — and the hash — are
     bit-stable."""
-    from iceberg_evolve_spark.functions.similarity import cosine_sim_unrolled
+    from iceberg_evolve_spark.functions.similarity import cosine_sim
 
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.select(
@@ -4276,7 +4300,7 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % HN_BLOCKS).cast("int").alias("_blk"),
     )
     anchors = (
-        emb.filter(F.col("vec_id") % HN_ANCHOR_MOD == HN_ANCHOR_RES)
+        _anchor_panel(emb)
         .select(F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("anchor_emb"))
         .withColumn("_blk", F.explode(F.array(*[F.lit(i) for i in range(HN_BLOCKS)])))
     )
@@ -4285,7 +4309,9 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("negative_id") != F.col("anchor_id"))
         .withColumn(
             "cos_raw",
-            cosine_sim_unrolled(F.col("anchor_emb"), F.col("cand_emb"), EMB_DIM),
+            # fold form: the unrolled 64-dim tree overflows the BHJ
+            # consume method (64 KB) now that the panel broadcasts (r6)
+            cosine_sim(F.col("anchor_emb"), F.col("cand_emb")),
         )
         .filter(F.col("cos_raw") < HN_DUP_BAND)
     )
@@ -4306,11 +4332,11 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HARD_NEG_SQL = f"""
-WITH hn_pairs AS (
+WITH hn_anchors AS ({_ANCHOR_PANEL_CTE}),
+hn_pairs AS (
     SELECT a.vec_id AS anchor_id, c.vec_id AS negative_id,
            {_cosine_sql('a.embedding', 'c.embedding')} AS cos_raw
-    FROM embeddings a JOIN embeddings c ON c.vec_id <> a.vec_id
-    WHERE a.vec_id % {HN_ANCHOR_MOD} = {HN_ANCHOR_RES}
+    FROM hn_anchors a JOIN embeddings c ON c.vec_id <> a.vec_id
 ),
 hn_rank AS (
     SELECT anchor_id, negative_id, cos_raw,
@@ -4338,15 +4364,17 @@ def ann_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     label relevance (a neighbor is relevant iff it shares the anchor's
     label): the task-level quality number an embedding pipeline tracks next
     to `ann_recall_at_k`'s index-approximation number. Anchors are the
-    deterministic vec_id % 25 subset; candidates come from the same
-    block-replicated equi-join as `embedding_hard_negatives` (no cartesian),
-    ranked per anchor by the engine-identical cosine fold.
+    FIXED-size content-addressed panel (`_anchor_panel` — r6: a panel
+    growing with the corpus made this exact join quadratic; constant
+    panel ⇒ linear); candidates come from the same block-replicated
+    equi-join as `embedding_hard_negatives` (no cartesian), ranked per
+    anchor by the engine-identical cosine fold.
 
     Exactness: per-anchor first-relevant rank and hit counts are integers;
     the reciprocal-rank sum is Σ (2520 div rank) — exact because 2520 is
     lcm(1..10) — so MRR@10 is one double division at the very end. The
     oracle replays ranks and both metrics bit-for-bit."""
-    from iceberg_evolve_spark.functions.similarity import cosine_sim_unrolled
+    from iceberg_evolve_spark.functions.similarity import cosine_sim
 
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.select(
@@ -4356,7 +4384,7 @@ def ann_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % HN_BLOCKS).cast("int").alias("_blk"),
     )
     anchors = (
-        emb.filter(F.col("vec_id") % HN_ANCHOR_MOD == HN_ANCHOR_RES)
+        _anchor_panel(emb)
         .select(
             F.col("vec_id").alias("anchor_id"),
             F.col("label").alias("a_label"),
@@ -4372,7 +4400,9 @@ def ann_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cand_id") != F.col("anchor_id"))
         .withColumn(
             "cos_raw",
-            cosine_sim_unrolled(F.col("anchor_emb"), F.col("cand_emb"), EMB_DIM),
+            # fold form: the unrolled 64-dim tree overflows the BHJ
+            # consume method (64 KB) now that the panel broadcasts (r6)
+            cosine_sim(F.col("anchor_emb"), F.col("cand_emb")),
         )
         .withColumn("rel", (F.col("a_label") == F.col("c_label")).cast("int"))
         .withColumn("rnk", F.row_number().over(w))
@@ -4410,12 +4440,12 @@ def ann_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RETRIEVAL_SQL = f"""
-WITH rq_pairs AS (
+WITH rq_anchors AS ({_ANCHOR_PANEL_CTE}),
+rq_pairs AS (
     SELECT a.vec_id AS anchor_id, c.vec_id AS cand_id,
            {_cosine_sql('a.embedding', 'c.embedding')} AS cos_raw,
            CASE WHEN a.label = c.label THEN 1 ELSE 0 END AS rel
-    FROM embeddings a JOIN embeddings c ON c.vec_id <> a.vec_id
-    WHERE a.vec_id % {HN_ANCHOR_MOD} = {HN_ANCHOR_RES}
+    FROM rq_anchors a JOIN embeddings c ON c.vec_id <> a.vec_id
 ),
 rq_top AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
@@ -9026,8 +9056,6 @@ ORDER BY t.lang
 
 #: Matryoshka evaluation tuning (Spark and oracle agree).
 MAT_DIMS = (8, 16, 32)
-MAT_ANCHOR_MOD = 50
-MAT_ANCHOR_RES = 7
 MAT_K = 10
 MAT_BLOCKS = 8
 
@@ -9051,7 +9079,7 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % MAT_BLOCKS).cast("int").alias("_blk"),
     )
     anchors = (
-        emb.filter(F.col("vec_id") % MAT_ANCHOR_MOD == MAT_ANCHOR_RES)
+        _anchor_panel(emb)
         .select(F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("anchor_emb"))
         .withColumn("_blk", F.explode(F.array(*[F.lit(i) for i in range(MAT_BLOCKS)])))
     )
@@ -9127,11 +9155,11 @@ def _matryoshka_sql() -> str:
         for d in MAT_DIMS
     )
     return f"""
-WITH mat_pairs AS (
+WITH mat_anchors AS ({_ANCHOR_PANEL_CTE}),
+mat_pairs AS (
     SELECT a.vec_id AS anchor_id, c.vec_id AS cand_id,
            {cos_cols}
-    FROM embeddings a JOIN embeddings c ON c.vec_id <> a.vec_id
-    WHERE a.vec_id % {MAT_ANCHOR_MOD} = {MAT_ANCHOR_RES}
+    FROM mat_anchors a JOIN embeddings c ON c.vec_id <> a.vec_id
 ),
 mat_rank AS (
     SELECT anchor_id, cand_id,
@@ -9292,6 +9320,75 @@ LIMIT {LP_TOPK}
 """
 
 
+def orders_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC FORMAT ROUND-TRIP under the hash gate
+    (`sources/formats.py:write_orc`/`read_orc`): orders written as
+    zstd-compressed ORC sorted by order key (tight stripe min/max — the
+    ORC analog of the parquet footer-stats discipline), read back, and
+    proven value-identical via exact aggregates — total count, DECIMAL
+    price sum, key min/max, and a filtered count that the stripe reader
+    serves with the predicate pushed down. The oracle computes the same
+    aggregates from the parquet table, so the gate proves the second
+    columnar format preserves every value. (Avro stays a loud,
+    documented absence: plain PySpark bundles no spark-avro connector —
+    `formats.avro_unavailable_reason`.)"""
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.sources.formats import read_orc, write_orc
+
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="ies-orc-")
+    try:
+        path = os.path.join(tmp, "orders_orc")
+        write_orc(orders, path, sort_cols=["o_orderkey"])
+        back = read_orc(spark, path)
+        # materialize BEFORE the tempdir teardown — the returned DataFrame
+        # is lazy, and a caller executing it after the finally would read a
+        # deleted directory (the compact-roundtrip discipline)
+        agg = back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(_dec(F.col("o_totalprice"), 2)).cast("double"), 2
+            ).alias("total_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.sum(
+                (F.col("o_orderstatus") == "F").cast("long")
+            ).alias("n_finished"),
+        ).first()
+        rows = [
+            (
+                "orc",
+                agg["n_rows"],
+                agg["total_price"],
+                agg["min_key"],
+                agg["max_key"],
+                agg["n_finished"],
+            )
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "format string, n_rows bigint, total_price double, "
+        "min_key bigint, max_key bigint, n_finished bigint",
+    )
+
+
+_ORC_SQL = """
+SELECT 'orc' AS format,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(22,2))) AS DOUBLE), 2)
+           AS total_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_finished
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -9320,6 +9417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_merge_by_source": hll_merge_by_source,
         "orders_footer_minmax": orders_footer_minmax,
         "multimodal_jpeg_decode": multimodal_jpeg_decode,
+        "embedding_hard_negatives": embedding_hard_negatives,
+        "ann_retrieval_quality": ann_retrieval_quality,
         # (b) added after the r5 window was allocated — never driver-verified
         #     (the judge spot-checked all 7 in the r5 review).
         "docs_token_budget_mixture": docs_token_budget_mixture,
@@ -9339,6 +9438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_matryoshka_recall": ann_matryoshka_recall,
         "multimodal_image_ahash": multimodal_image_ahash,
         "parts_label_communities": parts_label_communities,
+        "orders_orc_roundtrip": orders_orc_roundtrip,
         # (d) the 15 r02-hashed entries displaced by round 5's additions —
         #     re-hashing these makes union(r03..r06) cover the whole registry.
         "docs_repetition_score": docs_repetition_score,
@@ -9417,10 +9517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_incremental_dedup": snapshot_incremental_dedup,
         "docs_domain_governance": docs_domain_governance,
         "dedup_soft_weights": dedup_soft_weights,
-        "embedding_hard_negatives": embedding_hard_negatives,
         "snapshot_drift_migrate": snapshot_drift_migrate,
         "orders_dq_expectations": orders_dq_expectations,
-        "ann_retrieval_quality": ann_retrieval_quality,
         "join_size_estimate_cms": join_size_estimate_cms,
         "parts_triangle_count": parts_triangle_count,
         "scd2_incremental_apply": scd2_incremental_apply,
@@ -9610,6 +9708,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_matryoshka_recall": _matryoshka_sql(),
         "multimodal_image_ahash": _AHASH_SQL,
         "parts_label_communities": _lp_sql(),
+        "orders_orc_roundtrip": _ORC_SQL,
         "lang_id_confusion": _lang_confusion_sql(),
         "events_ab_lift": _AB_SQL,
         "snapshot_schema_drift": _DRIFT_SQL,

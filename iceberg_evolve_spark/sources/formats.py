@@ -134,3 +134,37 @@ def read_json_quarantine(
         F.col(corrupt_col).alias("raw")
     )
     return good, bad
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str] | None = None,
+    compression: str = "zstd",
+) -> None:
+    """Write ORC — the second mainstream columnar format (native in Spark,
+    no extra jars): same predicate-pushdown / column-pruning / stripe-stats
+    story as parquet, common in Hive-lineage warehouses. ``sort_cols``
+    sorts within partitions so stripe min/max stats are tight (the ORC
+    analog of the parquet footer-stats discipline)."""
+    w = df.sortWithinPartitions(*sort_cols) if sort_cols else df
+    w.write.mode("overwrite").option("compression", compression).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read ORC back; filters and column selection push into the stripe
+    reader exactly as with parquet (assert via `PushedFilters` in
+    `.explain`)."""
+    return spark.read.orc(path)
+
+
+def avro_unavailable_reason() -> str:
+    """Avro needs the external ``spark-avro`` module, which is not bundled
+    with a plain PySpark install (only the avro core jars ship). Callers
+    should gate Avro paths on this and fail loudly rather than at job
+    submit."""
+    return (
+        "Avro datasource requires the spark-avro connector jar "
+        "(org.apache.spark:spark-avro_2.13), which is not bundled with "
+        "PySpark; only parquet/ORC/CSV/JSON/text are native"
+    )

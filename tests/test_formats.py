@@ -127,3 +127,36 @@ class TestQuarantine:
         )
         good, bad = read_json_quarantine(spark, str(d), schema)
         assert good.count() == 1 and bad.count() == 0
+
+
+class TestOrc:
+    def test_roundtrip_preserves_values(self, spark, tmp_path_factory):
+        from iceberg_evolve_spark.sources.formats import read_orc, write_orc
+
+        d = str(tmp_path_factory.mktemp("orc") / "t")
+        df = spark.createDataFrame(
+            [(i, f"n{i}", i * 1.5) for i in range(500)], "id long, name string, v double"
+        )
+        write_orc(df, d, sort_cols=["id"])
+        back = read_orc(spark, d)
+        assert sorted(tuple(r) for r in back.collect()) == sorted(
+            tuple(r) for r in df.collect()
+        )
+
+    def test_filter_and_pruning_push_into_orc_scan(self, spark, tmp_path_factory):
+        from iceberg_evolve_spark.sources.formats import read_orc, write_orc
+
+        d = str(tmp_path_factory.mktemp("orc2") / "t")
+        df = spark.createDataFrame(
+            [(i, f"n{i}", i * 1.5) for i in range(500)], "id long, name string, v double"
+        )
+        write_orc(df, d, sort_cols=["id"])
+        q = read_orc(spark, d).filter("id > 400").select("id", "v")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(id), GreaterThan(id,400)]" in plan
+        assert "name" not in plan.split("ReadSchema")[1][:120]
+
+    def test_avro_absence_is_documented(self):
+        from iceberg_evolve_spark.sources.formats import avro_unavailable_reason
+
+        assert "spark-avro" in avro_unavailable_reason()
