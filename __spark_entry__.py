@@ -9389,6 +9389,314 @@ FROM orders
 """
 
 
+#: Sliding-distinct tuning (Spark and oracle agree).
+SLIDE_WINDOW_H = 24
+SLIDE_B = 8
+
+
+def events_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAILING-WINDOW DISTINCT per hour from mergeable sketches
+    (`functions/sketch.py:hll_sliding_distinct`) — "distinct users over the
+    last 24 h, for every hour" without keeping O(window·distincts) state:
+    ONE grouped register table (≤ 256 rows/hour), each register row
+    replicated to the output hours it covers (replication on KB-scale
+    register metadata, never the events), merged by max(rho) per (hour, j).
+    The EXACT trailing distinct rides along — at gate scale it is the
+    checkable proof; at 100 TB it is precisely the computation the sketch
+    path exists to avoid (the docstring'd contrast). Register arithmetic is
+    exact integers, so the estimate hash-gates; the estimator error per
+    hour becomes a regression number."""
+    from iceberg_evolve_spark.functions.sketch import hll_sliding_distinct
+    from iceberg_evolve_spark.streaming.sessionize import epoch_seconds
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        (epoch_seconds(ev, "ts") / 3600).cast("long").alias("hour_idx"),
+        F.col("user_id").cast("string").alias("u"),
+    )
+    est = hll_sliding_distinct(
+        d, F.col("u"), "hour_idx", window_n=SLIDE_WINDOW_H, b=SLIDE_B
+    ).select(
+        F.col("out_bucket").alias("hour_idx"),
+        "n_filled",
+        "sum_scaled",
+        "est_distinct",
+    )
+    pairs = d.distinct()
+    present = d.select(F.col("hour_idx").alias("ob")).distinct()
+    exact = (
+        pairs.select(
+            F.explode(
+                F.sequence(
+                    F.col("hour_idx"),
+                    F.col("hour_idx") + F.lit(SLIDE_WINDOW_H - 1),
+                )
+            ).alias("ob"),
+            "u",
+        )
+        .join(F.broadcast(present), "ob", "left_semi")
+        .groupBy("ob")
+        .agg(F.countDistinct("u").alias("exact_distinct"))
+        .select(F.col("ob").alias("hour_idx"), "exact_distinct")
+    )
+    return (
+        est.join(exact, "hour_idx")
+        .select(
+            "hour_idx",
+            "n_filled",
+            "sum_scaled",
+            "est_distinct",
+            "exact_distinct",
+            F.round(
+                (F.col("est_distinct") - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("hour_idx")
+    )
+
+
+def _sliding_hll_sql() -> str:
+    from iceberg_evolve_spark.functions.sketch import _hll_alpha
+
+    b = SLIDE_B
+    m, n_bits = 1 << b, 60 - b
+    alpha_num = repr(_hll_alpha(m) * m * m * float(1 << (n_bits + 1)))
+    h = hash60_sql("u")
+    return f"""
+WITH sd_ev AS (
+    SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hb,
+           CAST(user_id AS VARCHAR) AS u
+    FROM events
+),
+sd_r AS (
+    SELECT hb, CAST({h} % {m} AS INT) AS j,
+           {n_bits} - CASE WHEN ({h} >> {b}) = 0 THEN 0
+                           ELSE length(bin({h} >> {b})) END + 1 AS rho
+    FROM sd_ev
+),
+sd_regs AS (SELECT hb, j, MAX(rho) AS rho FROM sd_r GROUP BY 1, 2),
+sd_present AS (SELECT DISTINCT hb AS ob FROM sd_ev),
+sd_cov AS (
+    SELECT CAST(unnest(range(hb, hb + {SLIDE_WINDOW_H})) AS BIGINT) AS ob, j, rho
+    FROM sd_regs
+),
+sd_m AS (
+    SELECT ob, j, MAX(rho) AS rho
+    FROM sd_cov JOIN sd_present USING (ob) GROUP BY 1, 2
+),
+sd_agg AS (
+    SELECT ob, CAST(COUNT(*) AS BIGINT) AS n_filled,
+           CAST(COALESCE(SUM(CAST(1 AS BIGINT) << ({n_bits} + 1 - rho)), 0) AS BIGINT)
+               AS s_present
+    FROM sd_m GROUP BY ob
+),
+sd_sums AS (
+    SELECT ob, n_filled,
+           CAST({m} - n_filled AS BIGINT) AS nz,
+           CAST(s_present + ({m} - n_filled) * CAST({1 << (n_bits + 1)} AS BIGINT)
+                AS BIGINT) AS sum_scaled
+    FROM sd_agg
+),
+sd_est AS (
+    SELECT ob, n_filled, sum_scaled,
+           CASE WHEN nz > 0 AND {alpha_num} / CAST(sum_scaled AS DOUBLE) <= {2.5 * m}
+                THEN ROUND({float(m)!r} * LN({float(m)!r} / CAST(nz AS DOUBLE)), 4)
+                ELSE ROUND({alpha_num} / CAST(sum_scaled AS DOUBLE), 4)
+           END AS est_distinct
+    FROM sd_sums
+),
+sd_pairs AS (SELECT DISTINCT hb, u FROM sd_ev),
+sd_pc AS (
+    SELECT CAST(unnest(range(hb, hb + {SLIDE_WINDOW_H})) AS BIGINT) AS ob, u
+    FROM sd_pairs
+),
+sd_exact AS (
+    SELECT ob, CAST(COUNT(DISTINCT u) AS BIGINT) AS exact_distinct
+    FROM sd_pc JOIN sd_present USING (ob) GROUP BY ob
+)
+SELECT e.ob AS hour_idx, e.n_filled, e.sum_scaled, e.est_distinct,
+       x.exact_distinct,
+       ROUND((e.est_distinct - CAST(x.exact_distinct AS DOUBLE))
+             / CAST(x.exact_distinct AS DOUBLE), 4) AS rel_err
+FROM sd_est e JOIN sd_exact x ON e.ob = x.ob
+ORDER BY hour_idx
+"""
+
+
+#: Grouped-split weights (Spark and oracle agree; thresholds on hash60(source)).
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def docs_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT
+    (`functions/sampling.py:grouped_split`) — assignment is a pure function
+    of the SOURCE (the correlation group), so paraphrases and re-crawls of
+    the same origin can never straddle the split boundary: the group-aware
+    methodology evaluation papers demand once near-duplicates exist. The
+    report aggregates per split (docs, distinct sources, char mass) and
+    carries the structural no-leak witness: Σ per-split distinct sources
+    must equal the corpus's total distinct sources — any source in two
+    splits breaks that equality, and the hash gate would catch it.
+    Content-addressed thresholds ⇒ a pure projection: no shuffle beyond
+    the report's aggregate, engine-replayable CASE in the oracle."""
+    from iceberg_evolve_spark.functions.sampling import grouped_split
+
+    docs = _t(spark, sf_dir, "documents")
+    s = grouped_split(docs, "source", SPLIT_WEIGHTS, salt="split")
+    per = s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    tot = s.agg(F.countDistinct("source").alias("n_sources_total"))
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "split",
+            "n_docs",
+            "n_sources",
+            "n_chars",
+            "n_sources_total",
+        )
+        .orderBy("split")
+    )
+
+
+def _grouped_split_sql() -> str:
+    from iceberg_evolve_spark.functions.sampling import TWO60_INT
+
+    total = sum(SPLIT_WEIGHTS.values())
+    items = sorted(SPLIT_WEIGHTS.items())
+    h = hash60_sql(f"source || '{SEP}split'")
+    acc = 0.0
+    whens = []
+    for name, w in items[:-1]:
+        acc += w / total
+        whens.append(f"WHEN {h} < {int(acc * TWO60_INT)} THEN '{name}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{items[-1][0]}' END"
+    return f"""
+WITH gs AS (SELECT *, {case} AS split FROM documents),
+gs_per AS (
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM gs GROUP BY split
+),
+gs_tot AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources_total FROM gs)
+SELECT split, n_docs, n_sources, n_chars, n_sources_total
+FROM gs_per, gs_tot
+ORDER BY split
+"""
+
+
+#: CDC split rule (Spark and oracle agree): keys %3==0 are NOT in the base
+#: snapshot and arrive as inserts; among the rest, %7==0 arrive as updates
+#: (+10.00 on the price), and %11==0 (and not %7==0) as deletes.
+CDC_PRICE_BUMP = 10.0
+
+
+def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC ENVELOPE INGESTION (`operators/cdc.py`) — Debezium-shape change
+    events applied to a snapshot: JSON envelopes are BUILT with `to_json`
+    and re-PARSED with a typed `from_json` (a real encode→decode round
+    trip through the JVM JSON path, not a struct pass-through), reduced to
+    the last change per key, and merged — inserts land, updates override
+    with a +10.00 price bump, deletes drop. One aggregate over the
+    post-change state per status proves every routing branch under the
+    hash gate (counts AND exact DECIMAL sums move in ways only the correct
+    c/u/d application produces). Scale: the envelope stream reduces to one
+    row per changed key before the snapshot joins; cost is CDC-volume-,
+    not table-, sized. The reference evolves schemas between snapshots;
+    this entry evolves the DATA between snapshots — the other half of the
+    same loop."""
+    from pyspark.sql import types as T
+
+    from iceberg_evolve_spark.operators.cdc import apply_cdc, parse_cdc_envelopes
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    row_schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    k = F.col("o_orderkey")
+    base = orders.filter(k % 3 != 0)
+    row_struct = F.struct("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    inserts = orders.filter(k % 3 == 0).select(
+        F.to_json(
+            F.struct(
+                F.lit("c").alias("op"),
+                k.alias("ts_ms"),
+                row_struct.alias("after"),
+            )
+        ).alias("envelope")
+    )
+    updates = orders.filter((k % 3 != 0) & (k % 7 == 0)).select(
+        F.to_json(
+            F.struct(
+                F.lit("u").alias("op"),
+                k.alias("ts_ms"),
+                F.struct(
+                    "o_orderkey",
+                    "o_custkey",
+                    "o_orderstatus",
+                    (
+                        F.round(F.col("o_totalprice") + CDC_PRICE_BUMP, 2)
+                    ).alias("o_totalprice"),
+                ).alias("after"),
+            )
+        ).alias("envelope")
+    )
+    deletes = orders.filter((k % 3 != 0) & (k % 7 != 0) & (k % 11 == 0)).select(
+        F.to_json(
+            F.struct(
+                F.lit("d").alias("op"),
+                k.alias("ts_ms"),
+                row_struct.alias("before"),
+            )
+        ).alias("envelope")
+    )
+    raw = inserts.unionByName(updates).unionByName(deletes)
+    changes = parse_cdc_envelopes(raw, "envelope", row_schema)
+    final = apply_cdc(base, changes, "o_orderkey")
+    return (
+        final.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(_dec(F.round(F.col("o_totalprice"), 2), 2)).cast("double"), 2
+            ).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_CDC_SQL = f"""
+WITH cdc_final AS (
+    SELECT o_orderstatus,
+           CASE WHEN o_orderkey % 3 <> 0 AND o_orderkey % 7 = 0
+                THEN ROUND(o_totalprice + {CDC_PRICE_BUMP!r}, 2)
+                ELSE o_totalprice END AS price
+    FROM orders
+    WHERE NOT (o_orderkey % 3 <> 0 AND o_orderkey % 7 <> 0 AND o_orderkey % 11 = 0)
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(CAST(SUM(CAST(ROUND(price, 2) AS DECIMAL(22,2))) AS DOUBLE), 2)
+           AS total_price
+FROM cdc_final
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -9439,6 +9747,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_ahash": multimodal_image_ahash,
         "parts_label_communities": parts_label_communities,
         "orders_orc_roundtrip": orders_orc_roundtrip,
+        "events_sliding_distinct_hll": events_sliding_distinct_hll,
+        "docs_grouped_split": docs_grouped_split,
+        "orders_cdc_apply": orders_cdc_apply,
         # (d) the 15 r02-hashed entries displaced by round 5's additions —
         #     re-hashing these makes union(r03..r06) cover the whole registry.
         "docs_repetition_score": docs_repetition_score,
@@ -9709,6 +10020,9 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_ahash": _AHASH_SQL,
         "parts_label_communities": _lp_sql(),
         "orders_orc_roundtrip": _ORC_SQL,
+        "events_sliding_distinct_hll": _sliding_hll_sql(),
+        "docs_grouped_split": _grouped_split_sql(),
+        "orders_cdc_apply": _CDC_SQL,
         "lang_id_confusion": _lang_confusion_sql(),
         "events_ab_lift": _AB_SQL,
         "snapshot_schema_drift": _DRIFT_SQL,

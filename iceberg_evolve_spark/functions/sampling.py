@@ -290,3 +290,37 @@ def temperature_mixture_sample(
         .filter(hash60(_keyed(key, salt)) < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def grouped_split(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is a function of
+    the GROUP (domain, author, dedup-cluster id …), so correlated rows can
+    never straddle the boundary — the group-aware split every evaluation
+    methodology calls for once near-duplicates exist (a doc-level split
+    leaks paraphrases of training rows into test).
+
+    Content-addressed: ``hash60(group, salt)`` against cumulative integer
+    thresholds — engine-reproducible, stable under re-runs and input
+    partitioning, and rows of a group need no coordination (a pure
+    projection; no shuffle, no group materialization). Adds ``split``."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    h = hash60(_keyed(group_col, salt))
+    expr: Column | None = None
+    acc = 0.0
+    items = sorted(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        thr = int(acc * TWO60_INT)
+        cond = h < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)

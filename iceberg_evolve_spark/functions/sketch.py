@@ -387,3 +387,45 @@ def cms_counters_weighted(
         .groupBy("seed", "bucket")
         .agg(F.sum("_w").alias("cnt"))
     )
+
+
+def hll_sliding_distinct(
+    df: DataFrame,
+    col: Column | str,
+    bucket_col: str,
+    window_n: int,
+    b: int = 8,
+) -> DataFrame:
+    """Trailing-window distinct estimate per time bucket — the mergeable-
+    sketch answer to "distinct users over the last 24 h, for every hour".
+
+    An exact trailing distinct needs every (bucket, value) pair replayed per
+    output bucket — O(window · distincts) state that a 100 TB stream cannot
+    keep. Registers make it metadata: build ONE grouped register table
+    (``(bucket, j, rho)``, ≤ m rows per bucket), then each register row is
+    replicated to the ``window_n`` output buckets it covers (replication on
+    the KB-scale register relation, never the data) and merged by
+    ``max(rho)`` per (output bucket, j). Sketch once, answer every trailing
+    window by register arithmetic — the same mergeability that powers
+    per-day → all-time rollups, pointed backwards.
+
+    ``bucket_col`` must be an integer bucket index (e.g. epoch-hours).
+    Output buckets are restricted to buckets present in the data. Returns
+    ``hll_estimate_from_registers`` columns keyed by ``out_bucket``."""
+    regs = hll_registers(df, col, b=b, group_cols=[bucket_col])
+    covered = regs.select(
+        F.explode(
+            F.sequence(
+                F.col(bucket_col), F.col(bucket_col) + F.lit(window_n - 1)
+            )
+        ).alias("out_bucket"),
+        "j",
+        "rho",
+    )
+    present = df.select(F.col(bucket_col).alias("out_bucket")).distinct()
+    merged = (
+        covered.join(F.broadcast(present), "out_bucket", "left_semi")
+        .groupBy("out_bucket", "j")
+        .agg(F.max("rho").alias("rho"))
+    )
+    return hll_estimate_from_registers(merged, b=b, group_cols=["out_bucket"])

@@ -44,6 +44,9 @@ _SINGLE_ROW_NLJ_OK = {
     # surprisal: the 1-row corpus-total aggregate joined onto the
     # vocab-sized histogram (the corpus stream itself sees a hash join)
     "docs_surprisal_score",
+    # grouped split: the 1-row total-distinct-sources witness joined onto
+    # the 3-row per-split report
+    "docs_grouped_split",
 }
 
 #: entries whose scalar-attach shape needs MORE than one single-row NLJ —

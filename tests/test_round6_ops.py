@@ -318,3 +318,130 @@ class TestLabelPropagation:
         ra = sorted(tuple(r) for r in label_propagation(a, rounds=4).collect())
         rb = sorted(tuple(r) for r in label_propagation(b, rounds=4).collect())
         assert ra == rb
+
+
+class TestCdc:
+    def _setup(self, spark):
+        from pyspark.sql import types as T
+
+        snap = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k long, v string, p double",
+        )
+        schema = T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("v", T.StringType()),
+                T.StructField("p", T.DoubleType()),
+            ]
+        )
+        return snap, schema
+
+    def test_parse_and_apply_all_ops(self, spark):
+        import json
+
+        from iceberg_evolve_spark.operators.cdc import apply_cdc, parse_cdc_envelopes
+
+        snap, schema = self._setup(spark)
+        envs = [
+            json.dumps({"op": "u", "ts_ms": 5, "after": {"k": 1, "v": "a2", "p": 11.0}}),
+            json.dumps({"op": "d", "ts_ms": 5, "before": {"k": 2, "v": "b", "p": 20.0}}),
+            json.dumps({"op": "c", "ts_ms": 5, "after": {"k": 9, "v": "new", "p": 90.0}}),
+        ]
+        raw = spark.createDataFrame([(e,) for e in envs], "envelope string")
+        out = apply_cdc(
+            snap, parse_cdc_envelopes(raw, "envelope", schema), "k"
+        )
+        got = {r["k"]: (r["v"], r["p"]) for r in out.collect()}
+        assert got == {1: ("a2", 11.0), 3: ("c", 30.0), 9: ("new", 90.0)}
+
+    def test_last_writer_wins_and_delete_breaks_ties(self, spark):
+        import json
+
+        from iceberg_evolve_spark.operators.cdc import apply_cdc, parse_cdc_envelopes
+
+        snap, schema = self._setup(spark)
+        envs = [
+            json.dumps({"op": "u", "ts_ms": 1, "after": {"k": 1, "v": "x", "p": 1.0}}),
+            json.dumps({"op": "u", "ts_ms": 9, "after": {"k": 1, "v": "y", "p": 2.0}}),
+            # same ts as the 'u' below: delete wins the tie
+            json.dumps({"op": "u", "ts_ms": 4, "after": {"k": 2, "v": "z", "p": 3.0}}),
+            json.dumps({"op": "d", "ts_ms": 4, "before": {"k": 2, "v": "b", "p": 20.0}}),
+        ]
+        raw = spark.createDataFrame([(e,) for e in envs], "envelope string")
+        out = apply_cdc(snap, parse_cdc_envelopes(raw, "envelope", schema), "k")
+        got = {r["k"]: r["v"] for r in out.collect()}
+        assert got == {1: "y", 3: "c"}
+
+    def test_malformed_envelope_yields_null_op(self, spark):
+        from iceberg_evolve_spark.operators.cdc import parse_cdc_envelopes
+
+        _, schema = self._setup(spark)
+        raw = spark.createDataFrame([("not json",)], "envelope string")
+        rows = parse_cdc_envelopes(raw, "envelope", schema).collect()
+        assert rows[0]["op"] is None  # dead-letter-routable, no task crash
+
+
+class TestSlidingHll:
+    def test_estimate_tracks_exact_on_shifting_stream(self, spark):
+        from iceberg_evolve_spark.functions.sketch import hll_sliding_distinct
+
+        # bucket t holds users [100t, 100t+50): trailing-3 exact = 150
+        # once 3 buckets accumulate (memberships are disjoint per bucket)
+        rows = [(t, f"u{100 * t + i}") for t in range(6) for i in range(50)]
+        df = spark.createDataFrame(rows, "b long, u string")
+        from pyspark.sql import functions as F
+
+        est = {
+            r["out_bucket"]: r["est_distinct"]
+            for r in hll_sliding_distinct(df, F.col("u"), "b", window_n=3, b=8).collect()
+        }
+        assert set(est) == set(range(6))
+        for t in range(2, 6):
+            assert abs(est[t] - 150) / 150 < 0.25  # HLL accuracy band at m=256
+        assert abs(est[0] - 50) / 50 < 0.25  # partial window: only bucket 0
+
+    def test_output_restricted_to_present_buckets(self, spark):
+        from pyspark.sql import functions as F
+
+        from iceberg_evolve_spark.functions.sketch import hll_sliding_distinct
+
+        df = spark.createDataFrame([(10, "a"), (14, "b")], "b long, u string")
+        out = sorted(
+            r["out_bucket"]
+            for r in hll_sliding_distinct(df, F.col("u"), "b", window_n=5, b=6).collect()
+        )
+        assert out == [10, 14]  # buckets 11-13 have no data rows → no output
+
+
+class TestGroupedSplit:
+    def test_no_group_straddles_splits(self, spark):
+        from iceberg_evolve_spark.functions.sampling import grouped_split
+
+        rows = [(i, f"g{i % 37}") for i in range(2000)]
+        df = spark.createDataFrame(rows, "id long, grp string")
+        s = grouped_split(df, "grp")
+        from pyspark.sql import functions as F
+
+        per_group = s.groupBy("grp").agg(F.countDistinct("split").alias("n"))
+        assert per_group.filter("n > 1").count() == 0
+        # all three splits appear over enough groups
+        assert s.select("split").distinct().count() >= 2
+
+    def test_deterministic_and_weight_sensitive(self, spark):
+        from iceberg_evolve_spark.functions.sampling import grouped_split
+
+        rows = [(i, f"g{i}") for i in range(3000)]
+        df = spark.createDataFrame(rows, "id long, grp string")
+        a = grouped_split(df, "grp", {"train": 0.5, "test": 0.5})
+        b = grouped_split(df, "grp", {"train": 0.5, "test": 0.5})
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+        frac = a.filter("split = 'train'").count() / 3000
+        assert 0.45 < frac < 0.55
+
+    def test_rejects_nonpositive_weights(self, spark):
+        from iceberg_evolve_spark.functions.sampling import grouped_split
+
+        df = spark.createDataFrame([(1, "g")], "id long, grp string")
+        with pytest.raises(ValueError):
+            grouped_split(df, "grp", {"train": 0.0, "test": 0.0})
