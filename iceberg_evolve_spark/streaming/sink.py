@@ -83,3 +83,75 @@ def run_upsert_stream(
         .outputMode("update")
         .start()
     )
+
+
+def cdc_batch_writer(
+    spark: SparkSession,
+    target_path: str,
+    key: str,
+    op_col: str = "op",
+    order_col: str = "ts_ms",
+):
+    """``foreachBatch`` CDC apply — the streaming twin of
+    ``operators/cdc.py:apply_cdc``: each micro-batch carries upserts
+    (``op`` = 'c'/'u', full row) AND deletes ('d'), reduced to the last
+    change per key (event-time; delete beats upsert on ties — same total
+    order as the batch operator), then applied to the parquet snapshot via
+    the same crash-safe swap.
+
+    Replay safety is the same key-idempotent argument as the upsert sink:
+    re-applying a batch's final per-key changes to the already-changed
+    snapshot converges to the identical state (upserts overwrite with the
+    same values; deletes of absent keys are no-ops) — so at-least-once
+    delivery yields exactly-once effects with no batch markers."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(key).orderBy(
+            F.col(order_col).desc(),
+            (F.col(op_col) == "d").cast("int").desc(),
+            F.col(op_col).desc(),
+        )
+        last = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        _swap.recover(target_path)
+        # op and the event-time ordinal are envelope METADATA — the snapshot
+        # holds the row payload only
+        data_cols = [c for c in last.columns if c not in (op_col, order_col)]
+        upserts = last.filter(F.col(op_col) != "d").select(*data_cols)
+        dropped_keys = last.select(key)
+        if os.path.isdir(target_path):
+            target = spark.read.parquet(target_path)
+            survivors = target.join(dropped_keys, key, "left_anti")
+            merged = survivors.unionByName(upserts.select(target.columns))
+        else:
+            merged = upserts
+        tmp = target_path.rstrip("/") + f"._batch_{batch_id}_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        _swap.swap(tmp, target_path)
+
+    return write
+
+
+def run_cdc_stream(
+    stream: DataFrame,
+    target_path: str,
+    key: str,
+    checkpoint: str,
+    op_col: str = "op",
+    order_col: str = "ts_ms",
+):
+    """Start a CDC-apply stream (availableNow-compatible; see
+    ``cdc_batch_writer``)."""
+    return (
+        stream.writeStream.foreachBatch(
+            cdc_batch_writer(
+                stream.sparkSession, target_path, key, op_col, order_col
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )
