@@ -9697,6 +9697,54 @@ ORDER BY o_orderstatus
 """
 
 
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG DECODE (`functions/png.py`) — the prediction+DEFLATE compression
+    class, completing the still-image matrix: BMP (uncompressed), GIF
+    (dictionary/LZW), JPEG (transform/DCT), PNG (per-scanline
+    Sub/Up/Average/Paeth prediction over a zlib stream). Chunk walk with
+    CRC validation and all five filter reversals are from scratch; the
+    DEFLATE inflate is stdlib zlib (a second from-scratch bitstream
+    decoder would re-prove what the GIF LZW decoder already proves).
+    Fixtures cycle the row filter type through ALL FIVE filters, so
+    Sub/Up/Average/Paeth arithmetic is exercised on every image and any
+    un-filtering bug corrupts the hash-gated channel sums. One fused Arrow
+    stage, no shuffle; closed-form integer oracle."""
+    from iceberg_evolve_spark.functions.png import synth_decode_features as png_feats
+
+    ids = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+    return png_feats(ids).orderBy("doc_id")
+
+
+_PNG_SQL = """
+WITH png_geom AS (
+    SELECT doc_id, 8 + doc_id % 7 AS w, 5 + doc_id % 5 AS h FROM documents
+),
+png_y AS (SELECT doc_id, w, h, CAST(unnest(range(0, h)) AS BIGINT) AS y FROM png_geom),
+png_rows AS (
+    SELECT doc_id, w, h, y,
+           CAST(w // 2 AS BIGINT) AS nl, CAST(w - w // 2 AS BIGINT) AS nr,
+           (doc_id * 5 + y) % 256 AS lr, (doc_id * 9 + y) % 256 AS lg,
+           (doc_id * 2 + y) % 256 AS lb,
+           (doc_id * 19 + y) % 256 AS rr, (doc_id * 23 + y) % 256 AS rg,
+           (doc_id * 29 + y) % 256 AS rb
+    FROM png_y
+)
+SELECT doc_id,
+       CAST(MAX(w) AS INTEGER) AS width,
+       CAST(MAX(h) AS INTEGER) AS height,
+       CAST(SUM(nl * lr + nr * rr) AS BIGINT) AS sum_r,
+       CAST(SUM(nl * lg + nr * rg) AS BIGINT) AS sum_g,
+       CAST(SUM(nl * lb + nr * rb) AS BIGINT) AS sum_b,
+       CAST(MAX(CASE WHEN y = 0 THEN lr END) AS INTEGER) AS first_px_r,
+       CAST(MAX(CASE WHEN y = 0 THEN lg END) AS INTEGER) AS first_px_g,
+       CAST(MAX(CASE WHEN y = 0 THEN lb END) AS INTEGER) AS first_px_b,
+       CAST(MAX(CASE WHEN y = h - 1 THEN rb END) AS INTEGER) AS last_px_b
+FROM png_rows
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -9750,6 +9798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_distinct_hll": events_sliding_distinct_hll,
         "docs_grouped_split": docs_grouped_split,
         "orders_cdc_apply": orders_cdc_apply,
+        "multimodal_png_decode": multimodal_png_decode,
         # (d) the 15 r02-hashed entries displaced by round 5's additions —
         #     re-hashing these makes union(r03..r06) cover the whole registry.
         "docs_repetition_score": docs_repetition_score,
@@ -10023,6 +10072,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_distinct_hll": _sliding_hll_sql(),
         "docs_grouped_split": _grouped_split_sql(),
         "orders_cdc_apply": _CDC_SQL,
+        "multimodal_png_decode": _PNG_SQL,
         "lang_id_confusion": _lang_confusion_sql(),
         "events_ab_lift": _AB_SQL,
         "snapshot_schema_drift": _DRIFT_SQL,

@@ -84,8 +84,8 @@ def decode_payload(payload: bytes, media_meta: dict) -> "object":
     codec this environment does not ship."""
     mt = (media_meta or {}).get("media_type")
     if mt == "image":
-        # sniff the container: uncompressed BMP, LZW-compressed GIF, or
-        # DCT-compressed baseline JPEG
+        # sniff the container: uncompressed BMP, LZW-compressed GIF,
+        # DCT-compressed baseline JPEG, or prediction+DEFLATE PNG
         if payload[:3] == b"GIF":
             from iceberg_evolve_spark.functions.gif import decode_one_gif
 
@@ -94,6 +94,10 @@ def decode_payload(payload: bytes, media_meta: dict) -> "object":
             from iceberg_evolve_spark.functions.jpeg import decode_one_jpeg
 
             return decode_one_jpeg(payload)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            from iceberg_evolve_spark.functions.png import decode_one_png
+
+            return decode_one_png(payload)
         from iceberg_evolve_spark.functions.image import decode_one_bmp
 
         return decode_one_bmp(payload)

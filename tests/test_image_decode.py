@@ -132,3 +132,77 @@ class TestRouterDiagnosis:
             decode_payload(b"\x00\x01", {})
         with pytest.raises(ValueError, match="unknown media_type"):
             decode_payload(b"\x00\x01", None)
+
+
+class TestPngDecode:
+    def test_roundtrip_all_filters_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from iceberg_evolve_spark.functions.png import (
+            _pixel,
+            decode_one_png,
+            synth_params,
+            synth_png_payload,
+        )
+
+        @settings(max_examples=80, deadline=None)
+        @given(st.integers(min_value=0, max_value=10**12))
+        def check(doc_id):
+            w, h, _, _ = synth_params(doc_id)
+            feats = decode_one_png(synth_png_payload(doc_id))
+            assert (feats["width"], feats["height"]) == (w, h)
+            assert feats["sum_r"] == sum(
+                _pixel(doc_id, x, y, w)[0] for y in range(h) for x in range(w)
+            )
+            assert feats["last_px_b"] == _pixel(doc_id, w - 1, h - 1, w)[2]
+
+        check()
+
+    def test_crc_corruption_detected(self):
+        from iceberg_evolve_spark.functions.png import decode_one_png, synth_png_payload
+
+        p = bytearray(synth_png_payload(3))
+        i = p.find(b"IDAT") + 6
+        p[i] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC"):
+            decode_one_png(bytes(p))
+
+    def test_unsupported_variants_fail_loudly(self):
+        import struct as _s
+
+        from iceberg_evolve_spark.functions.png import decode_one_png, synth_png_payload
+
+        import zlib as _z
+
+        p = bytearray(synth_png_payload(4))
+        i = p.find(b"IHDR")
+        body = bytearray(p[i + 4 : i + 4 + 13])
+        body[9] = 3  # palette color type
+        crc = _s.pack(">I", _z.crc32(b"IHDR" + bytes(body)) & 0xFFFFFFFF)
+        p[i + 4 : i + 4 + 13] = body
+        p[i + 4 + 13 : i + 4 + 17] = crc
+        with pytest.raises(ValueError, match="truecolor"):
+            decode_one_png(bytes(p))
+
+    def test_payload_routing(self):
+        from iceberg_evolve_spark.functions.multimodal import decode_payload
+        from iceberg_evolve_spark.functions.png import synth_png_payload, synth_params
+
+        feats = decode_payload(synth_png_payload(6), {"media_type": "image"})
+        assert feats["width"] == synth_params(6)[0]
+
+    def test_fused_spark_stage(self, spark):
+        from iceberg_evolve_spark.functions.png import (
+            synth_decode_features,
+            synth_params,
+            _pixel,
+        )
+
+        rows = synth_decode_features(spark.range(0, 10), id_col="id").collect()
+        assert len(rows) == 10
+        r7 = next(r for r in rows if r["doc_id"] == 7)
+        w, h, _, _ = synth_params(7)
+        assert r7["sum_g"] == sum(
+            _pixel(7, x, y, w)[1] for y in range(h) for x in range(w)
+        )
