@@ -4942,8 +4942,9 @@ LIMIT {ANN_K}
 
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximation QUALITY under the hash gate: recall@k of each
-    approximate ANN serving path (IVF float probe, IVF-SQ8 two-stage probe,
-    sign-LSH bucket scan) against the exact brute-force top-k, as one tiny
+    approximate ANN serving path (binary-quantization Hamming scan — r6,
+    IVF float probe, IVF-PQ ADC, IVF-SQ8 two-stage probe, sign-LSH bucket
+    scan) against the exact brute-force top-k, as one tiny
     summary row per method. Every input is deterministic (md5-sampled
     centroids, hash-derived hyperplanes, fixed-fold arithmetic), so the
     oracle replays the full approximate AND exact pipelines and computes the
@@ -4955,6 +4956,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_ids = [r.vec_id for r in ann_topk_bruteforce(spark, sf_dir).select("vec_id").collect()]
     parts = []
     for method, fn in (
+        ("hamming", ann_topk_hamming),  # r6: the binary-quantization rung
         ("ivf", ann_topk_ivf),
         ("ivf_pq", ann_topk_ivf_pq),
         ("ivf_sq8", ann_topk_ivf_sq8),
@@ -4982,6 +4984,7 @@ def _ann_recall_sql() -> str:
     scopes each nested WITH, so the shared CTE names never collide)."""
     arms = []
     for method, sql in (
+        ("hamming", _hamming_sql()),
         ("ivf", _ivf_sql()),
         ("ivf_pq", _ivf_pq_sql()),
         ("ivf_sq8", _ivf_sq8_sql()),
@@ -9745,6 +9748,67 @@ ORDER BY doc_id
 """
 
 
+def ann_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-QUANTIZED ANN (`functions/embedding.py:binary_quantize` /
+    `hamming_topk`) — the BQ serving mode of production vector stores: 64
+    float dims become 64 sign bits in two 32-bit words (32× smaller scan),
+    candidates rank by ``popcount(xor)`` — pure integer codegen, no float
+    until the exact cosine RERANK of the k survivors (one broadcast join
+    back to the float vectors). Complements the quantization ladder
+    (float → SQ8 → PQ → binary): each rung trades recall for scan
+    bandwidth, and this rung's entire scan phase is hash-gate-exact
+    because Hamming distance has no float at all. Query code derives from
+    the same vec_id-0 query vector as every ANN entry."""
+    from iceberg_evolve_spark.functions.embedding import binary_quantize, hamming_topk
+    from iceberg_evolve_spark.functions.similarity import cosine_sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    q_lo = sum(1 << i for i in range(32) if qv[i] >= 0)
+    q_hi = sum(1 << i for i in range(32) if qv[32 + i] >= 0)
+    codes = binary_quantize(emb)
+    top = hamming_topk(codes, q_lo, q_hi, k=ANN_K)
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        top.join(emb, "vec_id")
+        .select(
+            "vec_id",
+            "hamming",
+            F.round(cosine_sim(F.col("embedding"), q), 6).alias("cosine"),
+        )
+        .orderBy("hamming", "vec_id")
+    )
+
+
+def _hamming_sql() -> str:
+    word = lambda s, tbl: (
+        f"list_reduce(list_transform(range(1, 33), i -> CASE WHEN "
+        f"{tbl}.embedding[i + {s}] >= 0 THEN CAST(1 AS BIGINT) << (i - 1) "
+        f"ELSE CAST(0 AS BIGINT) END), (x, y) -> x + y)"
+    )
+    return f"""
+WITH hq AS (
+    SELECT {word(0, 'embeddings')} AS q_lo, {word(32, 'embeddings')} AS q_hi,
+           embedding AS qv
+    FROM embeddings WHERE vec_id = 0
+),
+hc AS (
+    SELECT e.vec_id, e.embedding,
+           CAST(bit_count(xor({word(0, 'e')}, hq.q_lo))
+              + bit_count(xor({word(32, 'e')}, hq.q_hi)) AS INTEGER) AS hamming
+    FROM embeddings e, hq
+),
+htop AS (
+    SELECT vec_id, hamming, embedding FROM hc
+    ORDER BY hamming ASC, vec_id ASC LIMIT {ANN_K}
+)
+SELECT t.vec_id, t.hamming,
+       ROUND({_cosine_sql('t.embedding', 'q.qv')}, 6) AS cosine
+FROM htop t, hq q
+ORDER BY t.hamming, t.vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -9775,6 +9839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_decode": multimodal_jpeg_decode,
         "embedding_hard_negatives": embedding_hard_negatives,
         "ann_retrieval_quality": ann_retrieval_quality,
+        "ann_recall_at_k": ann_recall_at_k,
         # (b) added after the r5 window was allocated — never driver-verified
         #     (the judge spot-checked all 7 in the r5 review).
         "docs_token_budget_mixture": docs_token_budget_mixture,
@@ -9799,6 +9864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_grouped_split": docs_grouped_split,
         "orders_cdc_apply": orders_cdc_apply,
         "multimodal_png_decode": multimodal_png_decode,
+        "ann_topk_hamming": ann_topk_hamming,
         # (d) the 15 r02-hashed entries displaced by round 5's additions —
         #     re-hashing these makes union(r03..r06) cover the whole registry.
         "docs_repetition_score": docs_repetition_score,
@@ -9930,7 +9996,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_variant_extract": events_variant_extract,
         "dedup_ngram_containment": dedup_ngram_containment,
         "decontaminate_overlap_rate": decontaminate_overlap_rate,
-        "ann_recall_at_k": ann_recall_at_k,
         "hll_distinct_lineitems": hll_distinct_lineitems,
         "dedup_semantic_cells": dedup_semantic_cells,
         "docs_gopher_rules": docs_gopher_rules,
@@ -10073,6 +10138,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_grouped_split": _grouped_split_sql(),
         "orders_cdc_apply": _CDC_SQL,
         "multimodal_png_decode": _PNG_SQL,
+        "ann_topk_hamming": _hamming_sql(),
         "lang_id_confusion": _lang_confusion_sql(),
         "events_ab_lift": _AB_SQL,
         "snapshot_schema_drift": _DRIFT_SQL,

@@ -151,3 +151,72 @@ def random_projection(
     return out.select(
         "vec_id", F.array(*[F.col(f"_y{j}") for j in range(out_dims)]).alias("y")
     )
+
+
+def binary_quantize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    lo_col: str = "bq_lo",
+    hi_col: str = "bq_hi",
+) -> DataFrame:
+    """Binary quantization: a d-dim float vector becomes d SIGN BITS
+    (bit i set ⇔ component i ≥ 0) — a 32× storage/bandwidth cut, and
+    similarity becomes ``popcount(xor)`` (Hamming distance), pure integer
+    ops with no float anywhere. This is the BQ serving mode of production
+    vector stores: scan the codes, Hamming-rank, exact-rerank survivors.
+
+    Codes pack into 32-bit WORDS (``lo`` = components 0..31, ``hi`` =
+    32..63): a single 64-bit word would need ``1 << 63``, which overflows
+    signed BIGINT in the oracle engine — and the per-32-dim word layout is
+    exactly how wider embeddings (128/256-d) pack anyway. Both words are
+    plain integer folds in codegen; the oracle replays the identical bit
+    arithmetic."""
+    if dim > 64:
+        raise ValueError("dim > 64 needs more words; pack per 32 dims")
+    c = F.col(vec_col)
+
+    def word(start: int, n: int):
+        # Horner form (high bit first: acc·2 + bit) — shiftleft() takes only
+        # a LITERAL bit count, so a per-element shift can't be expressed;
+        # the fold is the same integer, one multiply+add per element.
+        return F.aggregate(
+            F.sequence(F.lit(start + n), F.lit(start + 1), F.lit(-1)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc * F.lit(2).cast("long")
+            + F.when(F.element_at(c, i.cast("int")) >= 0, F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long")),
+        )
+
+    n_lo = min(dim, 32)
+    out = df.withColumn(lo_col, word(0, n_lo))
+    n_hi = dim - n_lo
+    return out.withColumn(
+        hi_col, word(32, n_hi) if n_hi > 0 else F.lit(0).cast("long")
+    )
+
+
+def hamming_topk(
+    df: DataFrame,
+    query_lo: int,
+    query_hi: int,
+    k: int = 10,
+    lo_col: str = "bq_lo",
+    hi_col: str = "bq_hi",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by Hamming distance to a literal query code:
+    ``bit_count(lo XOR q_lo) + bit_count(hi XOR q_hi)`` is one codegen'd
+    integer expression per row; ``ORDER BY … LIMIT k`` compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort). Ties
+    break on id for determinism."""
+    dist = F.bit_count(
+        F.col(lo_col).bitwiseXOR(F.lit(int(query_lo)).cast("long"))
+    ) + F.bit_count(
+        F.col(hi_col).bitwiseXOR(F.lit(int(query_hi)).cast("long"))
+    )
+    return (
+        df.select(F.col(id_col), dist.cast("int").alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

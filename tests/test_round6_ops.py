@@ -445,3 +445,63 @@ class TestGroupedSplit:
         df = spark.createDataFrame([(1, "g")], "id long, grp string")
         with pytest.raises(ValueError):
             grouped_split(df, "grp", {"train": 0.0, "test": 0.0})
+
+
+class TestBinaryQuantization:
+    def test_codes_match_python_reference(self, spark):
+        import random
+
+        from iceberg_evolve_spark.functions.embedding import binary_quantize
+
+        rnd = random.Random(9)
+        rows = [
+            (i, [rnd.uniform(-1, 1) for _ in range(64)]) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {
+            r["vec_id"]: (r["bq_lo"], r["bq_hi"])
+            for r in binary_quantize(df).collect()
+        }
+        for vid, vec in rows:
+            lo = sum(1 << i for i in range(32) if vec[i] >= 0)
+            hi = sum(1 << i for i in range(32) if vec[32 + i] >= 0)
+            assert got[vid] == (lo, hi), vid
+        # boundary: exact zero counts as a set bit (>= 0)
+        zdf = spark.createDataFrame(
+            [(1, [0.0] * 64)], "vec_id long, embedding array<double>"
+        )
+        r = binary_quantize(zdf).first()
+        assert (r["bq_lo"], r["bq_hi"]) == ((1 << 32) - 1, (1 << 32) - 1)
+
+    def test_hamming_topk_matches_brute_force(self, spark):
+        import random
+
+        from iceberg_evolve_spark.functions.embedding import (
+            binary_quantize,
+            hamming_topk,
+        )
+
+        rnd = random.Random(10)
+        rows = [(i, [rnd.uniform(-1, 1) for _ in range(64)]) for i in range(200)]
+        df = binary_quantize(
+            spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        )
+        q = rows[3][1]
+        q_lo = sum(1 << i for i in range(32) if q[i] >= 0)
+        q_hi = sum(1 << i for i in range(32) if q[32 + i] >= 0)
+        got = [
+            (r["vec_id"], r["hamming"])
+            for r in hamming_topk(df, q_lo, q_hi, k=7).collect()
+        ]
+        def ham(vec):
+            lo = sum(1 << i for i in range(32) if vec[i] >= 0)
+            hi = sum(1 << i for i in range(32) if vec[32 + i] >= 0)
+            return bin(lo ^ q_lo).count("1") + bin(hi ^ q_hi).count("1")
+        want = sorted(((ham(v), i) for i, v in rows))[:7]
+        assert got == [(i, h) for h, i in want]
+
+    def test_rejects_wide_vectors(self):
+        from iceberg_evolve_spark.functions.embedding import binary_quantize
+
+        with pytest.raises(ValueError):
+            binary_quantize(None, dim=128)
