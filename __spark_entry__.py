@@ -9809,6 +9809,73 @@ ORDER BY t.hamming, t.vec_id
 """
 
 
+def orders_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION (`sources/partitions.py`) — the data-layout
+    sibling of the reference's schema evolution: a layout partitioned by
+    `o_orderstatus` is rewritten under the evolved spec `(o_orderstatus,
+    o_year)` with a DERIVED partition column (`year(o_orderdate)` — the
+    hidden-partitioning transform made a real column), through the same
+    crash-safe swap as compaction. The hash gate proves (a) content
+    preservation — exact aggregates over the post-evolution layout equal
+    the source — and (b) the spec itself: partition-directory counts
+    before/after equal the distinct key counts only a correct
+    partitionBy produces. Pruning under the new spec is plan-asserted in
+    `test_partitions.py`. Iceberg does this as a metadata operation
+    (`REPLACE PARTITION FIELD`); without a table format it is this exact
+    rewrite, and the call-site shape is identical."""
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.sources.formats import write_partitioned
+    from iceberg_evolve_spark.sources.partitions import (
+        evolve_partition_spec,
+        partition_dirs,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="ies-spec-")
+    try:
+        path = os.path.join(tmp, "orders_lake")
+        write_partitioned(orders, path, ["o_orderstatus"])
+        parts_before = len(partition_dirs(path))
+        parts_after = evolve_partition_spec(
+            spark,
+            path,
+            {
+                "o_orderstatus": "o_orderstatus",
+                "o_year": F.year("o_orderdate"),
+            },
+        )
+        back = spark.read.parquet(path)
+        agg = back.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(_dec(F.round(F.col("o_totalprice"), 2), 2)).cast("double"), 2
+            ).alias("s"),
+            F.countDistinct("o_year").alias("ny"),
+        ).first()
+        rows = [(parts_before, parts_after, agg["n"], agg["s"], agg["ny"])]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "parts_before int, parts_after int, n_rows bigint, "
+        "total_price double, n_years bigint",
+    )
+
+
+_SPEC_EVOLVE_SQL = """
+SELECT CAST(COUNT(DISTINCT o_orderstatus) AS INTEGER) AS parts_before,
+       CAST(COUNT(DISTINCT (o_orderstatus, CAST(year(o_orderdate) AS INTEGER)))
+            AS INTEGER) AS parts_after,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(22,2))) AS DOUBLE), 2)
+           AS total_price,
+       CAST(COUNT(DISTINCT year(o_orderdate)) AS BIGINT) AS n_years
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -9865,6 +9932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cdc_apply": orders_cdc_apply,
         "multimodal_png_decode": multimodal_png_decode,
         "ann_topk_hamming": ann_topk_hamming,
+        "orders_partition_evolution": orders_partition_evolution,
         # (d) the 15 r02-hashed entries displaced by round 5's additions —
         #     re-hashing these makes union(r03..r06) cover the whole registry.
         "docs_repetition_score": docs_repetition_score,
@@ -10139,6 +10207,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_cdc_apply": _CDC_SQL,
         "multimodal_png_decode": _PNG_SQL,
         "ann_topk_hamming": _hamming_sql(),
+        "orders_partition_evolution": _SPEC_EVOLVE_SQL,
         "lang_id_confusion": _lang_confusion_sql(),
         "events_ab_lift": _AB_SQL,
         "snapshot_schema_drift": _DRIFT_SQL,
