@@ -9631,42 +9631,44 @@ def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = F.col("o_orderkey")
     base = orders.filter(k % 3 != 0)
+    # ONE pass builds every envelope type (a real CDC feed is one stream):
+    # op from the key split rule, after/before populated per op
+    op = (
+        F.when(k % 3 == 0, F.lit("c"))
+        .when(k % 7 == 0, F.lit("u"))
+        .when(k % 11 == 0, F.lit("d"))
+    )
+    after = F.when(
+        F.col("op") == "d", F.lit(None)
+    ).otherwise(
+        F.struct(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.when(
+                F.col("op") == "u",
+                F.round(F.col("o_totalprice") + CDC_PRICE_BUMP, 2),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
     row_struct = F.struct("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-    inserts = orders.filter(k % 3 == 0).select(
-        F.to_json(
-            F.struct(
-                F.lit("c").alias("op"),
-                k.alias("ts_ms"),
-                row_struct.alias("after"),
-            )
-        ).alias("envelope")
-    )
-    updates = orders.filter((k % 3 != 0) & (k % 7 == 0)).select(
-        F.to_json(
-            F.struct(
-                F.lit("u").alias("op"),
-                k.alias("ts_ms"),
+    before = F.when(F.col("op") == "d", row_struct).otherwise(F.lit(None))
+    raw = (
+        orders.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            F.to_json(
                 F.struct(
-                    "o_orderkey",
-                    "o_custkey",
-                    "o_orderstatus",
-                    (
-                        F.round(F.col("o_totalprice") + CDC_PRICE_BUMP, 2)
-                    ).alias("o_totalprice"),
-                ).alias("after"),
-            )
-        ).alias("envelope")
+                    F.col("op"),
+                    k.alias("ts_ms"),
+                    before.alias("before"),
+                    after.alias("after"),
+                )
+            ).alias("envelope")
+        )
     )
-    deletes = orders.filter((k % 3 != 0) & (k % 7 != 0) & (k % 11 == 0)).select(
-        F.to_json(
-            F.struct(
-                F.lit("d").alias("op"),
-                k.alias("ts_ms"),
-                row_struct.alias("before"),
-            )
-        ).alias("envelope")
-    )
-    raw = inserts.unionByName(updates).unionByName(deletes)
     changes = parse_cdc_envelopes(raw, "envelope", row_schema)
     final = apply_cdc(base, changes, "o_orderkey")
     return (
@@ -9770,7 +9772,8 @@ def ann_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = hamming_topk(codes, q_lo, q_hi, k=ANN_K)
     q = F.array(*[F.lit(float(x)) for x in qv])
     return (
-        top.join(emb, "vec_id")
+        F.broadcast(top)
+        .join(emb, "vec_id")
         .select(
             "vec_id",
             "hamming",

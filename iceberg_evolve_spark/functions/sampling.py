@@ -310,8 +310,8 @@ def grouped_split(
     projection; no shuffle, no group materialization). Adds ``split``."""
     weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
     total = sum(weights.values())
-    if total <= 0:
-        raise ValueError("weights must sum to a positive value")
+    if total <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative and sum to a positive value")
     h = hash60(_keyed(group_col, salt))
     expr: Column | None = None
     acc = 0.0

@@ -65,12 +65,18 @@ def apply_cdc(
     ``ts_ms`` wins (ties: delete beats upsert — the conservative order,
     then larger op string for totality). c/u upsert ``after``; d deletes.
     Returns the post-change snapshot with the snapshot's schema."""
-    keyed = changes.select(
-        F.coalesce(F.col(f"after.{key}"), F.col(f"before.{key}")).alias("_k"),
-        "op",
-        "ts_ms",
-        "after",
-    ).filter(F.col("op").isin("c", "u", "d"))
+    keyed = (
+        changes.select(
+            F.coalesce(F.col(f"after.{key}"), F.col(f"before.{key}")).alias("_k"),
+            "op",
+            "ts_ms",
+            "after",
+        )
+        .filter(F.col("op").isin("c", "u", "d"))
+        # a c/u envelope whose after payload failed to parse must not
+        # upsert a ghost row of NULLs — route it to dead-letter upstream
+        .filter((F.col("op") == "d") | F.col("after").isNotNull())
+    )
     w = Window.partitionBy("_k").orderBy(
         F.col("ts_ms").desc(),
         (F.col("op") == "d").cast("int").desc(),

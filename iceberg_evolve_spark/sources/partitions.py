@@ -64,15 +64,12 @@ def evolve_partition_spec(
     until the final rename lands."""
     _swap.recover(path)
     df = spark.read.parquet(path)
-    derived = []
     for name, expr in new_spec.items():
         if isinstance(expr, str):
             if expr != name:
                 df = df.withColumn(name, F.col(expr))
-                derived.append(name)
         elif name not in df.columns:
             df = df.withColumn(name, expr)
-            derived.append(name)
     if drop_derived:
         # partitionBy columns must exist in df; dropping happens on read-side
         raise NotImplementedError(
