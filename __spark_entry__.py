@@ -9879,6 +9879,139 @@ FROM orders
 """
 
 
+#: Trimmed-mean tuning (Spark and oracle agree): drop the lowest and
+#: highest TRIM_PPM/1e6 of rows per group by rank (count-based, exact).
+TRIM_PPM = 50_000  # 5%
+
+
+def orders_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST AGGREGATION — exact per-group trimmed mean: per order
+    priority, the mean of o_totalprice after dropping the bottom and top
+    5% of ROWS (count-based trim: ``k = floor(n·ppm/1e6)`` rows off each
+    end by rank — integer-exact, unlike quantile-threshold trims whose
+    float cutoffs can disagree across engines). The trim uses one rank
+    window per group (ties broken by order key, so the kept SET is
+    deterministic), sums accumulate as exact DECIMAL, and the mean is ONE
+    final division. The robust/raw gap is the outlier-influence readout a
+    monitoring pipeline tracks. Scale: one key shuffle for the window,
+    map-side-combined aggregation on top — the group series, never the
+    table, pays the sort."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")).alias("n"),
+    ).withColumn("k", F.expr(f"CAST(n * {TRIM_PPM} DIV 1000000 AS BIGINT)"))
+    kept = ranked.filter((F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k")))
+    return (
+        kept.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n_rows"),
+            F.max("k").alias("n_trimmed_each_end"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(_dec(F.round(F.col("o_totalprice"), 2), 2)).alias("_s"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_rows",
+            "n_trimmed_each_end",
+            "n_kept",
+            F.round(
+                F.col("_s").cast("double") / F.col("n_kept").cast("double"), 4
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_TRIMMED_SQL = f"""
+WITH tm2_r AS (
+    SELECT o_orderpriority, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM orders
+),
+tm2_k AS (SELECT *, CAST(n * {TRIM_PPM} // 1000000 AS BIGINT) AS k FROM tm2_r),
+tm2_kept AS (SELECT * FROM tm2_k WHERE rn > k AND rn <= n - k)
+SELECT o_orderpriority,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
+       CAST(MAX(k) AS BIGINT) AS n_trimmed_each_end,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(22,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS trimmed_mean
+FROM tm2_kept
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def orders_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT RETENTION (`sources/snapshots.py:expire_snapshots`) —
+    Iceberg's `expire_snapshots` + orphan cleanup on the snapshot layer:
+    four snapshots (growing status subsets), a rollback whose target sits
+    OUTSIDE the retention count, then retention keep_last=2. The hash gate
+    proves the three invariants that make retention safe: (a) expired
+    versions become unresolvable while survivors read intact (exact
+    row-count aggregates), (b) a data dir referenced by a surviving
+    ROLLBACK entry survives even though its own version expired (the
+    classic retention bug — deleting it would corrupt the current table),
+    and (c) the reclaimed-dir list is exactly the unreferenced set.
+    Deterministic: fixed timestamps, derived subsets, bounded driver
+    rows. The oracle computes every expected count from the orders table
+    and the retention rule itself."""
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="ies-expire-")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "orders_table"))
+        t.write(orders.filter(F.col("o_orderstatus") == "F"), ts=1000.0)  # v1
+        t.write(orders.filter(F.col("o_orderstatus") != "P"), ts=2000.0)  # v2
+        t.write(orders, ts=3000.0)                                        # v3
+        t.rollback(1, ts=4000.0)                                          # v4 -> v1 dir
+        expired, removed = t.expire_snapshots(keep_last=2)
+        surviving = [e["version"] for e in t.versions()]
+        current_n = t.read(spark).count()
+        v3_n = t.read(spark, version=3).count()
+        rows = [
+            (
+                ",".join(str(v) for v in expired),
+                ",".join(removed),
+                ",".join(str(v) for v in surviving),
+                int(current_n),
+                int(v3_n),
+            )
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "expired_versions string, removed_dirs string, "
+        "surviving_versions string, current_rows bigint, v3_rows bigint",
+    )
+
+
+#: v1/v2 expire; v1's dir survives (the v4 rollback references it) so only
+#: v00002's dir is reclaimed; current == v1 content ('F' rows), v3 == all.
+_SNAP_EXPIRE_SQL = """
+SELECT '1,2' AS expired_versions,
+       'v00002' AS removed_dirs,
+       '3,4' AS surviving_versions,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+           AS current_rows,
+       CAST(COUNT(*) AS BIGINT) AS v3_rows
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -9936,6 +10069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_decode": multimodal_png_decode,
         "ann_topk_hamming": ann_topk_hamming,
         "orders_partition_evolution": orders_partition_evolution,
+        "orders_trimmed_mean": orders_trimmed_mean,
+        "orders_snapshot_expire": orders_snapshot_expire,
         # (d) the 15 r02-hashed entries displaced by round 5's additions —
         #     re-hashing these makes union(r03..r06) cover the whole registry.
         "docs_repetition_score": docs_repetition_score,
@@ -10211,6 +10346,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_png_decode": _PNG_SQL,
         "ann_topk_hamming": _hamming_sql(),
         "orders_partition_evolution": _SPEC_EVOLVE_SQL,
+        "orders_trimmed_mean": _TRIMMED_SQL,
+        "orders_snapshot_expire": _SNAP_EXPIRE_SQL,
         "lang_id_confusion": _lang_confusion_sql(),
         "events_ab_lift": _AB_SQL,
         "snapshot_schema_drift": _DRIFT_SQL,

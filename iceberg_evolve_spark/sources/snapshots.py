@@ -156,3 +156,62 @@ class SnapshotTable:
         current ``as_of`` a timestamp (time travel)."""
         entry = self._resolve(version, as_of)
         return spark.read.parquet(os.path.join(self.path, entry["data_dir"]))
+
+
+    # -- maintenance -------------------------------------------------------
+    def expire_snapshots(
+        self, keep_last: int, min_ts: float | None = None
+    ) -> tuple[list[int], list[str]]:
+        """Retention: expire manifest entries beyond the newest ``keep_last``
+        (optionally also keeping everything at/after ``min_ts``), then delete
+        data dirs no surviving entry references — Iceberg's
+        ``expire_snapshots`` + orphan cleanup on this layer.
+
+        Commit-order discipline mirrors the write path in reverse: the
+        MANIFEST shrinks first (atomic replace — after this, no reader can
+        resolve an expired version), and only then are now-unreferenced data
+        dirs removed. A crash between the two steps leaves unreferenced
+        orphan dirs — invisible to readers, reclaimed by the next call —
+        never a referenced-but-deleted dir. Rollback entries keep their
+        target alive: retention counts ENTRIES, and a dir survives while ANY
+        surviving entry (including a rollback pointer) references it.
+
+        Returns (expired version numbers, removed data dirs)."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        entries = self.versions()
+        if not entries:
+            return [], []
+        keep = entries[-keep_last:]
+        if min_ts is not None:
+            keep = [
+                e
+                for e in entries
+                if e["ts"] >= min_ts or e in keep
+            ]
+        expired = [e for e in entries if e not in keep]
+        if expired:
+            # commit point: expired versions unresolvable from here on
+            self._commit(keep)
+        live_dirs = {e["data_dir"] for e in keep}
+        removed = []
+        # Sweep EVERY unreferenced data dir, not just the ones this call
+        # expired — a crash between a previous retention's manifest commit
+        # and its dir cleanup leaves orphans whose entries are already gone,
+        # so "remove what I expired" would strand them forever. Part of the
+        # single-writer protocol (a concurrent writer's renamed-but-
+        # uncommitted dir would look like an orphan; table formats guard
+        # this with the catalog's commit lock).
+        for name in sorted(os.listdir(self.path)):
+            full = os.path.join(self.path, name)
+            if (
+                os.path.isdir(full)
+                and name.startswith("v")
+                and name[1:].isdigit()
+                and name not in live_dirs
+            ):
+                shutil.rmtree(full)
+                removed.append(name)
+        return [e["version"] for e in expired], sorted(set(removed))

@@ -106,6 +106,7 @@ def hll_batch_writer(
     target_path: str,
     key_col: str,
     b: int = 8,
+    group_cols: list[str] | None = None,
 ):
     """``foreachBatch`` function maintaining an HLL register snapshot.
 
@@ -118,6 +119,12 @@ def hll_batch_writer(
     still required. The snapshot is ≤ 2**b rows of metadata; the distinct
     count of the entire stream history is one KB-scale read away at any
     volume.
+
+    ``group_cols`` maintains one sketch per group (e.g. per hour-bucket:
+    register rows keyed ``(bucket, j)``) — the layout
+    ``sketch.hll_sliding_distinct`` serves trailing-window distinct
+    queries from, so the stream maintains the registers and ANY trailing
+    window is answered from the snapshot without replaying data.
     """
     from iceberg_evolve_spark.functions.sketch import hll_merge, hll_registers
 
@@ -125,10 +132,12 @@ def hll_batch_writer(
         _swap.recover(target_path)
         # hash60 hashes text; cast so id-like BIGINT keys work out of the box
         # (Spark's long→string rendering equals DuckDB's CAST AS VARCHAR).
-        delta = hll_registers(batch_df, F.col(key_col).cast("string"), b=b)
+        delta = hll_registers(
+            batch_df, F.col(key_col).cast("string"), b=b, group_cols=group_cols
+        )
         if os.path.isdir(target_path):
             current = spark.read.parquet(target_path)
-            merged = hll_merge(current, delta)
+            merged = hll_merge(current, delta, group_cols=group_cols)
         else:
             merged = delta
         tmp = target_path.rstrip("/") + f"._batch_{batch_id}_tmp"
@@ -144,11 +153,12 @@ def run_hll_stream(
     key_col: str,
     checkpoint: str,
     b: int = 8,
+    group_cols: list[str] | None = None,
 ):
     """Start the stream with the incremental-HLL sink."""
     return (
         stream.writeStream.foreachBatch(
-            hll_batch_writer(stream.sparkSession, target_path, key_col, b)
+            hll_batch_writer(stream.sparkSession, target_path, key_col, b, group_cols)
         )
         .option("checkpointLocation", checkpoint)
         .outputMode("update")

@@ -66,3 +66,59 @@ def test_snapshots_are_immutable_under_append(spark, table):
     table.write(spark.range(0, 7).withColumn("x", F.lit(1)), ts=300.0)
     assert sorted(os.listdir(d1)) == before
     assert table.read(spark, version=1).count() == 10
+
+
+class TestExpireSnapshots:
+    def test_expire_keeps_last_n_and_removes_orphans(self, spark, tmp_path_factory):
+        t = SnapshotTable(str(tmp_path_factory.mktemp("exp") / "t"))
+        for i in range(4):
+            t.write(spark.range(i, i + 3).toDF("id"), ts=float(100 + i))
+        expired, removed = t.expire_snapshots(keep_last=2)
+        assert expired == [1, 2]
+        assert removed == ["v00001", "v00002"]
+        assert [e["version"] for e in t.versions()] == [3, 4]
+        # survivors still read; expired versions are unresolvable
+        assert t.read(spark, version=4).count() == 3
+        with pytest.raises(LookupError):
+            t.read(spark, version=1)
+
+    def test_rollback_target_survives_expiry(self, spark, tmp_path_factory):
+        t = SnapshotTable(str(tmp_path_factory.mktemp("expr") / "t"))
+        t.write(spark.range(0, 5).toDF("id"), ts=100.0)   # v1
+        t.write(spark.range(0, 9).toDF("id"), ts=101.0)   # v2
+        t.rollback(1, ts=102.0)                           # v3 -> v1's dir
+        expired, removed = t.expire_snapshots(keep_last=1)
+        assert expired == [1, 2]
+        # v1's DATA DIR is still referenced by the surviving rollback entry
+        assert removed == ["v00002"]
+        assert t.read(spark).count() == 5
+
+    def test_min_ts_overrides_count(self, spark, tmp_path_factory):
+        t = SnapshotTable(str(tmp_path_factory.mktemp("expt") / "t"))
+        for i in range(4):
+            t.write(spark.range(0, i + 1).toDF("id"), ts=float(100 + i))
+        expired, _ = t.expire_snapshots(keep_last=1, min_ts=101.0)
+        assert expired == [1]  # v2..v4 kept by ts even though keep_last=1
+        assert [e["version"] for e in t.versions()] == [2, 3, 4]
+
+    def test_crash_between_commit_and_cleanup_is_safe(self, spark, tmp_path_factory):
+        import os as _os
+
+        t = SnapshotTable(str(tmp_path_factory.mktemp("expc") / "t"))
+        for i in range(3):
+            t.write(spark.range(0, i + 1).toDF("id"), ts=float(100 + i))
+        # simulate the crash window: manifest shrunk, dirs not yet removed
+        entries = t.versions()
+        t._commit(entries[-1:])
+        assert _os.path.isdir(_os.path.join(t.path, "v00001"))  # orphan
+        # the next retention call reclaims the crash orphans even though
+        # their manifest entries are already gone
+        expired, removed = t.expire_snapshots(keep_last=1)
+        assert expired == []
+        assert removed == ["v00001", "v00002"]
+        assert t.read(spark).count() == 3
+
+    def test_keep_last_validation(self, tmp_path_factory):
+        t = SnapshotTable(str(tmp_path_factory.mktemp("expv") / "t"))
+        with pytest.raises(ValueError):
+            t.expire_snapshots(keep_last=0)

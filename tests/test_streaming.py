@@ -614,6 +614,73 @@ class TestStreamingHLL:
         assert thrice != once
 
 
+class TestGroupedHllSinkServesSlidingWindows:
+    """The stream maintains PER-BUCKET registers (group_cols) and any
+    trailing-window distinct query is answered from the maintained snapshot
+    — streamed registers == batch registers, and the sliding merge over the
+    maintained table == the batch sliding computation."""
+
+    def test_sliding_query_from_maintained_registers(self, spark):
+        import tempfile
+
+        from iceberg_evolve_spark.functions.sketch import (
+            hll_registers,
+            hll_sliding_distinct,
+        )
+        from iceberg_evolve_spark.streaming.sketch_sink import hll_batch_writer
+
+        target = tempfile.mkdtemp(prefix="hll_grp_") + "/sketch"
+        writer = hll_batch_writer(spark, target, "u", b=6, group_cols=["hb"])
+        rows1 = [(t, f"u{100 * t + i}") for t in (0, 1) for i in range(30)]
+        rows2 = [(t, f"u{100 * t + i}") for t in (1, 2, 3) for i in range(20, 50)]
+        writer(spark.createDataFrame(rows1, "hb long, u string"), 0)
+        writer(spark.createDataFrame(rows2, "hb long, u string"), 1)
+
+        # maintained per-bucket registers == one-shot batch registers
+        both = spark.createDataFrame(rows1 + rows2, "hb long, u string")
+        expect_regs = sorted(
+            (r["hb"], r["j"], r["rho"])
+            for r in hll_registers(
+                both, F.col("u").cast("string"), b=6, group_cols=["hb"]
+            ).collect()
+        )
+        got_regs = sorted(
+            (r["hb"], r["j"], r["rho"])
+            for r in spark.read.parquet(target).collect()
+        )
+        assert got_regs == expect_regs
+
+        # a trailing-2 sliding query served FROM the maintained registers
+        # equals the batch sliding computation over the raw rows
+        maintained = spark.read.parquet(target)
+        covered = maintained.select(
+            F.explode(F.sequence(F.col("hb"), F.col("hb") + 1)).alias("out_bucket"),
+            "j",
+            "rho",
+        )
+        present = maintained.select(F.col("hb").alias("out_bucket")).distinct()
+        from iceberg_evolve_spark.functions.sketch import hll_estimate_from_registers
+
+        merged = (
+            covered.join(present, "out_bucket", "left_semi")
+            .groupBy("out_bucket", "j")
+            .agg(F.max("rho").alias("rho"))
+        )
+        from_sink = {
+            r["out_bucket"]: r["est_distinct"]
+            for r in hll_estimate_from_registers(
+                merged, b=6, group_cols=["out_bucket"]
+            ).collect()
+        }
+        from_batch = {
+            r["out_bucket"]: r["est_distinct"]
+            for r in hll_sliding_distinct(
+                both, F.col("u").cast("string"), "hb", window_n=2, b=6
+            ).collect()
+        }
+        assert from_sink == from_batch
+
+
 class TestMultiStatefulChain:
     """TWO stateful operators in ONE streaming query (Spark 3.4+ capability):
     watermarked dedup feeding a session-window aggregation — the composed
