@@ -4291,17 +4291,22 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     window partitions by anchor over pair rows only. Cosine is the same
     sequential fold both engines run, so ranks — and the hash — are
     bit-stable."""
-    from iceberg_evolve_spark.functions.similarity import cosine_sim
+    from iceberg_evolve_spark.functions.similarity import cosine_from_norms, norm
 
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.select(
         F.col("vec_id").alias("negative_id"),
         F.col("embedding").alias("cand_emb"),
+        norm(F.col("embedding")).alias("_nc"),
         (F.col("vec_id") % HN_BLOCKS).cast("int").alias("_blk"),
     )
     anchors = (
         _anchor_panel(emb)
-        .select(F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("anchor_emb"))
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("anchor_emb"),
+            norm(F.col("embedding")).alias("_na"),
+        )
         .withColumn("_blk", F.explode(F.array(*[F.lit(i) for i in range(HN_BLOCKS)])))
     )
     pairs = (
@@ -4309,9 +4314,13 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("negative_id") != F.col("anchor_id"))
         .withColumn(
             "cos_raw",
-            # fold form: the unrolled 64-dim tree overflows the BHJ
-            # consume method (64 KB) now that the panel broadcasts (r6)
-            cosine_sim(F.col("anchor_emb"), F.col("cand_emb")),
+            # fold form with PRE-COMPUTED norms: one interpreted fold per
+            # pair instead of three (bit-identical; the unrolled tree
+            # overflows the BHJ consume method now that the panel
+            # broadcasts — r6)
+            cosine_from_norms(
+                F.col("anchor_emb"), F.col("cand_emb"), F.col("_na"), F.col("_nc")
+            ),
         )
         .filter(F.col("cos_raw") < HN_DUP_BAND)
     )
@@ -4374,13 +4383,14 @@ def ann_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reciprocal-rank sum is Σ (2520 div rank) — exact because 2520 is
     lcm(1..10) — so MRR@10 is one double division at the very end. The
     oracle replays ranks and both metrics bit-for-bit."""
-    from iceberg_evolve_spark.functions.similarity import cosine_sim
+    from iceberg_evolve_spark.functions.similarity import cosine_from_norms, norm
 
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.select(
         F.col("vec_id").alias("cand_id"),
         F.col("label").alias("c_label"),
         F.col("embedding").alias("cand_emb"),
+        norm(F.col("embedding")).alias("_nc"),
         (F.col("vec_id") % HN_BLOCKS).cast("int").alias("_blk"),
     )
     anchors = (
@@ -4389,6 +4399,7 @@ def ann_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("anchor_id"),
             F.col("label").alias("a_label"),
             F.col("embedding").alias("anchor_emb"),
+            norm(F.col("embedding")).alias("_na"),
         )
         .withColumn("_blk", F.explode(F.array(*[F.lit(i) for i in range(HN_BLOCKS)])))
     )
@@ -4400,9 +4411,11 @@ def ann_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cand_id") != F.col("anchor_id"))
         .withColumn(
             "cos_raw",
-            # fold form: the unrolled 64-dim tree overflows the BHJ
-            # consume method (64 KB) now that the panel broadcasts (r6)
-            cosine_sim(F.col("anchor_emb"), F.col("cand_emb")),
+            # pre-normed fold: one interpreted fold per pair (see
+            # embedding_hard_negatives — r6)
+            cosine_from_norms(
+                F.col("anchor_emb"), F.col("cand_emb"), F.col("_na"), F.col("_nc")
+            ),
         )
         .withColumn("rel", (F.col("a_label") == F.col("c_label")).cast("int"))
         .withColumn("rnk", F.row_number().over(w))
@@ -9075,26 +9088,51 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the same relation, so adding a truncation level costs no extra
     scan. The oracle replays the joins, the left-fold dot products, and
     every ranking."""
+    from iceberg_evolve_spark.functions.similarity import cosine_from_norms, norm
+
     emb = _t(spark, sf_dir, "embeddings")
-    corpus = emb.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("embedding").alias("cand_emb"),
-        (F.col("vec_id") % MAT_BLOCKS).cast("int").alias("_blk"),
+
+    def with_norms(df, vec: str, prefix: str):
+        # pre-computed per-ROW norms for full + every prefix length: the
+        # pair join then pays ONE interpreted fold per cosine instead of
+        # three (bit-identical values — see embedding_hard_negatives, r6)
+        df = df.withColumn(f"{prefix}_nfull", norm(F.col(vec)))
+        for d in MAT_DIMS:
+            df = df.withColumn(f"{prefix}_n{d}", norm(F.slice(F.col(vec), 1, d)))
+        return df
+
+    corpus = with_norms(
+        emb.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("cand_emb"),
+            (F.col("vec_id") % MAT_BLOCKS).cast("int").alias("_blk"),
+        ),
+        "cand_emb",
+        "_c",
     )
-    anchors = (
-        _anchor_panel(emb)
-        .select(F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("anchor_emb"))
-        .withColumn("_blk", F.explode(F.array(*[F.lit(i) for i in range(MAT_BLOCKS)])))
-    )
-    from iceberg_evolve_spark.functions.similarity import cosine_sim
+    anchors = with_norms(
+        _anchor_panel(emb).select(
+            F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("anchor_emb")
+        ),
+        "anchor_emb",
+        "_a",
+    ).withColumn("_blk", F.explode(F.array(*[F.lit(i) for i in range(MAT_BLOCKS)])))
 
     pairs = corpus.join(anchors, "_blk").filter(
         F.col("cand_id") != F.col("anchor_id")
     )
-    cols = {"cos_full": cosine_sim(F.col("anchor_emb"), F.col("cand_emb"))}
+    cols = {
+        "cos_full": cosine_from_norms(
+            F.col("anchor_emb"), F.col("cand_emb"),
+            F.col("_a_nfull"), F.col("_c_nfull"),
+        )
+    }
     for d in MAT_DIMS:
-        cols[f"cos_{d}"] = cosine_sim(
-            F.slice(F.col("anchor_emb"), 1, d), F.slice(F.col("cand_emb"), 1, d)
+        cols[f"cos_{d}"] = cosine_from_norms(
+            F.slice(F.col("anchor_emb"), 1, d),
+            F.slice(F.col("cand_emb"), 1, d),
+            F.col(f"_a_n{d}"),
+            F.col(f"_c_n{d}"),
         )
     ranked = pairs.select(
         "anchor_id", "cand_id", *[c.alias(n) for n, c in cols.items()]

@@ -40,6 +40,17 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return (dot(a, b) / (norm(a) * norm(b))).cast("double")
 
 
+def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine_sim`` with the norms PRECOMPUTED per row: higher-order
+    folds evaluate interpreted per element, so a pair join that recomputes
+    both norms per PAIR pays 3 folds × dim interpreter steps per pair.
+    Precomputing ``norm()`` once per row on each side leaves ONE fold per
+    pair — bit-identical values (same fold, same sqrt, same division
+    order), ~3× less interpreted work on anchor×corpus evaluation joins
+    (r6, measured on embedding_hard_negatives)."""
+    return (dot(a, b) / (na * nb)).cast("double")
+
+
 def _unrolled_sum(terms: list[Column]) -> Column:
     """Left-associated ``0.0 + t₁ + t₂ + …`` — bit-identical to the
     sequential fold of :func:`dot` (IEEE: 0.0 + x == x), but a plain
