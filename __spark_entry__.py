@@ -10081,6 +10081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_hard_negatives": embedding_hard_negatives,
         "ann_retrieval_quality": ann_retrieval_quality,
         "ann_recall_at_k": ann_recall_at_k,
+        "dedup_cluster_star": dedup_cluster_star,
         # (b) added after the r5 window was allocated — never driver-verified
         #     (the judge spot-checked all 7 in the r5 review).
         "docs_token_budget_mixture": docs_token_budget_mixture,
@@ -10217,7 +10218,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_by_flag": q12_priority_by_flag,
         "ann_topk_lsh": ann_topk_lsh,
         "dedup_embedding_lsh": dedup_embedding_lsh,
-        "dedup_cluster_star": dedup_cluster_star,
         "evolve_required_flips": evolve_required_flips,
         "docs_pii_redaction": docs_pii_redaction,
         "docs_quality_gate": docs_quality_gate,

@@ -113,9 +113,16 @@ def connected_components_star(
     :func:`connected_components`: ``(node, component-min)`` for every node
     incident to an edge.
     """
+    # Materialize the RAW edge selection once: ``all_nodes`` below needs the
+    # pre-filter edge set (self-loop-only nodes included), and without this
+    # checkpoint the caller's whole edge-mining pipeline (LSH pairs, blocked
+    # Levenshtein, …) runs a second time just to list the nodes (r6,
+    # measured ~2.4 s of the entity-groups entry at sf0.1).
+    raw = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint()
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        raw.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
@@ -168,8 +175,8 @@ def connected_components_star(
     # input edge appears, including self-loop-only nodes (dropped from the
     # star edge set by the u != v filter) as their own singleton component.
     all_nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
         .distinct()
     )
     return all_nodes.join(members, "node", "left").select(
