@@ -10127,7 +10127,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
-        # (e) oldest r03-hashed entries, registry order (21 fit).
+        # ---------------------- past the window ----------------------------
+        # (e) oldest r03-hashed entries, registry order — the round-6 window
+        # was already full at q5_local_supplier_volume (groups (a)-(d) total
+        # exactly 50, confirmed by CORRECTNESS_r06.json's key set), so this
+        # whole group heads round 7's queue (COVERAGE.md pre-draft).
         "schema_s3_source": schema_s3_source,
         "schema_json_schema_dict": schema_json_schema_dict,
         "schema_serialize_roundtrip": schema_serialize_roundtrip,
@@ -10149,8 +10153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_bloom_prefilter": orders_bloom_prefilter,
         "events_sessionize": events_sessionize,
         "events_hourly_counts": events_hourly_counts,
-        # ---------------------- past the window ----------------------------
-        # (f) remaining r03-hashed entries (first in line for round 7).
+        # (f) remaining r03-hashed entries (also round-7 queue).
         "events_time_rollup": events_time_rollup,
         "events_json_kpis": events_json_kpis,
         "events_funnel": events_funnel,

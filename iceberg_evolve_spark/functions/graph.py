@@ -362,7 +362,21 @@ def label_propagation(
     map-side-combined (node, label) count, one argmax aggregation — all
     partitioned on a node id, lineage truncated per round with
     ``localCheckpoint`` (lazy for small fixed round counts). Returns
-    (node, label); nodes sharing a label are one community."""
+    (node, label); nodes sharing a label are one community.
+
+    Node ids must be NUMERIC: the tie-break negates the label inside
+    ``max(struct(c, -label))``, so string-keyed edge lists fail at
+    analysis time (and would diverge from the SQL oracle's
+    ``ORDER BY c DESC, label ASC``). Map string keys to dense ids first."""
+    for c in (src, dst):
+        t = dict(edges.dtypes)[c]
+        if not any(
+            t.startswith(p)
+            for p in ("tinyint", "smallint", "int", "bigint", "long", "decimal", "float", "double")
+        ):
+            raise TypeError(
+                f"label_propagation requires numeric node ids; column {c!r} is {t}"
+            )
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))

@@ -65,13 +65,16 @@ def range_join(
     # null-unsafe column comparison would re-emit matched rows whose payload
     # contains a NULL (a row is never "equal" to itself through a NULL).
     p0 = points.withColumn("_rid", F.monotonically_increasing_id())
-    p = p0.withColumn("_bkt", (secs(p0, point_ts) / w).cast("long"))
+    # F.floor, not a long cast: casting truncates toward zero, which only
+    # equals floor for non-negative epochs — pre-1970 timestamps would land
+    # points and intervals in different bucket conventions.
+    p = p0.withColumn("_bkt", F.floor(secs(p0, point_ts) / w))
     i = intervals.withColumn(
         "_bkt",
         F.explode(
             F.sequence(
-                (secs(intervals, start_col) / w).cast("long"),
-                (secs(intervals, end_col) / w).cast("long"),
+                F.floor(secs(intervals, start_col) / w),
+                F.floor(secs(intervals, end_col) / w),
             )
         ),
     )
@@ -127,12 +130,15 @@ def interval_overlap_join(
             col = col.cast("timestamp")
         return col.cast("long")
 
+    # F.floor throughout, never a long cast (truncation ≠ floor below zero):
+    # with truncation a pre-1970 pair could compute its exactly-once bucket
+    # as a bucket neither side replicated to, silently dropping the pair.
     l = left.withColumn(
         "_bkt",
         F.explode(
             F.sequence(
-                (secs(left, left_start) / wlit).cast("long"),
-                (secs(left, left_end) / wlit).cast("long"),
+                F.floor(secs(left, left_start) / wlit),
+                F.floor(secs(left, left_end) / wlit),
             )
         ),
     )
@@ -140,8 +146,8 @@ def interval_overlap_join(
         "_bkt",
         F.explode(
             F.sequence(
-                (secs(right, right_start) / wlit).cast("long"),
-                (secs(right, right_end) / wlit).cast("long"),
+                F.floor(secs(right, right_start) / wlit),
+                F.floor(secs(right, right_end) / wlit),
             )
         ),
     )
@@ -152,9 +158,7 @@ def interval_overlap_join(
     rs, re_ = secs(r, right_start), secs(r, right_end)
     cond = cond & (ls <= re_) & (rs <= le)
     # exactly-once: only the bucket holding the overlap start emits the pair
-    cond = cond & (
-        (F.greatest(ls, rs) / wlit).cast("long") == l["_bkt"]
-    )
+    cond = cond & (F.floor(F.greatest(ls, rs) / wlit) == l["_bkt"])
     out_cols = [l[c] for c in left.columns] + [
         r[c] for c in right.columns if c not in on
     ]

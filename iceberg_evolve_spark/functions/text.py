@@ -840,8 +840,10 @@ def unigram_surprisal(
     perplexity; without an LM runtime, corpus-fit unigram surprisal ranks
     documents the same way for the head of the distribution).
 
-    Per word w: ``surprisal(w) = bit_length(total_words // freq(w))`` — the
-    integer ⌊log₂(1/p)⌋ computed with pure integer ops (``length(bin(x))``,
+    Per word w: ``surprisal(w) = bit_length(total_words // freq(w))``,
+    i.e. ``⌊log₂(total/freq)⌋ + 1`` (bit_length(x) = floor(log2(x)) + 1 —
+    one more than ⌊log₂(1/p)⌋, a rank-preserving offset), computed with
+    pure integer ops (``length(bin(x))``,
     the same primitive the HLL sketch uses), so every per-doc sum is an
     exact integer the oracle replays bit-for-bit; the per-doc MEAN is the
     single final division. High mean ⇒ the doc is full of corpus-rare

@@ -137,6 +137,36 @@ class TestRangeJoin:
         )
         assert got == [(1, 9), (2, 9)]
 
+    def test_negative_epochs(self, spark):
+        # Pre-1970 points/intervals: floor-based buckets keep a point at
+        # ts=-1 (bucket -1) joined to an interval [-10, 5]; the old long cast
+        # truncated both toward zero, mapping -1/50 to bucket 0 on the point
+        # but replicating the interval to buckets {-1, 0} only by accident of
+        # truncation — brute force is the arbiter.
+        import random
+
+        from iceberg_evolve_spark.functions.range_join import range_join
+
+        rng = random.Random(11)
+        points = [(i, 1, rng.randrange(-300, 300)) for i in range(80)]
+        intervals = []
+        for j in range(40):
+            s = rng.randrange(-300, 300)
+            intervals.append((100 + j, 1, s, s + rng.randrange(0, 120)))
+        pdf = spark.createDataFrame(points, "pid long, k long, ts long")
+        idf = spark.createDataFrame(intervals, "iid long, k long, start long, end long")
+        got = sorted(
+            (r.pid, r.iid)
+            for r in range_join(pdf, idf, on="k", point_ts="ts", bucket_seconds=50).collect()
+        )
+        want = sorted(
+            (p[0], i[0])
+            for p in points
+            for i in intervals
+            if i[2] <= p[2] <= i[3]
+        )
+        assert got == want
+
 
 class TestAsofBucketed:
     def test_matches_plain_asof_on_random_data(self, spark):

@@ -91,6 +91,36 @@ class TestIntervalOverlapJoin:
             want = sorted((l[0], r[0]) for l, r in self._brute(left, right))
             assert got == want, f"bucket={w}"
 
+    def test_property_negative_epochs(self, spark):
+        # Pre-1970 intervals: with the old truncate-toward-zero bucket index
+        # a pair straddling zero could compute its exactly-once bucket as one
+        # neither side replicated to (truncation ≠ floor below zero) and be
+        # silently dropped. F.floor keeps one bucket convention everywhere.
+        import random
+
+        from iceberg_evolve_spark.functions.range_join import interval_overlap_join
+
+        rnd = random.Random(7)
+        left = []
+        right = []
+        for i in range(60):
+            s = rnd.randrange(-250, 250)
+            left.append((i, s, s + rnd.randrange(0, 80)))
+            s2 = rnd.randrange(-250, 250)
+            right.append((1000 + i, s2, s2 + rnd.randrange(0, 80)))
+        ldf = spark.createDataFrame(left, "lid long, s long, e long")
+        rdf = spark.createDataFrame(right, "rid long, rs long, re long")
+        for w in (13, 100, 1000):
+            got = sorted(
+                (r["lid"], r["rid"])
+                for r in interval_overlap_join(
+                    ldf, rdf, on=[], left_start="s", left_end="e",
+                    right_start="rs", right_end="re", bucket_seconds=w,
+                ).collect()
+            )
+            want = sorted((l[0], r[0]) for l, r in self._brute(left, right))
+            assert got == want, f"bucket={w}"
+
 
 class TestDeltaJoinRows:
     def test_merge_equals_full_recompute(self, spark):
