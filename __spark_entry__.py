@@ -5719,6 +5719,80 @@ ORDER BY doc_id, frame
 """
 
 
+def multimodal_video_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 (ISO BMFF) CONTAINER DEMUX + intra-frame decode
+    (`functions/mp4.py`) — the container half of the remaining video stub,
+    closed by composition with already-proven parts (VERDICT r6 task 5):
+    the box walk finds the ``hdlr='vide'`` track, the ``stbl`` sample
+    tables (stsd/stsz/stsc/stco) compose into absolute per-sample
+    (offset, size) exactly as a player lays them out, and each ``'jpeg'``
+    sample decodes through the r5 from-scratch JPEG decoder. H.264/HEVC
+    entropy decode stays the documented loud absence — the demux still
+    yields those codecs' sample layouts. Fixtures are DC-only flat blocks
+    keyed ``doc_id + 1193·frame`` (a different seed step and phase-shifted
+    geometry from the MJPEG/AVI entry, so the two container paths cannot
+    mask each other); the oracle replays every decoded pixel via the jpeg
+    closed forms. One fused Arrow stage, no shuffle; rows = Σ n_frames."""
+    from iceberg_evolve_spark.functions.mp4 import synth_mp4_features
+
+    ids = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
+    return synth_mp4_features(ids).orderBy("doc_id", "frame")
+
+
+def _mp4_sql() -> str:
+    """Closed forms: geometry wb=1+(id+1)%3, hb=1+(id+1)%2, nf=2+(id+2)%4;
+    frame f's blocks use jpeg.block_ycc seeded id+1193·f through the same
+    16.16 fixed-point YCbCr→RGB as the other jpeg-family oracles."""
+    from iceberg_evolve_spark.functions.jpeg import (
+        FIX_B_CB,
+        FIX_G_CB,
+        FIX_G_CR,
+        FIX_R_CR,
+    )
+    from iceberg_evolve_spark.functions.mp4 import MP4_FRAME_SEED_STEP
+
+    return f"""
+WITH m4p AS (
+    SELECT doc_id, 1 + (doc_id + 1) % 3 AS wb, 1 + (doc_id + 1) % 2 AS hb,
+           2 + (doc_id + 2) % 4 AS nf
+    FROM documents
+),
+m4fr AS (
+    SELECT doc_id, wb, hb, CAST(unnest(range(0, nf)) AS INT) AS f,
+           doc_id + {MP4_FRAME_SEED_STEP} * CAST(unnest(range(0, nf)) AS INT) AS seed
+    FROM m4p
+),
+m4bx AS (SELECT *, CAST(unnest(range(0, wb)) AS INT) AS bx FROM m4fr),
+m4blk AS (SELECT *, CAST(unnest(range(0, hb)) AS INT) AS by FROM m4bx),
+m4ycc AS (
+    SELECT doc_id, wb, hb, f, bx, by,
+           64 + ((seed * 7 + bx * 13 + by * 29) % 128) AS y,
+           96 + ((seed * 3 + bx * 5 + by * 11) % 64) AS cb,
+           96 + ((seed * 5 + bx * 7 + by * 3) % 64) AS cr
+    FROM m4blk
+),
+m4rgb AS (
+    SELECT doc_id, wb, hb, f, bx, by,
+           y + CAST(floor(({FIX_R_CR} * (cr - 128) + 32768) / 65536.0) AS BIGINT) AS r,
+           y - CAST(floor(({FIX_G_CB} * (cb - 128) + {FIX_G_CR} * (cr - 128) + 32768)
+                          / 65536.0) AS BIGINT) AS g,
+           y + CAST(floor(({FIX_B_CB} * (cb - 128) + 32768) / 65536.0) AS BIGINT) AS b
+    FROM m4ycc
+)
+SELECT doc_id, f AS frame,
+       CAST(MAX(wb) * 8 AS INTEGER) AS width,
+       CAST(MAX(hb) * 8 AS INTEGER) AS height,
+       CAST(SUM(64 * r) AS BIGINT) AS sum_r,
+       CAST(SUM(64 * g) AS BIGINT) AS sum_g,
+       CAST(SUM(64 * b) AS BIGINT) AS sum_b,
+       CAST(MAX(CASE WHEN bx = 0 AND by = 0 THEN r END) AS INTEGER) AS first_px_r,
+       CAST(MAX(CASE WHEN bx = 0 AND by = 0 THEN g END) AS INTEGER) AS first_px_g,
+       CAST(MAX(CASE WHEN bx = 0 AND by = 0 THEN b END) AS INTEGER) AS first_px_b
+FROM m4rgb GROUP BY doc_id, f
+ORDER BY doc_id, frame
+"""
+
+
 def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WINDOWED ENERGY / voice-activity detection over decoded PCM
     (`functions/audio.py:decode_wav_energy_windows`) — the frame-energy
@@ -9370,9 +9444,9 @@ def orders_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     price sum, key min/max, and a filtered count that the stripe reader
     serves with the predicate pushed down. The oracle computes the same
     aggregates from the parquet table, so the gate proves the second
-    columnar format preserves every value. (Avro stays a loud,
-    documented absence: plain PySpark bundles no spark-avro connector —
-    `formats.avro_unavailable_reason`.)"""
+    columnar format preserves every value. (Avro, once the documented
+    absence here, round-trips since r7 through the from-scratch
+    object-container codec — see `orders_avro_roundtrip`.)"""
     import shutil
     import tempfile
 
@@ -9426,6 +9500,87 @@ SELECT 'orc' AS format,
        MAX(o_orderkey) AS max_key,
        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
            AS n_finished
+FROM orders
+"""
+
+
+def orders_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVRO FORMAT ROUND-TRIP under the hash gate — through the FROM-SCRATCH
+    object-container codec (`sources/avro.py`), since plain PySpark bundles
+    no spark-avro connector: orders written as deflate-compressed ``.avro``
+    files (zigzag varints, union-encoded nullables, sync-marked blocks —
+    writer runs executor-side via ``mapInArrow``, one container per
+    partition), read back through the ``binaryFile``-source + ``mapInArrow``
+    decoder, and proven value-identical via exact aggregates — total count,
+    DECIMAL price sum, key min/max, a status-filtered count, and the min/max
+    ORDER DATES (the timestamp logical-type path exercised end to end). The
+    oracle computes the same aggregates from the parquet table, so the gate
+    proves the third pipeline format preserves every value — closing the
+    absence VERDICT r6 'What's missing' item 3 documented."""
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.sources.avro import read_avro, write_avro
+
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="ies-avro-")
+    try:
+        path = os.path.join(tmp, "orders_avro")
+        stats = write_avro(orders.repartition(8), path, codec="deflate")
+        back = read_avro(spark, path)
+        # materialize BEFORE the tempdir teardown (compact-roundtrip rule)
+        agg = back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(_dec(F.col("o_totalprice"), 2)).cast("double"), 2
+            ).alias("total_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.sum(
+                (F.col("o_orderstatus") == "F").cast("long")
+            ).alias("n_finished"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+                "min_date"
+            ),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+                "max_date"
+            ),
+        ).first()
+        rows = [
+            (
+                "avro",
+                len(stats),
+                agg["n_rows"],
+                agg["total_price"],
+                agg["min_key"],
+                agg["max_key"],
+                agg["n_finished"],
+                agg["min_date"],
+                agg["max_date"],
+            )
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "format string, n_files int, n_rows bigint, total_price double, "
+        "min_key bigint, max_key bigint, n_finished bigint, "
+        "min_date string, max_date string",
+    )
+
+
+_AVRO_SQL = """
+SELECT 'avro' AS format,
+       8 AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(22,2))) AS DOUBLE), 2)
+           AS total_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_finished,
+       STRFTIME(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_date,
+       STRFTIME(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date
 FROM orders
 """
 
@@ -9737,6 +9892,209 @@ SELECT o_orderstatus,
 FROM cdc_final
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
+"""
+
+
+def cdc_schema_drift_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC × SCHEMA EVOLUTION — envelopes whose payload schema DRIFTS
+    mid-stream, tying the round-6 CDC operator back to the reference's
+    core purpose (VERDICT r6 task 6): "the schema evolves while the data
+    flows". Three phases, all through existing machinery:
+
+    1. a pre-drift batch (schema A: qty INT) parses with the typed
+       envelope schema and applies via `operators/cdc.py:apply_cdc`
+       (inserts on non-snapshot keys, +5 qty updates on k%7);
+    2. the NEXT batch arrives with schema B — qty widened to BIGINT and a
+       new o_priority column. The drift routes through the FIELD-ID DIFF
+       ENGINE (D1/P1, `diff.py`): name-aligned ids (what a catalog does),
+       `SchemaDiff.from_schemas(...).to_evolution_operations()` plans the
+       ops, and `migrate_dataframe` rewrites the pre-drift state into
+       schema B (one projection, no shuffle);
+    3. the post-drift batch applies onto the MIGRATED state — its inserts
+       carry qty values only a BIGINT can hold (+3·10⁹, proving the widen
+       is load-bearing) and real o_priority strings; k%13 deletes drop
+       snapshot-descended rows.
+
+    Output: the planned op rows plus one per-status profile of the final
+    state (exact row/qty/priority-count integers in a string detail, the
+    drift-migrate entry's surface). The oracle replays batch precedence
+    (b2 overrides b1 overrides snapshot, deletes drop), the widened sums,
+    and the op plan. Scale: each batch reduces to one row per changed key
+    before touching state; the migration is a projection — the whole
+    composition is CDC-volume-, not table-, sized."""
+    from pyspark.sql import types as T
+
+    from iceberg_evolve_spark.operators.cdc import apply_cdc, parse_cdc_envelopes
+
+    ck = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_orderpriority").alias("p"),
+    )
+    qty_a = (F.col("c") % 100).cast("int")
+
+    # snapshot v1 (schema A: qty INT)
+    v1 = ck.filter(F.col("k") % 3 == 0).select(
+        F.col("k").alias("o_orderkey"),
+        F.col("s").alias("o_orderstatus"),
+        qty_a.alias("qty"),
+    )
+
+    schema_a = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("qty", T.IntegerType()),
+        ]
+    )
+    schema_b = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("qty", T.LongType()),
+            T.StructField("o_priority", T.StringType()),
+        ]
+    )
+
+    def _env(op_col, before_col, after_col):
+        return F.to_json(
+            F.struct(
+                op_col.alias("op"),
+                F.col("k").alias("ts_ms"),
+                before_col.alias("before"),
+                after_col.alias("after"),
+            )
+        ).alias("envelope")
+
+    # batch 1 (schema A): inserts on k%3<>0 ∧ k%5=0, updates on k%3=0 ∧ k%7=0
+    row_a = lambda qty: F.struct(  # noqa: E731
+        F.col("k").alias("o_orderkey"),
+        F.col("s").alias("o_orderstatus"),
+        qty.alias("qty"),
+    )
+    b1 = (
+        ck.withColumn(
+            "op",
+            F.when((F.col("k") % 3 != 0) & (F.col("k") % 5 == 0), F.lit("c")).when(
+                (F.col("k") % 3 == 0) & (F.col("k") % 7 == 0), F.lit("u")
+            ),
+        )
+        .filter(F.col("op").isNotNull())
+        .select(
+            _env(
+                F.col("op"),
+                F.lit(None).cast(schema_a),
+                F.when(F.col("op") == "u", row_a(qty_a + 5)).otherwise(row_a(qty_a)),
+            )
+        )
+    )
+    state1 = apply_cdc(v1, parse_cdc_envelopes(b1, "envelope", schema_a), "o_orderkey")
+
+    # drift: plan ops via the field-id diff engine (name-aligned ids), then
+    # migrate the pre-drift state into schema B
+    sa = struct_from_spark(state1.schema)
+    sb_raw = struct_from_spark(
+        spark.createDataFrame([], schema_b).schema
+    )
+    sa_ids = {f.name: f.field_id for f in sa.fields}
+    next_id = max(sa_ids.values()) + 1
+    tgt_fields = []
+    for f in sb_raw.fields:
+        fid = sa_ids.get(f.name)
+        if fid is None:
+            fid, next_id = next_id, next_id + 1
+        tgt_fields.append(Field(fid, f.name, f.type))
+    target = StructType(tgt_fields)
+    ops = SchemaDiff.from_schemas(sa, target).to_evolution_operations()
+    op_rows = [("op", o.op_name, o.name) for o in ops]
+    migrated = migrate_dataframe(state1, sa, target)
+
+    # batch 2 (schema B): inserts on k%3=1 ∧ k%11=0 with BIGINT-only qty and
+    # a real priority; deletes on k%3=0 ∧ k%13=0
+    row_b = F.struct(
+        F.col("k").alias("o_orderkey"),
+        F.col("s").alias("o_orderstatus"),
+        ((F.col("c") % 100) + CDC_WIDE_QTY).cast("long").alias("qty"),
+        F.col("p").alias("o_priority"),
+    )
+    b2 = (
+        ck.withColumn(
+            "op",
+            F.when((F.col("k") % 3 == 1) & (F.col("k") % 11 == 0), F.lit("c")).when(
+                (F.col("k") % 3 == 0) & (F.col("k") % 13 == 0), F.lit("d")
+            ),
+        )
+        .filter(F.col("op").isNotNull())
+        .select(
+            _env(
+                F.col("op"),
+                F.when(F.col("op") == "d", row_b).otherwise(F.lit(None).cast(schema_b)),
+                F.when(F.col("op") == "c", row_b).otherwise(F.lit(None).cast(schema_b)),
+            )
+        )
+    )
+    final = apply_cdc(
+        migrated, parse_cdc_envelopes(b2, "envelope", schema_b), "o_orderkey"
+    )
+
+    state_rows = final.groupBy("o_orderstatus").agg(
+        F.concat(
+            F.lit("n="),
+            F.count(F.lit(1)),
+            F.lit("|qty="),
+            F.sum("qty"),
+            F.lit("|prio="),
+            F.count("o_priority"),
+        ).alias("detail")
+    )
+    ops_df = spark.createDataFrame(op_rows, "kind string, name string, detail string")
+    return (
+        state_rows.select(
+            F.lit("state").alias("kind"),
+            F.col("o_orderstatus").alias("name"),
+            "detail",
+        )
+        .unionByName(ops_df)
+        .orderBy("kind", "name", "detail")
+    )
+
+
+#: Post-drift insert qty offset — representable only after the INT→BIGINT widen.
+CDC_WIDE_QTY = 3_000_000_000
+
+_CDC_DRIFT_SQL = f"""
+WITH cdd AS (
+    SELECT o_orderkey AS k, o_custkey AS c, o_orderstatus AS s,
+           o_orderpriority AS p
+    FROM orders
+),
+cdd_final AS (
+    -- snapshot-descended rows: survive k%13 deletes, carry b1's +5 updates
+    SELECT k, s,
+           CAST(c % 100 + CASE WHEN k % 7 = 0 THEN 5 ELSE 0 END AS BIGINT) AS qty,
+           CAST(NULL AS VARCHAR) AS prio
+    FROM cdd WHERE k % 3 = 0 AND k % 13 <> 0
+    UNION ALL
+    -- b1 inserts not overridden by b2
+    SELECT k, s, CAST(c % 100 AS BIGINT), CAST(NULL AS VARCHAR)
+    FROM cdd
+    WHERE k % 3 <> 0 AND k % 5 = 0 AND NOT (k % 3 = 1 AND k % 11 = 0)
+    UNION ALL
+    -- b2 inserts (fresh or overriding b1), post-widen qty + real priority
+    SELECT k, s, CAST(c % 100 + {CDC_WIDE_QTY} AS BIGINT), p
+    FROM cdd WHERE k % 3 = 1 AND k % 11 = 0
+)
+SELECT kind, name, detail FROM (
+    SELECT 'op' AS kind, 'update_column' AS name, 'qty' AS detail
+    UNION ALL SELECT 'op', 'add_column', 'o_priority'
+    UNION ALL
+    SELECT 'state', s,
+           'n=' || COUNT(*) || '|qty=' || CAST(SUM(qty) AS BIGINT)
+                || '|prio=' || COUNT(prio)
+    FROM cdd_final GROUP BY s
+)
+ORDER BY kind, name, detail
 """
 
 
@@ -10066,72 +10424,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stays fresh (union of recent rounds covers the whole registry); see
     # COVERAGE.md for the schedule and the per-round history.
     return {
-        # ---------- ROUND-6 WINDOW (first 50; driver hashes these) ----------
-        # (a) changed this round, MUST re-hash: the docs_bpe_encode string
-        #     surface (r5's one red row), the operand-first DECIMAL casts
-        #     (ADVICE), the null-safe MAX-repair path, the single-scan
-        #     __global__ head, the footer tz conversion, the SOS order gate.
-        "docs_bpe_encode": docs_bpe_encode,
-        "events_anomaly_zscore": events_anomaly_zscore,
-        "events_daily_trend": events_daily_trend,
-        "incremental_retract_rollup": incremental_retract_rollup,
-        "hll_merge_by_source": hll_merge_by_source,
-        "orders_footer_minmax": orders_footer_minmax,
-        "multimodal_jpeg_decode": multimodal_jpeg_decode,
-        "embedding_hard_negatives": embedding_hard_negatives,
-        "ann_retrieval_quality": ann_retrieval_quality,
-        "ann_recall_at_k": ann_recall_at_k,
-        "dedup_cluster_star": dedup_cluster_star,
-        # (b) added after the r5 window was allocated — never driver-verified
-        #     (the judge spot-checked all 7 in the r5 review).
-        "docs_token_budget_mixture": docs_token_budget_mixture,
-        "hll_overlap_sources": hll_overlap_sources,
-        "multimodal_resize_real": multimodal_resize_real,
-        "multimodal_audio_vad": multimodal_audio_vad,
-        "customer_entity_groups": customer_entity_groups,
-        "multimodal_video_motion": multimodal_video_motion,
-        "lang_id_confusion": lang_id_confusion,
-        # (c) NEW in round 6 — never driver-verified; each addition defers
-        #     one (e) entry to round 7.
-        "multimodal_video_mjpeg": multimodal_video_mjpeg,
+        # ---------- ROUND-7 WINDOW (first 50; driver hashes these) ----------
+        # (a) NEW this round, never driver-verified: the from-scratch Avro
+        #     container round-trip, the MP4/ISO-BMFF demux, and the
+        #     CDC-x-schema-evolution composition.
+        "orders_avro_roundtrip": orders_avro_roundtrip,
+        "multimodal_video_mp4": multimodal_video_mp4,
+        "cdc_schema_drift_apply": cdc_schema_drift_apply,
+        # (b) changed this round, prior hashes void: the F.floor bucket fix
+        #     (range_join.py) and the numeric-id guard (graph.py).
         "sessions_overlap_degree": sessions_overlap_degree,
-        "incremental_join_view": incremental_join_view,
-        "docs_surprisal_score": docs_surprisal_score,
-        "docs_temperature_mixture": docs_temperature_mixture,
-        "ann_matryoshka_recall": ann_matryoshka_recall,
-        "multimodal_image_ahash": multimodal_image_ahash,
         "parts_label_communities": parts_label_communities,
-        "orders_orc_roundtrip": orders_orc_roundtrip,
-        "events_sliding_distinct_hll": events_sliding_distinct_hll,
-        "docs_grouped_split": docs_grouped_split,
-        "orders_cdc_apply": orders_cdc_apply,
-        "multimodal_png_decode": multimodal_png_decode,
-        "ann_topk_hamming": ann_topk_hamming,
-        "orders_partition_evolution": orders_partition_evolution,
-        "orders_trimmed_mean": orders_trimmed_mean,
-        "orders_snapshot_expire": orders_snapshot_expire,
-        # (d) the 15 r02-hashed entries displaced by round 5's additions —
-        #     re-hashing these makes union(r03..r06) cover the whole registry.
-        "docs_repetition_score": docs_repetition_score,
-        "docs_pack_sequences": docs_pack_sequences,
-        "multimodal_audio_decode": multimodal_audio_decode,
-        "embeddings_quantize_int8": embeddings_quantize_int8,
-        "embeddings_random_projection": embeddings_random_projection,
-        "docs_boilerplate_removal": docs_boilerplate_removal,
-        "docs_domain_mixture": docs_domain_mixture,
-        "docs_shuffle_shards": docs_shuffle_shards,
-        "docs_quality_percentile_prune": docs_quality_percentile_prune,
-        "docs_vocab_oov": docs_vocab_oov,
-        "docs_ngram_novelty": docs_ngram_novelty,
-        "corpus_health_by_source": corpus_health_by_source,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        # ---------------------- past the window ----------------------------
-        # (e) oldest r03-hashed entries, registry order — the round-6 window
-        # was already full at q5_local_supplier_volume (groups (a)-(d) total
-        # exactly 50, confirmed by CORRECTNESS_r06.json's key set), so this
-        # whole group heads round 7's queue (COVERAGE.md pre-draft).
+        # (c) the oldest r03-hashed entries, registry order (45 of 49 fit;
+        #     includes range_join_click_views / events_point_in_time_enrich,
+        #     also touched by the floor fix).
         "schema_s3_source": schema_s3_source,
         "schema_json_schema_dict": schema_json_schema_dict,
         "schema_serialize_roundtrip": schema_serialize_roundtrip,
@@ -10153,7 +10459,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_bloom_prefilter": orders_bloom_prefilter,
         "events_sessionize": events_sessionize,
         "events_hourly_counts": events_hourly_counts,
-        # (f) remaining r03-hashed entries (also round-7 queue).
         "events_time_rollup": events_time_rollup,
         "events_json_kpis": events_json_kpis,
         "events_funnel": events_funnel,
@@ -10178,11 +10483,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cheapest_supplier_per_part": cheapest_supplier_per_part,
         "customers_without_orders": customers_without_orders,
         "nation_distinct_counts": nation_distinct_counts,
+        # ---------------------- past the window ----------------------------
+        # (d) the 4 r03-hashed entries that did not fit — FIRST in line for
+        #     round 8's window (then the r04 group).
         "parts_above_brand_avg": parts_above_brand_avg,
         "customer_balance_quartiles": customer_balance_quartiles,
         "orders_pivot_priority": orders_pivot_priority,
         "balance_order_setops": balance_order_setops,
-        # (g) r04/r05-hashed entries (freshest), prior registry order.
+        # (e) r04/r05/r06-hashed entries, prior relative order preserved;
+        #     every entry is still locally oracle-verified each round by
+        #     tests/test_entry_contract.py regardless of window position.
+        "docs_bpe_encode": docs_bpe_encode,
+        "events_anomaly_zscore": events_anomaly_zscore,
+        "events_daily_trend": events_daily_trend,
+        "incremental_retract_rollup": incremental_retract_rollup,
+        "hll_merge_by_source": hll_merge_by_source,
+        "orders_footer_minmax": orders_footer_minmax,
+        "multimodal_jpeg_decode": multimodal_jpeg_decode,
+        "embedding_hard_negatives": embedding_hard_negatives,
+        "ann_retrieval_quality": ann_retrieval_quality,
+        "ann_recall_at_k": ann_recall_at_k,
+        "dedup_cluster_star": dedup_cluster_star,
+        "docs_token_budget_mixture": docs_token_budget_mixture,
+        "hll_overlap_sources": hll_overlap_sources,
+        "multimodal_resize_real": multimodal_resize_real,
+        "multimodal_audio_vad": multimodal_audio_vad,
+        "customer_entity_groups": customer_entity_groups,
+        "multimodal_video_motion": multimodal_video_motion,
+        "lang_id_confusion": lang_id_confusion,
+        "multimodal_video_mjpeg": multimodal_video_mjpeg,
+        "incremental_join_view": incremental_join_view,
+        "docs_surprisal_score": docs_surprisal_score,
+        "docs_temperature_mixture": docs_temperature_mixture,
+        "ann_matryoshka_recall": ann_matryoshka_recall,
+        "multimodal_image_ahash": multimodal_image_ahash,
+        "orders_orc_roundtrip": orders_orc_roundtrip,
+        "events_sliding_distinct_hll": events_sliding_distinct_hll,
+        "docs_grouped_split": docs_grouped_split,
+        "orders_cdc_apply": orders_cdc_apply,
+        "multimodal_png_decode": multimodal_png_decode,
+        "ann_topk_hamming": ann_topk_hamming,
+        "orders_partition_evolution": orders_partition_evolution,
+        "orders_trimmed_mean": orders_trimmed_mean,
+        "orders_snapshot_expire": orders_snapshot_expire,
+        "docs_repetition_score": docs_repetition_score,
+        "docs_pack_sequences": docs_pack_sequences,
+        "multimodal_audio_decode": multimodal_audio_decode,
+        "embeddings_quantize_int8": embeddings_quantize_int8,
+        "embeddings_random_projection": embeddings_random_projection,
+        "docs_boilerplate_removal": docs_boilerplate_removal,
+        "docs_domain_mixture": docs_domain_mixture,
+        "docs_shuffle_shards": docs_shuffle_shards,
+        "docs_quality_percentile_prune": docs_quality_percentile_prune,
+        "docs_vocab_oov": docs_vocab_oov,
+        "docs_ngram_novelty": docs_ngram_novelty,
+        "corpus_health_by_source": corpus_health_by_source,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
         "events_ab_lift": events_ab_lift,
         "snapshot_schema_drift": snapshot_schema_drift,
         "multimodal_gif_decode": multimodal_gif_decode,
@@ -10373,6 +10731,9 @@ def oracle_sql() -> dict[str, str]:
         "customer_entity_groups": _ENTITY_GROUPS_SQL,
         "multimodal_video_motion": _MOTION_SQL,
         "multimodal_video_mjpeg": _mjpeg_avi_sql(),
+        "multimodal_video_mp4": _mp4_sql(),
+        "orders_avro_roundtrip": _AVRO_SQL,
+        "cdc_schema_drift_apply": _CDC_DRIFT_SQL,
         "sessions_overlap_degree": _OVL_SQL,
         "incremental_join_view": _IJV_SQL,
         "docs_surprisal_score": _surprisal_sql(),

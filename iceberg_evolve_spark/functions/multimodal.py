@@ -4,11 +4,13 @@ with typed metadata, processed in Arrow batches.
 :func:`decode_payload` routes to REAL decoders for all three modalities —
 BMP, LZW-compressed GIF, and DCT-compressed baseline JPEG images
 (:mod:`.image`, :mod:`.gif`, :mod:`.jpeg`), RIFF/WAVE audio
-(:mod:`.audio`), and uncompressed RIFF/AVI video (:mod:`.video`), all
+(:mod:`.audio`), and uncompressed RIFF/AVI, MJPEG-in-AVI, and intra-frame
+MP4/ISO-BMFF video (:mod:`.video`, :mod:`.mp4`), all
 stdlib/struct/numpy-based since no imaging or codec library ships in this
-environment. Only codec video (mp4/mkv/H.264) remains a documented
-``NotImplementedError`` stub — both dictionary (LZW) and transform (DCT)
-image compression are covered. The
+environment. Only inter-frame codec video (raw H.264/HEVC bitstreams, mkv)
+remains a documented ``NotImplementedError`` stub — both dictionary (LZW)
+and transform (DCT) image compression are covered, and the MP4 container
+demux yields sample layouts even for codecs it cannot entropy-decode. The
 deterministic fake (:func:`fake_decode_features`) is kept for plumbing tests
 whose payloads are not real containers.
 
@@ -119,11 +121,20 @@ def decode_payload(payload: bytes, media_meta: dict) -> "object":
                 # — decoded for real through functions/jpeg.py (r6).
                 return decode_avi_mjpeg(payload)
             return decode_one_avi(payload)
+        if len(payload) >= 8 and payload[4:8] == b"ftyp":
+            # ISO BMFF (mp4/mov): the box walk + stbl sample tables demux
+            # for real (r7, functions/mp4.py); intra-frame samples
+            # ('jpeg'/'mjpa') decode through the JPEG decoder, inter-frame
+            # codecs (avc1/hev1) raise NotImplementedError inside with the
+            # sample layout already extracted.
+            from iceberg_evolve_spark.functions.mp4 import decode_mp4_mjpeg
+
+            return decode_mp4_mjpeg(payload)
         raise NotImplementedError(
-            "inter-frame codec video (mp4/mkv, H.264) needs a demuxer+codec "
-            "(ffmpeg) not present in this environment; uncompressed RIFF/AVI "
-            "and MJPEG-in-AVI decode for real above — wire the codec path "
-            "here in production"
+            "inter-frame codec video (mkv, raw H.264) needs a demuxer+codec "
+            "(ffmpeg) not present in this environment; uncompressed RIFF/AVI, "
+            "MJPEG-in-AVI, and intra-frame MP4 decode for real above — wire "
+            "the codec path here in production"
         )
     raise ValueError(
         f"unknown media_type {mt!r}: decode_payload handles 'image' (BMP or "

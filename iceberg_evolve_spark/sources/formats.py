@@ -159,12 +159,16 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 
 def avro_unavailable_reason() -> str:
-    """Avro needs the external ``spark-avro`` module, which is not bundled
-    with a plain PySpark install (only the avro core jars ship). Callers
-    should gate Avro paths on this and fail loudly rather than at job
-    submit."""
+    """Why ``spark.read.format("avro")`` fails here: the external
+    ``spark-avro`` connector jar is not bundled with a plain PySpark
+    install (only the avro core jars ship). The repo covers the format
+    anyway — :mod:`iceberg_evolve_spark.sources.avro` implements the Avro
+    object-container format from scratch (``write_avro``/``read_avro``),
+    so this message now only explains why the NATIVE datasource path is
+    gated, not an absence of Avro support."""
     return (
         "Avro datasource requires the spark-avro connector jar "
         "(org.apache.spark:spark-avro_2.13), which is not bundled with "
-        "PySpark; only parquet/ORC/CSV/JSON/text are native"
+        "PySpark; use iceberg_evolve_spark.sources.avro "
+        "(from-scratch object-container reader/writer) instead"
     )

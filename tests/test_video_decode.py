@@ -169,11 +169,26 @@ class TestDecodePayloadRouting:
         )
         assert feats["width"] == synth_params(5)[0]
 
-    def test_codec_video_still_stubbed(self):
+    def test_mp4_routes_to_real_demuxer(self):
+        from iceberg_evolve_spark.functions.mp4 import mp4_bytes
         from iceberg_evolve_spark.functions.multimodal import decode_payload
 
+        feats = decode_payload(mp4_bytes(5), {"media_type": "video"})
+        assert feats[0]["frame"] == 0 and feats[0]["width"] == 8
+
+    def test_interframe_codec_video_still_stubbed(self):
+        from iceberg_evolve_spark.functions.mp4 import mp4_bytes
+        from iceberg_evolve_spark.functions.multimodal import decode_payload
+
+        # an mp4 whose samples are H.264: demux succeeds, decode refuses
+        q = bytearray(mp4_bytes(3))
+        idx = q.find(b"jpeg", q.find(b"stsd"))
+        q[idx : idx + 4] = b"avc1"
         with pytest.raises(NotImplementedError):
-            decode_payload(b"\x00\x00\x00\x18ftypmp42", {"media_type": "video"})
+            decode_payload(bytes(q), {"media_type": "video"})
+        # non-ISO-BMFF codec containers stay the loud stub
+        with pytest.raises(NotImplementedError):
+            decode_payload(b"\x1a\x45\xdf\xa3matroska....", {"media_type": "video"})
 
 
 class TestAviProperties:
@@ -362,3 +377,107 @@ class TestMjpegAvi:
                 assert (feat["sum_r"], feat["sum_g"], feat["sum_b"]) == (sr, sg, sb)
 
         check()
+
+
+class TestMp4:
+    """ISO BMFF demux + intra-frame decode (`functions/mp4.py`)."""
+
+    def _closed_form(self, doc_id):
+        from iceberg_evolve_spark.functions.jpeg import (
+            FIX_B_CB, FIX_G_CB, FIX_G_CR, FIX_R_CR, block_ycc,
+        )
+        from iceberg_evolve_spark.functions.mp4 import (
+            MP4_FRAME_SEED_STEP, synth_mp4_params,
+        )
+
+        wb, hb, nf = synth_mp4_params(doc_id)
+        rows = []
+        for f in range(nf):
+            seed = doc_id + MP4_FRAME_SEED_STEP * f
+            sr = sg = sb = 0
+            first = None
+            for by in range(hb):
+                for bx in range(wb):
+                    y, cb, cr = block_ycc(seed, bx, by)
+                    r = y + ((FIX_R_CR * (cr - 128) + 32768) >> 16)
+                    g = y - ((FIX_G_CB * (cb - 128) + FIX_G_CR * (cr - 128) + 32768) >> 16)
+                    b = y + ((FIX_B_CB * (cb - 128) + 32768) >> 16)
+                    sr += 64 * r
+                    sg += 64 * g
+                    sb += 64 * b
+                    if bx == 0 and by == 0:
+                        first = (r, g, b)
+            rows.append((f, wb * 8, hb * 8, sr, sg, sb) + first)
+        return rows
+
+    def test_every_sample_decodes_to_closed_forms(self):
+        from iceberg_evolve_spark.functions.mp4 import decode_mp4_mjpeg, mp4_bytes
+
+        for d in (0, 1, 2, 3, 7, 12, 99, 1000):
+            for chunked in (False, True):
+                got = [
+                    (x["frame"], x["width"], x["height"], x["sum_r"], x["sum_g"],
+                     x["sum_b"], x["first_px_r"], x["first_px_g"], x["first_px_b"])
+                    for x in decode_mp4_mjpeg(mp4_bytes(d, chunked=chunked))
+                ]
+                assert got == self._closed_form(d), (d, chunked)
+
+    def test_stsc_runs_change_layout_not_samples(self):
+        # chunked=True splits samples over two chunks with different
+        # samples-per-chunk; the demux must yield identical sample bytes
+        from iceberg_evolve_spark.functions.mp4 import mp4_bytes, mp4_sample_table
+
+        p1, p2 = mp4_bytes(5), mp4_bytes(5, chunked=True)
+        t1, t2 = mp4_sample_table(p1), mp4_sample_table(p2)
+        assert [p1[o : o + s] for o, s in t1["samples"]] == [
+            p2[o : o + s] for o, s in t2["samples"]
+        ]
+
+    def test_interframe_codec_rejected_loudly(self):
+        from iceberg_evolve_spark.functions.mp4 import decode_mp4_mjpeg, mp4_bytes
+
+        q = bytearray(mp4_bytes(3))
+        idx = q.find(b"jpeg", q.find(b"stsd"))
+        q[idx : idx + 4] = b"avc1"
+        with pytest.raises(NotImplementedError, match="avc1"):
+            decode_mp4_mjpeg(bytes(q))
+
+    def test_corrupt_inputs_fail_loudly(self):
+        from iceberg_evolve_spark.functions.mp4 import decode_mp4_mjpeg, mp4_bytes
+
+        p = mp4_bytes(4)
+        with pytest.raises(ValueError, match="ftyp"):
+            decode_mp4_mjpeg(p[:4] + b"XXXX" + p[8:])  # wrong leading box type
+        with pytest.raises(ValueError, match="overruns"):
+            decode_mp4_mjpeg(p[: len(p) // 2])  # truncated mid-box
+        # stsz count inflated beyond the laid-out samples
+        import struct
+
+        q = bytearray(p)
+        off = q.find(b"stsz")
+        n = struct.unpack_from(">I", q, off + 12)[0]
+        struct.pack_into(">I", q, off + 12, n + 3)
+        with pytest.raises(ValueError):
+            decode_mp4_mjpeg(bytes(q))
+
+    def test_header_dimension_cross_check(self):
+        # stsd width/height disagreeing with the coded JPEG must raise
+        import struct
+
+        from iceberg_evolve_spark.functions.mp4 import decode_mp4_mjpeg, mp4_bytes
+
+        q = bytearray(mp4_bytes(6))
+        idx = q.find(b"jpeg", q.find(b"stsd")) + 28  # width field in the entry
+        struct.pack_into(">H", q, idx, 640)
+        with pytest.raises(ValueError, match="stsd says"):
+            decode_mp4_mjpeg(bytes(q))
+
+    def test_fused_spark_stage(self, spark):
+        from iceberg_evolve_spark.functions.mp4 import synth_mp4_features
+
+        ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+        rows = synth_mp4_features(ids).orderBy("doc_id", "frame").collect()
+        want = [
+            (d,) + r for d in range(6) for r in self._closed_form(d)
+        ]
+        assert [tuple(r) for r in rows] == want
