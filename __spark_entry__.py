@@ -10408,6 +10408,365 @@ FROM orders
 """
 
 
+#: Equality-delete key selector for the merge-on-read entry: customers this
+#: far in the red get their orders dropped (10 keys at sf0.01 — a genuinely
+#: small key list, the CDC-delete shape).
+MOR_ACCTBAL_CUT = -900.0
+
+
+def orders_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL DELETES, Iceberg-v2 style (`sources/snapshots.py`): a
+    positional delete (predicate → (file, row-position) pairs via the parquet
+    reader's `_metadata` columns) stacked with an equality delete (a 10-key
+    custkey list — the CDC-delete shape that never scans the data at write
+    time), both MERGE-ON-READ: the data dir is never rewritten (the hash gate
+    carries the same-dir witness), reads subtract the delete files with
+    broadcast anti-joins, and `rewrite_data_files` compaction folds them into
+    a clean snapshot whose manifest entry carries no delete files. Every
+    version's row count is an exact aggregate the oracle replays from the
+    predicates; time travel through the delete stack is proven by reading
+    v1–v4 side by side. At 100 TB the point is write amplification: a delete
+    costs O(rows deleted), not a table rewrite."""
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    keys = (
+        customer.filter(F.col("c_acctbal") < MOR_ACCTBAL_CUT)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    tmp = tempfile.mkdtemp(prefix="ies-mor-")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "orders_table"))
+        t.write(orders, ts=1000.0)                                    # v1
+        t.delete_where(spark, F.col("o_orderstatus") == "P", ts=2000.0)  # v2
+        t.delete_by_key(keys, ["o_custkey"], ts=3000.0)               # v3
+        v4 = t.rewrite_data_files(spark, ts=4000.0)                   # v4
+        e = t.versions()
+        same_dir = e[0]["data_dir"] == e[2]["data_dir"]
+        v4_clean = not e[3].get("deletes")
+        counts = [int(t.read(spark, version=v).count()) for v in (1, 2, 3, v4)]
+        price = (
+            t.read(spark)
+            .agg(
+                F.sum(
+                    F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)")
+                ).alias("p")
+            )
+            .first()["p"]
+        )
+        rows = [
+            (
+                counts[0],
+                counts[1],
+                counts[2],
+                counts[3],
+                bool(same_dir),
+                bool(v4_clean),
+                float(price),
+            )
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "v1_rows bigint, v2_rows bigint, v3_rows bigint, v4_rows bigint, "
+        "same_data_dir boolean, v4_no_deletes boolean, surviving_price double",
+    )
+
+
+_MERGE_ON_READ_SQL = f"""
+WITH mor_keys AS (
+    SELECT c_custkey FROM customer WHERE c_acctbal < {MOR_ACCTBAL_CUT}
+),
+mor_live AS (
+    SELECT * FROM orders
+    WHERE o_orderstatus <> 'P'
+      AND o_custkey NOT IN (SELECT c_custkey FROM mor_keys)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS v1_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+         WHERE o_orderstatus <> 'P') AS v2_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM mor_live) AS v3_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM mor_live) AS v4_rows,
+       TRUE AS same_data_dir,
+       TRUE AS v4_no_deletes,
+       (SELECT CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(28,2))) AS DOUBLE)
+          FROM mor_live) AS surviving_price
+"""
+
+
+#: File-skipping entry range (Spark and oracle must agree): overlaps exactly
+#: the 1996/1997/1998 year-files of the per-year layout.
+FILESKIP_LO = "1996-04-01"
+FILESKIP_HI = "1998-06-30"
+
+
+def orders_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATS-BASED FILE SKIPPING (`sources/footer_stats.py:prune_files`) —
+    Iceberg/Delta scan planning from parquet footers: orders land in one file
+    per order-year (a clustered layout, so per-file min/max are tight), a
+    date-range scan prunes the file list from the footer stats alone, and the
+    residual filter keeps correctness for in-file rows outside the range.
+    The hash gate proves both sides: the pruned scan's aggregate equals the
+    full-scan answer (no skipped data), and `files_read` equals the number of
+    year-files genuinely overlapping the range — which the oracle derives as
+    COUNT(DISTINCT year) of the in-range rows, because the layout puts
+    exactly one year per file. Skipping is conservative: files without
+    usable bounds are kept (see `prune_files`), so the plan can only
+    over-read, never miss. At 100 TB this is the planning step that makes
+    sorted/clustered layouts pay: #files footer reads replace a full scan."""
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.sources.footer_stats import prune_files, read_pruned
+
+    orders = _t(spark, sf_dir, "orders")
+    years = [
+        r["y"]
+        for r in orders.select(F.year("o_orderdate").alias("y"))
+        .distinct()
+        .orderBy("y")
+        .collect()  # bounded: one row per order-year
+    ]
+    tmp = tempfile.mkdtemp(prefix="ies-skip-")
+    path = os.path.join(tmp, "orders_by_year")
+    try:
+        for y in years:
+            orders.filter(F.year("o_orderdate") == y).coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+        import datetime
+
+        lo = datetime.datetime.fromisoformat(FILESKIP_LO)
+        hi = datetime.datetime.fromisoformat(FILESKIP_HI)
+        kept, total = prune_files(path, "o_orderdate", lo, hi)
+        agg = (
+            read_pruned(spark, path, "o_orderdate", lo, hi)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)")
+                ).alias("p"),
+            )
+            .first()
+        )
+        rows = [(int(total), int(len(kept)), int(agg["n"]), float(agg["p"]))]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "files_total bigint, files_read bigint, n_rows bigint, "
+        "range_price double",
+    )
+
+
+_FILESKIP_SQL = f"""
+WITH fs_range AS (
+    SELECT * FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{FILESKIP_LO}'
+      AND o_orderdate <= TIMESTAMP '{FILESKIP_HI}'
+)
+SELECT (SELECT CAST(COUNT(DISTINCT year(o_orderdate)) AS BIGINT) FROM orders)
+           AS files_total,
+       (SELECT CAST(COUNT(DISTINCT year(o_orderdate)) AS BIGINT) FROM fs_range)
+           AS files_read,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(28,2))) AS DOUBLE)
+           AS range_price
+FROM fs_range
+"""
+
+
+#: k-core entry tuning (Spark and oracle must agree). The oracle unrolls
+#: KCORE_ROUNDS peeling rounds; peeling is monotone with a unique fixpoint,
+#: so any round count >= the convergence depth (10 at sf0.01, asserted in
+#: tests) replays the converged Spark result exactly.
+KCORE_K = 3
+KCORE_ROUNDS = 16
+KCORE_TOP = 100
+KCORE_MIN_SUPPORT = 2
+
+
+def parts_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE DECOMPOSITION (`functions/graph.py:k_core`) — the density
+    filter of graph curation (Seidman 1983; Batagelj-Zaveršnik peeling):
+    keep only parts whose co-purchase neighborhood stays ≥ KCORE_K-dense
+    after every sparser node is iteratively peeled away. The graph is the
+    same support-pruned co-purchase edge set as `parts_pagerank`; each
+    peeling round is one degree count + two semi-joins on the node id
+    (one reusable hash partitioning), lineage truncated per round, and
+    convergence is a strictly-decreasing scalar. The oracle unrolls the
+    peel as chained CTEs — monotonicity makes extra rounds no-ops, so a
+    fixed unroll replays the converged fixpoint bit-for-bit. Output: the
+    top-KCORE_TOP core members by within-core degree."""
+    from iceberg_evolve_spark.functions.graph import k_core
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    edges = (
+        baskets.select(F.explode("ps").alias("s"), F.col("ps"))
+        .select("s", F.explode("ps").alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .groupBy("s", "d")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= KCORE_MIN_SUPPORT)
+        .select("s", "d")
+    )
+    core = k_core(edges, "s", "d", k=KCORE_K)
+    return (
+        core.select(F.col("node").alias("p_partkey"), F.col("degree").cast("long").alias("core_degree"))
+        .orderBy(F.col("core_degree").desc(), "p_partkey")
+        .limit(KCORE_TOP)
+    )
+
+
+def _kcore_sql() -> str:
+    from iceberg_evolve_spark.functions.graph import k_core_unrolled_sql
+
+    edges_cte = f"""
+SELECT a.l_partkey AS s, b.l_partkey AS d
+FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+GROUP BY 1, 2
+HAVING COUNT(*) >= {KCORE_MIN_SUPPORT}
+"""
+    inner = k_core_unrolled_sql(edges_cte, k=KCORE_K, rounds=KCORE_ROUNDS)
+    return f"""
+SELECT node AS p_partkey, degree AS core_degree
+FROM ({inner}) kc
+ORDER BY core_degree DESC, p_partkey
+LIMIT {KCORE_TOP}
+"""
+
+
+#: Bigram-surprisal entry tuning (Spark and oracle must agree): bigrams seen
+#: fewer than BIGRAM_MIN_COUNT times back off to the second word's unigram
+#: surprisal plus BIGRAM_BACKOFF_BITS (≈ -log2 of Stupid Backoff's 0.4).
+BIGRAM_MIN_COUNT = 2
+BIGRAM_BACKOFF_BITS = 3
+
+
+def docs_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTEGER BIGRAM SURPRISAL WITH STUPID BACKOFF
+    (`functions/text.py:bigram_surprisal`; Brants et al., EMNLP 2007) — the
+    next rung above `docs_surprisal_score` on the LM-quality-proxy ladder:
+    word TRANSITIONS the corpus has seen are cheap, rare/unseen transitions
+    are expensive, and rare bigrams back off to the second word's unigram
+    surprisal plus a fixed integer penalty. All pure integer ops
+    (`length(bin(total div freq))`), so per-doc sums replay bit-for-bit;
+    the per-doc mean is ONE final division. Scale: bigrams by `zip_with`
+    (no self-join), histograms map-side combined to vocabulary size, scores
+    attached by one broadcast join back onto the bigram stream."""
+    from iceberg_evolve_spark.functions.text import bigram_surprisal
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_surprisal(
+        docs, min_count=BIGRAM_MIN_COUNT, backoff_bits=BIGRAM_BACKOFF_BITS
+    ).orderBy("doc_id")
+
+
+def _bigram_surprisal_sql() -> str:
+    toks = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+    return f"""
+WITH bs_tok AS (SELECT doc_id, {toks} AS tk FROM documents),
+bs_big AS (
+    SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+    FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM bs_tok)
+),
+bs_words AS (SELECT unnest(tk) AS w FROM bs_tok),
+bs_uh AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM bs_words GROUP BY w),
+bs_ut AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1 FROM bs_uh),
+bs_bh AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bs_big GROUP BY w1, w2),
+bs_bt AS (SELECT CAST(SUM(c2) AS BIGINT) AS t2 FROM bs_bh),
+bs_s AS (
+    SELECT w1, w2,
+           CASE WHEN c2 >= {BIGRAM_MIN_COUNT} THEN length(bin(t2 // c2))
+                ELSE length(bin(t1 // u.c1)) + {BIGRAM_BACKOFF_BITS} END AS s,
+           CASE WHEN c2 >= {BIGRAM_MIN_COUNT} THEN 0 ELSE 1 END AS backed_off
+    FROM bs_bh JOIN bs_uh u ON u.w = bs_bh.w2, bs_bt, bs_ut
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(backed_off) AS BIGINT) AS n_backoff,
+       CAST(SUM(s.s) AS BIGINT) AS sum_surprisal,
+       ROUND(CAST(SUM(s.s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+           AS mean_surprisal
+FROM bs_big b JOIN bs_s s USING (w1, w2)
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+def evolve_add_with_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG V3 DEFAULT VALUES composed with the diff→plan→migrate loop:
+    the target schema's added fields carry `initial-default` /
+    `write-default` (spec §"Default values" — the reference predates v3 and
+    carries neither), the field-id diff plans `AddColumn` ops whose DDL
+    emits `DEFAULT <write-default>`, and `migrate_dataframe` fills the added
+    columns of EXISTING rows with the initial default instead of NULL —
+    still one shuffle-free projection. The entry migrates the live customer
+    table under two defaulted adds (one with both defaults, one
+    initial-only) plus a widen, and aggregates the migrated values so the
+    default arithmetic sits under the hash gate; the planned DDL rides along
+    as an exact string column."""
+    df = _t(spark, sf_dir, "customer")
+    cur = struct_from_spark(df.schema)
+    new = StructType(
+        tuple(cur.fields)
+        + (
+            Field(
+                20001,
+                "loyalty_tier",
+                PrimitiveType("string"),
+                initial_default="standard",
+                write_default="unrated",
+            ),
+            Field(
+                20002,
+                "credit_limit",
+                PrimitiveType("double"),
+                initial_default=1000.0,
+            ),
+        )
+    )
+    diff = SchemaDiff.from_schemas(cur, new)
+    ops = diff.to_evolution_operations()
+    ddl = "; ".join(s for op in ops for s in op.to_sql("db.customer"))
+    migrated = migrate_dataframe(df, cur, new)
+    # decimal-first addition: cast each addend, THEN add — double addition
+    # before the cast could round differently across engines at penny ties
+    return (
+        migrated.groupBy("loyalty_tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.round(F.col("c_acctbal"), 2).cast("decimal(28,2)")
+                + F.round(F.col("credit_limit"), 2).cast("decimal(28,2)")
+            )
+            .cast("double")
+            .alias("headroom"),
+        )
+        .withColumn("planned_ddl", F.lit(ddl))
+        .orderBy("loyalty_tier")
+    )
+
+
+_ADD_DEFAULTS_SQL = """
+SELECT 'standard' AS loyalty_tier,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(c_acctbal, 2) AS DECIMAL(28,2))
+                + CAST(1000.00 AS DECIMAL(28,2))) AS DOUBLE) AS headroom,
+       'ALTER TABLE db.customer ADD COLUMN loyalty_tier STRING DEFAULT ''unrated''; '
+       || 'ALTER TABLE db.customer ADD COLUMN credit_limit DOUBLE' AS planned_ddl
+FROM customer
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -10426,11 +10785,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---------- ROUND-7 WINDOW (first 50; driver hashes these) ----------
         # (a) NEW this round, never driver-verified: the from-scratch Avro
-        #     container round-trip, the MP4/ISO-BMFF demux, and the
-        #     CDC-x-schema-evolution composition.
+        #     container round-trip, the MP4/ISO-BMFF demux, the
+        #     CDC-x-schema-evolution composition, Iceberg-v2-style
+        #     merge-on-read row deletes, footer-stats file skipping, k-core
+        #     decomposition, bigram surprisal with backoff, and Iceberg-v3
+        #     default values through the diff->plan->migrate loop.
         "orders_avro_roundtrip": orders_avro_roundtrip,
         "multimodal_video_mp4": multimodal_video_mp4,
         "cdc_schema_drift_apply": cdc_schema_drift_apply,
+        "orders_merge_on_read": orders_merge_on_read,
+        "orders_file_skipping": orders_file_skipping,
+        "parts_kcore": parts_kcore,
+        "docs_bigram_surprisal": docs_bigram_surprisal,
+        "evolve_add_with_defaults": evolve_add_with_defaults,
         # (b) changed this round, prior hashes void: the F.floor bucket fix
         #     (range_join.py) and the numeric-id guard (graph.py).
         "sessions_overlap_degree": sessions_overlap_degree,
@@ -10478,14 +10845,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "q15_top_supplier": q15_top_supplier,
         "q18_large_orders": q18_large_orders,
+        # ---------------------- past the window ----------------------------
+        # (d) the 9 r03-hashed entries that did not fit (4 from the original
+        #     rotation + 5 displaced by the late round-7 additions above) —
+        #     FIRST in line for round 8's window (then the r04 group).
         "q22_dormant_rich_customers": q22_dormant_rich_customers,
         "nation_revenue_share": nation_revenue_share,
         "cheapest_supplier_per_part": cheapest_supplier_per_part,
         "customers_without_orders": customers_without_orders,
         "nation_distinct_counts": nation_distinct_counts,
-        # ---------------------- past the window ----------------------------
-        # (d) the 4 r03-hashed entries that did not fit — FIRST in line for
-        #     round 8's window (then the r04 group).
         "parts_above_brand_avg": parts_above_brand_avg,
         "customer_balance_quartiles": customer_balance_quartiles,
         "orders_pivot_priority": orders_pivot_priority,
@@ -10750,6 +11118,11 @@ def oracle_sql() -> dict[str, str]:
         "orders_partition_evolution": _SPEC_EVOLVE_SQL,
         "orders_trimmed_mean": _TRIMMED_SQL,
         "orders_snapshot_expire": _SNAP_EXPIRE_SQL,
+        "orders_merge_on_read": _MERGE_ON_READ_SQL,
+        "orders_file_skipping": _FILESKIP_SQL,
+        "parts_kcore": _kcore_sql(),
+        "docs_bigram_surprisal": _bigram_surprisal_sql(),
+        "evolve_add_with_defaults": _ADD_DEFAULTS_SQL,
         "lang_id_confusion": _lang_confusion_sql(),
         "events_ab_lift": _AB_SQL,
         "snapshot_schema_drift": _DRIFT_SQL,

@@ -306,7 +306,18 @@ class SchemaDiff:
                 )
 
         for c in self.added:
-            adds.append(AddColumn(name=c.path, new_type=c.new.type, doc=c.new.doc))
+            adds.append(
+                AddColumn(
+                    name=c.path,
+                    new_type=c.new.type,
+                    doc=c.new.doc,
+                    # Iceberg v3 default values ride the plan: migration fills
+                    # existing rows with initial_default, DDL emits the write
+                    # default (see operators/evolution.py:AddColumn).
+                    initial_default=c.new.initial_default,
+                    write_default=c.new.write_default,
+                )
+            )
 
         if not self.union_by_name_mode:
             for c in self.removed:

@@ -418,6 +418,100 @@ def label_propagation(
     return labels
 
 
+def k_core(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """The k-core of the undirected graph: the maximal subgraph where every
+    node has degree >= ``k`` WITHIN the subgraph (Seidman 1983) — the graph
+    curation primitive for "keep only densely-supported entities" (spam rings,
+    citation cores, co-purchase backbones; Batagelj-Zaveršnik peeling).
+
+    Algorithm: iterative peeling — drop every node whose current degree is
+    below ``k``, restrict the edge set to survivors, repeat until no node
+    drops. Each removal only DECREASES neighbors' degrees, so peeling is
+    monotone: the fixpoint is unique and extra rounds past convergence are
+    no-ops — which is what lets a fixed-round unrolled SQL oracle
+    (:func:`k_core_unrolled_sql`) replay the result exactly as long as its
+    round count covers convergence.
+
+    Scale shape per round (the :func:`pagerank` loop discipline): one
+    map-side-combined degree count keyed by node + two semi-joins of the edge
+    list against the surviving-node set (same node-id partitioning reused all
+    loop), lineage truncated per round with ``localCheckpoint``; convergence
+    is one cheap scalar (surviving-node count — strictly decreasing while
+    anything changes). Rounds needed = the graph's degeneracy ordering depth,
+    small for real co-occurrence graphs.
+
+    Returns ``(node, degree)`` — core members with their within-core degree.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_n = None
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    for _ in range(max_rounds):
+        keep = deg.filter(F.col("degree") >= k).select("u")
+        n = keep.count()
+        if n == prev_n:
+            break
+        prev_n = n
+        e = (
+            e.join(keep, "u", "semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "semi")
+            .localCheckpoint()
+        )
+        deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.filter(F.col("degree") >= k).select(
+        F.col("u").alias("node"), "degree"
+    )
+
+
+def k_core_unrolled_sql(edges_cte: str, k: int = 3, rounds: int = 8) -> str:
+    """DuckDB oracle twin of :func:`k_core`: ``rounds`` peeling rounds
+    unrolled as chained CTEs. ``edges_cte`` must produce directed columns
+    ``(s, d)``; symmetrization and self-loop/duplicate removal happen here,
+    mirroring the Spark side. Peeling is monotone with a unique fixpoint, so
+    any ``rounds`` >= the convergence depth reproduces the Spark result
+    exactly (callers assert convergence within ``rounds`` in tests).
+
+    Every CTE is ``MATERIALIZED``: each round references the previous edge
+    set THREE times (degree count + both semi-join sides), so an inlining
+    planner would expand the tree 3^rounds-fold (measured: DuckDB exhausted
+    file handles re-opening the base table before the hint)."""
+    parts = [
+        f"kc_e0 AS MATERIALIZED (SELECT DISTINCT u, v FROM "
+        f"(SELECT s AS u, d AS v FROM ({edges_cte}) "
+        f"UNION ALL SELECT d AS u, s AS v FROM ({edges_cte})) WHERE u <> v)",
+    ]
+    prev = "kc_e0"
+    for r in range(rounds):
+        parts.append(
+            f"kc_k{r} AS MATERIALIZED (SELECT u FROM {prev} GROUP BY u "
+            f"HAVING COUNT(*) >= {k})"
+        )
+        parts.append(
+            f"kc_e{r + 1} AS MATERIALIZED (SELECT e.u, e.v FROM {prev} e "
+            f"JOIN kc_k{r} a ON e.u = a.u JOIN kc_k{r} b ON e.v = b.u)"
+        )
+        prev = f"kc_e{r + 1}"
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM {prev} "
+        f"GROUP BY u HAVING COUNT(*) >= {k}"
+    )
+
+
 def label_propagation_unrolled_sql(
     edges_cte: str, rounds: int = 4
 ) -> str:

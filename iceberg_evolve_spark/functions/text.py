@@ -830,6 +830,89 @@ def ngram_novelty(
     )
 
 
+def bigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    backoff_bits: int = 3,
+) -> DataFrame:
+    """Per-document INTEGER bigram surprisal with Stupid-Backoff (Brants et
+    al., EMNLP 2007) — the next rung above :func:`unigram_surprisal` on the
+    LM-quality-proxy ladder: word PAIRS the corpus has seen are cheap, unseen
+    or rare transitions are expensive, and rare bigrams back off to the
+    second word's unigram surprisal plus a fixed integer penalty
+    (``backoff_bits`` ≈ -log₂ of the backoff factor; 3 bits ≈ the 0.4 of the
+    paper, kept integral so every score is exact).
+
+    Per bigram (w1,w2): if corpus count ≥ ``min_count``,
+    ``s = bit_length(total_bigrams DIV c2)``; else
+    ``s = bit_length(total_words DIV c1(w2)) + backoff_bits``. All pure
+    integer ops (the ``length(bin(x))`` primitive), so per-doc sums replay
+    bit-for-bit cross-engine; the per-doc MEAN is the single final division.
+
+    Scale shape: bigrams come from ``zip_with`` over the token array (no
+    self-join, no posexplode carry of the array), histograms are map-side
+    combined to vocabulary size, and scores attach by one broadcast join back
+    onto the bigram stream (bigram vocabularies are MBs even for web-scale
+    corpora after the ``min_count`` floor; switch the broadcast to a plain
+    equi-join if a corpus's raw bigram vocab outgrows executor memory).
+    Docs with fewer than 2 tokens have no bigrams and are not emitted.
+    Output: (id, n_bigrams, n_backoff, sum_surprisal, mean_surprisal)."""
+    tk = tokens(text_col)
+    pairs = F.zip_with(
+        F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+        F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = df.select(id_col, F.explode(pairs).alias("p")).select(
+        id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    words = df.select(F.explode(tk).alias("w"))
+    uh = words.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    ut = uh.agg(F.sum("c1").alias("t1"))
+    bh = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    bt = bh.agg(F.sum("c2").alias("t2"))
+    scored = (
+        bh.join(F.broadcast(bt))
+        .join(uh.select(F.col("w").alias("w2"), "c1"), "w2")
+        .join(F.broadcast(ut))
+        .select(
+            "w1",
+            "w2",
+            F.when(
+                F.col("c2") >= min_count,
+                F.length(F.bin(F.expr("t2 DIV c2"))),
+            )
+            .otherwise(
+                F.length(F.bin(F.expr("t1 DIV c1"))) + F.lit(backoff_bits)
+            )
+            .alias("s"),
+            (F.col("c2") < min_count).cast("int").alias("backed_off"),
+        )
+    )
+    return (
+        big.join(F.broadcast(scored), ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("backed_off").cast("long").alias("n_backoff"),
+            F.sum("s").cast("long").alias("sum_surprisal"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "n_backoff",
+            "sum_surprisal",
+            F.round(
+                F.col("sum_surprisal").cast("double")
+                / F.col("n_bigrams").cast("double"),
+                4,
+            ).alias("mean_surprisal"),
+        )
+    )
+
+
 def unigram_surprisal(
     df: DataFrame,
     text_col: str = "text",

@@ -100,6 +100,15 @@ class Field:
     field docstring. Both are carried and serialized; the reference diffs ``doc`` but
     silently ignores ``required`` flips (``SURVEY.md §1.1``) — we diff both, with the
     required-flip emission controllable for reference parity (see ``diff.py``).
+
+    ``initial_default`` / ``write_default`` are the Iceberg **v3 default values**
+    (spec: ``initial-default`` is the value EXISTING rows take when the column is
+    added — metadata-only backfill; ``write-default`` is what future writes use
+    when the column is omitted). The reference predates v3 and carries neither;
+    here the planner forwards them onto :class:`~.operators.evolution.AddColumn`
+    and the DataFrame migrator fills added columns with ``initial_default``
+    instead of NULL (see ``operators/migrate_df.py``). JSON keys:
+    ``initial-default`` / ``write-default``, omitted when unset.
     """
 
     field_id: int
@@ -107,6 +116,8 @@ class Field:
     type: IcebergType
     required: bool = False
     doc: str | None = None
+    initial_default: object = None
+    write_default: object = None
 
     def with_type(self, new_type: IcebergType) -> Field:
         return replace(self, type=new_type)

@@ -137,26 +137,50 @@ class BaseEvolutionOperation:
 
 @dataclass
 class AddColumn(BaseEvolutionOperation):
-    """Add a (possibly nested, dotted-path) column (reference ``migrate.py:42-93``)."""
+    """Add a (possibly nested, dotted-path) column (reference ``migrate.py:42-93``).
+
+    ``initial_default`` / ``write_default`` carry Iceberg v3 default values
+    (spec §"Default values": the initial default backfills EXISTING rows as
+    metadata, the write default applies to future writes omitting the column).
+    The reference predates v3; here the DDL emits ``DEFAULT <write-default>``
+    and the DataFrame migration backend fills pre-existing rows with the
+    initial default instead of NULL."""
 
     new_type: IcebergType = None  # type: ignore[assignment]
     doc: str | None = None
+    initial_default: object = None
+    write_default: object = None
 
     op_name = "add_column"
 
+    @staticmethod
+    def _sql_literal(v: object) -> str:
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        return "'" + str(v).replace("'", "''") + "'"
+
     def to_sql(self, table: str) -> list[str]:
         ddl = f"ALTER TABLE {table} ADD COLUMN {quote_path(self.name)} {to_spark_ddl_type(self.new_type)}"
+        if self.write_default is not None:
+            ddl += f" DEFAULT {self._sql_literal(self.write_default)}"
         if self.doc:
             ddl += f" COMMENT '{self.doc.replace(chr(39), chr(39) * 2)}'"
         return [ddl]
 
     def to_serializable_dict(self) -> dict[str, Any]:
-        return {
+        out: dict[str, Any] = {
             "op": "add_column",
             "name": self.name,
             "type": clean_type_str(self.new_type),
             "doc": self.doc,
         }
+        if self.initial_default is not None:
+            out["initial_default"] = self.initial_default
+        if self.write_default is not None:
+            out["write_default"] = self.write_default
+        return out
 
 
 @dataclass

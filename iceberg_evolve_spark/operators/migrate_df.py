@@ -73,6 +73,16 @@ def _migrate_column(col: Column, cur_t: IcebergType, new_t: IcebergType, path: s
     return F.lit(None).cast(type_to_spark(new_t))
 
 
+def _added_field_value(nf: Field) -> Column:
+    """Value an ADDED field takes for pre-existing rows: the Iceberg v3
+    ``initial-default`` when the target field carries one, else typed NULL
+    (v1/v2 behavior). A literal cast is still a pure projection — the
+    migration stays one shuffle-free map stage either way."""
+    if nf.initial_default is not None:
+        return F.lit(nf.initial_default).cast(type_to_spark(nf.type))
+    return F.lit(None).cast(type_to_spark(nf.type))
+
+
 def _migrate_struct(col: Column | None, cur: StructType, new: StructType, path: str) -> Column:
     """Rebuild a struct column in target-field order, resolving children by ID."""
     cur_by_id = {f.field_id: f for f in cur.fields}
@@ -81,7 +91,7 @@ def _migrate_struct(col: Column | None, cur: StructType, new: StructType, path: 
         cf = cur_by_id.get(nf.field_id)
         child_path = f"{path}.{nf.name}" if path else nf.name
         if cf is None:
-            expr = F.lit(None).cast(type_to_spark(nf.type))
+            expr = _added_field_value(nf)
         else:
             src = col.getField(cf.name) if col is not None else F.col(cf.name)
             expr = _migrate_column(src, cf.type, nf.type, child_path)
@@ -100,7 +110,7 @@ def migrate_dataframe(df: DataFrame, current: StructType, new: StructType) -> Da
     for nf in new.fields:
         cf = cur_by_id.get(nf.field_id)
         if cf is None:
-            expr = F.lit(None).cast(type_to_spark(nf.type))
+            expr = _added_field_value(nf)
         else:
             expr = _migrate_column(F.col(cf.name), cf.type, nf.type, nf.name)
         out.append(expr.alias(nf.name))

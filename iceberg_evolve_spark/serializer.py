@@ -97,6 +97,9 @@ def field_from_json(obj: Any, source: str = _SOURCE) -> Field:
         type=type_from_json(obj["type"], source),
         required=bool(obj.get("required", False)),
         doc=obj.get("doc"),
+        # Iceberg v3 default values (spec keys: initial-default/write-default)
+        initial_default=obj.get("initial-default"),
+        write_default=obj.get("write-default"),
     )
 
 
@@ -152,6 +155,10 @@ def field_to_json(f: Field) -> dict[str, Any]:
     }
     if f.doc is not None:
         out["doc"] = f.doc
+    if f.initial_default is not None:
+        out["initial-default"] = f.initial_default
+    if f.write_default is not None:
+        out["write-default"] = f.write_default
     return out
 
 

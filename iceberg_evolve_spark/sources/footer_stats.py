@@ -70,6 +70,73 @@ def _files(path: str) -> list[str]:
     return [path]
 
 
+def prune_files(
+    path: str,
+    column: str,
+    lo: object = None,
+    hi: object = None,
+) -> tuple[list[str], int]:
+    """Stats-based FILE SKIPPING (Iceberg/Delta scan planning, done from
+    parquet footers): return the subset of files that CAN contain rows with
+    ``lo <= column <= hi``, plus the total file count. A file is skipped only
+    when EVERY row group's [min, max] provably misses the range.
+
+    The correctness discipline is the opposite of
+    :func:`table_stats_from_footers`: stats here only need to be BOUNDS, not
+    exact values, so missing statistics keep the file (conservative — never
+    skips data it can't prove absent) and BYTE_ARRAY columns are fine
+    (truncated string stats are still valid bounds: the truncated min is <=
+    the true min, the incremented-prefix max >= the true max).
+
+    At 100 TB this is the planning step that makes a sorted/clustered layout
+    pay: #files footer reads on the driver (or a manifest, which is this same
+    information cached) replace scanning every file for a selective range."""
+    if lo is None and hi is None:
+        raise ValueError("provide at least one of lo/hi")
+    clo, chi = _to_comparable(lo), _to_comparable(hi)
+    files = _files(path)
+    kept = []
+    for fp in files:
+        meta = pq.ParquetFile(fp).metadata
+        name_to_idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        if column not in name_to_idx:
+            raise ValueError(f"column {column!r} not in {fp}")
+        keep = False
+        for rg in range(meta.num_row_groups):
+            group = meta.row_group(rg)
+            st = group.column(name_to_idx[column]).statistics
+            if st is None or not st.has_min_max:
+                if st is not None and st.null_count == group.num_rows:
+                    continue  # provably all-null: cannot match a range
+                keep = True  # no usable bounds: must assume it matches
+                break
+            mn, mx = _to_comparable(st.min), _to_comparable(st.max)
+            if (chi is None or mn <= chi) and (clo is None or mx >= clo):
+                keep = True
+                break
+        if keep:
+            kept.append(fp)
+    return kept, len(files)
+
+
+def read_pruned(spark, path: str, column: str, lo: object = None, hi: object = None):
+    """Read only the files :func:`prune_files` keeps, with the residual range
+    filter applied (files are kept on OVERLAP, so in-file rows outside the
+    range still need the predicate — which Spark additionally pushes down to
+    row-group level inside the kept files)."""
+    from pyspark.sql import functions as F
+
+    kept, _total = prune_files(path, column, lo, hi)
+    if not kept:
+        return spark.read.parquet(path).filter(F.lit(False))
+    df = spark.read.parquet(*kept)
+    if lo is not None:
+        df = df.filter(F.col(column) >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(F.col(column) <= F.lit(hi))
+    return df
+
+
 def table_stats_from_footers(path: str, columns: list[str]) -> dict[str, ColumnStats]:
     """COUNT/MIN/MAX per column for a parquet file or directory, computed
     purely from row-group footer statistics. Raises if any row group lacks

@@ -9,6 +9,7 @@ Layout::
     table_dir/
       v00001/           # immutable parquet data dirs, never rewritten
       v00002/
+      d00001/           # delete files (Iceberg v2 merge-on-read row deletes)
       _snapshots.json   # ordered manifest: the ONLY mutable file
 
 Disciplines (the same ones real table formats automate):
@@ -108,20 +109,179 @@ class SnapshotTable:
 
     def rollback(self, version: int, note: str | None = None, ts: float | None = None) -> int:
         """Make ``version``'s data current again by appending a NEW snapshot
-        entry that points at the old data dir (history preserved)."""
+        entry that points at the old data dir (history preserved). The
+        target's delete files (if any) are carried along — rolling back to a
+        merge-on-read snapshot restores its row-level deletes too."""
         entries = self.versions()
         target = self._entry_for(entries, version)
         new_version = entries[-1]["version"] + 1
+        new_entry = {
+            "version": new_version,
+            "data_dir": target["data_dir"],
+            "ts": time.time() if ts is None else ts,
+            "note": note or f"rollback to v{version}",
+        }
+        if target.get("deletes"):
+            new_entry["deletes"] = list(target["deletes"])
+        entries.append(new_entry)
+        self._commit(entries)
+        return new_version
+
+    # -- row-level deletes (Iceberg v2 merge-on-read) -----------------------
+    #
+    # A delete does NOT rewrite the (immutable) data dir. It writes a small
+    # DELETE FILE and appends a manifest entry referencing the SAME data dir
+    # plus the accumulated delete-file list — exactly Iceberg v2's
+    # merge-on-read: writes stay O(rows deleted), reads subtract the delete
+    # files, and compaction (:meth:`rewrite_data_files`) folds them back into
+    # a clean data dir when read amplification warrants it. Two delete-file
+    # kinds, as in the Iceberg spec:
+    #
+    # * **positional** (`kind="pos"`): rows ``(_file, _pos)`` naming exact row
+    #   positions inside named data files — produced from a predicate by
+    #   scanning once with the parquet reader's ``_metadata.file_path`` /
+    #   ``_metadata.row_index`` columns (stable because data dirs never
+    #   change).
+    # * **equality** (`kind="eq"`): rows of key-column values; every data row
+    #   matching a key is deleted (what a CDC stream's deletes compile to —
+    #   no read of the data at write time at all).
+    #
+    # Read-side application is an anti-join per kind: positional deletes join
+    # on (file, position), equality deletes on the key columns. Delete files
+    # are KBs-to-MBs against TBs of data, so both anti-joins broadcast the
+    # delete side — the scan stays a single pass with no extra shuffle.
+
+    def _next_delete_dir(self, entries: list[dict]) -> str:
+        n = sum(len(e.get("deletes", [])) for e in entries)
+        return f"d{n + 1:05d}"
+
+    def _append_delete_entry(
+        self,
+        entries: list[dict],
+        delete: dict,
+        note: str | None,
+        ts: float | None,
+    ) -> int:
+        cur = entries[-1]
+        new_version = cur["version"] + 1
         entries.append(
             {
                 "version": new_version,
-                "data_dir": target["data_dir"],
+                "data_dir": cur["data_dir"],
+                "deletes": list(cur.get("deletes", [])) + [delete],
                 "ts": time.time() if ts is None else ts,
-                "note": note or f"rollback to v{version}",
+                "note": note,
             }
         )
         self._commit(entries)
         return new_version
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition,
+        note: str | None = None,
+        ts: float | None = None,
+    ) -> int:
+        """Row-level delete by predicate via a POSITIONAL delete file.
+
+        Scans the current snapshot once (existing deletes applied, so already-
+        deleted rows are not re-listed), writes matching rows' (file, position)
+        pairs as a delete file, and commits a new snapshot referencing the
+        unchanged data dir. Returns the new version — or the current one
+        unchanged if nothing matched (no empty commits, as Iceberg). The scan
+        is the cost of a filtered read; the write is O(rows deleted)."""
+        entries = self.versions()
+        if not entries:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        live = self._read_with_pos(spark, entries[-1])
+        matched = live.filter(condition).select("_file", "_pos")
+        dd = self._next_delete_dir(entries)
+        final = os.path.join(self.path, dd)
+        tmp = final + ".tmp"
+        matched.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # empty delete => no commit (the dir becomes an orphan, reclaimed by
+        # expire_snapshots' sweep)
+        n = spark.read.parquet(tmp).limit(1).count()
+        if n == 0:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            return entries[-1]["version"]
+        os.rename(tmp, final)
+        return self._append_delete_entry(
+            entries, {"dir": dd, "kind": "pos"}, note or "delete_where", ts
+        )
+
+    def delete_by_key(
+        self,
+        keys: DataFrame,
+        cols: list[str],
+        note: str | None = None,
+        ts: float | None = None,
+    ) -> int:
+        """Row-level delete by key via an EQUALITY delete file: every current
+        data row whose ``cols`` values appear in ``keys`` is deleted on read.
+        Writes only the distinct key rows — the data is never scanned at
+        write time (the CDC-delete shape). NULL keys are rejected: equality
+        deletes match with plain equality, and a NULL key would silently
+        match nothing."""
+        entries = self.versions()
+        if not entries:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        from pyspark.sql import functions as F
+
+        key_rows = keys.select(*cols).distinct()
+        bad = key_rows.filter(
+            " OR ".join(f"({c} IS NULL)" for c in cols)
+        ).limit(1).count()
+        if bad:
+            raise ValueError(f"equality-delete keys contain NULLs in {cols}")
+        dd = self._next_delete_dir(entries)
+        final = os.path.join(self.path, dd)
+        tmp = final + ".tmp"
+        key_rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+        return self._append_delete_entry(
+            entries,
+            {"dir": dd, "kind": "eq", "cols": list(cols)},
+            note or f"delete_by_key {cols}",
+            ts,
+        )
+
+    def _read_with_pos(self, spark: SparkSession, entry: dict) -> DataFrame:
+        """Current rows of ``entry`` with ``_file``/``_pos`` helper columns,
+        all registered delete files subtracted (broadcast anti-joins)."""
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(os.path.join(self.path, entry["data_dir"]))
+        df = df.select(
+            *df.columns,
+            F.col("_metadata.file_path").alias("_file"),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
+        for d in entry.get("deletes", []):
+            dfile = spark.read.parquet(os.path.join(self.path, d["dir"]))
+            if d["kind"] == "pos":
+                df = df.join(
+                    F.broadcast(dfile), on=["_file", "_pos"], how="anti"
+                )
+            elif d["kind"] == "eq":
+                df = df.join(F.broadcast(dfile), on=list(d["cols"]), how="anti")
+            else:  # pragma: no cover - manifest corruption
+                raise ValueError(f"unknown delete kind {d['kind']!r}")
+        return df
+
+    def rewrite_data_files(
+        self, spark: SparkSession, note: str | None = None, ts: float | None = None
+    ) -> int:
+        """Compaction: materialize the current merge-on-read view into a fresh
+        data dir and commit a snapshot with NO delete files (Iceberg's
+        ``rewrite_data_files`` + ``rewrite_position_delete_files``). Old
+        snapshots still time-travel through their own delete stacks; retention
+        eventually reclaims the superseded delete files."""
+        cur = self.read(spark)
+        return self.write(cur, note=note or "rewrite_data_files (compaction)", ts=ts)
 
     # -- read path ---------------------------------------------------------
     @staticmethod
@@ -153,8 +313,13 @@ class SnapshotTable:
         as_of: float | None = None,
     ) -> DataFrame:
         """Read the latest snapshot, a pinned ``version``, or the snapshot
-        current ``as_of`` a timestamp (time travel)."""
+        current ``as_of`` a timestamp (time travel). Snapshots carrying
+        row-level delete files are merge-on-read: the delete files are
+        subtracted by broadcast anti-joins in the same scan."""
         entry = self._resolve(version, as_of)
+        if entry.get("deletes"):
+            df = self._read_with_pos(spark, entry)
+            return df.drop("_file", "_pos")
         return spark.read.parquet(os.path.join(self.path, entry["data_dir"]))
 
 
@@ -196,6 +361,8 @@ class SnapshotTable:
             # commit point: expired versions unresolvable from here on
             self._commit(keep)
         live_dirs = {e["data_dir"] for e in keep}
+        for e in keep:
+            live_dirs.update(d["dir"] for d in e.get("deletes", []))
         removed = []
         # Sweep EVERY unreferenced data dir, not just the ones this call
         # expired — a crash between a previous retention's manifest commit
@@ -208,7 +375,7 @@ class SnapshotTable:
             full = os.path.join(self.path, name)
             if (
                 os.path.isdir(full)
-                and name.startswith("v")
+                and name[:1] in ("v", "d")
                 and name[1:].isdigit()
                 and name not in live_dirs
             ):

@@ -81,3 +81,119 @@ class TestFooterStats:
         pq.write_table(pa.table({"s": ["aaa", "zzz"]}), f)
         with pytest.raises(ValueError, match="BYTE_ARRAY"):
             table_stats_from_footers(f, ["s"])
+
+
+class TestPruneFiles:
+    """Stats-based file skipping: prune on proof, keep on doubt."""
+
+    @pytest.fixture()
+    def year_dir(self, tmp_path):
+        d = tmp_path / "by_year"
+        d.mkdir()
+        for i, lo in enumerate((0, 100, 200)):
+            pq.write_table(
+                pa.table({"k": list(range(lo, lo + 50)), "v": [1.0] * 50}),
+                d / f"f{i}.parquet",
+            )
+        return str(d)
+
+    def test_prunes_non_overlapping_files(self, year_dir):
+        from iceberg_evolve_spark.sources.footer_stats import prune_files
+
+        kept, total = prune_files(year_dir, "k", 120, 130)
+        assert total == 3
+        assert [os.path.basename(f) for f in kept] == ["f1.parquet"]
+
+    def test_boundary_overlap_is_inclusive(self, year_dir):
+        from iceberg_evolve_spark.sources.footer_stats import prune_files
+
+        # hi == f0's max (49) and lo == f2's min (200): both must be kept
+        kept, _ = prune_files(year_dir, "k", 49, 200)
+        assert len(kept) == 3
+
+    def test_open_ranges(self, year_dir):
+        from iceberg_evolve_spark.sources.footer_stats import prune_files
+
+        kept, _ = prune_files(year_dir, "k", lo=210)
+        assert [os.path.basename(f) for f in kept] == ["f2.parquet"]
+        kept, _ = prune_files(year_dir, "k", hi=40)
+        assert [os.path.basename(f) for f in kept] == ["f0.parquet"]
+        with pytest.raises(ValueError):
+            prune_files(year_dir, "k")
+
+    def test_missing_stats_keep_file_conservatively(self, tmp_path):
+        from iceberg_evolve_spark.sources.footer_stats import prune_files
+
+        d = tmp_path / "nostats"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"k": [500, 600]}), d / "a.parquet", write_statistics=False
+        )
+        pq.write_table(pa.table({"k": [1, 2]}), d / "b.parquet")
+        kept, total = prune_files(str(d), "k", 100, 200)
+        # a.parquet has no bounds -> kept; b.parquet provably misses -> pruned
+        assert total == 2
+        assert [os.path.basename(f) for f in kept] == ["a.parquet"]
+
+    def test_all_null_file_is_pruned(self, tmp_path):
+        from iceberg_evolve_spark.sources.footer_stats import prune_files
+
+        d = tmp_path / "nulls"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"k": pa.array([None, None], type=pa.int64())}),
+            d / "a.parquet",
+        )
+        pq.write_table(pa.table({"k": [150]}), d / "b.parquet")
+        kept, _ = prune_files(str(d), "k", 100, 200)
+        assert [os.path.basename(f) for f in kept] == ["b.parquet"]
+
+    def test_read_pruned_equals_full_filter(self, spark, year_dir):
+        from iceberg_evolve_spark.sources.footer_stats import read_pruned
+
+        got = sorted(
+            r["k"] for r in read_pruned(spark, year_dir, "k", 40, 110).collect()
+        )
+        want = sorted(
+            r["k"]
+            for r in spark.read.parquet(year_dir)
+            .filter("k >= 40 AND k <= 110")
+            .collect()
+        )
+        assert got == want and len(got) == 21
+
+    def test_read_pruned_empty_result_keeps_schema(self, spark, year_dir):
+        from iceberg_evolve_spark.sources.footer_stats import read_pruned
+
+        df = read_pruned(spark, year_dir, "k", 1000, 2000)
+        assert df.count() == 0
+        assert set(df.columns) == {"k", "v"}
+
+    def test_timestamp_bounds(self, tmp_path):
+        from iceberg_evolve_spark.sources.footer_stats import prune_files
+
+        d = tmp_path / "ts"
+        d.mkdir()
+        base = datetime.datetime(2020, 1, 1)
+        pq.write_table(
+            pa.table({"t": [base, base + datetime.timedelta(days=30)]}),
+            d / "a.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "t": [
+                        base + datetime.timedelta(days=400),
+                        base + datetime.timedelta(days=430),
+                    ]
+                }
+            ),
+            d / "b.parquet",
+        )
+        kept, _ = prune_files(
+            str(d),
+            "t",
+            datetime.datetime(2021, 1, 1),
+            datetime.datetime(2021, 6, 1),
+        )
+        assert [os.path.basename(f) for f in kept] == ["b.parquet"]

@@ -95,10 +95,15 @@ class TestDecodePayloadRouting:
         aud = decode_payload(_wav_bytes(*wav_params(5)), {"media_type": "audio"})
         assert aud["sample_rate"] == 8000
 
-    def test_video_still_stubbed(self):
+    def test_video_mp4_routes_to_demuxer(self):
+        # ftyp-sniffed payloads now route to the real ISO BMFF demuxer
+        # (functions/mp4.py): a truncated header fails LOUDLY there rather
+        # than reaching the old blanket stub. Interframe-codec stubbing is
+        # covered in test_video_decode.py (avc1 samples raise
+        # NotImplementedError with the layout already demuxed).
         from iceberg_evolve_spark.functions.multimodal import decode_payload
 
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             decode_payload(b"\x00\x00\x00\x18ftypmp42", {"media_type": "video"})
 
 

@@ -56,6 +56,9 @@ _SINGLE_ROW_NLJ_BUDGET = {
     # temperature mixture: feasible-scale (in the sampler) + α-weight sum +
     # kept-total scalars, each attached to the |domains|-row report
     "docs_temperature_mixture": 4,
+    # bigram surprisal: TWO 1-row totals (total words t1, total bigrams t2)
+    # broadcast onto the vocabulary-sized score table
+    "docs_bigram_surprisal": 2,
 }
 
 _QUERIES = entry_mod.queries()

@@ -1,0 +1,329 @@
+"""Round-7 operators: k-core decomposition, bigram surprisal with backoff,
+and Iceberg v3 default values through the diff→plan→migrate loop.
+
+(Merge-on-read row deletes live in test_snapshots.py; footer-stats file
+skipping in test_footer_stats.py.)
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# k-core
+# ---------------------------------------------------------------------------
+
+
+def _brute_k_core(edges: list[tuple[int, int]], k: int) -> dict[int, int]:
+    """Reference peeling: iteratively drop nodes with degree < k; return
+    {node: within-core degree}."""
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return {n: len(ns) for n, ns in adj.items()}
+
+
+class TestKCore:
+    def test_small_graph(self, spark):
+        from iceberg_evolve_spark.functions.graph import k_core
+
+        # triangle 1-2-3 plus a pendant chain 3-4-5: 2-core = the triangle
+        edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["degree"] for r in k_core(df, k=2).collect()}
+        assert got == {1: 2, 2: 2, 3: 2}
+
+    def test_empty_core(self, spark):
+        from iceberg_evolve_spark.functions.graph import k_core
+
+        df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        assert k_core(df, k=3).count() == 0
+
+    def test_duplicate_and_selfloop_edges_ignored(self, spark):
+        from iceberg_evolve_spark.functions.graph import k_core
+
+        edges = [(1, 2), (2, 1), (1, 1), (2, 3), (1, 3), (3, 3)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["degree"] for r in k_core(df, k=2).collect()}
+        assert got == {1: 2, 2: 2, 3: 2}
+
+    def test_rejects_bad_k(self, spark):
+        from iceberg_evolve_spark.functions.graph import k_core
+
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError):
+            k_core(df, k=0)
+
+    @pytest.mark.parametrize("seed,k", [(7, 2), (8, 3), (9, 4)])
+    def test_matches_brute_force_on_random_graphs(self, spark, seed, k):
+        from iceberg_evolve_spark.functions.graph import k_core
+
+        rng = random.Random(seed)
+        n = 40
+        edges = sorted(
+            {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(120)
+            }
+        )
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["degree"] for r in k_core(df, k=k).collect()}
+        assert got == _brute_k_core(edges, k)
+
+    def test_oracle_sql_matches_spark(self, spark):
+        """The fixed-round unrolled DuckDB oracle replays the converged Spark
+        fixpoint (extra rounds are no-ops by monotonicity)."""
+        import duckdb
+
+        from iceberg_evolve_spark.functions.graph import k_core, k_core_unrolled_sql
+
+        rng = random.Random(42)
+        edges = sorted({(rng.randrange(30), rng.randrange(30)) for _ in range(90)})
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = sorted(
+            (r["node"], r["degree"]) for r in k_core(df, k=3).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE e(s BIGINT, d BIGINT)")
+        con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+        oracle = sorted(
+            tuple(r)
+            for r in con.execute(
+                k_core_unrolled_sql("SELECT s, d FROM e", k=3, rounds=16)
+            ).fetchall()
+        )
+        assert got == oracle
+
+    def test_gate_graph_converges_within_oracle_rounds(self, spark, sf_dir):
+        """KCORE_ROUNDS must cover convergence on the gate corpus — the
+        invariant the entry's fixed-round oracle rests on. Reproduces the
+        peel round count on the actual co-purchase graph."""
+        import duckdb
+
+        from __spark_entry__ import KCORE_K, KCORE_MIN_SUPPORT, KCORE_ROUNDS
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/lineitem.parquet')"
+        )
+        con.execute(
+            f"""CREATE TABLE e AS
+            SELECT DISTINCT u, v FROM (
+              SELECT a.l_partkey u, b.l_partkey v
+              FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+              JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+              GROUP BY 1, 2 HAVING COUNT(*) >= {KCORE_MIN_SUPPORT}
+            ) WHERE u <> v"""
+        )
+        rounds, prev = 0, None
+        while True:
+            n = con.execute(
+                f"SELECT COUNT(*) FROM (SELECT u FROM e GROUP BY u "
+                f"HAVING COUNT(*) >= {KCORE_K})"
+            ).fetchone()[0]
+            if n == prev:
+                break
+            prev = n
+            rounds += 1
+            con.execute(
+                f"""CREATE OR REPLACE TABLE e AS
+                SELECT e.u, e.v FROM e
+                JOIN (SELECT u FROM e GROUP BY u HAVING COUNT(*) >= {KCORE_K}) a
+                  ON e.u = a.u
+                JOIN (SELECT u FROM e GROUP BY u HAVING COUNT(*) >= {KCORE_K}) b
+                  ON e.v = b.u"""
+            )
+        assert rounds <= KCORE_ROUNDS, (
+            f"gate graph needs {rounds} peel rounds; raise KCORE_ROUNDS"
+        )
+
+
+# ---------------------------------------------------------------------------
+# bigram surprisal
+# ---------------------------------------------------------------------------
+
+
+def _brute_bigram(docs: list[tuple[int, str]], min_count: int, backoff_bits: int):
+    words_all: list[str] = []
+    bigrams_per_doc: dict[int, list[tuple[str, str]]] = {}
+    for did, text in docs:
+        toks = [w for w in text.lower().strip().split() if w]
+        words_all.extend(toks)
+        bigrams_per_doc[did] = list(zip(toks, toks[1:]))
+    uh: dict[str, int] = {}
+    for w in words_all:
+        uh[w] = uh.get(w, 0) + 1
+    t1 = len(words_all)
+    bh: dict[tuple[str, str], int] = {}
+    for bs in bigrams_per_doc.values():
+        for b in bs:
+            bh[b] = bh.get(b, 0) + 1
+    t2 = sum(bh.values())
+    out = {}
+    for did, bs in bigrams_per_doc.items():
+        if not bs:
+            continue
+        s = nb = 0
+        for w1, w2 in bs:
+            if bh[(w1, w2)] >= min_count:
+                s += (t2 // bh[(w1, w2)]).bit_length()
+            else:
+                s += (t1 // uh[w2]).bit_length() + backoff_bits
+                nb += 1
+        out[did] = (len(bs), nb, s, round(s / len(bs), 4))
+    return out
+
+
+class TestBigramSurprisal:
+    def test_matches_brute_force(self, spark):
+        from iceberg_evolve_spark.functions.text import bigram_surprisal
+
+        docs = [
+            (1, "the cat sat on the mat the cat ran"),
+            (2, "the cat sat on the mat again and again"),
+            (3, "completely novel words here only once"),
+            (4, "the the the the"),
+            (5, "one"),  # single token: no bigrams, not emitted
+            (6, ""),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (
+                r["n_bigrams"],
+                r["n_backoff"],
+                r["sum_surprisal"],
+                r["mean_surprisal"],
+            )
+            for r in bigram_surprisal(df, min_count=2, backoff_bits=3).collect()
+        }
+        assert got == _brute_bigram(docs, 2, 3)
+
+    def test_frequent_bigram_cheaper_than_rare(self, spark):
+        from iceberg_evolve_spark.functions.text import bigram_surprisal
+
+        docs = [(i, "alpha beta") for i in range(10)] + [(99, "gamma delta")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in bigram_surprisal(df).collect()}
+        assert rows[0]["sum_surprisal"] < rows[99]["sum_surprisal"]
+        assert rows[0]["n_backoff"] == 0 and rows[99]["n_backoff"] == 1
+
+    def test_plan_has_no_python_udf(self, spark):
+        from iceberg_evolve_spark.functions.text import bigram_surprisal
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+        )
+        plan = bigram_surprisal(df)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Iceberg v3 default values
+# ---------------------------------------------------------------------------
+
+
+class TestDefaultValues:
+    def _schemas(self):
+        from iceberg_evolve_spark.model import Field, PrimitiveType, StructType
+
+        cur = StructType((Field(1, "id", PrimitiveType("long"), True),))
+        new = StructType(
+            (
+                Field(1, "id", PrimitiveType("long"), True),
+                Field(
+                    2,
+                    "score",
+                    PrimitiveType("int"),
+                    initial_default=7,
+                    write_default=9,
+                ),
+                Field(3, "tag", PrimitiveType("string"), initial_default="x"),
+                Field(4, "plain", PrimitiveType("double")),
+            )
+        )
+        return cur, new
+
+    def test_planner_forwards_defaults_and_ddl_emits_write_default(self):
+        from iceberg_evolve_spark.diff import SchemaDiff
+        from iceberg_evolve_spark.operators.evolution import AddColumn
+
+        cur, new = self._schemas()
+        ops = SchemaDiff.from_schemas(cur, new).to_evolution_operations()
+        adds = {o.name: o for o in ops if isinstance(o, AddColumn)}
+        assert adds["score"].initial_default == 7
+        assert adds["score"].write_default == 9
+        assert adds["score"].to_sql("t") == [
+            "ALTER TABLE t ADD COLUMN score INT DEFAULT 9"
+        ]
+        # initial-default alone does NOT produce a DDL DEFAULT clause
+        assert adds["tag"].to_sql("t") == ["ALTER TABLE t ADD COLUMN tag STRING"]
+        assert adds["plain"].to_sql("t") == ["ALTER TABLE t ADD COLUMN plain DOUBLE"]
+
+    def test_string_default_is_sql_escaped(self):
+        from iceberg_evolve_spark.model import PrimitiveType
+        from iceberg_evolve_spark.operators.evolution import AddColumn
+
+        op = AddColumn(
+            name="c", new_type=PrimitiveType("string"), write_default="it's"
+        )
+        assert op.to_sql("t") == ["ALTER TABLE t ADD COLUMN c STRING DEFAULT 'it''s'"]
+
+    def test_migrate_fills_initial_default_not_null(self, spark):
+        from iceberg_evolve_spark.operators.migrate_df import migrate_dataframe
+
+        cur, new = self._schemas()
+        out = migrate_dataframe(spark.range(3), cur, new).collect()
+        for r in out:
+            assert r["score"] == 7  # initial default, NOT the write default
+            assert r["tag"] == "x"
+            assert r["plain"] is None  # no default → v1/v2 NULL behavior
+
+    def test_serializer_roundtrip_spec_keys(self):
+        from iceberg_evolve_spark.serializer import schema_from_json, schema_to_json
+
+        _, new = self._schemas()
+        doc = schema_to_json(new)
+        f2 = [f for f in doc["fields"] if f["name"] == "score"][0]
+        # Iceberg v3 spec key names
+        assert f2["initial-default"] == 7 and f2["write-default"] == 9
+        f4 = [f for f in doc["fields"] if f["name"] == "plain"][0]
+        assert "initial-default" not in f4 and "write-default" not in f4
+        rt, _ = schema_from_json(doc)
+        by_name = {f.name: f for f in rt.fields}
+        assert by_name["score"].initial_default == 7
+        assert by_name["score"].write_default == 9
+        assert by_name["tag"].write_default is None
+
+    def test_nested_struct_add_uses_default(self, spark):
+        from iceberg_evolve_spark.model import Field, PrimitiveType, StructType
+        from iceberg_evolve_spark.operators.migrate_df import migrate_dataframe
+
+        inner_cur = StructType((Field(10, "a", PrimitiveType("long")),))
+        inner_new = StructType(
+            (
+                Field(10, "a", PrimitiveType("long")),
+                Field(11, "b", PrimitiveType("int"), initial_default=5),
+            )
+        )
+        cur = StructType((Field(1, "s", inner_cur),))
+        new = StructType((Field(1, "s", inner_new),))
+        df = spark.createDataFrame([((3,),)], "s struct<a: long>")
+        row = migrate_dataframe(df, cur, new).collect()[0]
+        assert row["s"]["a"] == 3 and row["s"]["b"] == 5

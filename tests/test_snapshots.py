@@ -122,3 +122,100 @@ class TestExpireSnapshots:
         t = SnapshotTable(str(tmp_path_factory.mktemp("expv") / "t"))
         with pytest.raises(ValueError):
             t.expire_snapshots(keep_last=0)
+
+
+class TestMergeOnRead:
+    """Iceberg-v2-style row-level deletes: positional + equality delete
+    files, merge-on-read application, compaction, retention interplay."""
+
+    @pytest.fixture()
+    def mor(self, tmp_path_factory, spark):
+        t = SnapshotTable(str(tmp_path_factory.mktemp("mor") / "t"))
+        df = spark.range(0, 100).withColumn("grp", F.col("id") % 5)
+        t.write(df.repartition(4), ts=100.0)
+        return t
+
+    def test_positional_delete_is_merge_on_read(self, spark, mor):
+        v2 = mor.delete_where(spark, F.col("grp") == 0, ts=200.0)
+        assert v2 == 2
+        e = mor.versions()
+        # the data dir is NOT rewritten — that's the point
+        assert e[0]["data_dir"] == e[1]["data_dir"]
+        assert [d["kind"] for d in e[1]["deletes"]] == ["pos"]
+        assert mor.read(spark).count() == 80
+        # time travel through the delete stack
+        assert mor.read(spark, version=1).count() == 100
+
+    def test_deletes_stack(self, spark, mor):
+        mor.delete_where(spark, F.col("grp") == 0, ts=200.0)
+        mor.delete_where(spark, F.col("id") < 10, ts=300.0)
+        # 100 - 20 (grp 0) - 8 (id<10 minus the two already deleted)
+        assert mor.read(spark).count() == 72
+        assert mor.read(spark, version=2).count() == 80
+
+    def test_empty_delete_does_not_commit(self, spark, mor):
+        v = mor.delete_where(spark, F.col("id") > 1000, ts=200.0)
+        assert v == 1
+        assert len(mor.versions()) == 1
+
+    def test_equality_delete(self, spark, mor):
+        keys = spark.createDataFrame([(1,), (3,)], "grp long")
+        v2 = mor.delete_by_key(keys, ["grp"], ts=200.0)
+        assert v2 == 2
+        e = mor.versions()
+        assert e[1]["deletes"][0]["kind"] == "eq"
+        assert e[1]["deletes"][0]["cols"] == ["grp"]
+        assert mor.read(spark).count() == 60
+        got = sorted(
+            r["grp"] for r in mor.read(spark).select("grp").distinct().collect()
+        )
+        assert got == [0, 2, 4]
+
+    def test_equality_delete_rejects_null_keys(self, spark, mor):
+        keys = spark.createDataFrame([(1,), (None,)], "grp long")
+        with pytest.raises(ValueError):
+            mor.delete_by_key(keys, ["grp"])
+
+    def test_rewrite_data_files_materializes(self, spark, mor):
+        mor.delete_where(spark, F.col("grp") == 0, ts=200.0)
+        v3 = mor.rewrite_data_files(spark, ts=300.0)
+        e = mor.versions()
+        assert not e[-1].get("deletes")
+        assert e[-1]["data_dir"] != e[0]["data_dir"]
+        assert mor.read(spark, version=v3).count() == 80
+        # pre-compaction snapshots still time-travel
+        assert mor.read(spark, version=1).count() == 100
+        assert mor.read(spark, version=2).count() == 80
+
+    def test_rollback_carries_deletes(self, spark, mor):
+        mor.delete_where(spark, F.col("grp") == 0, ts=200.0)   # v2
+        mor.rewrite_data_files(spark, ts=300.0)                # v3
+        v4 = mor.rollback(2, ts=400.0)                         # back to MOR view
+        assert mor.read(spark, version=v4).count() == 80
+        assert mor.versions()[-1]["deletes"]
+
+    def test_retention_keeps_referenced_delete_files(self, spark, mor):
+        mor.delete_where(spark, F.col("grp") == 0, ts=200.0)   # v2 -> d00001
+        mor.delete_where(spark, F.col("id") < 10, ts=300.0)    # v3 -> +d00002
+        expired, removed = mor.expire_snapshots(keep_last=1)
+        assert expired == [1, 2]
+        # v3 survives and references BOTH delete files: neither is swept
+        assert removed == []
+        assert mor.read(spark).count() == 72
+
+    def test_retention_sweeps_superseded_delete_files(self, spark, mor):
+        mor.delete_where(spark, F.col("grp") == 0, ts=200.0)   # v2 -> d00001
+        mor.rewrite_data_files(spark, ts=300.0)                # v3 clean
+        expired, removed = mor.expire_snapshots(keep_last=1)
+        assert expired == [1, 2]
+        assert removed == ["d00001", "v00001"]
+        assert mor.read(spark).count() == 80
+
+    def test_delete_write_cost_is_rows_deleted(self, spark, mor):
+        """The delete file holds only the deleted positions — write
+        amplification O(rows deleted), not a table rewrite."""
+        mor.delete_where(spark, F.col("id") == 42, ts=200.0)
+        d = mor.versions()[-1]["deletes"][0]["dir"]
+        ddf = spark.read.parquet(os.path.join(mor.path, d))
+        assert ddf.count() == 1
+        assert set(ddf.columns) == {"_file", "_pos"}
