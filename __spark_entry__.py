@@ -10767,6 +10767,148 @@ FROM customer
 """
 
 
+def orders_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA TABLES (`sources/snapshots.py:snapshots_df/files_df`) —
+    Iceberg's ``SELECT * FROM tbl.files`` / ``tbl.snapshots`` on the snapshot
+    layer: per-file footer row counts, per-column min/max BOUNDS (string-
+    rendered, the possibly-truncated-stats discipline of `prune_files`), and
+    delete files listed next to data files with their kinds. Cost is one
+    driver-side footer read per file — the planning relation a scan planner
+    joins against, never a data scan. The table under inspection carries one
+    data file, one positional delete (status='P') and one equality delete
+    (the 10-key red-balance custkey list), so every n_rows and every bound
+    is an exact aggregate the oracle replays from the base tables."""
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    keys = customer.filter(F.col("c_acctbal") < MOR_ACCTBAL_CUT).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    tmp = tempfile.mkdtemp(prefix="ies-meta-")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "orders_table"))
+        t.write(orders.coalesce(1), ts=1000.0)                           # v1
+        t.delete_where(spark, F.col("o_orderstatus") == "P", ts=2000.0)  # v2
+        t.delete_by_key(keys, ["o_custkey"], ts=3000.0)                  # v3
+        n_snaps = t.snapshots_df(spark).count()
+        cur_version = t.versions()[-1]["version"]
+        files = t.files_df(spark, stats_cols=["o_orderkey"]).select(
+            "content",
+            "n_rows",
+            F.col("o_orderkey_lower").alias("okey_lower"),
+            F.col("o_orderkey_upper").alias("okey_upper"),
+            F.lit(int(n_snaps)).alias("n_snapshots"),
+            F.lit(int(cur_version)).alias("current_version"),
+        )
+        rows = files.collect()  # bounded: one row per file of one snapshot
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, files.schema).orderBy("content")
+
+
+_METADATA_TABLES_SQL = f"""
+SELECT 'data' AS content,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS okey_lower,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS okey_upper,
+       3 AS n_snapshots, 3 AS current_version
+FROM orders
+UNION ALL
+SELECT 'eq-delete',
+       (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer
+         WHERE c_acctbal < {MOR_ACCTBAL_CUT}),
+       NULL, NULL, 3, 3
+UNION ALL
+SELECT 'pos-delete',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+         WHERE o_orderstatus = 'P'),
+       NULL, NULL, 3, 3
+ORDER BY content
+"""
+
+
+def orders_schema_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA-ON-READ BY FIELD ID
+    (`operators/migrate_df.py:union_by_field_id`) — the mechanism that makes
+    schema evolution FREE in Iceberg: old data files are never rewritten;
+    the reader resolves every file's columns against the current schema by
+    field id. Here generation-1 parquet files (original orders schema) and
+    generation-2 files (written AFTER an evolution that renamed
+    o_orderpriority→priority and added a `channel` column with Iceberg-v3
+    initial-default 'web') are read as ONE relation under the evolved
+    schema: gen-1 rows surface the rename and the default, gen-2 rows carry
+    real channel values. Each generation is one shuffle-free projection —
+    reading across schema generations costs the same as reading one. The
+    oracle replays the generation split (orderkey mod 3), the rename, and
+    the default fill."""
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.operators.migrate_df import union_by_field_id
+
+    orders = _t(spark, sf_dir, "orders")
+    cur = struct_from_spark(orders.schema)
+    evolved = StructType(
+        tuple(
+            Field(f.field_id, "priority" if f.name == "o_orderpriority" else f.name, f.type)
+            for f in cur.fields
+        )
+        + (Field(30001, "channel", PrimitiveType("string"), initial_default="web"),)
+    )
+    gen1 = orders.filter(F.col("o_orderkey") % 3 != 0)
+    gen2 = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumnRenamed("o_orderpriority", "priority")
+        .withColumn("channel", F.lit("store"))
+    )
+    tmp = tempfile.mkdtemp(prefix="ies-sor-")
+    try:
+        p1, p2 = os.path.join(tmp, "gen1"), os.path.join(tmp, "gen2")
+        gen1.write.parquet(p1)
+        gen2.write.parquet(p2)
+        unioned = union_by_field_id(
+            [
+                (spark.read.parquet(p1), cur),
+                (spark.read.parquet(p2), evolved),
+            ],
+            evolved,
+        )
+        out = (
+            unioned.groupBy("channel")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("priority").alias("n_priorities"),
+                F.sum(
+                    F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)")
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .orderBy("channel")
+        )
+        rows = out.collect()  # bounded: one row per channel (2)
+        schema = out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+_SCHEMA_ON_READ_SQL = """
+SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'store' ELSE 'web' END AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(28,2))) AS DOUBLE)
+           AS total_price
+FROM orders
+GROUP BY 1
+ORDER BY channel
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -10798,6 +10940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_kcore": parts_kcore,
         "docs_bigram_surprisal": docs_bigram_surprisal,
         "evolve_add_with_defaults": evolve_add_with_defaults,
+        "orders_metadata_tables": orders_metadata_tables,
+        "orders_schema_on_read": orders_schema_on_read,
         # (b) changed this round, prior hashes void: the F.floor bucket fix
         #     (range_join.py) and the numeric-id guard (graph.py).
         "sessions_overlap_degree": sessions_overlap_degree,
@@ -10843,12 +10987,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_chunks": doc_token_chunks,
         "orders_geomean": orders_geomean,
         "q10_returned_items": q10_returned_items,
+        # ---------------------- past the window ----------------------------
+        # (d) the 11 r03-hashed entries that did not fit (4 from the original
+        #     rotation + 7 displaced by the late round-7 additions above) —
+        #     FIRST in line for round 8's window (then the r04 group).
         "q15_top_supplier": q15_top_supplier,
         "q18_large_orders": q18_large_orders,
-        # ---------------------- past the window ----------------------------
-        # (d) the 9 r03-hashed entries that did not fit (4 from the original
-        #     rotation + 5 displaced by the late round-7 additions above) —
-        #     FIRST in line for round 8's window (then the r04 group).
         "q22_dormant_rich_customers": q22_dormant_rich_customers,
         "nation_revenue_share": nation_revenue_share,
         "cheapest_supplier_per_part": cheapest_supplier_per_part,
@@ -11120,6 +11264,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_snapshot_expire": _SNAP_EXPIRE_SQL,
         "orders_merge_on_read": _MERGE_ON_READ_SQL,
         "orders_file_skipping": _FILESKIP_SQL,
+        "orders_metadata_tables": _METADATA_TABLES_SQL,
+        "orders_schema_on_read": _SCHEMA_ON_READ_SQL,
         "parts_kcore": _kcore_sql(),
         "docs_bigram_surprisal": _bigram_surprisal_sql(),
         "evolve_add_with_defaults": _ADD_DEFAULTS_SQL,

@@ -115,3 +115,28 @@ def migrate_dataframe(df: DataFrame, current: StructType, new: StructType) -> Da
             expr = _migrate_column(F.col(cf.name), cf.type, nf.type, nf.name)
         out.append(expr.alias(nf.name))
     return df.select(*out)
+
+
+def union_by_field_id(
+    parts: list[tuple[DataFrame, StructType]], target: StructType
+) -> DataFrame:
+    """SCHEMA-ON-READ: read data written under SEVERAL historical schemas as
+    one relation under the ``target`` schema — what Iceberg actually does
+    when a table evolves (old data files are never rewritten; the reader
+    resolves every file's columns by FIELD ID against the current schema).
+
+    Each ``(df, written_schema)`` part is projected to ``target`` with
+    :func:`migrate_dataframe` — renames resolve by id, widened types cast,
+    added columns fill with their Iceberg-v3 ``initial_default`` (or NULL),
+    dropped columns vanish — then the projections union positionally (all
+    are in exact target order). The whole thing stays one narrow map stage
+    per part with zero shuffles, so reading a 100 TB table across five
+    schema generations costs exactly what reading it under one schema does.
+    """
+    if not parts:
+        raise ValueError("union_by_field_id needs at least one part")
+    out = None
+    for df, written in parts:
+        proj = migrate_dataframe(df, written, target)
+        out = proj if out is None else out.unionByName(proj)
+    return out

@@ -323,6 +323,104 @@ class SnapshotTable:
         return spark.read.parquet(os.path.join(self.path, entry["data_dir"]))
 
 
+    # -- metadata tables (Iceberg's table.snapshots / table.files) ----------
+
+    def snapshots_df(self, spark: SparkSession) -> DataFrame:
+        """The snapshot history as a queryable DataFrame — Iceberg's
+        ``SELECT * FROM tbl.snapshots``. One row per manifest entry:
+        (version, data_dir, ts, note, n_delete_files). Metadata-sized at any
+        data volume (rows = snapshots, not files or records)."""
+        entries = self.versions()
+        rows = [
+            (
+                int(e["version"]),
+                e["data_dir"],
+                float(e["ts"]),
+                e.get("note"),
+                len(e.get("deletes", [])),
+            )
+            for e in entries
+        ]
+        return spark.createDataFrame(
+            rows,
+            "version int, data_dir string, ts double, note string, "
+            "n_delete_files int",
+        )
+
+    def files_df(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        as_of: float | None = None,
+        stats_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Per-file metadata of one snapshot — Iceberg's ``tbl.files``: data
+        files AND delete files, each with its footer row count, byte size,
+        and (for ``stats_cols``) per-file min/max BOUNDS rendered as strings
+        (Iceberg stores bounds as serialized bytes; string rendering keeps
+        one schema across column types — bounds, not exact values, is also
+        the honest contract for possibly-truncated BYTE_ARRAY stats, same
+        discipline as ``footer_stats.prune_files``).
+
+        Cost: one footer read per file, driver-side — the planning-layer
+        price, never a data scan. This is the relation a scan planner joins
+        against (file skipping = a filter on these bounds)."""
+        import pyarrow.parquet as pq
+
+        entry = self._resolve(version, as_of)
+        stats_cols = stats_cols or []
+
+        def _file_rows(dirname: str, content: str) -> list[tuple]:
+            out = []
+            full_dir = os.path.join(self.path, dirname)
+            for fn in sorted(os.listdir(full_dir)):
+                if not fn.endswith(".parquet") or fn.startswith("_"):
+                    continue
+                fp = os.path.join(full_dir, fn)
+                meta = pq.ParquetFile(fp).metadata
+                idx = {
+                    meta.schema.column(i).name: i
+                    for i in range(meta.num_columns)
+                }
+                bounds = []
+                for c in stats_cols:
+                    lo = hi = None
+                    if c in idx:
+                        for rg in range(meta.num_row_groups):
+                            st = meta.row_group(rg).column(idx[c]).statistics
+                            if st is None or not st.has_min_max:
+                                continue
+                            lo = st.min if lo is None else min(lo, st.min)
+                            hi = st.max if hi is None else max(hi, st.max)
+                    bounds.extend(
+                        [
+                            None if lo is None else str(lo),
+                            None if hi is None else str(hi),
+                        ]
+                    )
+                out.append(
+                    (
+                        content,
+                        os.path.join(dirname, fn),
+                        int(meta.num_rows),
+                        int(os.path.getsize(fp)),
+                        *bounds,
+                    )
+                )
+            return out
+
+        rows = _file_rows(entry["data_dir"], "data")
+        for d in entry.get("deletes", []):
+            rows.extend(_file_rows(d["dir"], f"{d['kind']}-delete"))
+        bound_schema = "".join(
+            f", {c}_lower string, {c}_upper string" for c in stats_cols
+        )
+        return spark.createDataFrame(
+            rows,
+            "content string, file string, n_rows bigint, size_bytes bigint"
+            + bound_schema,
+        )
+
     # -- maintenance -------------------------------------------------------
     def expire_snapshots(
         self, keep_last: int, min_ts: float | None = None

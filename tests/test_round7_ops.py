@@ -327,3 +327,76 @@ class TestDefaultValues:
         df = spark.createDataFrame([((3,),)], "s struct<a: long>")
         row = migrate_dataframe(df, cur, new).collect()[0]
         assert row["s"]["a"] == 3 and row["s"]["b"] == 5
+
+
+# ---------------------------------------------------------------------------
+# schema-on-read by field id
+# ---------------------------------------------------------------------------
+
+
+class TestSchemaOnRead:
+    def test_union_across_generations(self, spark):
+        from iceberg_evolve_spark.model import Field, PrimitiveType, StructType
+        from iceberg_evolve_spark.operators.migrate_df import union_by_field_id
+
+        # generation 1: (id, amount int, tag)
+        gen1_schema = StructType(
+            (
+                Field(1, "id", PrimitiveType("long")),
+                Field(2, "amount", PrimitiveType("int")),
+                Field(3, "tag", PrimitiveType("string")),
+            )
+        )
+        # evolution: rename amount->value, widen to long, drop tag, add
+        # channel with an initial default
+        target = StructType(
+            (
+                Field(1, "id", PrimitiveType("long")),
+                Field(2, "value", PrimitiveType("long")),
+                Field(4, "channel", PrimitiveType("string"), initial_default="web"),
+            )
+        )
+        gen1 = spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b")], "id long, amount int, tag string"
+        )
+        gen2 = spark.createDataFrame(
+            [(3, 30, "store")], "id long, value long, channel string"
+        )
+        out = {
+            r["id"]: (r["value"], r["channel"])
+            for r in union_by_field_id(
+                [(gen1, gen1_schema), (gen2, target)], target
+            ).collect()
+        }
+        assert out == {1: (10, "web"), 2: (20, "web"), 3: (30, "store")}
+
+    def test_empty_parts_rejected(self):
+        from iceberg_evolve_spark.model import Field, PrimitiveType, StructType
+        from iceberg_evolve_spark.operators.migrate_df import union_by_field_id
+
+        t = StructType((Field(1, "id", PrimitiveType("long")),))
+        with pytest.raises(ValueError):
+            union_by_field_id([], t)
+
+    def test_each_generation_is_one_projection(self, spark):
+        """Schema-on-read must not shuffle: each part is one Project over
+        its scan."""
+        import tempfile
+
+        from iceberg_evolve_spark.model import Field, PrimitiveType, StructType
+        from iceberg_evolve_spark.operators.migrate_df import union_by_field_id
+
+        g1 = StructType((Field(1, "id", PrimitiveType("long")),))
+        tgt = StructType(
+            (
+                Field(1, "id", PrimitiveType("long")),
+                Field(2, "v", PrimitiveType("int"), initial_default=0),
+            )
+        )
+        with tempfile.TemporaryDirectory() as d:
+            spark.range(10).write.parquet(d + "/g1")
+            out = union_by_field_id(
+                [(spark.read.parquet(d + "/g1"), g1)], tgt
+            )
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan

@@ -219,3 +219,39 @@ class TestMergeOnRead:
         ddf = spark.read.parquet(os.path.join(mor.path, d))
         assert ddf.count() == 1
         assert set(ddf.columns) == {"_file", "_pos"}
+
+
+class TestMetadataTables:
+    """Iceberg-style metadata tables: tbl.snapshots / tbl.files."""
+
+    def test_snapshots_df(self, spark, tmp_path_factory):
+        t = SnapshotTable(str(tmp_path_factory.mktemp("meta") / "t"))
+        t.write(spark.range(10), note="first", ts=100.0)
+        t.delete_where(spark, F.col("id") < 3, ts=200.0)
+        rows = {r["version"]: r for r in t.snapshots_df(spark).collect()}
+        assert rows[1]["note"] == "first" and rows[1]["n_delete_files"] == 0
+        assert rows[2]["n_delete_files"] == 1
+        assert rows[1]["data_dir"] == rows[2]["data_dir"]
+
+    def test_files_df_counts_and_bounds(self, spark, tmp_path_factory):
+        t = SnapshotTable(str(tmp_path_factory.mktemp("metaf") / "t"))
+        t.write(spark.range(5, 25).coalesce(1), ts=100.0)
+        t.delete_where(spark, F.col("id") >= 20, ts=200.0)
+        files = t.files_df(spark, stats_cols=["id"]).collect()
+        by_content = {r["content"]: r for r in files}
+        assert by_content["data"]["n_rows"] == 20
+        assert by_content["data"]["id_lower"] == "5"
+        assert by_content["data"]["id_upper"] == "24"
+        assert by_content["data"]["size_bytes"] > 0
+        assert by_content["pos-delete"]["n_rows"] == 5
+        # the delete file has no 'id' column: bounds are NULL
+        assert by_content["pos-delete"]["id_lower"] is None
+
+    def test_files_df_time_travel(self, spark, tmp_path_factory):
+        t = SnapshotTable(str(tmp_path_factory.mktemp("metat") / "t"))
+        t.write(spark.range(10).coalesce(1), ts=100.0)
+        t.delete_where(spark, F.col("id") < 3, ts=200.0)
+        v1_files = t.files_df(spark, version=1).collect()
+        assert [r["content"] for r in v1_files] == ["data"]
+        v2_files = t.files_df(spark).collect()
+        assert sorted(r["content"] for r in v2_files) == ["data", "pos-delete"]
