@@ -152,8 +152,18 @@ class SnapshotTable:
     # delete side — the scan stays a single pass with no extra shuffle.
 
     def _next_delete_dir(self, entries: list[dict]) -> str:
-        n = sum(len(e.get("deletes", [])) for e in entries)
-        return f"d{n + 1:05d}"
+        # max over manifest references AND disk names, +1: a count-based
+        # scheme can SHRINK after expire_snapshots drops entries and then
+        # collide with a live delete dir; the disk scan additionally skips
+        # over crash orphans (written, never committed)
+        mx = 0
+        for e in entries:
+            for d in e.get("deletes", []):
+                mx = max(mx, int(d["dir"][1:]))
+        for name in os.listdir(self.path):
+            if name[:1] == "d" and name[1:].isdigit():
+                mx = max(mx, int(name[1:]))
+        return f"d{mx + 1:05d}"
 
     def _append_delete_entry(
         self,

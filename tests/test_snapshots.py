@@ -255,3 +255,20 @@ class TestMetadataTables:
         assert [r["content"] for r in v1_files] == ["data"]
         v2_files = t.files_df(spark).collect()
         assert sorted(r["content"] for r in v2_files) == ["data", "pos-delete"]
+
+
+def test_delete_dir_naming_survives_retention(spark, tmp_path_factory):
+    """Regression: delete-dir names must come from max(existing)+1, not a
+    count of manifest references — after retention shrinks the manifest, a
+    count-based name collides with a live delete dir."""
+    t = SnapshotTable(str(tmp_path_factory.mktemp("morddn") / "t"))
+    t.write(
+        spark.range(0, 100).withColumn("grp", F.col("id") % 5), ts=100.0
+    )
+    t.delete_where(spark, F.col("grp") == 0, ts=200.0)  # d00001
+    t.delete_where(spark, F.col("grp") == 1, ts=300.0)  # d00002
+    t.expire_snapshots(keep_last=1)  # manifest now ONE entry, 2 dirs live
+    v = t.delete_where(spark, F.col("grp") == 2, ts=400.0)
+    dirs = [d["dir"] for d in t.versions()[-1]["deletes"]]
+    assert dirs == ["d00001", "d00002", "d00003"]
+    assert t.read(spark, version=v).count() == 40
