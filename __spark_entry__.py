@@ -10909,6 +10909,76 @@ ORDER BY channel
 """
 
 
+#: Perceptron-trainer entry tuning (Spark and oracle must agree).
+TRAIN_ROUNDS = 4
+#: The 8 integer feature columns, in weight order.
+TRAIN_FEATURES = ["f_bias", "f_words", "f_chars", "f_vocab", "f_the", "f_wlen", "f_long", "f_dots"]
+
+
+def docs_train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-ENGINE MODEL TRAINING under the hash gate
+    (`functions/train.py:perceptron_train`) — the step CCNet/Llama-style
+    pipelines run on the corpus itself (they TRAIN the fastText quality/
+    language filter, not just apply it): a batch perceptron learning
+    lang='en' vs rest from 8 integer text features. Perceptron over GD on
+    purpose: updates are pure integer sums (no learning-rate float, no
+    normalization), so every round's weight vector is partitioning-
+    independent and the unrolled DuckDB oracle replays the entire training
+    run bit-for-bit — weights AND per-round mistake counts are exact hash-
+    gated values. Scale: one map-side-combined aggregation per round with
+    the current weights folded into the plan as literals (the
+    `docs_model_score` codegen trick); 9 scalars cross the driver per round,
+    nothing else. Output: one row per round (round, n_mistakes, w0..w7)."""
+    from iceberg_evolve_spark.functions.text import tokens
+    from iceberg_evolve_spark.functions.train import perceptron_train
+
+    docs = _t(spark, sf_dir, "documents")
+    tk = tokens("text")
+    feats = docs.select(
+        F.lit(1).alias("f_bias"),
+        F.size(tk).alias("f_words"),
+        F.expr("length(text) div 10").alias("f_chars"),
+        F.size(F.array_distinct(tk)).alias("f_vocab"),
+        F.size(F.filter(tk, lambda w: w == "the")).alias("f_the"),
+        (
+            F.aggregate(tk, F.lit(0), lambda a, w: a + F.length(w))
+            / F.lit(10)
+        ).cast("long").alias("f_wlen"),
+        F.size(F.filter(tk, lambda w: F.length(w) > 7)).alias("f_long"),
+        (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(".")))
+        ).alias("f_dots"),
+        F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
+    )
+    hist = perceptron_train(feats, TRAIN_FEATURES, "y", rounds=TRAIN_ROUNDS)
+    rows = [
+        (h["round"], h["n_mistakes"], *[int(x) for x in h["w"]]) for h in hist
+    ]
+    schema = "round int, n_mistakes bigint, " + ", ".join(
+        f"w{j} bigint" for j in range(len(TRAIN_FEATURES))
+    )
+    return spark.createDataFrame(rows, schema).orderBy("round")
+
+
+def _train_sql() -> str:
+    from iceberg_evolve_spark.functions.train import perceptron_unrolled_sql
+
+    toks = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+    features_cte = f"""
+SELECT 1 AS f_bias,
+       CAST(len(tk) AS BIGINT) AS f_words,
+       length(text) // 10 AS f_chars,
+       CAST(len(list_distinct(tk)) AS BIGINT) AS f_vocab,
+       CAST(len(list_filter(tk, x -> x = 'the')) AS BIGINT) AS f_the,
+       CAST(COALESCE(list_sum(list_transform(tk, x -> length(x))), 0) // 10 AS BIGINT) AS f_wlen,
+       CAST(len(list_filter(tk, x -> length(x) > 7)) AS BIGINT) AS f_long,
+       length(text) - length(replace(text, '.', '')) AS f_dots,
+       CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+FROM (SELECT text, lang, {toks} AS tk FROM documents)
+"""
+    return perceptron_unrolled_sql(features_cte, TRAIN_FEATURES, rounds=TRAIN_ROUNDS)
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -10942,6 +11012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evolve_add_with_defaults": evolve_add_with_defaults,
         "orders_metadata_tables": orders_metadata_tables,
         "orders_schema_on_read": orders_schema_on_read,
+        "docs_train_quality_classifier": docs_train_quality_classifier,
         # (b) changed this round, prior hashes void: the F.floor bucket fix
         #     (range_join.py) and the numeric-id guard (graph.py).
         "sessions_overlap_degree": sessions_overlap_degree,
@@ -10986,11 +11057,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_customer_updates": merge_customer_updates,
         "doc_token_chunks": doc_token_chunks,
         "orders_geomean": orders_geomean,
-        "q10_returned_items": q10_returned_items,
         # ---------------------- past the window ----------------------------
-        # (d) the 11 r03-hashed entries that did not fit (4 from the original
-        #     rotation + 7 displaced by the late round-7 additions above) —
+        # (d) the 12 r03-hashed entries that did not fit (4 from the original
+        #     rotation + 8 displaced by the late round-7 additions above) —
         #     FIRST in line for round 8's window (then the r04 group).
+        "q10_returned_items": q10_returned_items,
         "q15_top_supplier": q15_top_supplier,
         "q18_large_orders": q18_large_orders,
         "q22_dormant_rich_customers": q22_dormant_rich_customers,
@@ -11266,6 +11337,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_file_skipping": _FILESKIP_SQL,
         "orders_metadata_tables": _METADATA_TABLES_SQL,
         "orders_schema_on_read": _SCHEMA_ON_READ_SQL,
+        "docs_train_quality_classifier": _train_sql(),
         "parts_kcore": _kcore_sql(),
         "docs_bigram_surprisal": _bigram_surprisal_sql(),
         "evolve_add_with_defaults": _ADD_DEFAULTS_SQL,

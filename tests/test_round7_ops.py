@@ -400,3 +400,105 @@ class TestSchemaOnRead:
             )
             plan = out._jdf.queryExecution().executedPlan().toString()
             assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# in-engine perceptron training
+# ---------------------------------------------------------------------------
+
+
+def _brute_perceptron(rows, d, rounds):
+    """rows: list of (x tuple of d ints, y in {-1,1})."""
+    w = [0] * d
+    hist = []
+    for r in range(1, rounds + 1):
+        mistakes = [
+            (x, y) for x, y in rows if y * sum(xi * wi for xi, wi in zip(x, w)) <= 0
+        ]
+        for j in range(d):
+            w[j] += sum(y * x[j] for x, y in mistakes)
+        hist.append({"round": r, "n_mistakes": len(mistakes), "w": list(w)})
+    return hist
+
+
+class TestPerceptronTrain:
+    def _df(self, spark, rows):
+        data = [(x[0], x[1], x[2], y) for x, y in rows]
+        return spark.createDataFrame(data, "a long, b long, c long, y int")
+
+    def test_matches_brute_force(self, spark):
+        import random
+
+        from iceberg_evolve_spark.functions.train import perceptron_train
+
+        rng = random.Random(11)
+        rows = [
+            ((1, rng.randrange(10), rng.randrange(50)), rng.choice([-1, 1]))
+            for _ in range(60)
+        ]
+        got = perceptron_train(self._df(spark, rows), ["a", "b", "c"], "y", rounds=5)
+        assert got == _brute_perceptron(rows, 3, 5)
+
+    def test_learns_separable_data(self, spark):
+        from iceberg_evolve_spark.functions.train import perceptron_train
+
+        # y = sign(b - 5): linearly separable with bias
+        rows = [((1, b, 0), 1 if b > 5 else -1) for b in range(12) for _ in range(3)]
+        hist = perceptron_train(self._df(spark, rows), ["a", "b", "c"], "y", rounds=12)
+        assert hist[-1]["n_mistakes"] < hist[0]["n_mistakes"]
+
+    def test_round1_counts_all_rows_as_mistakes(self, spark):
+        from iceberg_evolve_spark.functions.train import perceptron_train
+
+        rows = [((1, 2, 3), 1), ((1, 4, 5), -1)]
+        hist = perceptron_train(self._df(spark, rows), ["a", "b", "c"], "y", rounds=1)
+        # zero weights => y * 0 <= 0 for every row
+        assert hist[0]["n_mistakes"] == 2
+
+    def test_oracle_sql_matches(self, spark):
+        import random
+
+        import duckdb
+
+        from iceberg_evolve_spark.functions.train import (
+            perceptron_train,
+            perceptron_unrolled_sql,
+        )
+
+        rng = random.Random(23)
+        rows = [
+            ((1, rng.randrange(20), rng.randrange(8)), rng.choice([-1, 1]))
+            for _ in range(40)
+        ]
+        got = perceptron_train(self._df(spark, rows), ["a", "b", "c"], "y", rounds=4)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(a BIGINT, b BIGINT, c BIGINT, y INT)")
+        con.executemany(
+            "INSERT INTO t VALUES (?,?,?,?)", [(x[0], x[1], x[2], y) for x, y in rows]
+        )
+        sql = perceptron_unrolled_sql("SELECT * FROM t", ["a", "b", "c"], rounds=4)
+        for row, h in zip(con.execute(sql).fetchall(), got):
+            assert row[0] == h["round"]
+            assert row[1] == h["n_mistakes"]
+            assert list(row[2:]) == h["w"]
+
+    def test_epoch_is_one_aggregation_no_python(self, spark):
+        """The per-round job must be a single map-side-combined aggregate
+        with the weights as literals — no UDF, no join, no extra shuffle."""
+        from pyspark.sql import functions as F2
+
+        df = spark.range(100).select(
+            F2.lit(1).alias("a"),
+            (F2.col("id") % 7).alias("b"),
+            F2.when(F2.col("id") % 2 == 0, 1).otherwise(-1).alias("y"),
+        )
+        w = [3, -2]
+        margin = sum(
+            F2.col(c).cast("decimal(38,0)") * F2.lit(wj).cast("decimal(38,0)")
+            for c, wj in zip(["a", "b"], w)
+        )
+        mis = (F2.col("y").cast("decimal(38,0)") * margin) <= 0
+        agg = df.agg(F2.sum(mis.cast("long")))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "Join" not in plan
