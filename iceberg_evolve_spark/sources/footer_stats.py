@@ -119,6 +119,24 @@ def prune_files(
     return kept, len(files)
 
 
+def prune_files_multi(
+    path: str, ranges: dict[str, tuple[object, object]]
+) -> tuple[list[str], int]:
+    """AND-composed file skipping over several columns: a file survives only
+    if EVERY column's range can overlap it (real scan plans filter on more
+    than one column — e.g. a date range AND a region id). Each column keeps
+    :func:`prune_files`'s conservative rule independently, so the
+    intersection can still only over-read, never lose rows."""
+    if not ranges:
+        raise ValueError("provide at least one column range")
+    kept: set[str] | None = None
+    total = 0
+    for column, (lo, hi) in ranges.items():
+        files, total = prune_files(path, column, lo, hi)
+        kept = set(files) if kept is None else kept & set(files)
+    return sorted(kept or ()), total
+
+
 def read_pruned(spark, path: str, column: str, lo: object = None, hi: object = None):
     """Read only the files :func:`prune_files` keeps, with the residual range
     filter applied (files are kept on OVERLAP, so in-file rows outside the

@@ -381,12 +381,19 @@ class SnapshotTable:
         stats_cols = stats_cols or []
 
         def _file_rows(dirname: str, content: str) -> list[tuple]:
+            # recursive walk: a snapshot written with partitioned layout
+            # (sources/partitions.py) nests key=value subdirs
             out = []
             full_dir = os.path.join(self.path, dirname)
-            for fn in sorted(os.listdir(full_dir)):
-                if not fn.endswith(".parquet") or fn.startswith("_"):
-                    continue
-                fp = os.path.join(full_dir, fn)
+            rel_files = []
+            for root, _dirs, names in os.walk(full_dir):
+                for fn in names:
+                    if fn.endswith(".parquet") and not fn.startswith("_"):
+                        rel_files.append(
+                            os.path.relpath(os.path.join(root, fn), self.path)
+                        )
+            for rel in sorted(rel_files):
+                fp = os.path.join(self.path, rel)
                 meta = pq.ParquetFile(fp).metadata
                 idx = {
                     meta.schema.column(i).name: i
@@ -411,7 +418,7 @@ class SnapshotTable:
                 out.append(
                     (
                         content,
-                        os.path.join(dirname, fn),
+                        rel,
                         int(meta.num_rows),
                         int(os.path.getsize(fp)),
                         *bounds,

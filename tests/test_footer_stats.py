@@ -197,3 +197,27 @@ class TestPruneFiles:
             datetime.datetime(2021, 6, 1),
         )
         assert [os.path.basename(f) for f in kept] == ["b.parquet"]
+
+    def test_multi_column_pruning_intersects(self, tmp_path):
+        from iceberg_evolve_spark.sources.footer_stats import prune_files_multi
+
+        d = tmp_path / "multi"
+        d.mkdir()
+        # f0: k 0-49 / g 0-4; f1: k 100-149 / g 0-4; f2: k 100-149 / g 10-14
+        for i, (klo, glo) in enumerate(((0, 0), (100, 0), (100, 10))):
+            pq.write_table(
+                pa.table(
+                    {
+                        "k": list(range(klo, klo + 50)),
+                        "g": [glo + (j % 5) for j in range(50)],
+                    }
+                ),
+                d / f"f{i}.parquet",
+            )
+        kept, total = prune_files_multi(
+            str(d), {"k": (100, 200), "g": (0, 5)}
+        )
+        assert total == 3
+        assert [os.path.basename(f) for f in kept] == ["f1.parquet"]
+        with pytest.raises(ValueError):
+            prune_files_multi(str(d), {})

@@ -272,3 +272,22 @@ def test_delete_dir_naming_survives_retention(spark, tmp_path_factory):
     dirs = [d["dir"] for d in t.versions()[-1]["deletes"]]
     assert dirs == ["d00001", "d00002", "d00003"]
     assert t.read(spark, version=v).count() == 40
+
+
+def test_files_df_walks_partitioned_layout(spark, tmp_path_factory):
+    """files_df must see files nested under key=value partition dirs."""
+    t = SnapshotTable(str(tmp_path_factory.mktemp("metap") / "t"))
+    df = spark.range(40).withColumn("g", F.col("id") % 2)
+    entries = t.versions()
+    # write a partitioned layout through the same commit protocol
+    data_dir = "v00001"
+    final = os.path.join(t.path, data_dir)
+    df.repartition("g").write.partitionBy("g").parquet(final + ".tmp")
+    os.rename(final + ".tmp", final)
+    t._commit(
+        [{"version": 1, "data_dir": data_dir, "ts": 1.0, "note": None}]
+    )
+    files = t.files_df(spark).collect()
+    assert sum(r["n_rows"] for r in files) == 40
+    assert all("g=" in r["file"] for r in files)
+    assert len(files) >= 2
