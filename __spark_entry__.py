@@ -10581,10 +10581,14 @@ FROM fs_range
 """
 
 
-#: k-core entry tuning (Spark and oracle must agree). The oracle unrolls
-#: KCORE_ROUNDS peeling rounds; peeling is monotone with a unique fixpoint,
-#: so any round count >= the convergence depth (10 at sf0.01, asserted in
-#: tests) replays the converged Spark result exactly.
+#: k-core entry tuning (Spark and oracle must agree). BOTH sides peel exactly
+#: KCORE_ROUNDS rounds (the entry passes max_rounds=KCORE_ROUNDS, the oracle
+#: unrolls the same count): peeling is monotone, so rounds past convergence
+#: are no-ops — and pinning the count on both sides means an SF whose
+#: convergence depth exceeds KCORE_ROUNDS yields the same (partially peeled)
+#: relation from both engines instead of a sweep-time mismatch. Convergence
+#: within the pinned count on the gate corpus (depth 10 at sf0.01) is
+#: asserted in tests.
 KCORE_K = 3
 KCORE_ROUNDS = 16
 KCORE_TOP = 100
@@ -10616,7 +10620,7 @@ def parts_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders") >= KCORE_MIN_SUPPORT)
         .select("s", "d")
     )
-    core = k_core(edges, "s", "d", k=KCORE_K)
+    core = k_core(edges, "s", "d", k=KCORE_K, max_rounds=KCORE_ROUNDS)
     return (
         core.select(F.col("node").alias("p_partkey"), F.col("degree").cast("long").alias("core_degree"))
         .orderBy(F.col("core_degree").desc(), "p_partkey")

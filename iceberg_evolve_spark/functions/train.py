@@ -80,7 +80,23 @@ def perceptron_train(
                 for j, c in enumerate(feature_cols)
             ]
             aggs.append(F.sum(mis.cast("long")).alias("n_mistakes"))
-            row = features.agg(*aggs).first()  # 9 scalars cross the driver
+            # Loud-failure guard: under Spark's non-ANSI mode a per-row
+            # DECIMAL(38,0) overflow in the margin yields NULL, which would
+            # make `mis` NULL and silently count the row as correctly
+            # classified while the HUGEINT oracle keeps computing. Count
+            # NULL margins (a null feature value nulls the margin the same
+            # way — also a contract violation) and refuse.
+            aggs.append(
+                F.sum(margin.isNull().cast("long")).alias("_null_margins")
+            )
+            row = features.agg(*aggs).first()  # 10 scalars cross the driver
+            if int(row["_null_margins"] or 0) != 0:
+                raise ArithmeticError(
+                    f"round {r}: {row['_null_margins']} rows have NULL "
+                    "margins (DECIMAL(38,0) overflow or NULL features) — "
+                    "results would silently diverge from exact arithmetic; "
+                    "clamp feature magnitudes"
+                )
             w = [w[j] + int(row[f"d{j}"]) for j in range(d)]
             out.append(
                 {"round": r, "n_mistakes": int(row["n_mistakes"]), "w": list(w)}

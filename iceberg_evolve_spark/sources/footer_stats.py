@@ -58,16 +58,29 @@ def _to_comparable(v: object) -> object:
 
 
 def _files(path: str) -> list[str]:
+    # recursive: partitioned key=value layouts (sources/partitions.py) nest
+    # their part files in subdirs — same walk as SnapshotTable.files_df
     if os.path.isdir(path):
-        out = [
-            os.path.join(path, f)
-            for f in sorted(os.listdir(path))
-            if f.endswith(".parquet") and not f.startswith("_")
-        ]
+        out = []
+        for root, _dirs, names in os.walk(path):
+            for fn in names:
+                if fn.endswith(".parquet") and not fn.startswith("_"):
+                    out.append(os.path.join(root, fn))
         if not out:
             raise ValueError(f"no parquet files under {path}")
-        return out
+        return sorted(out)
     return [path]
+
+
+def _can_overlap(mn: object, mx: object, clo: object, chi: object) -> bool:
+    """True unless [mn, mx] PROVABLY misses [clo, chi]. Incomparable
+    operands (e.g. DATE stats against datetime bounds) fall back to True —
+    pruning may only skip what it can prove absent, so an unprovable
+    comparison keeps the file rather than raising."""
+    try:
+        return (chi is None or mn <= chi) and (clo is None or mx >= clo)
+    except TypeError:
+        return True
 
 
 def prune_files(
@@ -111,7 +124,7 @@ def prune_files(
                 keep = True  # no usable bounds: must assume it matches
                 break
             mn, mx = _to_comparable(st.min), _to_comparable(st.max)
-            if (chi is None or mn <= chi) and (clo is None or mx >= clo):
+            if _can_overlap(mn, mx, clo, chi):
                 keep = True
                 break
         if keep:

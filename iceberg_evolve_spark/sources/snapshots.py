@@ -45,6 +45,45 @@ from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "_snapshots.json"
 
+#: Delete files at/below this on-disk size are force-broadcast in the
+#: merge-on-read anti-joins (KB-scale CDC deletes: keeps the scan a single
+#: pass with no shuffle). Bigger delete files — the mass-delete/retention
+#: shape — leave the join strategy to AQE, which picks sort-merge or its own
+#: runtime broadcast from MEASURED sizes. An unconditional broadcast here is
+#: the same class of scale bug as the r7 bigram-surprisal score table
+#: (measured 13.4× at 10× data before that fix); Iceberg's own reader guards
+#: its delete-file broadcasts the same way.
+BROADCAST_DELETE_MAX_BYTES = 32 << 20
+
+#: Helper column names the merge-on-read reader adds to carry parquet row
+#: positions. User tables may not use them (the positional anti-join keys on
+#: them; a collision would silently join on the wrong column).
+_RESERVED_COLS = ("_file", "_pos")
+
+
+def _dir_bytes(path: str) -> int:
+    """Total file bytes under ``path`` (driver-side; delete dirs are small
+    relative to data, and this is one listdir per delete file set)."""
+    total = 0
+    for root, _dirs, names in os.walk(path):
+        for fn in names:
+            if not fn.startswith("_") and not fn.startswith("."):
+                total += os.path.getsize(os.path.join(root, fn))
+    return total
+
+
+def _parquet_dir_rows(path: str) -> int:
+    """Row count of a written parquet dir from footers only (no Spark job,
+    no re-read): one KB-scale footer read per part file, driver-side."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    for root, _dirs, names in os.walk(path):
+        for fn in names:
+            if fn.endswith(".parquet") and not fn.startswith("_"):
+                n += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+    return n
+
 
 class SnapshotTable:
     """A versioned parquet table rooted at ``path``."""
@@ -209,10 +248,18 @@ class SnapshotTable:
         dd = self._next_delete_dir(entries)
         final = os.path.join(self.path, dd)
         tmp = final + ".tmp"
-        matched.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # No coalesce: the filtered snapshot scan must parallelize (coalesce
+        # is a narrow dependency, so coalesce(1) would pull the WHOLE
+        # read→filter pipeline onto one task — a serial full-table scan at
+        # scale). A delete "file" is a DIRECTORY of part files; readers take
+        # the dir, so multi-file is free, and small deletes still land in few
+        # files because AQE's partition coalescing has already shrunk the
+        # scan's output partitioning where the data is small.
+        matched.write.mode("overwrite").parquet(tmp)
         # empty delete => no commit (the dir becomes an orphan, reclaimed by
-        # expire_snapshots' sweep)
-        n = spark.read.parquet(tmp).limit(1).count()
+        # expire_snapshots' sweep); counted from the written footers —
+        # KB-scale driver reads, no second Spark job over the data
+        n = _parquet_dir_rows(tmp)
         if n == 0:
             import shutil
 
@@ -235,11 +282,11 @@ class SnapshotTable:
         Writes only the distinct key rows — the data is never scanned at
         write time (the CDC-delete shape). NULL keys are rejected: equality
         deletes match with plain equality, and a NULL key would silently
-        match nothing."""
+        match nothing. Empty keys are a no-op returning the current version
+        unchanged (no empty commits, matching :meth:`delete_where`)."""
         entries = self.versions()
         if not entries:
             raise FileNotFoundError(f"no snapshots at {self.path}")
-        from pyspark.sql import functions as F
 
         key_rows = keys.select(*cols).distinct()
         bad = key_rows.filter(
@@ -250,7 +297,15 @@ class SnapshotTable:
         dd = self._next_delete_dir(entries)
         final = os.path.join(self.path, dd)
         tmp = final + ".tmp"
-        key_rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # distinct() already shuffled, so the write parallelism is the
+        # post-shuffle partitioning — AQE-coalesced to few files when the key
+        # set is small, parallel when a mass delete is genuinely large.
+        key_rows.write.mode("overwrite").parquet(tmp)
+        if _parquet_dir_rows(tmp) == 0:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            return entries[-1]["version"]
         os.rename(tmp, final)
         return self._append_delete_entry(
             entries,
@@ -259,12 +314,32 @@ class SnapshotTable:
             ts,
         )
 
-    def _read_with_pos(self, spark: SparkSession, entry: dict) -> DataFrame:
+    def _read_with_pos(
+        self,
+        spark: SparkSession,
+        entry: dict,
+        files: list[str] | None = None,
+    ) -> DataFrame:
         """Current rows of ``entry`` with ``_file``/``_pos`` helper columns,
-        all registered delete files subtracted (broadcast anti-joins)."""
+        all registered delete files subtracted by anti-joins. Small delete
+        files are broadcast (size-guarded by ``BROADCAST_DELETE_MAX_BYTES``);
+        past the guard the strategy is left to AQE so a mass delete cannot
+        force an oversized broadcast. ``files`` narrows the scan to a pruned
+        file subset (scan planning); positional deletes still apply — their
+        recorded paths match per file regardless of how many files the scan
+        reads."""
         from pyspark.sql import functions as F
 
-        df = spark.read.parquet(os.path.join(self.path, entry["data_dir"]))
+        if files is not None:
+            df = spark.read.parquet(*files)
+        else:
+            df = spark.read.parquet(os.path.join(self.path, entry["data_dir"]))
+        clash = [c for c in _RESERVED_COLS if c in df.columns]
+        if clash:
+            raise ValueError(
+                f"table columns {clash} collide with merge-on-read helper "
+                "columns; rename them before using row-level deletes"
+            )
         df = df.select(
             *df.columns,
             F.col("_metadata.file_path").alias("_file"),
@@ -272,12 +347,14 @@ class SnapshotTable:
         )
         for d in entry.get("deletes", []):
             dfile = spark.read.parquet(os.path.join(self.path, d["dir"]))
+            small = _dir_bytes(os.path.join(self.path, d["dir"])) <= (
+                BROADCAST_DELETE_MAX_BYTES
+            )
+            right = F.broadcast(dfile) if small else dfile
             if d["kind"] == "pos":
-                df = df.join(
-                    F.broadcast(dfile), on=["_file", "_pos"], how="anti"
-                )
+                df = df.join(right, on=["_file", "_pos"], how="anti")
             elif d["kind"] == "eq":
-                df = df.join(F.broadcast(dfile), on=list(d["cols"]), how="anti")
+                df = df.join(right, on=list(d["cols"]), how="anti")
             else:  # pragma: no cover - manifest corruption
                 raise ValueError(f"unknown delete kind {d['kind']!r}")
         return df
@@ -316,21 +393,77 @@ class SnapshotTable:
             return eligible[-1]
         return entries[-1]
 
+    def plan_scan(
+        self,
+        version: int | None = None,
+        as_of: float | None = None,
+        where: dict[str, tuple[object, object]] | None = None,
+    ) -> tuple[list[str], int]:
+        """Scan PLANNING for one snapshot: (data files a ``where`` range scan
+        must read, total data files). Iceberg prunes manifests before
+        applying deletes; here the manifest's stats are the parquet footers
+        (`footer_stats.prune_files_multi` — conservative: a file without
+        provable non-overlap is kept). ``where`` maps column → (lo, hi),
+        either bound None for open-ended."""
+        from iceberg_evolve_spark.sources.footer_stats import prune_files_multi
+
+        entry = self._resolve(version, as_of)
+        data_path = os.path.join(self.path, entry["data_dir"])
+        if not where:
+            from iceberg_evolve_spark.sources.footer_stats import _files
+
+            files = _files(data_path)
+            return files, len(files)
+        return prune_files_multi(data_path, where)
+
     def read(
         self,
         spark: SparkSession,
         version: int | None = None,
         as_of: float | None = None,
+        where: dict[str, tuple[object, object]] | None = None,
     ) -> DataFrame:
         """Read the latest snapshot, a pinned ``version``, or the snapshot
         current ``as_of`` a timestamp (time travel). Snapshots carrying
         row-level delete files are merge-on-read: the delete files are
-        subtracted by broadcast anti-joins in the same scan."""
+        subtracted by anti-joins in the same scan (size-guarded broadcast).
+
+        ``where`` ({column: (lo, hi)}) turns the read into a PLANNED range
+        scan: data files are pruned by footer stats FIRST (so the delete
+        anti-joins run over the pruned subset, as Iceberg prunes manifests
+        before applying deletes), and the residual range predicate is applied
+        for in-file rows outside the range — pruning keeps files on overlap,
+        so results are identical to the unpruned scan, just fewer files
+        read."""
+        from pyspark.sql import functions as F
+
         entry = self._resolve(version, as_of)
+        files: list[str] | None = None
+        if where:
+            files, _total = self.plan_scan(
+                version=entry["version"], where=where
+            )
+            if not files:
+                # schema-stable empty relation: scan plan proves no file can
+                # contain in-range rows
+                base = spark.read.parquet(
+                    os.path.join(self.path, entry["data_dir"])
+                )
+                return base.filter(F.lit(False))
         if entry.get("deletes"):
-            df = self._read_with_pos(spark, entry)
-            return df.drop("_file", "_pos")
-        return spark.read.parquet(os.path.join(self.path, entry["data_dir"]))
+            df = self._read_with_pos(spark, entry, files=files)
+            df = df.drop("_file", "_pos")
+        elif files is not None:
+            df = spark.read.parquet(*files)
+        else:
+            df = spark.read.parquet(os.path.join(self.path, entry["data_dir"]))
+        if where:
+            for c, (lo, hi) in where.items():
+                if lo is not None:
+                    df = df.filter(F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    df = df.filter(F.col(c) <= F.lit(hi))
+        return df
 
 
     # -- metadata tables (Iceberg's table.snapshots / table.files) ----------

@@ -221,3 +221,43 @@ class TestPruneFiles:
         assert [os.path.basename(f) for f in kept] == ["f1.parquet"]
         with pytest.raises(ValueError):
             prune_files_multi(str(d), {})
+
+    def test_prune_walks_partitioned_layout(self, tmp_path):
+        """key=value partitioned layouts nest part files in subdirs — the
+        walk must find them (files_df's discipline, ADVICE r7)."""
+        from iceberg_evolve_spark.sources.footer_stats import prune_files
+
+        d = tmp_path / "partd"
+        for g in (0, 1):
+            sub = d / f"g={g}"
+            sub.mkdir(parents=True)
+            pq.write_table(
+                pa.table({"k": list(range(g * 100, g * 100 + 50))}),
+                sub / "part.parquet",
+            )
+        kept, total = prune_files(str(d), "k", 100, 120)
+        assert total == 2
+        assert [os.path.basename(os.path.dirname(f)) for f in kept] == ["g=1"]
+
+    def test_incomparable_stats_keep_file(self, tmp_path):
+        """DATE stats against datetime bounds are incomparable in Python —
+        the conservative rule keeps the file instead of raising."""
+        import datetime
+
+        from iceberg_evolve_spark.sources.footer_stats import prune_files
+
+        d = tmp_path / "datecol"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {"d": pa.array([datetime.date(2021, 1, 1)], pa.date32())}
+            ),
+            d / "a.parquet",
+        )
+        kept, total = prune_files(
+            str(d),
+            "d",
+            datetime.datetime(2020, 1, 1),
+            datetime.datetime(2022, 1, 1),
+        )
+        assert total == 1 and len(kept) == 1

@@ -291,3 +291,115 @@ def test_files_df_walks_partitioned_layout(spark, tmp_path_factory):
     assert sum(r["n_rows"] for r in files) == 40
     assert all("g=" in r["file"] for r in files)
     assert len(files) >= 2
+
+
+class TestMorScaleSafety:
+    """Round-8 scale fixes: the delete scan parallelizes (no coalesce(1)
+    pipeline collapse), delete-file application is only broadcast under the
+    size guard, helper-column collisions fail loudly, and empty equality
+    deletes don't commit."""
+
+    def test_delete_scan_writes_parallel_delete_dir(self, spark, tmp_path_factory):
+        """The positional-delete scan must NOT collapse onto one task: with a
+        multi-partition source and matches in every partition, the delete dir
+        holds >1 part file (write tasks == scan tasks in a narrow pipeline,
+        so multiple files proves the scan parallelized)."""
+        t = SnapshotTable(str(tmp_path_factory.mktemp("morpar") / "t"))
+        t.write(
+            spark.range(0, 4000).withColumn("grp", F.col("id") % 4).repartition(8),
+            ts=100.0,
+        )
+        t.delete_where(spark, F.col("grp") == 0, ts=200.0)
+        dd = os.path.join(t.path, t.versions()[-1]["deletes"][0]["dir"])
+        parts = [
+            f for f in os.listdir(dd)
+            if f.endswith(".parquet") and not f.startswith("_")
+        ]
+        assert len(parts) > 1
+        assert t.read(spark).count() == 3000
+
+    def test_small_delete_is_broadcast(self, spark, tmp_path_factory):
+        t = SnapshotTable(str(tmp_path_factory.mktemp("morbc") / "t"))
+        t.write(spark.range(0, 100).withColumn("grp", F.col("id") % 5), ts=1.0)
+        t.delete_where(spark, F.col("grp") == 0, ts=2.0)
+        plan = t.read(spark)._jdf.queryExecution().optimizedPlan().toString()
+        assert "broadcast" in plan.lower()
+
+    def test_oversized_delete_is_not_force_broadcast(
+        self, spark, tmp_path_factory, monkeypatch
+    ):
+        """Past the size guard the join strategy is AQE's choice — the
+        optimized logical plan must carry no forced broadcast hint (the mass
+        -delete shape must not pin a table-sized delete file into driver
+        memory)."""
+        import iceberg_evolve_spark.sources.snapshots as snap
+
+        t = SnapshotTable(str(tmp_path_factory.mktemp("morsm") / "t"))
+        t.write(spark.range(0, 100).withColumn("grp", F.col("id") % 5), ts=1.0)
+        t.delete_where(spark, F.col("grp") == 0, ts=2.0)
+        monkeypatch.setattr(snap, "BROADCAST_DELETE_MAX_BYTES", 0)
+        plan = t.read(spark)._jdf.queryExecution().optimizedPlan().toString()
+        assert "broadcast" not in plan.lower()
+        # and the read is still correct, whatever strategy AQE picks
+        assert t.read(spark).count() == 80
+
+    def test_reserved_helper_columns_rejected(self, spark, tmp_path_factory):
+        t = SnapshotTable(str(tmp_path_factory.mktemp("morres") / "t"))
+        t.write(spark.range(0, 10).withColumn("_file", F.lit("x")), ts=1.0)
+        with pytest.raises(ValueError, match="_file"):
+            t.delete_where(spark, F.col("id") < 5)
+
+    def test_empty_equality_delete_does_not_commit(self, spark, tmp_path_factory):
+        t = SnapshotTable(str(tmp_path_factory.mktemp("moreq0") / "t"))
+        t.write(spark.range(0, 10).withColumn("grp", F.col("id") % 2), ts=1.0)
+        empty = spark.createDataFrame([], "grp long")
+        v = t.delete_by_key(empty, ["grp"], ts=2.0)
+        assert v == 1
+        assert len(t.versions()) == 1
+        # no delete dir was left behind as a committed artifact
+        assert not any(
+            n.startswith("d") and n[1:].isdigit() for n in os.listdir(t.path)
+        )
+
+
+class TestPrunedMorRead:
+    """Scan planning composed into the snapshot read path: footer-stats file
+    pruning BEFORE the delete anti-joins (Iceberg prunes manifests first,
+    then applies deletes)."""
+
+    @pytest.fixture()
+    def clustered(self, tmp_path_factory, spark):
+        """A snapshot whose data dir holds one file per id-century (tight
+        footer bounds), with a positional and an equality delete on top."""
+        t = SnapshotTable(str(tmp_path_factory.mktemp("morprune") / "t"))
+        df = spark.range(0, 1000).withColumn("grp", F.col("id") % 10)
+        # range-partition on id so each part file covers a tight id range
+        t.write(df.repartitionByRange(10, "id"), ts=100.0)
+        t.delete_where(spark, F.col("grp") == 3, ts=200.0)
+        keys = spark.createDataFrame([(7,)], "grp long")
+        t.delete_by_key(keys, ["grp"], ts=300.0)
+        return t
+
+    def test_pruned_equals_unpruned(self, spark, clustered):
+        where = {"id": (150, 449)}
+        pruned = clustered.read(spark, where=where)
+        full = clustered.read(spark).filter(F.col("id").between(150, 449))
+        assert sorted(r["id"] for r in pruned.collect()) == sorted(
+            r["id"] for r in full.collect()
+        )
+
+    def test_plan_scan_reads_fewer_files(self, clustered):
+        kept, total = clustered.plan_scan(where={"id": (150, 449)})
+        assert total == 10
+        assert 0 < len(kept) < total
+
+    def test_out_of_range_scan_is_empty_with_schema(self, spark, clustered):
+        df = clustered.read(spark, where={"id": (5000, 6000)})
+        assert df.count() == 0
+        assert set(df.columns) == {"id", "grp"}
+
+    def test_deletes_still_apply_under_pruning(self, spark, clustered):
+        # grp 3 (positional) and grp 7 (equality) rows must not reappear
+        got = clustered.read(spark, where={"id": (0, 999)})
+        assert got.filter(F.col("grp").isin(3, 7)).count() == 0
+        assert got.count() == 800
