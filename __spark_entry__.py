@@ -10983,6 +10983,98 @@ FROM (SELECT text, lang, {toks} AS tk FROM documents)
     return perceptron_unrolled_sql(features_cte, TRAIN_FEATURES, rounds=TRAIN_ROUNDS)
 
 
+#: Pruned-MOR-read entry tuning (Spark and oracle must agree): the scan range
+#: and the equality-delete key cut.
+MORPRUNE_LO = "1994-02-15"
+MORPRUNE_HI = "1996-11-20"
+MORPRUNE_ACCTBAL_CUT = -900.0
+
+
+def orders_mor_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCAN PLANNING COMPOSED INTO THE MERGE-ON-READ READ PATH
+    (`sources/snapshots.py:read(where=...)`, round 8 — VERDICT r7 task 3):
+    Iceberg's reader prunes manifests FIRST, then applies deletes; here the
+    snapshot's data dir is a per-order-year partitioned layout (one file per
+    year — tight footer bounds), a positional delete (status 'P') and an
+    equality delete (low-balance custkeys, the CDC shape) sit on top, and a
+    date-range read prunes the file list from footer stats BEFORE the delete
+    anti-joins run. The hash gate proves the composition: `files_read` is
+    the count of year-files genuinely overlapping the range (the oracle
+    derives it as COUNT(DISTINCT year) of in-range rows — one year per
+    file), and the surviving row count/price equal the unpruned
+    delete-subtracted scan restricted to the range, so pruning lost no rows
+    and un-deleted none. At 100 TB the delete anti-joins run over the pruned
+    subset — planning cost is #files footer reads, not a data scan."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    keys = (
+        customer.filter(F.col("c_acctbal") < MORPRUNE_ACCTBAL_CUT)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    tmp = tempfile.mkdtemp(prefix="ies-morprune-")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "orders_table"))
+        clustered = orders.withColumn(
+            "o_year", F.year("o_orderdate")
+        ).repartition("o_year")  # one task per year => one file per year dir
+        t.write(clustered, partition_by=["o_year"], ts=1000.0)        # v1
+        t.delete_where(spark, F.col("o_orderstatus") == "P", ts=2000.0)  # v2
+        t.delete_by_key(keys, ["o_custkey"], ts=3000.0)               # v3
+        lo = datetime.datetime.fromisoformat(MORPRUNE_LO)
+        hi = datetime.datetime.fromisoformat(MORPRUNE_HI)
+        where = {"o_orderdate": (lo, hi)}
+        kept, total = t.plan_scan(where=where)
+        agg = (
+            t.read(spark, where=where)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)")
+                ).alias("p"),
+            )
+            .first()
+        )
+        rows = [(int(total), int(len(kept)), int(agg["n"]), float(agg["p"]))]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "files_total bigint, files_read bigint, surviving_rows bigint, "
+        "surviving_price double",
+    )
+
+
+_MORPRUNE_SQL = f"""
+WITH mp_keys AS (
+    SELECT c_custkey FROM customer WHERE c_acctbal < {MORPRUNE_ACCTBAL_CUT}
+),
+mp_range AS (
+    SELECT * FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{MORPRUNE_LO}'
+      AND o_orderdate <= TIMESTAMP '{MORPRUNE_HI}'
+),
+mp_live AS (
+    SELECT * FROM mp_range
+    WHERE o_orderstatus <> 'P'
+      AND o_custkey NOT IN (SELECT c_custkey FROM mp_keys)
+)
+SELECT (SELECT CAST(COUNT(DISTINCT year(o_orderdate)) AS BIGINT) FROM orders)
+           AS files_total,
+       (SELECT CAST(COUNT(DISTINCT year(o_orderdate)) AS BIGINT) FROM mp_range)
+           AS files_read,
+       CAST(COUNT(*) AS BIGINT) AS surviving_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(28,2))) AS DOUBLE)
+           AS surviving_price
+FROM mp_live
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------

@@ -18,20 +18,29 @@ so the repo can read and write real ``.avro`` files with zero external jars:
 
 Type coverage maps the Spark types the testdata and the schema model use:
 null/boolean/int/long/float/double/string/bytes, records (nested structs),
-arrays, nullable-as-``["null", T]`` unions, and the logical types
-``date`` (int days), ``timestamp-micros`` / ``local-timestamp-micros``
-(long), and ``decimal`` (bytes, two's-complement unscaled big-endian).
-Maps/enums/fixed are out of scope and rejected loudly at schema-parse time.
+arrays, **maps** (string-keyed, as the spec requires — non-string Spark map
+keys are rejected loudly), **enums** (decode to their symbol strings; Spark
+has no enum type, so the Spark→Avro direction never emits one), **fixed**
+(size-checked raw bytes → Spark binary), nullable-as-``["null", T]`` unions,
+and the logical types ``date`` (int days), ``timestamp-micros`` /
+``local-timestamp-micros`` (long), and ``decimal`` (bytes, two's-complement
+unscaled big-endian).
 
 Scale shape: the WRITER runs as ``mapInArrow`` — each input partition
 serializes its Arrow batches executor-side and writes one container file, so
 encode work is distributed and the driver sees only per-file stats rows (one
 per partition). The READER pairs Spark's native ``binaryFile`` source with a
-``mapInArrow`` decoder: each file is a unit of parallelism (Avro's sync-marked
-blocks would support finer byte-range splits; per-file granularity is the
-documented simplification, matching how bounded-size lake files are laid out
-anyway). Decoded columns are rebuilt as Arrow arrays directly — no pandas
-object-dtype round-trip, and nulls stay nulls (never NaN-conflated).
+``mapInArrow`` decoder at per-file granularity — and for the one-giant-file
+shape, ``read_avro(..., split_bytes=N)`` plans SYNC-MARKER BYTE-RANGE SPLITS
+instead (the reason the container format has sync markers at all): the
+driver stats each file and emits (file, lo, hi) split rows; each task seeks
+to its range, scans forward to the first VALIDATED sync boundary (a
+candidate marker must be followed by a well-formed block whose trailing
+marker matches — false in-payload matches self-correct), and decodes exactly
+the blocks that START inside its range, reading past ``hi`` only to finish
+its last block (Hadoop input-split ownership semantics). Decoded columns are
+rebuilt as Arrow arrays directly — no pandas object-dtype round-trip, and
+nulls stay nulls (never NaN-conflated).
 
 The reference system (anatol-ju/iceberg-evolve) has no file-format layer at
 all (SURVEY.md §2.2); this is north-star extension work.
@@ -153,6 +162,17 @@ def avro_schema_of_struct(schema: T.StructType, name: str = "spark_record") -> d
             if dt.containsNull:
                 items = ["null", items]
             return {"type": "array", "items": items}
+        if isinstance(dt, T.MapType):
+            if not isinstance(dt.keyType, T.StringType):
+                raise TypeError(
+                    "Avro maps are string-keyed by spec; got map key type "
+                    f"{dt.keyType.simpleString()} — restructure as an array "
+                    "of (key, value) records"
+                )
+            values = conv(dt.valueType)
+            if dt.valueContainsNull:
+                values = ["null", values]
+            return {"type": "map", "values": values}
         if isinstance(dt, T.StructType):
             counter[0] += 1
             return {
@@ -205,6 +225,15 @@ def spark_struct_of_avro(schema: Any) -> T.DataType:
         if s["type"] == "array":
             item, nullable = _strip_union(s["items"])
             return T.ArrayType(conv(item), containsNull=nullable)
+        if s["type"] == "map":
+            value, nullable = _strip_union(s["values"])
+            return T.MapType(
+                T.StringType(), conv(value), valueContainsNull=nullable
+            )
+        if s["type"] == "enum":
+            return T.StringType()  # symbols surface as their string names
+        if s["type"] == "fixed":
+            return T.BinaryType()
         if s["type"] == "record":
             return T.StructType(
                 [
@@ -312,6 +341,45 @@ def _encoder_nonnull(s: Any) -> Callable[[bytearray, Any], None]:
             write_long(out, 0)
 
         return enc_arr
+    if s["type"] == "map":
+        val_enc = _encoder(s["values"])
+
+        def enc_map(out: bytearray, v: Any) -> None:
+            items = list(v.items()) if isinstance(v, dict) else list(v)
+            if items:
+                write_long(out, len(items))
+                for k, item in items:
+                    _write_bytes(out, k.encode("utf-8"))
+                    val_enc(out, item)
+            write_long(out, 0)
+
+        return enc_map
+    if s["type"] == "enum":
+        index = {sym: i for i, sym in enumerate(s["symbols"])}
+
+        def enc_enum(out: bytearray, v: Any) -> None:
+            try:
+                write_long(out, index[v])
+            except KeyError:
+                raise ValueError(
+                    f"{v!r} is not a symbol of enum {s.get('name')!r} "
+                    f"(symbols: {s['symbols']})"
+                ) from None
+
+        return enc_enum
+    if s["type"] == "fixed":
+        size = int(s["size"])
+
+        def enc_fixed(out: bytearray, v: Any) -> None:
+            b = bytes(v)
+            if len(b) != size:
+                raise ValueError(
+                    f"fixed {s.get('name')!r} expects exactly {size} bytes, "
+                    f"got {len(b)}"
+                )
+            out.extend(b)
+
+        return enc_fixed
     if s["type"] == "record":
         field_encs = [(f["name"], _encoder(f["type"])) for f in s["fields"]]
 
@@ -400,6 +468,47 @@ def _decoder_nonnull(s: Any) -> Callable[[Any, int], tuple[Any, int]]:
                     out.append(v)
 
         return dec_arr
+    if s["type"] == "map":
+        val_dec = _decoder(s["values"])
+
+        def dec_map(buf, pos):
+            out = {}
+            while True:
+                n, pos = read_long(buf, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:
+                    # negative count: block byte-size follows (skippable form)
+                    n = -n
+                    _, pos = read_long(buf, pos)
+                for _ in range(n):
+                    kb, pos = _read_bytes(buf, pos)
+                    out[kb.decode("utf-8")], pos = val_dec(buf, pos)
+
+        return dec_map
+    if s["type"] == "enum":
+        symbols = list(s["symbols"])
+
+        def dec_enum(buf, pos):
+            idx, pos = read_long(buf, pos)
+            if not 0 <= idx < len(symbols):
+                raise ValueError(
+                    f"enum index {idx} out of range for {s.get('name')!r} "
+                    f"({len(symbols)} symbols) — corrupt stream"
+                )
+            return symbols[idx], pos
+
+        return dec_enum
+    if s["type"] == "fixed":
+        size = int(s["size"])
+
+        def dec_fixed(buf, pos):
+            b = bytes(buf[pos : pos + size])
+            if len(b) != size:
+                raise ValueError("truncated fixed value — corrupt stream")
+            return b, pos + size
+
+        return dec_fixed
     if s["type"] == "record":
         field_decs = [(f["name"], _decoder(f["type"])) for f in s["fields"]]
 
@@ -530,6 +639,135 @@ def encode_container(
 
 
 # --------------------------------------------------------------------------
+# sync-marker byte-range splits (one big container file → N parallel tasks)
+# --------------------------------------------------------------------------
+
+
+def _block_ok(buf, base: int, q: int, sync: bytes, ensure, size: int) -> bool:
+    """True iff a well-formed block starts at absolute offset ``q``: sane
+    count/size varints, in-file extent, and the trailing sync matches. This
+    is what makes candidate sync positions self-correcting — the 16 sync
+    bytes CAN occur inside a compressed payload by chance, but such a false
+    match is followed by garbage varints or a wrong trailing marker."""
+    try:
+        ensure(q + 24)  # two varint longs are at most 20 bytes
+        off = q - base
+        count, off = read_long(buf, off)
+        bsize, off = read_long(buf, off)
+        if count < 0 or bsize < 0:
+            return False
+        end = base + off + bsize
+        if end + SYNC_SIZE > size:
+            return False
+        ensure(end + SYNC_SIZE)
+        return bytes(buf[end - base : end - base + SYNC_SIZE]) == sync
+    except (IndexError, ValueError):
+        return False
+
+
+def read_container_range(path: str, lo: int, hi: int) -> tuple[Any, list[dict]]:
+    """Decode the blocks of one container file that START in ``[lo, hi)`` —
+    Hadoop input-split ownership: the task seeks to its range, scans forward
+    to the first VALIDATED sync boundary, decodes owned blocks, and reads
+    past ``hi`` only to finish the last owned block. Splitting any byte
+    partition of ``[header_end, filesize)`` across calls yields every record
+    exactly once. Returns (avro schema dict, rows)."""
+    with open(path, "rb") as fh:
+        head = fh.read(1 << 20)
+        schema, codec, sync, header_end = read_header(head)
+        size = os.fstat(fh.fileno()).st_size
+        lo = max(lo, header_end)
+        if lo >= size or lo >= hi:
+            return schema, []
+        # include the 16 bytes before lo so a sync ENDING exactly at lo is
+        # findable (its block starts at lo and is owned by this split)
+        base = lo - SYNC_SIZE if lo > header_end else lo
+        fh.seek(base)
+        buf = bytearray(fh.read(hi - base))
+
+        def ensure(upto_abs: int) -> None:
+            while base + len(buf) < min(upto_abs, size):
+                chunk = fh.read(
+                    max(upto_abs - base - len(buf), 1 << 16)
+                )
+                if not chunk:
+                    break
+                buf.extend(chunk)
+
+        if lo == header_end:
+            q = lo  # first split: blocks start right after the header sync
+        else:
+            q = None
+            search = 0
+            while q is None:
+                idx = buf.find(sync, search)
+                if idx < 0 or base + idx + SYNC_SIZE >= hi:
+                    return schema, []  # no owned block starts in this range
+                cand = base + idx + SYNC_SIZE
+                if _block_ok(buf, base, cand, sync, ensure, size):
+                    q = cand
+                else:
+                    search = idx + 1
+        dec = _decoder(schema)
+        rows: list[dict] = []
+        while q < hi and q < size:
+            ensure(q + 24)
+            off = q - base
+            count, off = read_long(buf, off)
+            bsize, off = read_long(buf, off)
+            if count < 0 or bsize < 0 or base + off + bsize + SYNC_SIZE > size:
+                raise ValueError(f"corrupt block header at offset {q}")
+            ensure(base + off + bsize + SYNC_SIZE)
+            payload = bytes(buf[off : off + bsize])
+            marker = bytes(buf[off + bsize : off + bsize + SYNC_SIZE])
+            if marker != sync:
+                raise ValueError(
+                    f"sync marker mismatch at offset {base + off + bsize} — "
+                    "corrupt or misaligned Avro block"
+                )
+            if codec == "deflate":
+                payload = zlib.decompress(payload, -15)
+            p = 0
+            for _ in range(count):
+                row, p = dec(payload, p)
+                rows.append(row)
+            if p != len(payload):
+                raise ValueError(
+                    f"block decoded {p} of {len(payload)} bytes — corrupt block"
+                )
+            q = base + off + bsize + SYNC_SIZE
+        return schema, rows
+
+
+def plan_avro_splits(path: str, split_bytes: int) -> list[tuple[str, int, int]]:
+    """Driver-side split planning: per ``.avro`` file, byte ranges of
+    ``split_bytes`` covering ``[header_end, filesize)``. Metadata-sized work
+    (one header read + one stat per file)."""
+    if split_bytes < 1:
+        raise ValueError("split_bytes must be >= 1")
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".avro")
+        )
+        if not files:
+            raise FileNotFoundError(f"no .avro files under {path}")
+    else:
+        files = [path]
+    splits: list[tuple[str, int, int]] = []
+    for fp in files:
+        with open(fp, "rb") as fh:
+            head = fh.read(1 << 20)
+        _schema, _codec, _sync, header_end = read_header(head)
+        size = os.path.getsize(fp)
+        lo = header_end
+        while lo < size:
+            hi = min(lo + split_bytes, size)
+            splits.append((fp, lo, hi))
+            lo = hi
+    return splits
+
+
+# --------------------------------------------------------------------------
 # distributed writer / reader
 # --------------------------------------------------------------------------
 
@@ -604,16 +842,22 @@ def read_avro_schema(path: str) -> tuple[Any, T.DataType]:
     return schema, spark_struct_of_avro(schema)
 
 
-def read_avro(spark: SparkSession, path: str) -> DataFrame:
+def read_avro(
+    spark: SparkSession, path: str, split_bytes: int | None = None
+) -> DataFrame:
     """Distributed Avro read: the schema comes from ONE header read on the
     driver; files load through Spark's native ``binaryFile`` source (so
     listing/scheduling scale like any file scan) and each file decodes
     executor-side in ``mapInArrow``, rebuilding typed Arrow columns directly
     — nulls stay nulls, timestamps/dates/decimals land as their Arrow types.
 
-    Parallelism is per-file (Avro's sync-marked blocks would allow byte-range
-    splits; bounded-size files make per-file granularity the pragmatic unit).
-    """
+    Default parallelism is per-file (the bounded-size lake-file layout).
+    ``split_bytes`` switches to SYNC-MARKER BYTE-RANGE SPLITS so one giant
+    container file fans out over many tasks: the driver plans
+    (file, lo, hi) ranges (:func:`plan_avro_splits`, metadata-sized), and
+    each task decodes exactly the blocks starting in its range
+    (:func:`read_container_range`). Results are identical either way —
+    splits partition the block sequence."""
     import pyarrow as pa
 
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -622,15 +866,37 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     arrow_schema = to_arrow_schema(spark_struct)
     col_types = {f.name: f.type for f in arrow_schema}
 
+    def _to_batch(rows: list[dict]) -> "pa.RecordBatch":
+        arrays = [
+            pa.array([r[f.name] for r in rows], type=col_types[f.name])
+            for f in arrow_schema
+        ]
+        return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+    if split_bytes is not None:
+        splits = plan_avro_splits(path, split_bytes)
+
+        def _read_ranges(
+            batches: Iterator["pa.RecordBatch"],
+        ) -> Iterator["pa.RecordBatch"]:
+            for batch in batches:
+                for r in batch.to_pylist():
+                    _schema, rows = read_container_range(
+                        r["file"], r["lo"], r["hi"]
+                    )
+                    if rows:
+                        yield _to_batch(rows)
+
+        split_df = spark.createDataFrame(
+            splits, "file string, lo bigint, hi bigint"
+        ).repartition(len(splits))  # one task per split
+        return split_df.mapInArrow(_read_ranges, spark_struct)
+
     def _read(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         for batch in batches:
             for filerow in batch.to_pylist():
                 _schema, rows = decode_container(filerow["content"])
-                arrays = [
-                    pa.array([r[f.name] for r in rows], type=col_types[f.name])
-                    for f in arrow_schema
-                ]
-                yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+                yield _to_batch(rows)
 
     files = (
         spark.read.format("binaryFile")

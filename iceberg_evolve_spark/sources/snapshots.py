@@ -111,11 +111,20 @@ class SnapshotTable:
         os.replace(tmp, self._manifest_path())  # atomic on POSIX
 
     # -- write path --------------------------------------------------------
-    def write(self, df: DataFrame, note: str | None = None, ts: float | None = None) -> int:
+    def write(
+        self,
+        df: DataFrame,
+        note: str | None = None,
+        ts: float | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
         """Write ``df`` as the next snapshot; returns the new version number.
 
         The data lands in a fresh immutable dir; the manifest append is the
-        commit point (see module docstring for the crash analysis)."""
+        commit point (see module docstring for the crash analysis).
+        ``partition_by`` writes a key=value partitioned layout inside the
+        data dir (a partition spec for this snapshot) — reads, metadata
+        tables, footer pruning, and merge-on-read deletes all walk it."""
         entries = self.versions()
         version = (entries[-1]["version"] + 1) if entries else 1
         data_dir = f"v{version:05d}"
@@ -133,7 +142,10 @@ class SnapshotTable:
 
             shutil.rmtree(final)
         tmp = final + ".tmp"
-        df.write.mode("overwrite").parquet(tmp)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
         os.rename(tmp, final)
         entries.append(
             {
@@ -330,10 +342,13 @@ class SnapshotTable:
         reads."""
         from pyspark.sql import functions as F
 
+        data_dir = os.path.join(self.path, entry["data_dir"])
         if files is not None:
-            df = spark.read.parquet(*files)
+            # basePath keeps key=value partition columns discoverable when
+            # scanning a pruned FILE LIST instead of the whole dir
+            df = spark.read.option("basePath", data_dir).parquet(*files)
         else:
-            df = spark.read.parquet(os.path.join(self.path, entry["data_dir"]))
+            df = spark.read.parquet(data_dir)
         clash = [c for c in _RESERVED_COLS if c in df.columns]
         if clash:
             raise ValueError(
@@ -454,7 +469,9 @@ class SnapshotTable:
             df = self._read_with_pos(spark, entry, files=files)
             df = df.drop("_file", "_pos")
         elif files is not None:
-            df = spark.read.parquet(*files)
+            df = spark.read.option(
+                "basePath", os.path.join(self.path, entry["data_dir"])
+            ).parquet(*files)
         else:
             df = spark.read.parquet(os.path.join(self.path, entry["data_dir"]))
         if where:

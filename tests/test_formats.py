@@ -270,13 +270,14 @@ class TestAvroCodec:
             avro_schema_of_struct, spark_struct_of_avro,
         )
 
-        with pytest.raises(TypeError, match="unsupported Avro type"):
-            spark_struct_of_avro({"type": "map", "values": "long"})
         with pytest.raises(TypeError, match="unions"):
             spark_struct_of_avro(["null", "long", "string"])
-        with pytest.raises(TypeError, match="unsupported Spark type"):
+        # Avro maps are string-keyed by spec: other key types fail loudly
+        with pytest.raises(TypeError, match="string-keyed"):
             avro_schema_of_struct(
-                T.StructType([T.StructField("m", T.MapType(T.StringType(), T.LongType()))])
+                T.StructType([
+                    T.StructField("m", T.MapType(T.LongType(), T.LongType()))
+                ])
             )
 
     def test_schema_mapping_roundtrip(self):
@@ -341,3 +342,217 @@ class TestAvro:
         import os
 
         assert len([f for f in os.listdir(d) if f.endswith(".avro")]) == 1
+
+
+class TestAvroComplexTypes:
+    """Round-8 Avro completion: maps, enums, fixed (VERDICT r7 task 4)."""
+
+    def test_map_codec_roundtrip(self):
+        from iceberg_evolve_spark.sources.avro import (
+            decode_container, encode_container,
+        )
+
+        schema = {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "m", "type": {"type": "map", "values": "long"}},
+                {
+                    "name": "mn",
+                    "type": ["null", {"type": "map", "values": ["null", "string"]}],
+                    "default": None,
+                },
+            ],
+        }
+        rows = [
+            {"id": 1, "m": {"a": 1, "b": 2}, "mn": {"x": None, "y": "z"}},
+            {"id": 2, "m": {}, "mn": None},
+        ]
+        got_schema, got = decode_container(encode_container(schema, rows))
+        assert got == rows
+
+    def test_enum_codec_roundtrip_and_validation(self):
+        import pytest as _pytest
+
+        from iceberg_evolve_spark.sources.avro import (
+            decode_container, encode_container,
+        )
+
+        enum = {"type": "enum", "name": "status", "symbols": ["OPEN", "CLOSED", "HELD"]}
+        schema = {
+            "type": "record",
+            "name": "r",
+            "fields": [{"name": "s", "type": enum}],
+        }
+        rows = [{"s": "CLOSED"}, {"s": "OPEN"}, {"s": "HELD"}]
+        _s, got = decode_container(encode_container(schema, rows))
+        assert got == rows
+        with _pytest.raises(ValueError, match="not a symbol"):
+            encode_container(schema, [{"s": "NOPE"}])
+
+    def test_fixed_codec_roundtrip_and_size_check(self):
+        import pytest as _pytest
+
+        from iceberg_evolve_spark.sources.avro import (
+            decode_container, encode_container,
+        )
+
+        schema = {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "f", "type": {"type": "fixed", "name": "md5", "size": 4}}
+            ],
+        }
+        rows = [{"f": b"\x01\x02\x03\x04"}, {"f": b"\xff\x00\xff\x00"}]
+        _s, got = decode_container(encode_container(schema, rows))
+        assert got == rows
+        with _pytest.raises(ValueError, match="exactly 4 bytes"):
+            encode_container(schema, [{"f": b"\x01"}])
+
+    def test_enum_and_fixed_map_to_spark_types(self):
+        from pyspark.sql import types as T
+
+        from iceberg_evolve_spark.sources.avro import spark_struct_of_avro
+
+        st = spark_struct_of_avro(
+            {
+                "type": "record",
+                "name": "r",
+                "fields": [
+                    {"name": "e", "type": {"type": "enum", "name": "x", "symbols": ["A"]}},
+                    {"name": "f", "type": {"type": "fixed", "name": "y", "size": 8}},
+                    {"name": "m", "type": {"type": "map", "values": "double"}},
+                ],
+            }
+        )
+        assert st == T.StructType([
+            T.StructField("e", T.StringType(), False),
+            T.StructField("f", T.BinaryType(), False),
+            T.StructField("m", T.MapType(T.StringType(), T.DoubleType(), False), False),
+        ])
+
+    def test_spark_map_column_roundtrip(self, spark, tmp_path):
+        """A Spark map<string,long> column survives write_avro → read_avro."""
+        from pyspark.sql import functions as F
+
+        from iceberg_evolve_spark.sources.avro import read_avro, write_avro
+
+        df = (
+            spark.range(0, 50)
+            .withColumn(
+                "m",
+                F.create_map(
+                    F.lit("id"), F.col("id"), F.lit("sq"), F.col("id") * F.col("id")
+                ),
+            )
+            .repartition(3)
+        )
+        d = str(tmp_path / "avmap")
+        write_avro(df, d)
+        back = read_avro(spark, d)
+        got = {r["id"]: r["m"] for r in back.collect()}
+        assert len(got) == 50
+        assert got[7] == {"id": 7, "sq": 49}
+
+    def test_enum_file_readable_by_spark(self, spark, tmp_path):
+        """A container written with an enum schema (by another system) reads
+        into Spark with the symbols as strings."""
+        from iceberg_evolve_spark.sources.avro import encode_container, read_avro
+
+        schema = {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {
+                    "name": "s",
+                    "type": {
+                        "type": "enum", "name": "st", "symbols": ["A", "B", "C"]
+                    },
+                },
+            ],
+        }
+        rows = [{"id": i, "s": "ABC"[i % 3]} for i in range(30)]
+        d = tmp_path / "aven"
+        d.mkdir()
+        (d / "x.avro").write_bytes(encode_container(schema, rows))
+        got = sorted(
+            (r["id"], r["s"]) for r in read_avro(spark, str(d)).collect()
+        )
+        assert got == [(i, "ABC"[i % 3]) for i in range(30)]
+
+
+class TestAvroSplitRead:
+    """Round-8 sync-marker byte-range splits: one large container file
+    parallelizes; results identical to the whole-file read."""
+
+    def _one_big_file(self, tmp_path, n=5000, records_per_block=100):
+        from iceberg_evolve_spark.sources.avro import encode_container
+
+        schema = {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "txt", "type": "string"},
+            ],
+        }
+        rows = [{"id": i, "txt": f"row-{i}-" + "x" * (i % 37)} for i in range(n)]
+        d = tmp_path / "avsplit"
+        d.mkdir()
+        fp = d / "big.avro"
+        fp.write_bytes(
+            encode_container(schema, rows, records_per_block=records_per_block)
+        )
+        return str(d), str(fp), rows
+
+    def test_ranges_partition_blocks_exactly_once(self, tmp_path):
+        """Pure-python check: ANY byte partition of the post-header range
+        yields every record exactly once."""
+        from iceberg_evolve_spark.sources.avro import (
+            plan_avro_splits, read_container_range,
+        )
+
+        _d, fp, rows = self._one_big_file(tmp_path, n=1200, records_per_block=50)
+        for split_bytes in (1000, 4096, 10**9):
+            got = []
+            for f, lo, hi in plan_avro_splits(fp, split_bytes):
+                _s, part = read_container_range(f, lo, hi)
+                got.extend(part)
+            assert sorted(r["id"] for r in got) == [r["id"] for r in rows], (
+                split_bytes
+            )
+
+    def test_split_read_matches_whole_read_with_parallelism(self, spark, tmp_path):
+        from iceberg_evolve_spark.sources.avro import plan_avro_splits, read_avro
+
+        d, fp, rows = self._one_big_file(tmp_path)
+        splits = plan_avro_splits(fp, 16384)
+        assert len(splits) > 1  # one file, MANY tasks — the point
+        whole = read_avro(spark, d)
+        split = read_avro(spark, d, split_bytes=16384)
+        assert split.rdd.getNumPartitions() > 1
+        a = sorted((r["id"], r["txt"]) for r in whole.collect())
+        b = sorted((r["id"], r["txt"]) for r in split.collect())
+        assert a == b
+        assert len(a) == len(rows)
+
+    def test_split_read_deflate_and_uncompressed(self, spark, tmp_path):
+        from iceberg_evolve_spark.sources.avro import encode_container, read_avro
+
+        schema = {
+            "type": "record",
+            "name": "r",
+            "fields": [{"name": "id", "type": "long"}],
+        }
+        rows = [{"id": i} for i in range(2000)]
+        for codec in ("null", "deflate"):
+            d = tmp_path / f"avc_{codec}"
+            d.mkdir()
+            (d / "f.avro").write_bytes(
+                encode_container(schema, rows, codec=codec, records_per_block=64)
+            )
+            got = read_avro(spark, str(d), split_bytes=2048).collect()
+            assert sorted(r["id"] for r in got) == list(range(2000)), codec
