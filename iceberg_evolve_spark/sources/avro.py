@@ -612,13 +612,25 @@ def encode_container(
     schema: Any,
     rows: list[dict],
     codec: str = "deflate",
-    sync: bytes = b"\x00" * SYNC_SIZE,
+    sync: bytes | None = None,
     records_per_block: int = 4096,
 ) -> bytes:
     """Encode rows into one container byte string (driver-side building
-    block; the distributed writer calls it per partition)."""
+    block; the distributed writer calls it per partition).
+
+    ``sync`` defaults to a content-addressed marker (md5 of schema + row
+    count) rather than zeros: an all-zero marker can collide with a long
+    zero run inside an uncompressed payload, which would let a byte-range
+    split reader validate a spurious block boundary — real Avro randomizes
+    the marker per file for exactly this reason."""
     if codec not in _CODECS:
         raise ValueError(f"unsupported codec {codec!r} (supported: {_CODECS})")
+    if sync is None:
+        import hashlib
+
+        sync = hashlib.md5(
+            f"{json.dumps(schema)}|{len(rows)}".encode()
+        ).digest()
     out = bytearray()
     _write_header(out, json.dumps(schema), codec, sync)
     enc = _encoder(schema)
@@ -675,6 +687,14 @@ def read_container_range(path: str, lo: int, hi: int) -> tuple[Any, list[dict]]:
     with open(path, "rb") as fh:
         head = fh.read(1 << 20)
         schema, codec, sync, header_end = read_header(head)
+        if sync == b"\x00" * SYNC_SIZE:
+            # A zero marker can collide with a zero run inside an
+            # uncompressed payload and validate a spurious boundary —
+            # refuse split ownership rather than risk double-decoding.
+            raise ValueError(
+                "container uses an all-zero sync marker — unsafe for "
+                "byte-range split reads; re-read without split_bytes"
+            )
         size = os.fstat(fh.fileno()).st_size
         lo = max(lo, header_end)
         if lo >= size or lo >= hi:
@@ -875,6 +895,10 @@ def read_avro(
 
     if split_bytes is not None:
         splits = plan_avro_splits(path, split_bytes)
+        if not splits:
+            # header-only container (valid Avro, zero blocks):
+            # repartition(0) would raise — return an empty frame instead
+            return spark.createDataFrame([], spark_struct)
 
         def _read_ranges(
             batches: Iterator["pa.RecordBatch"],

@@ -83,6 +83,46 @@ def _can_overlap(mn: object, mx: object, clo: object, chi: object) -> bool:
         return True
 
 
+def _partition_value(path_root: str, fp: str, column: str) -> object | None:
+    """Value of ``column`` encoded as a ``column=value`` path segment of
+    ``fp`` under ``path_root`` (Hive/Iceberg partitioned layout), or None.
+    ``partitionBy`` drops partition keys from the data files, so pruning on
+    the partition key — the canonical pruning use — must read the directory
+    value instead of the footer."""
+    rel = os.path.relpath(fp, path_root)
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            if k == column:
+                if v == "__HIVE_DEFAULT_PARTITION__":
+                    return None
+                from urllib.parse import unquote
+
+                return unquote(v)  # Hive escapes specials as %XX
+    return None
+
+
+def _coerce_like(raw: str, bound: object) -> object:
+    """Coerce a directory-encoded partition value (always a string) to the
+    type of the caller's bound so the overlap test compares like to like;
+    an un-coercible value falls back to the raw string (then
+    :func:`_can_overlap`'s TypeError fallback keeps the file)."""
+    try:
+        if isinstance(bound, bool):
+            return raw in ("true", "True", "1")
+        if isinstance(bound, int):
+            return int(raw)
+        if isinstance(bound, float):
+            return float(raw)
+        if isinstance(bound, datetime.datetime):
+            return _to_comparable(datetime.datetime.fromisoformat(raw))
+        if isinstance(bound, datetime.date):
+            return datetime.date.fromisoformat(raw)
+    except (ValueError, TypeError):
+        pass
+    return raw
+
+
 def prune_files(
     path: str,
     column: str,
@@ -113,7 +153,17 @@ def prune_files(
         meta = pq.ParquetFile(fp).metadata
         name_to_idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
         if column not in name_to_idx:
-            raise ValueError(f"column {column!r} not in {fp}")
+            pv = _partition_value(path, fp, column)
+            if pv is None:
+                # not in the footer, not a path segment: keep conservatively
+                # (pruning may only skip what it can PROVE absent)
+                kept.append(fp)
+                continue
+            ref = lo if lo is not None else hi
+            v = _coerce_like(pv, ref)
+            if _can_overlap(v, v, clo, chi):
+                kept.append(fp)
+            continue
         keep = False
         for rg in range(meta.num_row_groups):
             group = meta.row_group(rg)

@@ -261,3 +261,35 @@ class TestPruneFiles:
             datetime.datetime(2022, 1, 1),
         )
         assert total == 1 and len(kept) == 1
+
+    def test_prunes_on_partition_key_via_path(self, tmp_path):
+        """partitionBy drops the key from the data files; pruning on the
+        partition key must read the key=value path segment instead of
+        raising (ADVICE r8). Canonical use: prune the partitioned layout
+        on its own partition column."""
+        from iceberg_evolve_spark.sources.footer_stats import prune_files
+
+        d = tmp_path / "bykey"
+        for g in (0, 1, 2):
+            sub = d / f"g={g}"
+            sub.mkdir(parents=True)
+            pq.write_table(
+                pa.table({"k": list(range(5))}), sub / "part.parquet"
+            )
+        kept, total = prune_files(str(d), "g", 1, 1)
+        assert total == 3
+        assert [os.path.basename(os.path.dirname(f)) for f in kept] == ["g=1"]
+        # string-typed bound compares as string
+        kept2, _ = prune_files(str(d), "g", "2", None)
+        assert [os.path.basename(os.path.dirname(f)) for f in kept2] == ["g=2"]
+
+    def test_unknown_column_keeps_conservatively(self, tmp_path):
+        """A column in neither footer nor path cannot be proven absent —
+        keep the file (never raise mid-plan)."""
+        from iceberg_evolve_spark.sources.footer_stats import prune_files
+
+        d = tmp_path / "unk"
+        d.mkdir()
+        pq.write_table(pa.table({"k": [1]}), d / "a.parquet")
+        kept, total = prune_files(str(d), "missing", 0, 10)
+        assert total == 1 and len(kept) == 1

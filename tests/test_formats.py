@@ -556,3 +556,52 @@ class TestAvroSplitRead:
             )
             got = read_avro(spark, str(d), split_bytes=2048).collect()
             assert sorted(r["id"] for r in got) == list(range(2000)), codec
+
+
+class TestAvroSyncSafety:
+    """ADVICE r8: an all-zero sync marker can collide with a zero run in an
+    uncompressed payload and validate a spurious block boundary. The default
+    marker is now content-addressed, and split reads refuse zero markers."""
+
+    _SCHEMA = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+
+    def test_default_sync_is_not_zeros(self):
+        from iceberg_evolve_spark.sources.avro import (
+            SYNC_SIZE, encode_container, read_header,
+        )
+
+        buf = encode_container(self._SCHEMA, [{"id": 1}])
+        _schema, _codec, sync, _pos = read_header(buf)
+        assert sync != b"\x00" * SYNC_SIZE
+
+    def test_zero_sync_roundtrips_whole_but_rejected_for_splits(self, tmp_path):
+        from iceberg_evolve_spark.sources.avro import (
+            SYNC_SIZE, decode_container, encode_container, read_container_range,
+        )
+
+        buf = encode_container(
+            self._SCHEMA,
+            [{"id": i} for i in range(10)],
+            codec="null",
+            sync=b"\x00" * SYNC_SIZE,
+        )
+        _s, rows = decode_container(buf)  # sequential read: still fine
+        assert [r["id"] for r in rows] == list(range(10))
+        fp = tmp_path / "zero.avro"
+        fp.write_bytes(buf)
+        with pytest.raises(ValueError, match="all-zero sync"):
+            read_container_range(str(fp), 0, len(buf))
+
+    def test_header_only_file_yields_empty_df_under_splits(self, spark, tmp_path):
+        from iceberg_evolve_spark.sources.avro import encode_container, read_avro
+
+        d = tmp_path / "hdr"
+        d.mkdir()
+        (d / "empty.avro").write_bytes(encode_container(self._SCHEMA, []))
+        df = read_avro(spark, str(d), split_bytes=4096)
+        assert df.count() == 0
+        assert [f.name for f in df.schema.fields] == ["id"]
