@@ -9585,6 +9585,163 @@ FROM orders
 """
 
 
+def orders_avro_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYNC-MARKER BYTE-RANGE SPLIT READ under the hash gate (VERDICT r8
+    task 5): orders written as ONE container file (small blocks so the file
+    is splittable), then read back with ``split_bytes`` so the single file
+    fans out over many tasks — the Hadoop-input-split discipline
+    `sources/avro.py:plan_avro_splits` / `read_container_range` implement:
+    each task owns the blocks STARTING in its byte range, scanning forward
+    to the first validated sync boundary. ``split_bytes`` targets ~16 tasks
+    from the file size (what a real scan planner does — parallelism from
+    data size, not a constant), with a floor that keeps >1 split at the
+    smallest SF. ``parallel`` asserts the fan-out actually happened; the
+    exact aggregates prove the split read loses and duplicates nothing —
+    the oracle replays them from the parquet base table."""
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.sources.avro import (
+        plan_avro_splits,
+        read_avro,
+        write_avro,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="ies-avsplit-")
+    try:
+        path = os.path.join(tmp, "one_big")
+        stats = write_avro(orders.repartition(1), path, records_per_block=256)
+        fp = stats[0][0]
+        split_bytes = max(4096, os.path.getsize(fp) // 16)
+        n_splits = len(plan_avro_splits(fp, split_bytes))
+        back = read_avro(spark, path, split_bytes=split_bytes)
+        parallel = n_splits > 1 and back.rdd.getNumPartitions() > 1
+        agg = back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(_dec(F.col("o_totalprice"), 2)).cast("double"), 2
+            ).alias("total_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        ).first()
+        rows = [
+            (
+                agg["n_rows"],
+                agg["total_price"],
+                agg["min_key"],
+                agg["max_key"],
+                bool(parallel),
+            )
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "n_rows bigint, total_price double, min_key bigint, "
+        "max_key bigint, parallel boolean",
+    )
+
+
+_AVRO_SPLIT_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(22,2))) AS DOUBLE), 2)
+           AS total_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       TRUE AS parallel
+FROM orders
+"""
+
+
+def orders_avro_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVRO MAP / ENUM / FIXED under the hash gate (VERDICT r8 task 5 —
+    the round-8 codecs were test-covered but never driver-verified): orders
+    projected into a map<string,string> attrs column, an enum-typed status
+    (written from a string column against an explicit Avro schema — Spark
+    has no enum type, so `write_avro(avro_schema=)` is the only way a write
+    can emit one) and a 2-byte ``fixed`` tag derived from the order key;
+    written executor-side, read back distributed, and proven value-exact:
+    per-symbol enum counts, the fixed bytes re-decoded to their integer and
+    summed, map entries counted and probed by key. The oracle recomputes
+    every value from the base columns the Avro types were derived from."""
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.sources.avro import read_avro, write_avro
+
+    orders = _t(spark, sf_dir, "orders")
+    df = orders.select(
+        F.col("o_orderkey"),
+        F.create_map(
+            F.lit("prio"), F.col("o_orderpriority"),
+            F.lit("cust"), F.col("o_custkey").cast("string"),
+        ).alias("attrs"),
+        F.col("o_orderstatus").alias("status"),
+        F.expr("unhex(lpad(hex(o_orderkey % 65536), 4, '0'))").alias("tag"),
+    )
+    avro_schema = {
+        "type": "record",
+        "name": "order_meta",
+        "fields": [
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "attrs", "type": {"type": "map", "values": "string"}},
+            {
+                "name": "status",
+                "type": {
+                    "type": "enum",
+                    "name": "order_status",
+                    "symbols": ["F", "O", "P"],
+                },
+            },
+            {
+                "name": "tag",
+                "type": {"type": "fixed", "name": "key_tag", "size": 2},
+            },
+        ],
+    }
+    tmp = tempfile.mkdtemp(prefix="ies-avcx-")
+    try:
+        path = os.path.join(tmp, "complex")
+        write_avro(df.repartition(8), path, avro_schema=avro_schema)
+        back = read_avro(spark, path)
+        agg = back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("status") == "F").cast("long")).alias("n_f"),
+            F.sum((F.col("status") == "O").cast("long")).alias("n_o"),
+            F.sum((F.col("status") == "P").cast("long")).alias("n_p"),
+            F.sum(
+                F.conv(F.hex(F.col("tag")), 16, 10).cast("long")
+            ).alias("tag_sum"),
+            F.min(F.element_at("attrs", F.lit("cust"))).alias("min_cust"),
+            F.max(F.element_at("attrs", F.lit("prio"))).alias("max_prio"),
+            F.sum(F.size("attrs").cast("long")).alias("map_entries"),
+        ).first()
+        rows = [tuple(agg)]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "n_rows bigint, n_f bigint, n_o bigint, n_p bigint, tag_sum bigint, "
+        "min_cust string, max_prio string, map_entries bigint",
+    )
+
+
+_AVRO_COMPLEX_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+       CAST(SUM(o_orderkey % 65536) AS BIGINT) AS tag_sum,
+       MIN(CAST(o_custkey AS VARCHAR)) AS min_cust,
+       MAX(o_orderpriority) AS max_prio,
+       CAST(2 * COUNT(*) AS BIGINT) AS map_entries
+FROM orders
+"""
+
+
 #: Sliding-distinct tuning (Spark and oracle agree).
 SLIDE_WINDOW_H = 24
 SLIDE_B = 8
@@ -11124,6 +11281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     decomposition, bigram surprisal with backoff, and Iceberg-v3
         #     default values through the diff->plan->migrate loop.
         "orders_mor_pruned_read": orders_mor_pruned_read,
+        "orders_avro_split": orders_avro_split,
+        "orders_avro_complex": orders_avro_complex,
         "orders_avro_roundtrip": orders_avro_roundtrip,
         "multimodal_video_mp4": multimodal_video_mp4,
         "cdc_schema_drift_apply": cdc_schema_drift_apply,
@@ -11438,6 +11597,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_video_mjpeg": _mjpeg_avi_sql(),
         "multimodal_video_mp4": _mp4_sql(),
         "orders_mor_pruned_read": _MORPRUNE_SQL,
+        "orders_avro_split": _AVRO_SPLIT_SQL,
+        "orders_avro_complex": _AVRO_COMPLEX_SQL,
         "orders_avro_roundtrip": _AVRO_SQL,
         "cdc_schema_drift_apply": _CDC_DRIFT_SQL,
         "sessions_overlap_degree": _OVL_SQL,

@@ -797,12 +797,18 @@ def write_avro(
     path: str,
     codec: str = "deflate",
     records_per_block: int = 4096,
+    avro_schema: Any | None = None,
 ) -> list[tuple[str, int, int]]:
     """Write ``df`` as Avro container files, one per non-empty partition,
     executor-side via ``mapInArrow`` (the driver never sees data rows, only
     the returned per-file (file, n_records, n_bytes) stats). The sync marker
     is content-addressed from (schema, partition id) so writes are
-    deterministic and retries of the same task produce identical bytes."""
+    deterministic and retries of the same task produce identical bytes.
+
+    ``avro_schema`` overrides the derived schema, letting a write target
+    Avro types Spark lacks: an ``enum`` field consumes a string column
+    (values must be symbols), a ``fixed`` field a binary column of exactly
+    its size — the field names must match ``df``'s columns."""
     import hashlib
 
     import pyarrow as pa
@@ -810,7 +816,15 @@ def write_avro(
     if codec not in _CODECS:
         raise ValueError(f"unsupported codec {codec!r} (supported: {_CODECS})")
     os.makedirs(path, exist_ok=True)
-    avro_schema = avro_schema_of_struct(df.schema)
+    if avro_schema is None:
+        avro_schema = avro_schema_of_struct(df.schema)
+    else:
+        want = [f["name"] for f in avro_schema.get("fields", ())]
+        if want != list(df.columns):
+            raise ValueError(
+                f"avro_schema fields {want} must match df columns "
+                f"{list(df.columns)} in order"
+            )
     schema_json = json.dumps(avro_schema)
     stats_arrow = pa.schema(
         [("file", pa.string()), ("n_records", pa.int64()), ("n_bytes", pa.int64())]

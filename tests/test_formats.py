@@ -605,3 +605,53 @@ class TestAvroSyncSafety:
         df = read_avro(spark, str(d), split_bytes=4096)
         assert df.count() == 0
         assert [f.name for f in df.schema.fields] == ["id"]
+
+
+class TestAvroSchemaOverride:
+    """write_avro(avro_schema=) lets a distributed write target Avro types
+    Spark lacks (enum from a string column, fixed from binary)."""
+
+    def test_enum_fixed_write_read_roundtrip(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from iceberg_evolve_spark.sources.avro import read_avro, write_avro
+
+        df = spark.range(0, 20).select(
+            F.col("id"),
+            F.element_at(
+                F.array(F.lit("A"), F.lit("B")), (F.col("id") % 2 + 1).cast("int")
+            ).alias("e"),
+            F.expr("unhex(lpad(hex(id), 4, '0'))").alias("fx"),
+        )
+        schema = {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {
+                    "name": "e",
+                    "type": {"type": "enum", "name": "ab", "symbols": ["A", "B"]},
+                },
+                {
+                    "name": "fx",
+                    "type": {"type": "fixed", "name": "f2", "size": 2},
+                },
+            ],
+        }
+        d = str(tmp_path / "ovr")
+        write_avro(df, d, avro_schema=schema)
+        got = sorted(
+            (r["id"], r["e"], r["fx"]) for r in read_avro(spark, d).collect()
+        )
+        assert got == [
+            (i, "AB"[i % 2], i.to_bytes(2, "big")) for i in range(20)
+        ]
+
+    def test_mismatched_override_rejected(self, spark, tmp_path):
+        from iceberg_evolve_spark.sources.avro import write_avro
+
+        df = spark.range(3)
+        bad = {"type": "record", "name": "r",
+               "fields": [{"name": "nope", "type": "long"}]}
+        with pytest.raises(ValueError, match="must match df columns"):
+            write_avro(df, str(tmp_path / "bad"), avro_schema=bad)
