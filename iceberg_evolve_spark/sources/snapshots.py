@@ -58,7 +58,7 @@ BROADCAST_DELETE_MAX_BYTES = 32 << 20
 #: Helper column names the merge-on-read reader adds to carry parquet row
 #: positions. User tables may not use them (the positional anti-join keys on
 #: them; a collision would silently join on the wrong column).
-_RESERVED_COLS = ("_file", "_pos")
+_RESERVED_COLS = ("_file", "_pos", "_seq")
 
 
 def _dir_bytes(path: str) -> int:
@@ -147,14 +147,111 @@ class SnapshotTable:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp)
         os.rename(tmp, final)
-        entries.append(
-            {
+        new_entry = {
                 "version": version,
                 "data_dir": data_dir,
+                # data files written here carry no per-file sequence marker;
+                # they are the lineage BASE and inherit this sequence number
+                # (Iceberg's data sequence number, used so later equality
+                # deletes apply only to strictly older data — see append())
+                "base_seq": version,
                 "ts": time.time() if ts is None else ts,
                 "note": note,
-            }
-        )
+        }
+        if partition_by:
+            new_entry["partition_by"] = list(partition_by)
+        entries.append(new_entry)
+        self._commit(entries)
+        return version
+
+    def append(
+        self,
+        df: DataFrame,
+        note: str | None = None,
+        ts: float | None = None,
+    ) -> int:
+        """FAST APPEND: commit ``df``'s rows as NEW data files added to the
+        current snapshot — O(rows appended), the table is never rewritten.
+        This is the streaming commit primitive (Iceberg's fast-append +
+        data-sequence-number semantics): appended files are named with this
+        commit's sequence number (``s{version}-...``), and equality deletes
+        apply only to data files with a STRICTLY OLDER sequence — so the
+        CDC upsert shape (eq-delete the key, append the new row, possibly in
+        adjacent commits) keeps the new row live while retiring the old one.
+
+        The new snapshot's data dir reuses the previous snapshot's immutable
+        data files via hard links (no data copy — the manifest-reuse
+        discipline, materialized in the filesystem), so history and
+        time travel keep working file-granular. Carried delete files stay
+        attached and still apply to the files they were committed against."""
+        entries = self.versions()
+        if not entries:
+            return self.write(df, note=note or "append (bootstrap)", ts=ts)
+        cur = entries[-1]
+        version = cur["version"] + 1
+        data_dir = f"v{version:05d}"
+        final = os.path.join(self.path, data_dir)
+        if os.path.isdir(final):  # crash orphan (see write())
+            import shutil
+
+            shutil.rmtree(final)
+        tmp = final + ".tmp"
+        stage = final + ".stage"
+        writer = df.write.mode("overwrite")
+        if cur.get("partition_by"):
+            # appended files must land inside the same key=value layout or
+            # Spark rejects the mixed directory structure on read
+            writer = writer.partitionBy(*cur["partition_by"])
+        writer.parquet(stage)
+        import shutil
+
+        if _parquet_dir_rows(stage) == 0:
+            # no empty commits (matching delete_where/delete_by_key) —
+            # counted from footers, Spark writes a 0-row part file
+            shutil.rmtree(stage, ignore_errors=True)
+            return cur["version"]
+        os.makedirs(tmp, exist_ok=True)
+        # appended files: flat move with an s{seq}- name prefix (a subdir
+        # would either be mis-read as a partition column or need
+        # recursiveFileLookup, which breaks partitioned layouts)
+        for root, _dirs, names in os.walk(stage):
+            rel = os.path.relpath(root, stage)
+            for fn in names:
+                if not fn.endswith(".parquet") or fn.startswith("_"):
+                    continue
+                dst_dir = tmp if rel == "." else os.path.join(tmp, rel)
+                os.makedirs(dst_dir, exist_ok=True)
+                os.rename(
+                    os.path.join(root, fn),
+                    os.path.join(dst_dir, f"s{version:05d}-{fn}"),
+                )
+        shutil.rmtree(stage, ignore_errors=True)
+        # previous snapshot's files: hard-link into the new dir at their
+        # RELATIVE paths (delete files address rows by data_dir-relative
+        # path, so positions stay valid across appends); names are unique
+        # within a lineage (Spark part-file UUIDs + the s-prefix)
+        prev = os.path.join(self.path, cur["data_dir"])
+        for root, _dirs, names in os.walk(prev):
+            rel = os.path.relpath(root, prev)
+            for fn in names:
+                if not fn.endswith(".parquet") or fn.startswith("_"):
+                    continue
+                dst_dir = tmp if rel == "." else os.path.join(tmp, rel)
+                os.makedirs(dst_dir, exist_ok=True)
+                os.link(os.path.join(root, fn), os.path.join(dst_dir, fn))
+        os.rename(tmp, final)
+        new_entry = {
+            "version": version,
+            "data_dir": data_dir,
+            "base_seq": cur.get("base_seq", cur["version"]),
+            "ts": time.time() if ts is None else ts,
+            "note": note or "append",
+        }
+        if cur.get("partition_by"):
+            new_entry["partition_by"] = list(cur["partition_by"])
+        if cur.get("deletes"):
+            new_entry["deletes"] = list(cur["deletes"])
+        entries.append(new_entry)
         self._commit(entries)
         return version
 
@@ -169,9 +266,12 @@ class SnapshotTable:
         new_entry = {
             "version": new_version,
             "data_dir": target["data_dir"],
+            "base_seq": target.get("base_seq", target["version"]),
             "ts": time.time() if ts is None else ts,
             "note": note or f"rollback to v{version}",
         }
+        if target.get("partition_by"):
+            new_entry["partition_by"] = list(target["partition_by"])
         if target.get("deletes"):
             new_entry["deletes"] = list(target["deletes"])
         entries.append(new_entry)
@@ -225,10 +325,15 @@ class SnapshotTable:
     ) -> int:
         cur = entries[-1]
         new_version = cur["version"] + 1
+        # data-sequence stamp: this delete applies only to data files with a
+        # strictly older sequence (rows appended AFTER it must survive it)
+        delete = {**delete, "seq": new_version}
         entries.append(
             {
                 "version": new_version,
                 "data_dir": cur["data_dir"],
+                "base_seq": cur.get("base_seq", cur["version"]),
+                **({"partition_by": list(cur["partition_by"])} if cur.get("partition_by") else {}),
                 "deletes": list(cur.get("deletes", [])) + [delete],
                 "ts": time.time() if ts is None else ts,
                 "note": note,
@@ -355,24 +460,62 @@ class SnapshotTable:
                 f"table columns {clash} collide with merge-on-read helper "
                 "columns; rename them before using row-level deletes"
             )
+        # _file is the path RELATIVE to the snapshot's data dir: appends
+        # re-expose previous files via hard links under a NEW data dir, so
+        # absolute paths change per snapshot while relative paths (and
+        # therefore recorded positional deletes) stay valid. Names are
+        # unique within a lineage (Spark part-file UUIDs), and a fresh
+        # write() starts a clean lineage with no carried deletes.
         df = df.select(
             *df.columns,
-            F.col("_metadata.file_path").alias("_file"),
+            F.regexp_replace(
+                F.col("_metadata.file_path"), r"^.*/v\d{5}/", ""
+            ).alias("_file"),
             F.col("_metadata.row_index").alias("_pos"),
         )
-        for d in entry.get("deletes", []):
+        # data sequence number per file: appended files carry it in their
+        # s{seq}- name prefix; base files inherit the lineage base sequence
+        base_seq = int(entry.get("base_seq", 0))
+        seq_str = F.regexp_extract(F.col("_file"), r"(?:^|/)s(\d{5})-[^/]*$", 1)
+        df = df.withColumn(
+            "_seq",
+            F.when(seq_str == "", F.lit(base_seq)).otherwise(
+                seq_str.cast("long")
+            ),
+        )
+        table_cols = [c for c in df.columns if c not in _RESERVED_COLS]
+        for i, d in enumerate(entry.get("deletes", [])):
             dfile = spark.read.parquet(os.path.join(self.path, d["dir"]))
             small = _dir_bytes(os.path.join(self.path, d["dir"])) <= (
                 BROADCAST_DELETE_MAX_BYTES
             )
-            right = F.broadcast(dfile) if small else dfile
             if d["kind"] == "pos":
+                right = F.broadcast(dfile) if small else dfile
                 df = df.join(right, on=["_file", "_pos"], how="anti")
             elif d["kind"] == "eq":
-                df = df.join(right, on=list(d["cols"]), how="anti")
+                dseq = d.get("seq")
+                if dseq is None:  # legacy manifest: applies to everything
+                    right = F.broadcast(dfile) if small else dfile
+                    df = df.join(right, on=list(d["cols"]), how="anti")
+                    continue
+                # sequence-aware: delete a row only if its key matches AND
+                # its data file predates the delete commit — rows appended
+                # after the delete survive (Iceberg data-sequence rule).
+                # Left join + filter instead of anti so the _seq comparison
+                # can see both sides; the delete side is still distinct keys.
+                hit = f"_del_hit_{i}"
+                marked = dfile.select(*d["cols"]).withColumn(hit, F.lit(True))
+                right = F.broadcast(marked) if small else marked
+                df = df.join(right, on=list(d["cols"]), how="left").filter(
+                    ~(
+                        F.coalesce(F.col(hit), F.lit(False))
+                        & (F.col("_seq") < F.lit(int(dseq)))
+                    )
+                ).drop(hit)
             else:  # pragma: no cover - manifest corruption
                 raise ValueError(f"unknown delete kind {d['kind']!r}")
-        return df
+        # joins put their keys first — restore the table's column order
+        return df.select(*table_cols, "_file", "_pos", "_seq")
 
     def rewrite_data_files(
         self, spark: SparkSession, note: str | None = None, ts: float | None = None
@@ -467,7 +610,7 @@ class SnapshotTable:
                 return base.filter(F.lit(False))
         if entry.get("deletes"):
             df = self._read_with_pos(spark, entry, files=files)
-            df = df.drop("_file", "_pos")
+            df = df.drop("_file", "_pos", "_seq")
         elif files is not None:
             df = spark.read.option(
                 "basePath", os.path.join(self.path, entry["data_dir"])

@@ -135,6 +135,94 @@ def cdc_batch_writer(
     return write
 
 
+def mor_cdc_batch_writer(
+    spark: SparkSession,
+    table_path: str,
+    key: str,
+    op_col: str = "op",
+    order_col: str = "ts_ms",
+):
+    """``foreachBatch`` CDC apply with MERGE-ON-READ commits (VERDICT r7
+    task 5): instead of rewriting the parquet snapshot per batch (the swap
+    path above — correct, but O(table) per batch), each micro-batch lands as
+
+    1. ONE equality-delete commit (``SnapshotTable.delete_by_key``) retiring
+       every changed key — delete envelopes AND the superseded versions of
+       upserted rows; the data is never scanned, and
+    2. ONE fast-append commit (``SnapshotTable.append``) adding the new row
+       versions — data-sequence numbers keep them alive past the delete.
+
+    That is Iceberg's streaming-upsert shape: O(batch) work per batch
+    regardless of table size, with compaction
+    (``rewrite_data_files``) amortized separately.
+
+    Exactly-once effects under foreachBatch's at-least-once replay: the
+    batch id is stamped into the FINAL commit's note; a replayed batch whose
+    stamp is already in the manifest is skipped whole. A crash between the
+    delete commit and the append commit replays the batch: the repeated
+    equality delete retires the same keys again (state-idempotent) and the
+    append then lands exactly once."""
+    from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        t = SnapshotTable(table_path)
+        stamp = f"cdc-batch:{batch_id}"
+        done = any(
+            (e.get("note") or "").startswith(stamp) for e in t.versions()
+        )
+        if done:  # replayed batch, already fully committed
+            return
+        w = Window.partitionBy(key).orderBy(
+            F.col(order_col).desc(),
+            (F.col(op_col) == "d").cast("int").desc(),
+            F.col(op_col).desc(),
+        )
+        last = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        data_cols = [c for c in last.columns if c not in (op_col, order_col)]
+        upserts = last.filter(F.col(op_col) != "d").select(*data_cols)
+        has_upserts = upserts.limit(1).count() > 0
+        if not t.versions():
+            if not has_upserts:
+                return  # nothing to delete from an empty table
+            t.write(upserts, note=f"{stamp} bootstrap")
+            return
+        t.delete_by_key(
+            last.select(key),
+            [key],
+            note=f"{stamp} retire" if not has_upserts else f"retire {batch_id}",
+        )
+        if has_upserts:
+            t.append(upserts, note=f"{stamp} append")
+
+    return write
+
+
+def run_mor_cdc_stream(
+    stream: DataFrame,
+    table_path: str,
+    key: str,
+    checkpoint: str,
+    op_col: str = "op",
+    order_col: str = "ts_ms",
+):
+    """Start a merge-on-read CDC-apply stream (availableNow-compatible; see
+    ``mor_cdc_batch_writer``)."""
+    return (
+        stream.writeStream.foreachBatch(
+            mor_cdc_batch_writer(
+                stream.sparkSession, table_path, key, op_col, order_col
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )
+
+
 def run_cdc_stream(
     stream: DataFrame,
     target_path: str,

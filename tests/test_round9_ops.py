@@ -1,0 +1,226 @@
+"""Round-9 operators: SnapshotTable fast appends with data-sequence
+semantics, and the merge-on-read CDC streaming sink built on them."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+
+
+@pytest.fixture()
+def tdir():
+    d = tempfile.mkdtemp(prefix="ies-r9-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+class TestFastAppend:
+    def test_append_adds_rows_without_rewriting(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        v1 = t.write(spark.range(0, 100).withColumn("g", F.col("id") % 3))
+        base_files = set()
+        for root, _d, names in os.walk(os.path.join(t.path, "v00001")):
+            base_files |= {n for n in names if n.endswith(".parquet")}
+        v2 = t.append(spark.range(100, 150).withColumn("g", F.col("id") % 3))
+        assert (v1, v2) == (1, 2)
+        assert t.read(spark).count() == 150
+        # time travel: v1 unchanged
+        assert t.read(spark, version=1).count() == 100
+        # base files are hard links, not copies: same inode
+        for fn in base_files:
+
+            def _find(d, name):
+                for root, _dirs, names in os.walk(d):
+                    if name in names:
+                        return os.path.join(root, name)
+                raise AssertionError(f"{name} not under {d}")
+
+            a = _find(os.path.join(t.path, "v00001"), fn)
+            b = _find(os.path.join(t.path, "v00002"), fn)
+            assert os.stat(a).st_ino == os.stat(b).st_ino
+
+    def test_append_empty_is_noop(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(5))
+        v = t.append(spark.range(5).filter(F.lit(False)))
+        assert v == 1 and len(t.versions()) == 1
+
+    def test_append_bootstraps_empty_table(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        v = t.append(spark.range(7))
+        assert v == 1 and t.read(spark).count() == 7
+
+    def test_eq_delete_does_not_kill_later_append(self, spark, tdir):
+        """The data-sequence rule: an equality delete retires only data
+        files with a strictly older sequence — the CDC upsert shape."""
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        df = spark.range(0, 10).withColumn("val", F.lit("old"))
+        t.write(df)
+        keys = spark.range(0, 3)  # retire ids 0..2
+        t.delete_by_key(keys, ["id"])
+        # re-insert the same keys with new payloads
+        t.append(spark.range(0, 3).withColumn("val", F.lit("new")))
+        got = {(r["id"], r["val"]) for r in t.read(spark).collect()}
+        assert got == {(i, "old") for i in range(3, 10)} | {
+            (i, "new") for i in range(3)
+        }
+        # and the delete still applies when time-traveling to its snapshot
+        at_del = {r["id"] for r in t.read(spark, version=2).collect()}
+        assert at_del == set(range(3, 10))
+
+    def test_eq_delete_after_append_kills_both_generations(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 5).withColumn("val", F.lit("a")))
+        t.append(spark.range(0, 5).withColumn("val", F.lit("b")))
+        t.delete_by_key(spark.range(0, 2), ["id"])  # after both: kills both
+        got = sorted(
+            (r["id"], r["val"]) for r in t.read(spark).collect()
+        )
+        assert got == sorted(
+            [(i, "a") for i in range(2, 5)] + [(i, "b") for i in range(2, 5)]
+        )
+
+    def test_pos_delete_survives_append(self, spark, tdir):
+        """Positional deletes address rows by data_dir-RELATIVE path, so the
+        hard-link forest of a later append preserves them."""
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 20))
+        t.delete_where(spark, F.col("id") < 5)
+        t.append(spark.range(100, 103))
+        got = sorted(r["id"] for r in t.read(spark).collect())
+        assert got == list(range(5, 20)) + [100, 101, 102]
+
+    def test_append_into_partitioned_layout(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        df = spark.range(0, 30).withColumn(
+            "g", (F.col("id") % 2).cast("string")
+        )
+        t.write(df, partition_by=["g"])
+        t.append(
+            spark.range(30, 40).withColumn(
+                "g", (F.col("id") % 2).cast("string")
+            )
+        )
+        assert t.read(spark).count() == 40
+
+    def test_rewrite_folds_appends_and_deletes(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 10).withColumn("val", F.lit("x")))
+        t.delete_by_key(spark.range(0, 4), ["id"])
+        t.append(spark.range(0, 2).withColumn("val", F.lit("y")))
+        before = sorted(
+            (r["id"], r["val"]) for r in t.read(spark).collect()
+        )
+        v = t.rewrite_data_files(spark)
+        after = sorted(
+            (r["id"], r["val"]) for r in t.read(spark, version=v).collect()
+        )
+        assert before == after
+        assert not t.versions()[-1].get("deletes")
+
+
+CDC_SCHEMA = "k long, val string, op string, ts_ms long"
+
+
+def _stage_wave(spark, watch_dir, rows, name):
+    df = spark.createDataFrame(rows, CDC_SCHEMA).coalesce(1)
+    stage = watch_dir + f".stage_{name}"
+    df.write.mode("overwrite").parquet(stage)
+    part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    os.makedirs(watch_dir, exist_ok=True)
+    os.rename(
+        os.path.join(stage, part), os.path.join(watch_dir, f"{name}.parquet")
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+class TestMorCdcStream:
+    def _run(self, spark, tdir, waves, max_files=1):
+        from iceberg_evolve_spark.streaming.sink import run_mor_cdc_stream
+
+        src = os.path.join(tdir, "src")
+        for i, rows in enumerate(waves):
+            _stage_wave(spark, src, rows, f"w{i}")
+        stream = (
+            spark.readStream.schema(CDC_SCHEMA)
+            .option("maxFilesPerTrigger", max_files)
+            .parquet(src)
+        )
+        tbl = os.path.join(tdir, "mor_table")
+        q = run_mor_cdc_stream(
+            stream, tbl, "k", os.path.join(tdir, "ckpt")
+        )
+        # availableNow is set by the caller contract in tests via trigger on
+        # the started query's source options; run_mor_cdc_stream starts a
+        # continuous query, so stop it once all data is processed
+        q.processAllAvailable()
+        q.stop()
+        return SnapshotTable(tbl)
+
+    def test_streamed_equals_batch_cdc(self, spark, tdir):
+        """A delete-bearing CDC sequence through the MOR streaming sink must
+        land at the same final state as the batch CDC operator."""
+        from pyspark.sql import Window
+
+        waves = [
+            [(k, f"v{k}", "c", 10 + k) for k in range(10)],
+            [(k, f"u{k}", "u", 100 + k) for k in range(0, 6, 2)]
+            + [(7, None, "d", 107)],
+            [(1, None, "d", 201), (1, "back", "c", 205), (99, "nine", "c", 209)],
+        ]
+        t = self._run(spark, tdir, waves)
+        streamed = sorted(
+            (r["k"], r["val"]) for r in t.read(spark).collect()
+        )
+        # batch replay: last change per key wins (ts is globally monotone
+        # across waves here, so per-batch and global application agree)
+        env = spark.createDataFrame(
+            [r for w in waves for r in w], CDC_SCHEMA
+        )
+        w = Window.partitionBy("k").orderBy(F.col("ts_ms").desc())
+        batch = (
+            env.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1 AND op != 'd'")
+            .select("k", "val")
+        )
+        expected = sorted((r["k"], r["val"]) for r in batch.collect())
+        assert streamed == expected
+        # MOR-ness: multiple commits, equality-delete files attached, and
+        # appended (s-prefixed) data files present
+        assert len(t.versions()) >= 3
+        assert any(
+            d["kind"] == "eq"
+            for e in t.versions()
+            for d in e.get("deletes", [])
+        )
+
+    def test_replayed_batch_is_skipped(self, spark, tdir):
+        from iceberg_evolve_spark.streaming.sink import mor_cdc_batch_writer
+
+        tbl = os.path.join(tdir, "t")
+        writer = mor_cdc_batch_writer(spark, tbl, "k")
+        b0 = spark.createDataFrame(
+            [(1, "a", "c", 10), (2, "b", "c", 11)], CDC_SCHEMA
+        )
+        writer(b0, 0)
+        b1 = spark.createDataFrame(
+            [(1, "a2", "u", 20), (2, None, "d", 21)], CDC_SCHEMA
+        )
+        writer(b1, 1)
+        state = sorted(
+            (r["k"], r["val"])
+            for r in SnapshotTable(tbl).read(spark).collect()
+        )
+        n_versions = len(SnapshotTable(tbl).versions())
+        writer(b1, 1)  # at-least-once replay of the same batch id
+        t = SnapshotTable(tbl)
+        assert (
+            sorted((r["k"], r["val"]) for r in t.read(spark).collect())
+            == state
+            == [(1, "a2")]
+        )
+        assert len(t.versions()) == n_versions  # no duplicate commits
