@@ -11521,36 +11521,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stays fresh (union of recent rounds covers the whole registry); see
     # COVERAGE.md for the schedule and the per-round history.
     return {
-        # ---------- ROUND-7 WINDOW (first 50; driver hashes these) ----------
-        # (a) NEW this round, never driver-verified: the from-scratch Avro
-        #     container round-trip, the MP4/ISO-BMFF demux, the
-        #     CDC-x-schema-evolution composition, Iceberg-v2-style
-        #     merge-on-read row deletes, footer-stats file skipping, k-core
-        #     decomposition, bigram surprisal with backoff, and Iceberg-v3
-        #     default values through the diff->plan->migrate loop.
+        # ---------- ROUND-9 WINDOW (first 50; driver hashes these) ----------
+        # (a) NEW this round, never driver-verified: scan-planned
+        #     merge-on-read reads, the streaming merge-on-read CDC sink
+        #     (eq-delete + fast-append commits per micro-batch), the
+        #     struct-nested v3 default surfacing across file generations,
+        #     Avro sync-marker byte-range split reads, and Avro
+        #     map/enum/fixed codecs through the distributed writer.
         "orders_mor_pruned_read": orders_mor_pruned_read,
         "orders_cdc_stream_mor": orders_cdc_stream_mor,
         "evolve_struct_default_generations": evolve_struct_default_generations,
         "orders_avro_split": orders_avro_split,
         "orders_avro_complex": orders_avro_complex,
+        # (b) re-verify after this round's storage-layer change: data-
+        #     sequence numbers now thread through the merge-on-read reader
+        #     (_read_with_pos), which both of these exercise end to end.
+        "orders_merge_on_read": orders_merge_on_read,
+        "orders_metadata_tables": orders_metadata_tables,
+        # (c) the 12 r03-hashed entries displaced by round 7's late
+        #     additions — two rounds stale, first in line (VERDICT r8
+        #     task 3).
+        "q10_returned_items": q10_returned_items,
+        "q15_top_supplier": q15_top_supplier,
+        "q18_large_orders": q18_large_orders,
+        "q22_dormant_rich_customers": q22_dormant_rich_customers,
+        "nation_revenue_share": nation_revenue_share,
+        "cheapest_supplier_per_part": cheapest_supplier_per_part,
+        "customers_without_orders": customers_without_orders,
+        "nation_distinct_counts": nation_distinct_counts,
+        "parts_above_brand_avg": parts_above_brand_avg,
+        "customer_balance_quartiles": customer_balance_quartiles,
+        "orders_pivot_priority": orders_pivot_priority,
+        "balance_order_setops": balance_order_setops,
+        # (d) the oldest r04-hashed entries, prior relative order preserved.
+        "docs_bpe_encode": docs_bpe_encode,
+        "events_anomaly_zscore": events_anomaly_zscore,
+        "events_daily_trend": events_daily_trend,
+        "incremental_retract_rollup": incremental_retract_rollup,
+        "hll_merge_by_source": hll_merge_by_source,
+        "orders_footer_minmax": orders_footer_minmax,
+        "multimodal_jpeg_decode": multimodal_jpeg_decode,
+        "embedding_hard_negatives": embedding_hard_negatives,
+        "ann_retrieval_quality": ann_retrieval_quality,
+        "ann_recall_at_k": ann_recall_at_k,
+        "dedup_cluster_star": dedup_cluster_star,
+        "docs_token_budget_mixture": docs_token_budget_mixture,
+        "hll_overlap_sources": hll_overlap_sources,
+        "multimodal_resize_real": multimodal_resize_real,
+        "multimodal_audio_vad": multimodal_audio_vad,
+        "customer_entity_groups": customer_entity_groups,
+        "multimodal_video_motion": multimodal_video_motion,
+        "lang_id_confusion": lang_id_confusion,
+        "multimodal_video_mjpeg": multimodal_video_mjpeg,
+        "incremental_join_view": incremental_join_view,
+        "docs_surprisal_score": docs_surprisal_score,
+        "docs_temperature_mixture": docs_temperature_mixture,
+        "ann_matryoshka_recall": ann_matryoshka_recall,
+        "multimodal_image_ahash": multimodal_image_ahash,
+        "orders_orc_roundtrip": orders_orc_roundtrip,
+        "events_sliding_distinct_hll": events_sliding_distinct_hll,
+        "docs_grouped_split": docs_grouped_split,
+        "orders_cdc_apply": orders_cdc_apply,
+        "multimodal_png_decode": multimodal_png_decode,
+        "ann_topk_hamming": ann_topk_hamming,
+        "orders_partition_evolution": orders_partition_evolution,
+        # ---------------------- past the window ----------------------------
+        # (e) r08-hashed entries (verified two rounds running, freshest
+        #     hashes in the registry) followed by the r05/r06 remainder in
+        #     prior relative order; every entry is still locally
+        #     oracle-verified each round by tests/test_entry_contract.py
+        #     regardless of window position.
         "orders_avro_roundtrip": orders_avro_roundtrip,
         "multimodal_video_mp4": multimodal_video_mp4,
         "cdc_schema_drift_apply": cdc_schema_drift_apply,
-        "orders_merge_on_read": orders_merge_on_read,
         "orders_file_skipping": orders_file_skipping,
         "parts_kcore": parts_kcore,
         "docs_bigram_surprisal": docs_bigram_surprisal,
         "evolve_add_with_defaults": evolve_add_with_defaults,
-        "orders_metadata_tables": orders_metadata_tables,
         "orders_schema_on_read": orders_schema_on_read,
         "docs_train_quality_classifier": docs_train_quality_classifier,
-        # (b) changed this round, prior hashes void: the F.floor bucket fix
-        #     (range_join.py) and the numeric-id guard (graph.py).
         "sessions_overlap_degree": sessions_overlap_degree,
         "parts_label_communities": parts_label_communities,
-        # (c) the oldest r03-hashed entries, registry order (45 of 49 fit;
-        #     includes range_join_click_views / events_point_in_time_enrich,
-        #     also touched by the floor fix).
         "schema_s3_source": schema_s3_source,
         "schema_json_schema_dict": schema_json_schema_dict,
         "schema_serialize_roundtrip": schema_serialize_roundtrip,
@@ -11588,56 +11639,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_customer_updates": merge_customer_updates,
         "doc_token_chunks": doc_token_chunks,
         "orders_geomean": orders_geomean,
-        # ---------------------- past the window ----------------------------
-        # (d) the 12 r03-hashed entries that did not fit (4 from the original
-        #     rotation + 8 displaced by the late round-7 additions above) —
-        #     FIRST in line for round 8's window (then the r04 group).
-        "q10_returned_items": q10_returned_items,
-        "q15_top_supplier": q15_top_supplier,
-        "q18_large_orders": q18_large_orders,
-        "q22_dormant_rich_customers": q22_dormant_rich_customers,
-        "nation_revenue_share": nation_revenue_share,
-        "cheapest_supplier_per_part": cheapest_supplier_per_part,
-        "customers_without_orders": customers_without_orders,
-        "nation_distinct_counts": nation_distinct_counts,
-        "parts_above_brand_avg": parts_above_brand_avg,
-        "customer_balance_quartiles": customer_balance_quartiles,
-        "orders_pivot_priority": orders_pivot_priority,
-        "balance_order_setops": balance_order_setops,
-        # (e) r04/r05/r06-hashed entries, prior relative order preserved;
-        #     every entry is still locally oracle-verified each round by
-        #     tests/test_entry_contract.py regardless of window position.
-        "docs_bpe_encode": docs_bpe_encode,
-        "events_anomaly_zscore": events_anomaly_zscore,
-        "events_daily_trend": events_daily_trend,
-        "incremental_retract_rollup": incremental_retract_rollup,
-        "hll_merge_by_source": hll_merge_by_source,
-        "orders_footer_minmax": orders_footer_minmax,
-        "multimodal_jpeg_decode": multimodal_jpeg_decode,
-        "embedding_hard_negatives": embedding_hard_negatives,
-        "ann_retrieval_quality": ann_retrieval_quality,
-        "ann_recall_at_k": ann_recall_at_k,
-        "dedup_cluster_star": dedup_cluster_star,
-        "docs_token_budget_mixture": docs_token_budget_mixture,
-        "hll_overlap_sources": hll_overlap_sources,
-        "multimodal_resize_real": multimodal_resize_real,
-        "multimodal_audio_vad": multimodal_audio_vad,
-        "customer_entity_groups": customer_entity_groups,
-        "multimodal_video_motion": multimodal_video_motion,
-        "lang_id_confusion": lang_id_confusion,
-        "multimodal_video_mjpeg": multimodal_video_mjpeg,
-        "incremental_join_view": incremental_join_view,
-        "docs_surprisal_score": docs_surprisal_score,
-        "docs_temperature_mixture": docs_temperature_mixture,
-        "ann_matryoshka_recall": ann_matryoshka_recall,
-        "multimodal_image_ahash": multimodal_image_ahash,
-        "orders_orc_roundtrip": orders_orc_roundtrip,
-        "events_sliding_distinct_hll": events_sliding_distinct_hll,
-        "docs_grouped_split": docs_grouped_split,
-        "orders_cdc_apply": orders_cdc_apply,
-        "multimodal_png_decode": multimodal_png_decode,
-        "ann_topk_hamming": ann_topk_hamming,
-        "orders_partition_evolution": orders_partition_evolution,
         "orders_trimmed_mean": orders_trimmed_mean,
         "orders_snapshot_expire": orders_snapshot_expire,
         "docs_repetition_score": docs_repetition_score,
