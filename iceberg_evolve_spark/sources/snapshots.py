@@ -244,6 +244,10 @@ class SnapshotTable:
             "version": version,
             "data_dir": data_dir,
             "base_seq": cur.get("base_seq", cur["version"]),
+            # marks the lineage as multi-sequence: readers must compare
+            # per-file sequence numbers against delete sequences (append-free
+            # lineages keep the cheaper plain anti-join)
+            "has_appends": True,
             "ts": time.time() if ts is None else ts,
             "note": note or "append",
         }
@@ -270,6 +274,8 @@ class SnapshotTable:
             "ts": time.time() if ts is None else ts,
             "note": note or f"rollback to v{version}",
         }
+        if target.get("has_appends"):
+            new_entry["has_appends"] = True
         if target.get("partition_by"):
             new_entry["partition_by"] = list(target["partition_by"])
         if target.get("deletes"):
@@ -333,6 +339,7 @@ class SnapshotTable:
                 "version": new_version,
                 "data_dir": cur["data_dir"],
                 "base_seq": cur.get("base_seq", cur["version"]),
+                **({"has_appends": True} if cur.get("has_appends") else {}),
                 **({"partition_by": list(cur["partition_by"])} if cur.get("partition_by") else {}),
                 "deletes": list(cur.get("deletes", [])) + [delete],
                 "ts": time.time() if ts is None else ts,
@@ -474,15 +481,23 @@ class SnapshotTable:
             F.col("_metadata.row_index").alias("_pos"),
         )
         # data sequence number per file: appended files carry it in their
-        # s{seq}- name prefix; base files inherit the lineage base sequence
+        # s{seq}- name prefix; base files inherit the lineage base sequence.
+        # Append-free lineages (the common case) skip the per-row regexp —
+        # every file is base — and keep the plain anti-join below.
         base_seq = int(entry.get("base_seq", 0))
-        seq_str = F.regexp_extract(F.col("_file"), r"(?:^|/)s(\d{5})-[^/]*$", 1)
-        df = df.withColumn(
-            "_seq",
-            F.when(seq_str == "", F.lit(base_seq)).otherwise(
-                seq_str.cast("long")
-            ),
-        )
+        multi_seq = bool(entry.get("has_appends"))
+        if multi_seq:
+            seq_str = F.regexp_extract(
+                F.col("_file"), r"(?:^|/)s(\d{5})-[^/]*$", 1
+            )
+            df = df.withColumn(
+                "_seq",
+                F.when(seq_str == "", F.lit(base_seq)).otherwise(
+                    seq_str.cast("long")
+                ),
+            )
+        else:
+            df = df.withColumn("_seq", F.lit(base_seq))
         table_cols = [c for c in df.columns if c not in _RESERVED_COLS]
         for i, d in enumerate(entry.get("deletes", [])):
             dfile = spark.read.parquet(os.path.join(self.path, d["dir"]))
@@ -494,7 +509,9 @@ class SnapshotTable:
                 df = df.join(right, on=["_file", "_pos"], how="anti")
             elif d["kind"] == "eq":
                 dseq = d.get("seq")
-                if dseq is None:  # legacy manifest: applies to everything
+                if dseq is None or not multi_seq:
+                    # legacy manifest, or an append-free lineage where every
+                    # data file predates every delete: plain anti-join
                     right = F.broadcast(dfile) if small else dfile
                     df = df.join(right, on=list(d["cols"]), how="anti")
                     continue
