@@ -798,10 +798,15 @@ class SnapshotTable:
         # this with the catalog's commit lock).
         for name in sorted(os.listdir(self.path)):
             full = os.path.join(self.path, name)
+            stem = name
+            for suffix in (".tmp", ".stage"):
+                # crashed write/append staging dirs are orphans too
+                if stem.endswith(suffix):
+                    stem = stem[: -len(suffix)]
             if (
                 os.path.isdir(full)
-                and name[:1] in ("v", "d")
-                and name[1:].isdigit()
+                and stem[:1] in ("v", "d")
+                and stem[1:].isdigit()
                 and name not in live_dirs
             ):
                 shutil.rmtree(full)

@@ -224,3 +224,29 @@ class TestMorCdcStream:
             == [(1, "a2")]
         )
         assert len(t.versions()) == n_versions  # no duplicate commits
+
+
+class TestExpireWithAppends:
+    def test_expire_keeps_current_forest_alive(self, spark, tdir):
+        """Expiring old snapshots removes their dirs; the current append
+        forest still reads everything (hard links — shared inodes survive
+        the unlink of the old names)."""
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 50))
+        t.append(spark.range(50, 80))
+        t.append(spark.range(80, 90))
+        expired, removed = t.expire_snapshots(keep_last=1)
+        assert expired == [1, 2]
+        assert "v00001" in removed and "v00002" in removed
+        got = sorted(r["id"] for r in t.read(spark).collect())
+        assert got == list(range(90))
+
+    def test_expire_sweeps_crashed_staging_dirs(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(5))
+        os.makedirs(os.path.join(t.path, "v00002.stage"))
+        os.makedirs(os.path.join(t.path, "v00002.tmp"))
+        _, _removed = t.expire_snapshots(keep_last=1)
+        names = set(os.listdir(t.path))
+        assert "v00002.stage" not in names and "v00002.tmp" not in names
+        assert "v00001" in names
