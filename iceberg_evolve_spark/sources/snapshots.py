@@ -541,9 +541,52 @@ class SnapshotTable:
         data dir and commit a snapshot with NO delete files (Iceberg's
         ``rewrite_data_files`` + ``rewrite_position_delete_files``). Old
         snapshots still time-travel through their own delete stacks; retention
-        eventually reclaims the superseded delete files."""
+        eventually reclaims the superseded delete files. The lineage's
+        partition spec carries through the rewrite."""
+        entries = self.versions()
+        spec = entries[-1].get("partition_by") if entries else None
         cur = self.read(spark)
-        return self.write(cur, note=note or "rewrite_data_files (compaction)", ts=ts)
+        return self.write(
+            cur,
+            note=note or "rewrite_data_files (compaction)",
+            ts=ts,
+            partition_by=spec,
+        )
+
+    def maintain(
+        self,
+        spark: SparkSession,
+        max_delete_files: int = 8,
+        max_commits: int = 32,
+        note: str | None = None,
+        ts: float | None = None,
+    ) -> int | None:
+        """AMORTIZED COMPACTION POLICY: fold the merge-on-read stack when
+        read amplification warrants it — the maintenance loop every
+        streaming MOR pipeline needs (each micro-batch adds one delete file
+        and one append's worth of small files; unbounded, every read pays
+        one anti-join per delete file). Compacts via
+        :meth:`rewrite_data_files` when the current snapshot carries at
+        least ``max_delete_files`` delete files OR ``max_commits`` commits of
+        any kind since the last base write; otherwise does nothing. Returns
+        the new version, or None when no action was taken. Cost when it
+        fires is one full rewrite — amortized O(1/N) per commit by the
+        thresholds; manifest-only to decide (no data read)."""
+        entries = self.versions()
+        if not entries:
+            return None
+        cur = entries[-1]
+        n_deletes = len(cur.get("deletes", ()))
+        n_commits = cur["version"] - cur.get("base_seq", cur["version"])
+        if n_deletes < max_delete_files and n_commits < max_commits:
+            return None
+        return self.rewrite_data_files(
+            spark,
+            note=note
+            or f"maintain: fold {n_deletes} delete files / "
+            f"{n_commits} commits since base",
+            ts=ts,
+        )
 
     # -- read path ---------------------------------------------------------
     @staticmethod
@@ -689,8 +732,11 @@ class SnapshotTable:
 
         entry = self._resolve(version, as_of)
         stats_cols = stats_cols or []
+        base_seq = int(entry.get("base_seq", entry["version"]))
 
-        def _file_rows(dirname: str, content: str) -> list[tuple]:
+        def _file_rows(
+            dirname: str, content: str, dir_seq: int | None = None
+        ) -> list[tuple]:
             # recursive walk: a snapshot written with partitioned layout
             # (sources/partitions.py) nests key=value subdirs
             out = []
@@ -702,8 +748,19 @@ class SnapshotTable:
                         rel_files.append(
                             os.path.relpath(os.path.join(root, fn), self.path)
                         )
+            import re as _re
+
             for rel in sorted(rel_files):
                 fp = os.path.join(self.path, rel)
+                # data sequence number (Iceberg files-table
+                # data_sequence_number): appended files carry it in the
+                # s{seq}- name prefix, base files inherit the lineage base;
+                # delete files report their commit sequence
+                if dir_seq is not None:
+                    seq = dir_seq
+                else:
+                    m = _re.search(r"(?:^|/)s(\d{5})-[^/]*$", rel)
+                    seq = int(m.group(1)) if m else base_seq
                 meta = pq.ParquetFile(fp).metadata
                 idx = {
                     meta.schema.column(i).name: i
@@ -731,6 +788,7 @@ class SnapshotTable:
                         rel,
                         int(meta.num_rows),
                         int(os.path.getsize(fp)),
+                        int(seq),
                         *bounds,
                     )
                 )
@@ -738,14 +796,16 @@ class SnapshotTable:
 
         rows = _file_rows(entry["data_dir"], "data")
         for d in entry.get("deletes", []):
-            rows.extend(_file_rows(d["dir"], f"{d['kind']}-delete"))
+            rows.extend(
+                _file_rows(d["dir"], f"{d['kind']}-delete", d.get("seq"))
+            )
         bound_schema = "".join(
             f", {c}_lower string, {c}_upper string" for c in stats_cols
         )
         return spark.createDataFrame(
             rows,
-            "content string, file string, n_rows bigint, size_bytes bigint"
-            + bound_schema,
+            "content string, file string, n_rows bigint, size_bytes bigint, "
+            "seq bigint" + bound_schema,
         )
 
     # -- maintenance -------------------------------------------------------

@@ -141,6 +141,7 @@ def mor_cdc_batch_writer(
     key: str,
     op_col: str = "op",
     order_col: str = "ts_ms",
+    max_delete_files: int | None = None,
 ):
     """``foreachBatch`` CDC apply with MERGE-ON-READ commits (VERDICT r7
     task 5): instead of rewriting the parquet snapshot per batch (the swap
@@ -161,14 +162,23 @@ def mor_cdc_batch_writer(
     stamp is already in the manifest is skipped whole. A crash between the
     delete commit and the append commit replays the batch: the repeated
     equality delete retires the same keys again (state-idempotent) and the
-    append then lands exactly once."""
+    append then lands exactly once.
+
+    ``max_delete_files`` bounds read amplification: after each batch,
+    ``SnapshotTable.maintain`` folds the merge-on-read stack once the
+    delete-file count reaches the threshold (one anti-join per delete file
+    on every read otherwise) — the amortized compaction loop a long-running
+    MOR stream needs. A crash after the append but before the compaction
+    just defers the fold to the next batch."""
     from iceberg_evolve_spark.sources.snapshots import SnapshotTable
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         t = SnapshotTable(table_path)
         stamp = f"cdc-batch:{batch_id}"
+        # exact-token match: "cdc-batch:1" must not match "cdc-batch:10 ..."
         done = any(
-            (e.get("note") or "").startswith(stamp) for e in t.versions()
+            (e.get("note") or "").split(" ", 1)[0] == stamp
+            for e in t.versions()
         )
         if done:  # replayed batch, already fully committed
             return
@@ -197,6 +207,8 @@ def mor_cdc_batch_writer(
         )
         if has_upserts:
             t.append(upserts, note=f"{stamp} append")
+        if max_delete_files is not None:
+            t.maintain(spark, max_delete_files=max_delete_files)
 
     return write
 
@@ -208,13 +220,15 @@ def run_mor_cdc_stream(
     checkpoint: str,
     op_col: str = "op",
     order_col: str = "ts_ms",
+    max_delete_files: int | None = None,
 ):
     """Start a merge-on-read CDC-apply stream (availableNow-compatible; see
     ``mor_cdc_batch_writer``)."""
     return (
         stream.writeStream.foreachBatch(
             mor_cdc_batch_writer(
-                stream.sparkSession, table_path, key, op_col, order_col
+                stream.sparkSession, table_path, key, op_col, order_col,
+                max_delete_files=max_delete_files,
             )
         )
         .option("checkpointLocation", checkpoint)

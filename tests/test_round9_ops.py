@@ -250,3 +250,70 @@ class TestExpireWithAppends:
         names = set(os.listdir(t.path))
         assert "v00002.stage" not in names and "v00002.tmp" not in names
         assert "v00001" in names
+
+
+class TestMaintain:
+    def test_maintain_noop_below_thresholds(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(10))
+        t.delete_by_key(spark.range(2), ["id"])
+        assert t.maintain(spark, max_delete_files=2) is None
+        assert len(t.versions()) == 2  # nothing committed
+
+    def test_maintain_folds_at_threshold(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(20))
+        t.delete_by_key(spark.range(0, 2), ["id"])
+        t.delete_by_key(spark.range(2, 4), ["id"])
+        before = sorted(r["id"] for r in t.read(spark).collect())
+        v = t.maintain(spark, max_delete_files=2)
+        assert v is not None
+        cur = t.versions()[-1]
+        assert not cur.get("deletes") and cur["base_seq"] == v
+        assert sorted(r["id"] for r in t.read(spark).collect()) == before
+
+    def test_maintain_preserves_partition_spec(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        df = spark.range(20).withColumn("g", (F.col("id") % 2).cast("string"))
+        t.write(df, partition_by=["g"])
+        t.delete_by_key(spark.range(3), ["id"])
+        v = t.maintain(spark, max_delete_files=1)
+        assert v is not None
+        assert t.versions()[-1].get("partition_by") == ["g"]
+        # partitioned layout actually on disk in the rewritten dir
+        names = os.listdir(os.path.join(t.path, f"v{v:05d}"))
+        assert any(n.startswith("g=") for n in names)
+
+    def test_stream_with_maintenance_bounds_delete_files(self, spark, tdir):
+        """A delete-bearing stream with max_delete_files=1 compacts as it
+        goes: final state identical, current snapshot carries no deletes."""
+        from iceberg_evolve_spark.streaming.sink import mor_cdc_batch_writer
+
+        tbl = os.path.join(tdir, "t")
+        writer = mor_cdc_batch_writer(
+            spark, tbl, "k", max_delete_files=1
+        )
+        writer(spark.createDataFrame(
+            [(k, f"v{k}", "c", 10 + k) for k in range(6)], CDC_SCHEMA), 0)
+        writer(spark.createDataFrame(
+            [(0, "u0", "u", 100), (5, None, "d", 101)], CDC_SCHEMA), 1)
+        writer(spark.createDataFrame(
+            [(1, None, "d", 200), (9, "nine", "c", 201)], CDC_SCHEMA), 2)
+        t = SnapshotTable(tbl)
+        assert not t.versions()[-1].get("deletes")  # folded as it went
+        got = sorted((r["k"], r["val"]) for r in t.read(spark).collect())
+        assert got == [(0, "u0"), (2, "v2"), (3, "v3"), (4, "v4"), (9, "nine")]
+
+
+class TestFilesDfSeq:
+    def test_files_df_reports_data_sequence(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(10))
+        t.delete_by_key(spark.range(2), ["id"])   # commit 2
+        t.append(spark.range(10, 15))             # commit 3
+        rows = t.files_df(spark).collect()
+        by_content = {}
+        for r in rows:
+            by_content.setdefault(r["content"], set()).add(r["seq"])
+        assert by_content["data"] == {1, 3}       # base files + appended
+        assert by_content["eq-delete"] == {2}     # the delete's commit seq
