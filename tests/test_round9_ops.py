@@ -317,3 +317,41 @@ class TestFilesDfSeq:
             by_content.setdefault(r["content"], set()).add(r["seq"])
         assert by_content["data"] == {1, 3}       # base files + appended
         assert by_content["eq-delete"] == {2}     # the delete's commit seq
+
+
+class TestChangelogScan:
+    def test_changes_between_basic(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        v1 = t.write(
+            spark.range(0, 20).withColumn("g", (F.col("id") % 4).cast("int"))
+        )
+        t.delete_where(spark, F.col("id") < 3)                  # pos delete
+        t.delete_by_key(
+            spark.range(0, 20).filter("id % 10 = 1").select("id"), ["id"]
+        )                                                       # eq delete
+        vN = t.append(
+            spark.range(100, 105).withColumn("g", F.lit(9))
+        )
+        log = t.changes_between(spark, v1, vN)
+        got = sorted(
+            (r["_change_type"], r["id"]) for r in log.collect()
+        )
+        # deletes: ids 0,1,2 (pos) plus 1,11 (eq) — id 1 emitted ONCE
+        # inserts: 100..104
+        assert got == sorted(
+            [("delete", i) for i in (0, 1, 2, 11)]
+            + [("insert", i) for i in range(100, 105)]
+        )
+
+    def test_changes_between_noop_range(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        v1 = t.write(spark.range(5))
+        assert t.changes_between(spark, v1, v1).count() == 0
+
+    def test_changes_rejected_across_compaction(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        v1 = t.write(spark.range(5))
+        t.delete_where(spark, F.col("id") < 1)
+        vc = t.rewrite_data_files(spark)
+        with pytest.raises(ValueError, match="rewrite|compaction"):
+            t.changes_between(spark, v1, vc)
