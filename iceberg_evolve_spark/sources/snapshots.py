@@ -611,6 +611,60 @@ class SnapshotTable:
             return eligible[-1]
         return entries[-1]
 
+    # -- named refs (Iceberg tags) ------------------------------------------
+    def _refs_path(self) -> str:
+        return os.path.join(self.path, "_refs.json")
+
+    def tags(self) -> dict[str, int]:
+        """Named snapshot refs: ``{tag name: version}`` (Iceberg's tags —
+        immutable pointers used for audited releases / reproducible reads)."""
+        try:
+            with open(self._refs_path()) as fh:
+                return json.load(fh).get("tags", {})
+        except FileNotFoundError:
+            return {}
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Tag ``version`` (default: current) with ``name``. Tags are
+        immutable: re-tagging an existing name raises (drop it first) —
+        a tag that silently moves defeats its reproducibility purpose.
+        Tagged versions survive :meth:`expire_snapshots` regardless of
+        ``keep_last``, exactly as Iceberg retention honors refs."""
+        entries = self.versions()
+        if not entries:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        v = entries[-1]["version"] if version is None else version
+        self._entry_for(entries, v)  # raises on unknown version
+        tags = self.tags()
+        if name in tags:
+            raise ValueError(
+                f"tag {name!r} already points at v{tags[name]} — "
+                "drop_tag() first; tags do not move"
+            )
+        tags[name] = int(v)
+        tmp = self._refs_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"tags": tags}, fh, indent=1)
+        os.replace(tmp, self._refs_path())
+        return int(v)
+
+    def drop_tag(self, name: str) -> None:
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(f"no tag {name!r}")
+        del tags[name]
+        tmp = self._refs_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"tags": tags}, fh, indent=1)
+        os.replace(tmp, self._refs_path())
+
+    def read_ref(self, spark: SparkSession, name: str) -> DataFrame:
+        """Read the snapshot a tag points at (``VERSION AS OF`` by name)."""
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(f"no tag {name!r}")
+        return self.read(spark, version=tags[name])
+
     def plan_scan(
         self,
         version: int | None = None,
@@ -917,6 +971,13 @@ class SnapshotTable:
                 e
                 for e in entries
                 if e["ts"] >= min_ts or e in keep
+            ]
+        tagged = set(self.tags().values())
+        if tagged:
+            # named refs pin their snapshots (Iceberg retention honors
+            # tags): a tagged version never expires, whatever keep_last says
+            keep = [
+                e for e in entries if e["version"] in tagged or e in keep
             ]
         expired = [e for e in entries if e not in keep]
         if expired:

@@ -355,3 +355,40 @@ class TestChangelogScan:
         vc = t.rewrite_data_files(spark)
         with pytest.raises(ValueError, match="rewrite|compaction"):
             t.changes_between(spark, v1, vc)
+
+
+class TestTags:
+    def test_tag_read_and_immutability(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        v1 = t.write(spark.range(10))
+        t.write(spark.range(99))
+        assert t.tag("release-1", v1) == v1
+        assert t.read_ref(spark, "release-1").count() == 10
+        with pytest.raises(ValueError, match="do not move"):
+            t.tag("release-1", 2)
+        t.drop_tag("release-1")
+        t.tag("release-1", 2)  # re-usable after an explicit drop
+        assert t.read_ref(spark, "release-1").count() == 99
+
+    def test_tag_defaults_to_current_and_validates(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(3))
+        assert t.tag("tip") == 1
+        with pytest.raises(LookupError):
+            t.tag("nope", 42)
+        with pytest.raises(KeyError):
+            t.read_ref(spark, "missing")
+
+    def test_expire_keeps_tagged_snapshots(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        v1 = t.write(spark.range(5))
+        t.write(spark.range(6))
+        t.write(spark.range(7))
+        t.tag("audited", v1)
+        expired, _ = t.expire_snapshots(keep_last=1)
+        assert v1 not in expired  # pinned by the tag
+        assert t.read_ref(spark, "audited").count() == 5
+        # dropping the tag releases it to the next retention pass
+        t.drop_tag("audited")
+        expired2, _ = t.expire_snapshots(keep_last=1)
+        assert v1 in expired2
