@@ -665,6 +665,98 @@ class SnapshotTable:
             raise KeyError(f"no tag {name!r}")
         return self.read(spark, version=tags[name])
 
+    # -- write-audit-publish (Iceberg WAP) -----------------------------------
+    def stage(
+        self,
+        df: DataFrame,
+        stage_id: str,
+        partition_by: list[str] | None = None,
+    ) -> str:
+        """WRITE step of write-audit-publish: land ``df`` in a staging dir
+        INVISIBLE to every reader (not in the manifest — normal reads resolve
+        data dirs through it — and retention's sweep only reclaims
+        ``v``/``d`` dirs, never ``stage_*``). Audit it with :meth:`read_staged` (run
+        DQ expectations, row counts, reconciliations), then either
+        :meth:`publish` — an O(1) rename + manifest commit, no rewrite — or
+        :meth:`discard_staged`. This is Iceberg's WAP pattern
+        (``spark.wap.id``): bad data never becomes a visible snapshot.
+        ``stage_id`` must be caller-unique (the batch/run id); restaging an
+        id replaces its previous staging atomically-enough for the
+        single-writer protocol."""
+        if not stage_id or "/" in stage_id:
+            raise ValueError("stage_id must be a non-empty path-safe token")
+        final = os.path.join(self.path, f"stage_{stage_id}")
+        tmp = final + ".tmp"
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+        if os.path.isdir(final):
+            import shutil
+
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        if partition_by:
+            with open(os.path.join(final, "_partition_by.json"), "w") as fh:
+                json.dump(list(partition_by), fh)
+        return stage_id
+
+    def read_staged(self, spark: SparkSession, stage_id: str) -> DataFrame:
+        """AUDIT step: the staged data as a DataFrame (readable only by id —
+        normal reads cannot see it)."""
+        final = os.path.join(self.path, f"stage_{stage_id}")
+        if not os.path.isdir(final):
+            raise FileNotFoundError(f"no staged write {stage_id!r}")
+        return spark.read.parquet(final)
+
+    def publish(
+        self,
+        stage_id: str,
+        note: str | None = None,
+        ts: float | None = None,
+    ) -> int:
+        """PUBLISH step: promote the staged dir to the next snapshot —
+        an O(1) directory rename plus the manifest commit; the data is not
+        rewritten and was already validated in place."""
+        staged = os.path.join(self.path, f"stage_{stage_id}")
+        if not os.path.isdir(staged):
+            raise FileNotFoundError(f"no staged write {stage_id!r}")
+        part_meta = os.path.join(staged, "_partition_by.json")
+        partition_by = None
+        if os.path.exists(part_meta):
+            with open(part_meta) as fh:
+                partition_by = json.load(fh)
+            os.remove(part_meta)
+        entries = self.versions()
+        version = (entries[-1]["version"] + 1) if entries else 1
+        data_dir = f"v{version:05d}"
+        final = os.path.join(self.path, data_dir)
+        if os.path.isdir(final):  # crash orphan, see write()
+            import shutil
+
+            shutil.rmtree(final)
+        os.rename(staged, final)
+        new_entry = {
+            "version": version,
+            "data_dir": data_dir,
+            "base_seq": version,
+            "ts": time.time() if ts is None else ts,
+            "note": note or f"publish {stage_id}",
+        }
+        if partition_by:
+            new_entry["partition_by"] = list(partition_by)
+        entries.append(new_entry)
+        self._commit(entries)
+        return version
+
+    def discard_staged(self, stage_id: str) -> None:
+        import shutil
+
+        staged = os.path.join(self.path, f"stage_{stage_id}")
+        if not os.path.isdir(staged):
+            raise FileNotFoundError(f"no staged write {stage_id!r}")
+        shutil.rmtree(staged)
+
     def plan_scan(
         self,
         version: int | None = None,

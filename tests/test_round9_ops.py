@@ -392,3 +392,72 @@ class TestTags:
         t.drop_tag("audited")
         expired2, _ = t.expire_snapshots(keep_last=1)
         assert v1 in expired2
+
+
+class TestWriteAuditPublish:
+    def test_staged_invisible_until_publish(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(5))
+        t.stage(spark.range(100, 110), "batch-7")
+        assert t.read(spark).count() == 5            # audit-invisible
+        assert t.read_staged(spark, "batch-7").count() == 10
+        v = t.publish("batch-7", note="audited ok")
+        assert t.read(spark, version=v).count() == 10
+        assert len(t.versions()) == 2
+        with pytest.raises(FileNotFoundError):
+            t.read_staged(spark, "batch-7")          # consumed by publish
+
+    def test_discard_and_restage(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.stage(spark.range(3), "x")
+        t.stage(spark.range(8), "x")                 # restage replaces
+        assert t.read_staged(spark, "x").count() == 8
+        t.discard_staged("x")
+        with pytest.raises(FileNotFoundError):
+            t.read_staged(spark, "x")
+        assert t.versions() == []                    # nothing published
+
+    def test_wap_with_dq_gate(self, spark, tdir):
+        """The composition WAP exists for: stage → run DQ expectations →
+        publish only on pass; a failing batch is discarded and never
+        becomes a snapshot."""
+        from iceberg_evolve_spark.functions.dq import (
+            in_range, not_null, run_checks,
+        )
+
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        good = spark.range(10).withColumn("score", F.col("id") % 5)
+        bad = spark.range(5).withColumn(
+            "score", F.when(F.col("id") < 2, None).otherwise(F.lit(99))
+        )
+        checks = [not_null("score"), in_range("score", 0, 10)]
+        for sid, df in (("g", good), ("b", bad)):
+            t.stage(df, sid)
+            results = run_checks(t.read_staged(spark, sid), checks)
+            failed = any(not passed for (*_rest, passed) in results)
+            if failed:
+                t.discard_staged(sid)
+            else:
+                t.publish(sid)
+        assert len(t.versions()) == 1
+        assert t.read(spark).count() == 10
+
+    def test_staged_partitioned_publish(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        df = spark.range(12).withColumn("g", (F.col("id") % 3).cast("string"))
+        t.stage(df, "p1", partition_by=["g"])
+        v = t.publish("p1")
+        assert t.versions()[-1].get("partition_by") == ["g"]
+        # appends honor the published spec; reads see the full layout
+        t.append(spark.range(12, 15).withColumn("g", F.lit("9")))
+        assert t.read(spark).count() == 15
+        kept, total = t.plan_scan(where={"g": ("1", "1")})
+        assert 0 < len(kept) < total
+
+    def test_expire_sweep_ignores_staging(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(4))
+        t.write(spark.range(5))
+        t.stage(spark.range(9), "keepme")
+        t.expire_snapshots(keep_last=1)
+        assert t.read_staged(spark, "keepme").count() == 9
