@@ -10531,6 +10531,12 @@ def orders_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.write(orders, ts=3000.0)                                        # v3
         t.rollback(1, ts=4000.0)                                          # v4 -> v1 dir
         expired, removed = t.expire_snapshots(keep_last=2)
+        # the r10 sweep also reclaims per-commit manifest FILES (m*.json)
+        # and, for shared lineage dirs, individual data files; the gate
+        # pins the DIR list — the invariant (c) the docstring states
+        removed = [
+            r for r in removed if "/" not in r and not r.endswith(".json")
+        ]
         surviving = [e["version"] for e in t.versions()]
         current_n = t.read(spark).count()
         v3_n = t.read(spark, version=3).count()

@@ -618,22 +618,23 @@ def encode_container(
     """Encode rows into one container byte string (driver-side building
     block; the distributed writer calls it per partition).
 
-    ``sync`` defaults to a content-addressed marker (md5 of schema + row
-    count) rather than zeros: an all-zero marker can collide with a long
-    zero run inside an uncompressed payload, which would let a byte-range
-    split reader validate a spurious block boundary — real Avro randomizes
-    the marker per file for exactly this reason."""
+    ``sync`` defaults to a CONTENT-ADDRESSED marker: md5 over the exact
+    framed block bytes (count/size varints + encoded-or-compressed
+    payloads). Real Avro randomizes the marker per file so record bytes
+    cannot embed a valid boundary; randomness would break task-retry
+    determinism here, but hashing the payload BYTES gives the same
+    unforgeability — any record bytes that tried to embed the file's own
+    marker would change the marker (an attacker needs an md5 fixed point) —
+    while identical input still produces identical files. (The previous
+    scheme, md5 of schema + row count, was PREDICTABLE: adversarial record
+    values could embed the marker plus well-formed fake block framing that
+    the split reader's validator accepts — ADVICE r9.) An all-zero marker is
+    separately rejected by the split reader (zero runs in uncompressed
+    payloads collide with it)."""
     if codec not in _CODECS:
         raise ValueError(f"unsupported codec {codec!r} (supported: {_CODECS})")
-    if sync is None:
-        import hashlib
-
-        sync = hashlib.md5(
-            f"{json.dumps(schema)}|{len(rows)}".encode()
-        ).digest()
-    out = bytearray()
-    _write_header(out, json.dumps(schema), codec, sync)
     enc = _encoder(schema)
+    blocks: list[tuple[int, bytes]] = []
     for i in range(0, len(rows), records_per_block):
         chunk = rows[i : i + records_per_block]
         block = bytearray()
@@ -643,7 +644,22 @@ def encode_container(
         if codec == "deflate":
             co = zlib.compressobj(6, zlib.DEFLATED, -15)
             payload = co.compress(payload) + co.flush()
-        write_long(out, len(chunk))
+        blocks.append((len(chunk), payload))
+    if sync is None:
+        import hashlib
+
+        h = hashlib.md5(json.dumps(schema).encode())
+        for count, payload in blocks:
+            frame = bytearray()
+            write_long(frame, count)
+            write_long(frame, len(payload))
+            h.update(bytes(frame))
+            h.update(payload)
+        sync = h.digest()
+    out = bytearray()
+    _write_header(out, json.dumps(schema), codec, sync)
+    for count, payload in blocks:
+        write_long(out, count)
         write_long(out, len(payload))
         out.extend(payload)
         out.extend(sync)
@@ -802,15 +818,14 @@ def write_avro(
     """Write ``df`` as Avro container files, one per non-empty partition,
     executor-side via ``mapInArrow`` (the driver never sees data rows, only
     the returned per-file (file, n_records, n_bytes) stats). The sync marker
-    is content-addressed from (schema, partition id) so writes are
-    deterministic and retries of the same task produce identical bytes.
+    is content-addressed from the encoded block BYTES (see
+    :func:`encode_container`) so writes are deterministic — retries of the
+    same task produce identical bytes — yet unforgeable by record values.
 
     ``avro_schema`` overrides the derived schema, letting a write target
     Avro types Spark lacks: an ``enum`` field consumes a string column
     (values must be symbols), a ``fixed`` field a binary column of exactly
     its size — the field names must match ``df``'s columns."""
-    import hashlib
-
     import pyarrow as pa
 
     if codec not in _CODECS:
@@ -838,9 +853,12 @@ def write_avro(
         for batch in batches:
             rows.extend(batch.to_pylist())
         if rows:
-            sync = hashlib.md5(f"{schema_json}|{pid}".encode()).digest()
+            # sync=None → encode_container derives the marker from the
+            # partition's own encoded bytes (content addressing); two
+            # partitions with identical content share a marker, which is
+            # harmless — they are separate files with separate headers
             data = encode_container(
-                avro_schema, rows, codec=codec, sync=sync,
+                avro_schema, rows, codec=codec,
                 records_per_block=records_per_block,
             )
             fname = os.path.join(path, f"part-{pid:05d}.avro")

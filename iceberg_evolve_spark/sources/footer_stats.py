@@ -128,6 +128,7 @@ def prune_files(
     column: str,
     lo: object = None,
     hi: object = None,
+    files: list[str] | None = None,
 ) -> tuple[list[str], int]:
     """Stats-based FILE SKIPPING (Iceberg/Delta scan planning, done from
     parquet footers): return the subset of files that CAN contain rows with
@@ -143,11 +144,18 @@ def prune_files(
 
     At 100 TB this is the planning step that makes a sorted/clustered layout
     pay: #files footer reads on the driver (or a manifest, which is this same
-    information cached) replace scanning every file for a selective range."""
+    information cached) replace scanning every file for a selective range.
+
+    ``files`` restricts the candidate set to an explicit list (a snapshot's
+    manifest-listed files — format-2 ``SnapshotTable`` entries share their
+    lineage dir across snapshots, so the dir walk would see files the
+    snapshot does not own); ``path`` stays the root that key=value partition
+    segments are resolved against."""
     if lo is None and hi is None:
         raise ValueError("provide at least one of lo/hi")
     clo, chi = _to_comparable(lo), _to_comparable(hi)
-    files = _files(path)
+    if files is None:
+        files = _files(path)
     kept = []
     for fp in files:
         meta = pq.ParquetFile(fp).metadata
@@ -183,7 +191,9 @@ def prune_files(
 
 
 def prune_files_multi(
-    path: str, ranges: dict[str, tuple[object, object]]
+    path: str,
+    ranges: dict[str, tuple[object, object]],
+    files: list[str] | None = None,
 ) -> tuple[list[str], int]:
     """AND-composed file skipping over several columns: a file survives only
     if EVERY column's range can overlap it (real scan plans filter on more
@@ -195,8 +205,8 @@ def prune_files_multi(
     kept: set[str] | None = None
     total = 0
     for column, (lo, hi) in ranges.items():
-        files, total = prune_files(path, column, lo, hi)
-        kept = set(files) if kept is None else kept & set(files)
+        col_files, total = prune_files(path, column, lo, hi, files=files)
+        kept = set(col_files) if kept is None else kept & set(col_files)
     return sorted(kept or ()), total
 
 

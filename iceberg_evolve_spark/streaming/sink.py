@@ -157,12 +157,14 @@ def mor_cdc_batch_writer(
     regardless of table size, with compaction
     (``rewrite_data_files``) amortized separately.
 
-    Exactly-once effects under foreachBatch's at-least-once replay: the
-    batch id is stamped into the FINAL commit's note; a replayed batch whose
-    stamp is already in the manifest is skipped whole. A crash between the
-    delete commit and the append commit replays the batch: the repeated
-    equality delete retires the same keys again (state-idempotent) and the
-    append then lands exactly once.
+    Exactly-once effects under foreachBatch's at-least-once replay: BOTH
+    commits carry a batch-id stamp token. A replayed batch whose FINAL
+    commit's stamp is already in the manifest is skipped whole; a crash
+    between the delete commit and the append commit replays the batch and
+    the retire stamp (``cdc-batch:{id}:retire``) skips the delete step too —
+    without it, every crash-loop replay would stack one more identical
+    equality-delete file (state-correct but unbounded metadata growth until
+    maintain() fires).
 
     ``max_delete_files`` bounds read amplification: after each batch,
     ``SnapshotTable.maintain`` folds the merge-on-read stack once the
@@ -175,12 +177,12 @@ def mor_cdc_batch_writer(
     def write(batch_df: DataFrame, batch_id: int) -> None:
         t = SnapshotTable(table_path)
         stamp = f"cdc-batch:{batch_id}"
+        retire_stamp = f"{stamp}:retire"
         # exact-token match: "cdc-batch:1" must not match "cdc-batch:10 ..."
-        done = any(
-            (e.get("note") or "").split(" ", 1)[0] == stamp
-            for e in t.versions()
-        )
-        if done:  # replayed batch, already fully committed
+        tokens = {
+            (e.get("note") or "").split(" ", 1)[0] for e in t.versions()
+        }
+        if stamp in tokens:  # replayed batch, already fully committed
             return
         w = Window.partitionBy(key).orderBy(
             F.col(order_col).desc(),
@@ -200,11 +202,17 @@ def mor_cdc_batch_writer(
                 return  # nothing to delete from an empty table
             t.write(upserts, note=f"{stamp} bootstrap")
             return
-        t.delete_by_key(
-            last.select(key),
-            [key],
-            note=f"{stamp} retire" if not has_upserts else f"retire {batch_id}",
-        )
+        # delete-only batches: the delete IS the final commit, stamped with
+        # the full-batch token. Upsert batches stamp the delete commit with
+        # its own retire token so a crash-replay skips it (ADVICE r9).
+        if retire_stamp not in tokens:
+            t.delete_by_key(
+                last.select(key),
+                [key],
+                note=f"{stamp} retire"
+                if not has_upserts
+                else f"{retire_stamp} of batch {batch_id}",
+            )
         if has_upserts:
             t.append(upserts, note=f"{stamp} append")
         if max_delete_files is not None:

@@ -693,22 +693,51 @@ class TestAvroSplitProperties:
             data=st.data(),
         )
         def check(n, rpb, codec, cuts, data):
-            # adversarial payloads: zero runs (the spurious-boundary class
-            # the content-addressed sync exists for) and echoes of the
-            # file's own sync marker inside record values
-            probe = encode_container(schema, [{"id": 0, "payload": b""}],
-                                     codec=codec)
-            _s, _c, sync, _p = read_header(probe)
-            payload_kind = data.draw(
-                st.sampled_from([b"\x00" * 40, sync, b"ab" * 10, b""])
+            # Adversarial payloads: zero runs (the spurious-boundary class
+            # the content-addressed sync exists for) and a MARKER-FORGERY
+            # attempt — embed the marker this exact (rows, rpb, codec)
+            # encoding WOULD have, followed by well-formed fake block
+            # framing (count/size varints + trailing marker), the attack
+            # ADVICE r9 named. Computing the probe from the REAL row count
+            # and block size (the r9 test used a 1-row probe, so its bytes
+            # never matched the file's marker) makes this a fixed-point
+            # hunt: embedding the probe marker changes the payload bytes,
+            # so the final file's marker differs — asserted below — which
+            # is precisely why the marker is derived from content bytes.
+            kind = data.draw(
+                st.sampled_from(["zeros", "forge", "text", "empty"])
             )
-            rows = [{"id": i, "payload": payload_kind} for i in range(n)]
+            if kind == "forge":
+                from iceberg_evolve_spark.sources.avro import write_long
+
+                probe_rows = [
+                    {"id": i, "payload": b"\x00" * 16} for i in range(n)
+                ]
+                probe = encode_container(
+                    schema, probe_rows, codec=codec, records_per_block=rpb
+                )
+                _s, _c, probe_sync, _p = read_header(probe)
+                fake = bytearray(probe_sync)
+                write_long(fake, 1)   # fake block: 1 record,
+                write_long(fake, 2)   # 2 payload bytes,
+                fake.extend(b"\x02\x04")
+                fake.extend(probe_sync)  # trailing marker "validates" it
+                payload = bytes(fake)
+            else:
+                payload = {
+                    "zeros": b"\x00" * 40, "text": b"ab" * 10, "empty": b""
+                }[kind]
+            rows = [{"id": i, "payload": payload} for i in range(n)]
             buf = encode_container(
                 schema, rows, codec=codec, records_per_block=rpb
             )
             fp = tmp_path / f"prop_{n}_{rpb}_{codec}.avro"
             fp.write_bytes(buf)
-            _s2, _c2, _sync2, header_end = read_header(buf)
+            _s2, _c2, sync2, header_end = read_header(buf)
+            if kind == "forge":
+                # unforgeable-by-content: embedding a predicted marker
+                # changed the marker (md5 fixed point required to win)
+                assert sync2 != payload[:16]
             # arbitrary byte partition: header_end < c1 < ... < size
             size = len(buf)
             points = sorted(
@@ -722,3 +751,33 @@ class TestAvroSplitProperties:
             assert sorted(got) == list(range(n)), (n, rpb, codec, points)
 
         check()
+
+    def test_marker_is_content_addressed_and_deterministic(self):
+        """Task-retry determinism AND unforgeability both hang on the same
+        property: the default marker is a function of the encoded block
+        BYTES — identical rows re-encode to the identical marker, any
+        payload change moves it."""
+        from iceberg_evolve_spark.sources.avro import (
+            encode_container, read_header,
+        )
+
+        schema = {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "payload", "type": "bytes"},
+            ],
+        }
+
+        def marker(rows, **kw):
+            return read_header(encode_container(schema, rows, **kw))[2]
+
+        rows = [{"id": 1, "payload": b"x"}, {"id": 2, "payload": b"y"}]
+        assert marker(rows) == marker(rows)  # retry-identical
+        bumped = [{"id": 1, "payload": b"x"}, {"id": 2, "payload": b"z"}]
+        assert marker(rows) != marker(bumped)  # content-addressed
+        # block layout is part of the content address too
+        assert marker(rows, records_per_block=1) != marker(
+            rows, records_per_block=2
+        )

@@ -121,17 +121,30 @@ def test_metadata_tables_reflect_the_delete_stack(spark, story):
 
 def test_compaction_then_retention_finishes_the_story(spark, story):
     t = story["t"]
-    v = t.rewrite_data_files(spark, ts=400.0)
+    t.rewrite_data_files(spark, ts=400.0)
     expired, removed = t.expire_snapshots(keep_last=1)
     assert t.read(spark).count() == 90
     assert not t.versions()[-1].get("deletes")
-    # the delete file and the original data dir are reclaimed
+    # the delete file is reclaimed, and so are the data files the scoped
+    # compaction replaced (files, not dirs, are the unit under the shared
+    # lineage dir — r10 manifest-list layout)
     assert any(d.startswith("d") for d in removed)
-    assert any(d.startswith("v") for d in removed)
-    # nothing but the surviving dir + manifest remains
+    assert any(
+        r.startswith("v") and r.endswith(".parquet") for r in removed
+    )
+    # nothing but the surviving lineage dir remains
     leftovers = [
         n
         for n in os.listdir(t.path)
         if os.path.isdir(os.path.join(t.path, n))
     ]
-    assert leftovers == [f"v{v:05d}"]
+    assert leftovers == [t.versions()[-1]["data_dir"]]
+    # and every file inside it is manifest-listed (no orphans survive)
+    live = set(t._entry_files(t.versions()[-1]))
+    on_disk = set()
+    dd = os.path.join(t.path, leftovers[0])
+    for root, _dirs, names in os.walk(dd):
+        for n in names:
+            if n.endswith(".parquet"):
+                on_disk.add(os.path.relpath(os.path.join(root, n), dd))
+    assert on_disk == live

@@ -1,0 +1,276 @@
+"""Round-10 storage-layer semantics: manifest-list commits, rollback-aware
+changelog scans (with the value-diff fallback across rewrite boundaries),
+WAP staged-append publish, the pos-delete path-scheme guard, and dual-commit
+CDC replay stamping."""
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+
+
+@pytest.fixture()
+def tdir():
+    d = tempfile.mkdtemp(prefix="ies-r10-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+class TestChangelogBoundaries:
+    def test_rollback_in_range_is_detected(self, spark, tdir):
+        """ADVICE r9: write v1, append v2, rollback-to-v1 v3, append v4 —
+        changes_between(v2, v4) must NOT silently emit only the v4 insert
+        (the v2-appended row was deleted by the rollback)."""
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 5))
+        v2 = t.append(spark.range(10, 12))
+        t.rollback(1)
+        v4 = t.append(spark.range(20, 22))
+        with pytest.raises(ValueError, match="rollback"):
+            t.changes_between(spark, v2, v4)
+
+    def test_rollback_fallback_value_diff(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 5))
+        v2 = t.append(spark.range(10, 12))
+        t.rollback(1)
+        v4 = t.append(spark.range(20, 22))
+        log = t.changes_between(
+            spark, v2, v4, allow_rewrite_boundary=True
+        )
+        got = sorted((r["_change_type"], r["id"]) for r in log.collect())
+        # net: rows 10,11 vanished (rollback), rows 20,21 appeared
+        assert got == [
+            ("delete", 10), ("delete", 11),
+            ("insert", 20), ("insert", 21),
+        ]
+
+    def test_compaction_fallback_equals_net_oracle(self, spark, tdir):
+        """VERDICT r9 task 6 done-criterion: changelog across a
+        rewrite_data_files equals the net-changes oracle (value diff of the
+        two reads, multiplicity-aware)."""
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        v1 = t.write(spark.range(0, 20).withColumn("g", F.col("id") % 3))
+        t.delete_where(spark, F.col("id") < 4)
+        t.rewrite_data_files(spark)  # boundary inside the range
+        vN = t.append(spark.range(100, 103).withColumn("g", F.lit(9)))
+        with pytest.raises(ValueError, match="rewrite|compaction"):
+            t.changes_between(spark, v1, vN)
+        log = t.changes_between(spark, v1, vN, allow_rewrite_boundary=True)
+        got = sorted((r["_change_type"], r["id"]) for r in log.collect())
+        d_from = t.read(spark, version=v1)
+        d_to = t.read(spark, version=vN)
+        oracle = sorted(
+            [("insert", r["id"]) for r in d_to.exceptAll(d_from).collect()]
+            + [("delete", r["id"]) for r in d_from.exceptAll(d_to).collect()]
+        )
+        assert got == oracle
+        assert got == sorted(
+            [("delete", i) for i in range(4)]
+            + [("insert", i) for i in (100, 101, 102)]
+        )
+
+    def test_rollback_replacing_deletes_same_count_detected(self, spark, tdir):
+        """The membership (not len) check: a range where the delete SET
+        changed but the COUNT did not is still refused."""
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 10))
+        v2 = t.delete_where(spark, F.col("id") == 0)     # deletes: {A}
+        t.rollback(1)                                    # deletes: {}
+        v4 = t.delete_where(spark, F.col("id") == 1)     # deletes: {B}
+        # len(from.deletes) == len(to.deletes) == 1, but A is gone
+        with pytest.raises(ValueError, match="rollback|removed"):
+            t.changes_between(spark, v2, v4)
+
+
+class TestWapAppendPublish:
+    def test_staged_append_keeps_prior_rows(self, spark, tdir):
+        """VERDICT r9 task 5 done-criteria: prior rows survive publication,
+        staged rows carry a fresh data-sequence, and eq-deletes older than
+        the publish don't touch them."""
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 10).withColumn("val", F.lit("old")))
+        # an equality delete OLDER than the publish, retiring ids 0-2
+        t.delete_by_key(spark.range(0, 3), ["id"])
+        t.stage(spark.range(0, 4).withColumn("val", F.lit("new")), "day1")
+        v = t.publish("day1", mode="append")
+        got = sorted((r["id"], r["val"]) for r in t.read(spark).collect())
+        # old rows 3..9 survive; published rows 0..3 ALL survive the older
+        # eq-delete (fresh data sequence), including the re-inserted 0..2
+        assert got == sorted(
+            [(i, "old") for i in range(3, 10)]
+            + [(i, "new") for i in range(4)]
+        )
+        entry = t.versions()[-1]
+        assert entry["version"] == v and entry.get("has_appends")
+        # fresh sequence: the published files carry the s{v}- prefix
+        assert all(
+            os.path.basename(p).startswith(f"s{v:05d}-")
+            for p in t._entry_files(entry)
+            if p not in t._entry_files(t.versions()[0])
+        )
+        # staged dir consumed
+        with pytest.raises(FileNotFoundError):
+            t.read_staged(spark, "day1")
+
+    def test_staged_append_bootstrap_and_empty(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.stage(spark.range(5), "b0")
+        v = t.publish("b0", mode="append")  # empty table: overwrite path
+        assert v == 1 and t.read(spark).count() == 5
+        t.stage(spark.range(5).filter(F.lit(False)), "b1")
+        v2 = t.publish("b1", mode="append")
+        assert v2 == 1 and len(t.versions()) == 1  # no empty commits
+
+    def test_staged_append_partition_mismatch_rejected(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        df = spark.range(6).withColumn("g", (F.col("id") % 2).cast("string"))
+        t.write(df, partition_by=["g"])
+        t.stage(spark.range(6, 9).withColumn("g", F.lit("9")), "bad")
+        with pytest.raises(ValueError, match="partition spec"):
+            t.publish("bad", mode="append")
+        # matching spec works and the layout stays prunable
+        t.stage(
+            spark.range(6, 9).withColumn("g", F.lit("1")),
+            "good",
+            partition_by=["g"],
+        )
+        t.publish("good", mode="append")
+        assert t.read(spark).count() == 9
+        kept, total = t.plan_scan(where={"g": ("1", "1")})
+        assert 0 < len(kept) < total
+
+
+class TestPosDeletePathGuard:
+    def test_absolute_path_delete_files_are_refused(self, spark, tdir):
+        """ADVICE r9: pos-delete files recorded under the pre-r9 ABSOLUTE
+        path scheme must fail loudly, not silently resurrect rows."""
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 10))
+        t.delete_where(spark, F.col("id") < 3)
+        entries = t.versions()
+        d = entries[-1]["deletes"][0]
+        # forge a legacy delete file: absolute paths, no "paths" stamp
+        ddir = os.path.join(t.path, d["dir"])
+        old = spark.read.parquet(ddir)
+        legacy = old.withColumn(
+            "_file", F.concat(F.lit(t.path + "/v00001/"), F.col("_file"))
+        ).select("_file", "_pos")
+        tmp = ddir + ".rewrite"
+        legacy.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(ddir)
+        os.rename(tmp, ddir)
+        del d["paths"]
+        t._commit(entries)
+        with pytest.raises(ValueError, match="ABSOLUTE"):
+            t.read(spark).count()
+
+    def test_unstamped_relative_paths_still_apply(self, spark, tdir):
+        """An unstamped delete file whose paths are relative (the r9 writer)
+        passes the peek and keeps working — the guard only rejects what is
+        provably broken."""
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 10))
+        t.delete_where(spark, F.col("id") < 3)
+        entries = t.versions()
+        del entries[-1]["deletes"][0]["paths"]
+        t._commit(entries)
+        assert t.read(spark).count() == 7
+
+
+class TestCdcRetireStamp:
+    def test_crash_between_commits_does_not_stack_deletes(self, spark, tdir):
+        """ADVICE r9: a crash after the delete commit but before the append
+        commit must not accumulate one equality-delete file per replay."""
+        from iceberg_evolve_spark.streaming.sink import mor_cdc_batch_writer
+
+        CDC_SCHEMA = "k long, val string, op string, ts_ms long"
+        tbl = os.path.join(tdir, "t")
+        writer = mor_cdc_batch_writer(spark, tbl, "k")
+        writer(
+            spark.createDataFrame(
+                [(k, f"v{k}", "c", 10 + k) for k in range(5)], CDC_SCHEMA
+            ),
+            0,
+        )
+        b1 = spark.createDataFrame(
+            [(1, "u1", "u", 100), (2, None, "d", 101)], CDC_SCHEMA
+        )
+        # simulate the crash window: run ONLY the delete commit by calling
+        # the real writer, then rolling the append commit back off the log
+        writer(b1, 1)
+        t = SnapshotTable(tbl)
+        entries = t.versions()
+        assert "append" in (entries[-1].get("note") or "")
+        t._commit(entries[:-1])  # crash: append commit lost
+        n_delete_files = len(t.versions()[-1].get("deletes", []))
+        writer(b1, 1)  # at-least-once replay
+        t2 = SnapshotTable(tbl)
+        # the retire stamp skipped the delete step: same delete-file count
+        assert len(t2.versions()[-1].get("deletes", [])) == n_delete_files
+        got = sorted((r["k"], r["val"]) for r in t2.read(spark).collect())
+        assert got == [(0, "v0"), (1, "u1"), (3, "v3"), (4, "v4")]
+
+    def test_both_commits_stamped(self, spark, tdir):
+        from iceberg_evolve_spark.streaming.sink import mor_cdc_batch_writer
+
+        CDC_SCHEMA = "k long, val string, op string, ts_ms long"
+        tbl = os.path.join(tdir, "t")
+        writer = mor_cdc_batch_writer(spark, tbl, "k")
+        writer(
+            spark.createDataFrame([(1, "a", "c", 1)], CDC_SCHEMA), 0
+        )
+        writer(
+            spark.createDataFrame(
+                [(1, "b", "u", 2), (9, "x", "c", 3)], CDC_SCHEMA
+            ),
+            1,
+        )
+        notes = [(e.get("note") or "") for e in SnapshotTable(tbl).versions()]
+        tokens = [n.split(" ", 1)[0] for n in notes]
+        assert "cdc-batch:1:retire" in tokens  # delete commit stamped
+        assert "cdc-batch:1" in tokens         # final commit stamped
+
+
+class TestManifestCommits:
+    def test_snapshot_log_grows_o_manifests_not_files(self, spark, tdir):
+        """The metadata-plane scale property VERDICT r9 flagged: each append
+        adds ONE manifest reference to the log entry, and the new manifest
+        lists ONLY that commit's files — per-commit metadata is O(new
+        files), independent of table size."""
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 1000).repartition(8))
+        for i in range(3):
+            t.append(spark.range(1000 + i, 1001 + i).coalesce(1))
+        entries = t.versions()
+        assert [len(e["manifests"]) for e in entries] == [1, 2, 3, 4]
+        for e in entries[1:]:
+            with open(os.path.join(t.path, e["manifests"][-1])) as fh:
+                added = json.load(fh)["files"]
+            assert len(added) == 1  # one coalesced part file per append
+        assert t.read(spark).count() == 1003
+
+    def test_crash_orphan_append_files_are_invisible(self, spark, tdir):
+        """Files moved into the lineage dir by a crashed append (no log
+        commit) are not read — manifest-list visibility — and the retention
+        sweep reclaims them."""
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 10))
+        lineage = os.path.join(t.path, "v00001")
+        # forge a crashed append: an s-file present but never committed
+        part = next(
+            n for n in os.listdir(lineage) if n.endswith(".parquet")
+        )
+        shutil.copyfile(
+            os.path.join(lineage, part),
+            os.path.join(lineage, f"s00099-{part}"),
+        )
+        assert t.read(spark).count() == 10  # not 20: orphan invisible
+        _, removed = t.expire_snapshots(keep_last=1)
+        assert any("s00099-" in r for r in removed)
+        assert t.read(spark).count() == 10

@@ -22,26 +22,58 @@ class TestFastAppend:
     def test_append_adds_rows_without_rewriting(self, spark, tdir):
         t = SnapshotTable(os.path.join(tdir, "t"))
         v1 = t.write(spark.range(0, 100).withColumn("g", F.col("id") % 3))
-        base_files = set()
-        for root, _d, names in os.walk(os.path.join(t.path, "v00001")):
-            base_files |= {n for n in names if n.endswith(".parquet")}
         v2 = t.append(spark.range(100, 150).withColumn("g", F.col("id") % 3))
         assert (v1, v2) == (1, 2)
         assert t.read(spark).count() == 150
         # time travel: v1 unchanged
         assert t.read(spark, version=1).count() == 100
-        # base files are hard links, not copies: same inode
-        for fn in base_files:
 
-            def _find(d, name):
-                for root, _dirs, names in os.walk(d):
-                    if name in names:
-                        return os.path.join(root, name)
-                raise AssertionError(f"{name} not under {d}")
+    def test_append_commit_is_o_new_files(self, spark, tdir):
+        """VERDICT r9 task 1 done-criterion: a fast-append commit creates
+        NO links, NO new data dir, and touches NO pre-existing file — the
+        (inode, name) set of prior files is bit-identical and every new
+        name is an s-prefixed file inside the SAME lineage dir, listed by
+        exactly one new manifest."""
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 100).withColumn("g", F.col("id") % 3))
+        lineage = os.path.join(t.path, "v00001")
 
-            a = _find(os.path.join(t.path, "v00001"), fn)
-            b = _find(os.path.join(t.path, "v00002"), fn)
-            assert os.stat(a).st_ino == os.stat(b).st_ino
+        def snapshot_fs(d):
+            out = {}
+            for root, _dirs, names in os.walk(d):
+                for n in names:
+                    fp = os.path.join(root, n)
+                    st = os.stat(fp)
+                    out[os.path.relpath(fp, d)] = (
+                        st.st_ino, st.st_size, st.st_mtime_ns, st.st_nlink
+                    )
+            return out
+
+        before = snapshot_fs(lineage)
+        assert all(nlink == 1 for (_i, _s, _m, nlink) in before.values())
+        v2 = t.append(spark.range(100, 150).withColumn("g", F.col("id") % 3))
+        after = snapshot_fs(lineage)
+        # no other data dir appeared
+        dirs = [
+            n for n in os.listdir(t.path)
+            if os.path.isdir(os.path.join(t.path, n)) and n.startswith("v")
+        ]
+        assert dirs == ["v00001"]
+        # pre-existing files: same inode, size, mtime, and STILL one link
+        for rel, sig in before.items():
+            assert after[rel] == sig, f"append touched {rel}"
+        new = set(after) - set(before)
+        assert new and all(
+            os.path.basename(r).startswith(f"s{v2:05d}-") for r in new
+        )
+        # exactly one new manifest, listing exactly the new files
+        entry = t.versions()[-1]
+        assert entry["manifests"][:-1] == t.versions()[-2]["manifests"]
+        import json as _json
+
+        with open(os.path.join(t.path, entry["manifests"][-1])) as fh:
+            listed = set(_json.load(fh)["files"])
+        assert listed == new
 
     def test_append_empty_is_noop(self, spark, tdir):
         t = SnapshotTable(os.path.join(tdir, "t"))
@@ -227,19 +259,37 @@ class TestMorCdcStream:
 
 
 class TestExpireWithAppends:
-    def test_expire_keeps_current_forest_alive(self, spark, tdir):
-        """Expiring old snapshots removes their dirs; the current append
-        forest still reads everything (hard links — shared inodes survive
-        the unlink of the old names)."""
+    def test_expire_keeps_current_files_alive(self, spark, tdir):
+        """Expiring old snapshots of an append lineage removes NO data
+        files (the current entry's manifests reference them all) and no
+        dirs — files, not dirs, are the reclamation unit under shared
+        lineage dirs; the current read is intact."""
         t = SnapshotTable(os.path.join(tdir, "t"))
         t.write(spark.range(0, 50))
         t.append(spark.range(50, 80))
         t.append(spark.range(80, 90))
         expired, removed = t.expire_snapshots(keep_last=1)
         assert expired == [1, 2]
-        assert "v00001" in removed and "v00002" in removed
+        assert not any(r.endswith(".parquet") for r in removed)
+        assert os.path.isdir(os.path.join(t.path, "v00001"))
         got = sorted(r["id"] for r in t.read(spark).collect())
         assert got == list(range(90))
+
+    def test_expire_reclaims_rolled_back_append_files(self, spark, tdir):
+        """Files only a rolled-back-away branch references ARE reclaimed
+        once its entries expire — the per-file sweep inside a live lineage
+        dir (crash-orphan cleanup shares this path)."""
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 10))
+        t.append(spark.range(10, 20))        # v2: branch to abandon
+        t.rollback(1)                        # v3
+        v4 = t.append(spark.range(30, 35))   # v4 on the rolled-back base
+        expired, removed = t.expire_snapshots(keep_last=2)  # keep v3, v4
+        assert expired == [1, 2]
+        # v2's s00002- files are referenced by NO surviving manifest
+        assert any("s00002-" in r for r in removed)
+        got = sorted(r["id"] for r in t.read(spark, version=v4).collect())
+        assert got == list(range(10)) + list(range(30, 35))
 
     def test_expire_sweeps_crashed_staging_dirs(self, spark, tdir):
         t = SnapshotTable(os.path.join(tdir, "t"))
@@ -269,7 +319,8 @@ class TestMaintain:
         v = t.maintain(spark, max_delete_files=2)
         assert v is not None
         cur = t.versions()[-1]
-        assert not cur.get("deletes") and cur["base_seq"] == v
+        # folded: no delete files, manifest list consolidated to one
+        assert not cur.get("deletes") and len(cur["manifests"]) == 1
         assert sorted(r["id"] for r in t.read(spark).collect()) == before
 
     def test_maintain_preserves_partition_spec(self, spark, tdir):
@@ -279,10 +330,18 @@ class TestMaintain:
         t.delete_by_key(spark.range(3), ["id"])
         v = t.maintain(spark, max_delete_files=1)
         assert v is not None
-        assert t.versions()[-1].get("partition_by") == ["g"]
-        # partitioned layout actually on disk in the rewritten dir
-        names = os.listdir(os.path.join(t.path, f"v{v:05d}"))
-        assert any(n.startswith("g=") for n in names)
+        cur = t.versions()[-1]
+        assert cur.get("partition_by") == ["g"]
+        # compacted replacement files landed inside the key=value layout of
+        # the SAME lineage dir (scoped compaction never makes a new dir)
+        assert cur["data_dir"] == "v00001"
+        import json as _json
+
+        with open(os.path.join(t.path, cur["manifests"][0])) as fh:
+            listed = _json.load(fh)["files"]
+        assert any(r.startswith("g=") for r in listed)
+        got = sorted(r["id"] for r in t.read(spark).collect())
+        assert got == list(range(3, 20))
 
     def test_stream_with_maintenance_bounds_delete_files(self, spark, tdir):
         """A delete-bearing stream with max_delete_files=1 compacts as it

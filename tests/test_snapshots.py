@@ -75,7 +75,9 @@ class TestExpireSnapshots:
             t.write(spark.range(i, i + 3).toDF("id"), ts=float(100 + i))
         expired, removed = t.expire_snapshots(keep_last=2)
         assert expired == [1, 2]
-        assert removed == ["v00001", "v00002"]
+        # expired lineage dirs AND their manifest files are reclaimed
+        assert {"v00001", "v00002"} <= set(removed)
+        assert {"m00001.json", "m00002.json"} <= set(removed)
         assert [e["version"] for e in t.versions()] == [3, 4]
         # survivors still read; expired versions are unresolvable
         assert t.read(spark, version=4).count() == 3
@@ -89,8 +91,9 @@ class TestExpireSnapshots:
         t.rollback(1, ts=102.0)                           # v3 -> v1's dir
         expired, removed = t.expire_snapshots(keep_last=1)
         assert expired == [1, 2]
-        # v1's DATA DIR is still referenced by the surviving rollback entry
-        assert removed == ["v00002"]
+        # v1's DATA DIR and manifest are still referenced by the surviving
+        # rollback entry; only v2's storage goes
+        assert set(removed) == {"v00002", "m00002.json"}
         assert t.read(spark).count() == 5
 
     def test_min_ts_overrides_count(self, spark, tmp_path_factory):
@@ -115,7 +118,7 @@ class TestExpireSnapshots:
         # their manifest entries are already gone
         expired, removed = t.expire_snapshots(keep_last=1)
         assert expired == []
-        assert removed == ["v00001", "v00002"]
+        assert {"v00001", "v00002"} <= set(removed)
         assert t.read(spark).count() == 3
 
     def test_keep_last_validation(self, tmp_path_factory):
@@ -181,11 +184,68 @@ class TestMergeOnRead:
         v3 = mor.rewrite_data_files(spark, ts=300.0)
         e = mor.versions()
         assert not e[-1].get("deletes")
-        assert e[-1]["data_dir"] != e[0]["data_dir"]
+        # scoped compaction (default) folds INSIDE the lineage dir and
+        # stamps the entry as a rewrite for changelog boundary detection
+        assert e[-1]["data_dir"] == e[0]["data_dir"]
+        assert e[-1].get("rewrite") is True
         assert mor.read(spark, version=v3).count() == 80
         # pre-compaction snapshots still time-travel
         assert mor.read(spark, version=1).count() == 100
         assert mor.read(spark, version=2).count() == 80
+
+    def test_rewrite_scope_all_starts_new_lineage(self, spark, mor):
+        """scope='all' is the layout-rewrite path: a fresh lineage dir, new
+        base sequence — the pre-r10 whole-table behavior, kept for spec
+        changes and full re-clustering."""
+        mor.delete_where(spark, F.col("grp") == 0, ts=200.0)
+        v3 = mor.rewrite_data_files(spark, ts=300.0, scope="all")
+        e = mor.versions()
+        assert not e[-1].get("deletes")
+        assert e[-1]["data_dir"] != e[0]["data_dir"]
+        assert e[-1]["base_seq"] == v3
+        assert mor.read(spark, version=v3).count() == 80
+        assert mor.read(spark, version=1).count() == 100
+
+    def test_scoped_rewrite_carries_untouched_files_byte_identical(
+        self, spark, tmp_path_factory
+    ):
+        """VERDICT r9 task 2 done-criterion: compaction rewrites ONLY the
+        files the delete stack references; every other file survives with
+        the same inode, size, and mtime — never read, copied, or linked."""
+        t = SnapshotTable(str(tmp_path_factory.mktemp("scoped") / "t"))
+        df = spark.range(0, 100).withColumn("grp", (F.col("id") % 4).cast("string"))
+        t.write(df, partition_by=["grp"], ts=100.0)
+        lineage = os.path.join(t.path, "v00001")
+
+        def sig(d):
+            out = {}
+            for root, _dirs, names in os.walk(d):
+                for n in names:
+                    if n.endswith(".parquet"):
+                        fp = os.path.join(root, n)
+                        st = os.stat(fp)
+                        out[os.path.relpath(fp, d)] = (
+                            st.st_ino, st.st_size, st.st_mtime_ns
+                        )
+            return out
+
+        before = sig(lineage)
+        # positional delete confined to partition grp=1: the rewrite scope
+        # is exactly that partition's files
+        t.delete_where(spark, F.col("grp") == "1", ts=200.0)
+        v3 = t.rewrite_data_files(spark, ts=300.0)
+        after = sig(lineage)
+        touched = {r for r in before if r.startswith("grp=1/")}
+        untouched = set(before) - touched
+        assert untouched  # the test is vacuous otherwise
+        for rel in untouched:
+            assert after[rel] == before[rel], f"compaction touched {rel}"
+        # replaced files no longer appear in the new manifest
+        listed = set(t._entry_files(t.versions()[-1]))
+        assert touched.isdisjoint(listed)
+        assert sorted(r["id"] for r in t.read(spark, version=v3).collect()) == [
+            i for i in range(100) if i % 4 != 1
+        ]
 
     def test_rollback_carries_deletes(self, spark, mor):
         mor.delete_where(spark, F.col("grp") == 0, ts=200.0)   # v2
@@ -208,7 +268,11 @@ class TestMergeOnRead:
         mor.rewrite_data_files(spark, ts=300.0)                # v3 clean
         expired, removed = mor.expire_snapshots(keep_last=1)
         assert expired == [1, 2]
-        assert removed == ["d00001", "v00001"]
+        # the superseded delete file goes; the lineage dir STAYS (v3's
+        # files live in it) but the REPLACED data files inside it are swept
+        assert "d00001" in removed
+        assert "v00001" not in removed
+        assert any(r.startswith("v00001/") and r.endswith(".parquet") for r in removed)
         assert mor.read(spark).count() == 80
 
     def test_delete_write_cost_is_rows_deleted(self, spark, mor):
