@@ -10571,6 +10571,133 @@ FROM orders
 """
 
 
+def orders_wap_tagged_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH + TAGS, composed end to end (VERDICT r9 tasks
+    4+5; `sources/snapshots.py:stage/read_staged/publish/tag/read_ref`): a
+    base snapshot, a staged increment audited with `functions/dq.py`
+    expectations and PUBLISHED IN APPEND MODE (the staged files graft onto
+    the table under a fresh data sequence — prior rows survive, nothing is
+    rewritten), a bad batch whose audit fails and is DISCARDED (never
+    becomes a snapshot), an immutable tag on the published version, a
+    post-tag append, and a retention pass the tag must survive. The hash
+    gate pins: both audit verdicts, the published/current row counts, the
+    tag read being exactly the published snapshot (price sum through
+    `read_ref`), the fresh-sequence witness on every published file (their
+    manifest lists only s{v}-prefixed names), and the tag pinning through
+    `expire_snapshots`. Reference parity: the reference has no data plane;
+    this is Iceberg's `spark.wap.id` + tag release workflow on the snapshot
+    layer. At 100 TB: publish is O(staged files) metadata, the audit runs
+    on the staged data in place, and the rejected batch costs zero table
+    work — bad data never becomes a visible snapshot."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.functions.dq import (
+        in_range,
+        not_null,
+        run_checks,
+    )
+    from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderstatus") != "P")
+    increment = orders.filter(F.col("o_orderstatus") == "P").withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(600000000)
+    )
+    bad = increment.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit(None)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    late = orders.filter(F.col("o_orderkey") % 997 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(700000000)
+    )
+    checks = [not_null("o_totalprice"), in_range("o_totalprice", 0.0, 1e9)]
+    tmp = tempfile.mkdtemp(prefix="ies-wap-")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "orders_table"))
+        t.write(base, ts=1000.0)
+        t.stage(increment, "rel1")
+        good_audit = all(
+            passed
+            for (*_r, passed) in run_checks(
+                t.read_staged(spark, "rel1"), checks
+            )
+        )
+        v2 = t.publish("rel1", mode="append", ts=2000.0) if good_audit else -1
+        t.stage(bad, "rel2")
+        bad_audit = all(
+            passed
+            for (*_r, passed) in run_checks(
+                t.read_staged(spark, "rel2"), checks
+            )
+        )
+        if not bad_audit:
+            t.discard_staged("rel2")
+        tagged = t.tag("release-1", v2)
+        t.append(late, ts=3000.0)
+        expired, _removed = t.expire_snapshots(keep_last=1)
+        published_entry = next(
+            e for e in t.versions() if e["version"] == v2
+        )
+        with open(
+            os.path.join(t.path, published_entry["manifests"][-1])
+        ) as fh:
+            pub_files = _json.load(fh)["files"]
+        fresh_seq = bool(pub_files) and all(
+            os.path.basename(p).startswith(f"s{v2:05d}-") for p in pub_files
+        )
+        ref_df = t.read_ref(spark, "release-1")
+        ref_n = ref_df.count()
+        ver_n = t.read(spark, version=v2).count()
+        ref_price = ref_df.agg(
+            F.sum(
+                F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)")
+            ).alias("p")
+        ).first()["p"]
+        cur_n = t.read(spark).count()
+        tag_pinned = (tagged == v2) and (v2 not in expired)
+        rows = [
+            (
+                bool(good_audit),
+                bool(not bad_audit),
+                int(ref_n),
+                int(ver_n),
+                int(cur_n),
+                bool(fresh_seq),
+                bool(tag_pinned),
+                float(ref_price),
+            )
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "audit_pass boolean, bad_batch_discarded boolean, ref_rows bigint, "
+        "version_rows bigint, current_rows bigint, fresh_sequence boolean, "
+        "tag_pinned boolean, ref_price double",
+    )
+
+
+#: The published view is base (non-'P') + increment ('P' re-keyed): all of
+#: orders by count and price; the post-tag append adds the %997 spine.
+_WAP_RELEASE_SQL = """
+SELECT TRUE AS audit_pass,
+       TRUE AS bad_batch_discarded,
+       CAST(COUNT(*) AS BIGINT) AS ref_rows,
+       CAST(COUNT(*) AS BIGINT) AS version_rows,
+       CAST(COUNT(*) + COUNT(*) FILTER (WHERE o_orderkey % 997 = 0)
+            AS BIGINT) AS current_rows,
+       TRUE AS fresh_sequence,
+       TRUE AS tag_pinned,
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(28,2))) AS DOUBLE)
+           AS ref_price
+FROM orders
+"""
+
+
 #: Equality-delete key selector for the merge-on-read entry: customers this
 #: far in the red get their orders dropped (10 keys at sf0.01 — a genuinely
 #: small key list, the CDC-delete shape).
@@ -11626,27 +11753,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stays fresh (union of recent rounds covers the whole registry); see
     # COVERAGE.md for the schedule and the per-round history.
     return {
-        # ---------- ROUND-9 WINDOW (first 50; driver hashes these) ----------
-        # (a) NEW this round, never driver-verified: scan-planned
-        #     merge-on-read reads, the streaming merge-on-read CDC sink
-        #     (eq-delete + fast-append commits per micro-batch), the
-        #     struct-nested v3 default surfacing across file generations,
-        #     Avro sync-marker byte-range split reads, and Avro
-        #     map/enum/fixed codecs through the distributed writer.
-        "orders_mor_pruned_read": orders_mor_pruned_read,
-        "orders_changelog_scan": orders_changelog_scan,
+        # ---------- ROUND-10 WINDOW (first 50; driver hashes these) ----------
+        # (a) NEW this round: write-audit-publish composed with staged-append
+        #     publish, DQ gating, tags, and retention pinning — the two
+        #     round-9 capabilities that had test-only evidence (VERDICT r9
+        #     task 4), plus the r10 append-mode publish (task 5).
+        "orders_wap_tagged_release": orders_wap_tagged_release,
+        # (b) re-verify after this round's storage-layer restructure
+        #     (manifest file lists replacing hard-link forests; scoped
+        #     compaction) — VERDICT r9 task 1's done-criterion trio:
+        "orders_merge_on_read": orders_merge_on_read,
         "orders_cdc_stream_mor": orders_cdc_stream_mor,
+        "orders_changelog_scan": orders_changelog_scan,
+        # (c) the 46 entries whose last driver hash was r04 — the stalest
+        #     cohort (VERDICT r9 task 3), prior relative order preserved.
+        #     46 + 4 above fills the window exactly.
+        "totalprice_percentiles": totalprice_percentiles,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_signatures": dedup_minhash_signatures,
+        "q4_priority_semijoin": q4_priority_semijoin,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_share": q14_promo_share,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_bracket_revenue": q19_bracket_revenue,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "events_variant_extract": events_variant_extract,
+        "dedup_ngram_containment": dedup_ngram_containment,
+        "decontaminate_overlap_rate": decontaminate_overlap_rate,
+        "hll_distinct_lineitems": hll_distinct_lineitems,
+        "dedup_semantic_cells": dedup_semantic_cells,
+        "docs_gopher_rules": docs_gopher_rules,
+        "ann_topk_ivf_pq": ann_topk_ivf_pq,
+        "parts_copurchase_pairs": parts_copurchase_pairs,
+        "dedup_lsh_quality": dedup_lsh_quality,
+        "ann_topk_batch": ann_topk_batch,
+        "quantiles_sampled_totalprice": quantiles_sampled_totalprice,
+        "incremental_status_rollup": incremental_status_rollup,
+        "synthetic_source_stats": synthetic_source_stats,
+        "zorder_codes_orders": zorder_codes_orders,
+        "docs_feature_hashing": docs_feature_hashing,
+        "orders_priority_sample": orders_priority_sample,
+        "parts_pagerank": parts_pagerank,
+        "customer_fuzzy_matches": customer_fuzzy_matches,
+        "dedup_cross_source_matrix": dedup_cross_source_matrix,
+        "docs_exact_substring_dup": docs_exact_substring_dup,
+        "docs_model_score": docs_model_score,
+        "lineitem_correlations": lineitem_correlations,
+        "orders_snapshot_time_travel": orders_snapshot_time_travel,
+        "ann_topk_filtered": ann_topk_filtered,
+        "events_daily_gapfill": events_daily_gapfill,
+        "docs_bpe_train": docs_bpe_train,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_cluster_components": dedup_cluster_components,
+        # ---------------------- past the window ----------------------------
+        # Everything below is r05-r09 hash-verified (freshest first-ish,
+        # prior relative order preserved); every entry is still locally
+        # oracle-verified each round by tests/test_entry_contract.py
+        # regardless of window position.
+        "orders_mor_pruned_read": orders_mor_pruned_read,
         "evolve_struct_default_generations": evolve_struct_default_generations,
         "orders_avro_split": orders_avro_split,
         "orders_avro_complex": orders_avro_complex,
-        # (b) re-verify after this round's storage-layer change: data-
-        #     sequence numbers now thread through the merge-on-read reader
-        #     (_read_with_pos), which both of these exercise end to end.
-        "orders_merge_on_read": orders_merge_on_read,
         "orders_metadata_tables": orders_metadata_tables,
-        # (c) the 12 r03-hashed entries displaced by round 7's late
-        #     additions — two rounds stale, first in line (VERDICT r8
-        #     task 3).
         "q10_returned_items": q10_returned_items,
         "q15_top_supplier": q15_top_supplier,
         "q18_large_orders": q18_large_orders,
@@ -11659,7 +11836,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_balance_quartiles": customer_balance_quartiles,
         "orders_pivot_priority": orders_pivot_priority,
         "balance_order_setops": balance_order_setops,
-        # (d) the oldest r04-hashed entries, prior relative order preserved.
         "docs_bpe_encode": docs_bpe_encode,
         "events_anomaly_zscore": events_anomaly_zscore,
         "events_daily_trend": events_daily_trend,
@@ -11690,15 +11866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cdc_apply": orders_cdc_apply,
         "multimodal_png_decode": multimodal_png_decode,
         "ann_topk_hamming": ann_topk_hamming,
-        # ---------------------- past the window ----------------------------
-        # (position 51: displaced by the late orders_changelog_scan
-        # registration; heads the r04 group queued for round 10)
         "orders_partition_evolution": orders_partition_evolution,
-        # (e) r08-hashed entries (verified two rounds running, freshest
-        #     hashes in the registry) followed by the r05/r06 remainder in
-        #     prior relative order; every entry is still locally
-        #     oracle-verified each round by tests/test_entry_contract.py
-        #     regardless of window position.
         "orders_avro_roundtrip": orders_avro_roundtrip,
         "multimodal_video_mp4": multimodal_video_mp4,
         "cdc_schema_drift_apply": cdc_schema_drift_apply,
@@ -11805,53 +11973,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evolve_required_flips": evolve_required_flips,
         "docs_pii_redaction": docs_pii_redaction,
         "docs_quality_gate": docs_quality_gate,
-        "totalprice_percentiles": totalprice_percentiles,
-        "dedup_exact": dedup_exact,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_minhash_signatures": dedup_minhash_signatures,
-        "q4_priority_semijoin": q4_priority_semijoin,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q7_nation_volume": q7_nation_volume,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q14_promo_share": q14_promo_share,
-        "q16_supplier_part_counts": q16_supplier_part_counts,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q19_bracket_revenue": q19_bracket_revenue,
-        "q20_excess_suppliers": q20_excess_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "events_variant_extract": events_variant_extract,
-        "dedup_ngram_containment": dedup_ngram_containment,
-        "decontaminate_overlap_rate": decontaminate_overlap_rate,
-        "hll_distinct_lineitems": hll_distinct_lineitems,
-        "dedup_semantic_cells": dedup_semantic_cells,
-        "docs_gopher_rules": docs_gopher_rules,
-        "ann_topk_ivf_pq": ann_topk_ivf_pq,
-        "parts_copurchase_pairs": parts_copurchase_pairs,
-        "dedup_lsh_quality": dedup_lsh_quality,
-        "ann_topk_batch": ann_topk_batch,
-        "quantiles_sampled_totalprice": quantiles_sampled_totalprice,
-        "incremental_status_rollup": incremental_status_rollup,
-        "synthetic_source_stats": synthetic_source_stats,
-        "zorder_codes_orders": zorder_codes_orders,
-        "docs_feature_hashing": docs_feature_hashing,
-        "orders_priority_sample": orders_priority_sample,
-        "parts_pagerank": parts_pagerank,
-        "customer_fuzzy_matches": customer_fuzzy_matches,
-        "dedup_cross_source_matrix": dedup_cross_source_matrix,
-        "docs_exact_substring_dup": docs_exact_substring_dup,
-        "docs_model_score": docs_model_score,
-        "lineitem_correlations": lineitem_correlations,
-        "orders_snapshot_time_travel": orders_snapshot_time_travel,
-        "ann_topk_filtered": ann_topk_filtered,
-        "events_daily_gapfill": events_daily_gapfill,
-        "docs_bpe_train": docs_bpe_train,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_simhash": dedup_simhash,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
-        "dedup_cluster_components": dedup_cluster_components,
     }
+
+
+def queries_extended() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry-split standby (bench-budget policy, BASELINE.md): when the
+    driver bench approaches its ~480 s budget, entries migrate from
+    :func:`queries` (driver-hashed + driver-benched) to this map — still
+    oracle-gated by ``tests/test_entry_contract.py`` and still swept by the
+    local benches (``SPARK_GRAFT_BENCH_EXTENDED=1``), just off the driver's
+    per-round bill. Empty until the trigger fires; the split is then a
+    one-commit move of dict lines because every consumer (contract test,
+    bench, completeness checker) already iterates BOTH maps. Entries here
+    keep their :func:`oracle_sql` rows — the correctness surface never
+    shrinks, only the driver's measurement surface."""
+    return {}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -11955,6 +12091,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_video_motion": _MOTION_SQL,
         "multimodal_video_mjpeg": _mjpeg_avi_sql(),
         "multimodal_video_mp4": _mp4_sql(),
+        "orders_wap_tagged_release": _WAP_RELEASE_SQL,
         "orders_mor_pruned_read": _MORPRUNE_SQL,
         "orders_changelog_scan": _CHANGELOG_SQL,
         "orders_cdc_stream_mor": _MOR_STREAM_SQL,

@@ -22,7 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     import __spark_entry__ as entry
 
+    # local sweeps must cover the FULL surface: driver-billed entries plus
+    # any moved to the extended (local-only) registry by the bench-budget
+    # split — the split shrinks the driver's bill, never local coverage
     registry = set(entry.queries())
+    if hasattr(entry, "queries_extended"):
+        registry |= set(entry.queries_extended())
     rc = 0
     for path in sys.argv[1:]:
         with open(path) as fh:

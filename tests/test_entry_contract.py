@@ -106,16 +106,28 @@ def test_entry_smoke(spark):
     assert df.columns
 
 
+def _all_queries():
+    # the full correctness surface: driver-windowed entries PLUS the
+    # extended (local-only) registry — the bench-budget split must never
+    # shrink what gets oracle-verified (r10 task 8 mechanics)
+    return {**entry_mod.queries(), **entry_mod.queries_extended()}
+
+
 def test_every_query_has_oracle_or_documented_absence():
-    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    qs, os_ = _all_queries(), entry_mod.oracle_sql()
     assert set(os_) <= set(qs)
     missing = set(qs) - set(os_)
     assert missing == set()  # every entry is oracle-checked (r3: IVF included)
 
 
-@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_registry_split_is_disjoint():
+    dup = set(entry_mod.queries()) & set(entry_mod.queries_extended())
+    assert dup == set()  # an entry is driver-billed or local-only, never both
+
+
+@pytest.mark.parametrize("name", sorted(_all_queries()))
 def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
-    fn = entry_mod.queries()[name]
+    fn = _all_queries()[name]
     sdf = fn(spark, sf_dir)
     # REGISTRY-SURFACE LINT (r6, VERDICT task 3): no entry may return an
     # array/map/struct column — the driver's canonicalizer sorts result
