@@ -137,6 +137,32 @@ def _rel_seq(rel: str, base_seq: int) -> int:
     return int(m.group(1)) if m else base_seq
 
 
+def _apply_sort_order(
+    df: DataFrame, sort_by: list[str] | None, n_files: int | None = None
+) -> DataFrame:
+    """Cluster rows on the table's sort-order columns before a write:
+    range-repartition (files end up covering DISJOINT value ranges, not
+    just internally sorted ones) + in-task sort (tight row-group stats).
+    This is what makes footer-stats pruning selective — without clustering
+    every file's [min, max] spans the whole domain and ``plan_scan`` can
+    prove nothing absent. No-op when the lineage has no sort order.
+
+    ``n_files`` pins the range-partition count (an explicit count disables
+    AQE's partition coalescing for this shuffle — the file-granularity
+    knob, Iceberg's target-file-size in partition-count clothes); default
+    lets AQE size output files from measured bytes."""
+    if not sort_by:
+        return df
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c) for c in sort_by]
+    if n_files is not None:
+        df = df.repartitionByRange(n_files, *cols)
+    else:
+        df = df.repartitionByRange(*cols)
+    return df.sortWithinPartitions(*cols)
+
+
 class SnapshotTable:
     """A versioned parquet table rooted at ``path``."""
 
@@ -212,6 +238,8 @@ class SnapshotTable:
         note: str | None = None,
         ts: float | None = None,
         partition_by: list[str] | None = None,
+        sort_by: list[str] | None = None,
+        sort_files: int | None = None,
     ) -> int:
         """Write ``df`` as the next snapshot; returns the new version number.
 
@@ -220,7 +248,17 @@ class SnapshotTable:
         module docstring for the crash analysis). ``partition_by`` writes a
         key=value partitioned layout inside the data dir (a partition spec
         for this snapshot) — reads, metadata tables, footer pruning, and
-        merge-on-read deletes all walk it."""
+        merge-on-read deletes all walk it.
+
+        ``sort_by`` is the table's SORT ORDER (Iceberg's sort-order spec):
+        rows are range-repartitioned then sorted within each task on these
+        columns before writing, so every data file covers a NARROW range
+        and the footer min/max bounds :meth:`plan_scan` prunes on become
+        tight — the clustering that turns a selective range scan on 100 TB
+        into a few-file read. Recorded in the snapshot entry; appends to a
+        sorted lineage re-sort their own increment (file-level clustering,
+        as Iceberg's sorted writes), and scoped compaction re-sorts what it
+        rewrites."""
         entries = self.versions()
         version = (entries[-1]["version"] + 1) if entries else 1
         data_dir = f"v{version:05d}"
@@ -238,6 +276,7 @@ class SnapshotTable:
 
             shutil.rmtree(final)
         tmp = final + ".tmp"
+        df = _apply_sort_order(df, sort_by, sort_files)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -259,6 +298,10 @@ class SnapshotTable:
         }
         if partition_by:
             new_entry["partition_by"] = list(partition_by)
+        if sort_by:
+            new_entry["sort_by"] = list(sort_by)
+            if sort_files is not None:
+                new_entry["sort_files"] = int(sort_files)
         entries.append(new_entry)
         self._commit(entries)
         return version
@@ -325,6 +368,9 @@ class SnapshotTable:
             import shutil
 
             shutil.rmtree(stage)
+        # a sorted lineage clusters each increment on its own (file-level
+        # clustering, as Iceberg sorted writes — old files stay untouched)
+        df = _apply_sort_order(df, cur.get("sort_by"))
         writer = df.write.mode("overwrite")
         if cur.get("partition_by"):
             # appended files must land inside the same key=value layout so
@@ -357,6 +403,8 @@ class SnapshotTable:
         }
         if cur.get("partition_by"):
             new_entry["partition_by"] = list(cur["partition_by"])
+        if cur.get("sort_by"):
+            new_entry["sort_by"] = list(cur["sort_by"])
         if cur.get("deletes"):
             new_entry["deletes"] = list(cur["deletes"])
         entries.append(new_entry)
@@ -389,6 +437,8 @@ class SnapshotTable:
             new_entry["has_appends"] = True
         if target.get("partition_by"):
             new_entry["partition_by"] = list(target["partition_by"])
+        if target.get("sort_by"):
+            new_entry["sort_by"] = list(target["sort_by"])
         if target.get("deletes"):
             new_entry["deletes"] = list(target["deletes"])
         entries.append(new_entry)
@@ -451,6 +501,7 @@ class SnapshotTable:
             "base_seq": cur.get("base_seq", cur["version"]),
             **({"has_appends": True} if cur.get("has_appends") else {}),
             **({"partition_by": list(cur["partition_by"])} if cur.get("partition_by") else {}),
+            **({"sort_by": list(cur["sort_by"])} if cur.get("sort_by") else {}),
             "deletes": list(cur.get("deletes", [])) + [delete],
             "ts": time.time() if ts is None else ts,
             "note": note,
@@ -839,6 +890,7 @@ class SnapshotTable:
                 note=note or "rewrite_data_files (full rewrite)",
                 ts=ts,
                 partition_by=spec,
+                sort_by=cur.get("sort_by"),
             )
         if scope != "deletes":
             raise ValueError(f"unknown scope {scope!r} (deletes|all)")
@@ -874,6 +926,7 @@ class SnapshotTable:
             survivors = self._read_with_pos(
                 spark, cur, files=sorted(os.path.join(data_dir, r) for r in affected)
             ).drop(*_RESERVED_COLS)
+            survivors = _apply_sort_order(survivors, cur.get("sort_by"))
             stage = os.path.join(self.path, f"v{version:05d}.stage")
             if os.path.isdir(stage):
                 import shutil
@@ -912,6 +965,8 @@ class SnapshotTable:
             new_entry["has_appends"] = True
         if spec:
             new_entry["partition_by"] = list(spec)
+        if cur.get("sort_by"):
+            new_entry["sort_by"] = list(cur["sort_by"])
         entries.append(new_entry)
         self._commit(entries)
         return version
@@ -1143,6 +1198,11 @@ class SnapshotTable:
             }
             if cur.get("partition_by"):
                 new_entry["partition_by"] = list(cur["partition_by"])
+            if cur.get("sort_by"):
+                # the spec is CARRIED, not enforced: publish must stay
+                # O(staged files), so a sorted lineage expects its stager
+                # to have clustered the audited increment already
+                new_entry["sort_by"] = list(cur["sort_by"])
             if cur.get("deletes"):
                 new_entry["deletes"] = list(cur["deletes"])
             entries.append(new_entry)

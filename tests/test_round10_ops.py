@@ -274,3 +274,56 @@ class TestManifestCommits:
         _, removed = t.expire_snapshots(keep_last=1)
         assert any("s00099-" in r for r in removed)
         assert t.read(spark).count() == 10
+
+
+class TestSortOrder:
+    def test_sorted_write_makes_pruning_selective(self, spark, tdir):
+        """The point of a sort order: the same data written WITH the spec
+        prunes to a strict subset of files on a range scan; written
+        without it, every file's bounds span the domain and nothing can be
+        proven absent."""
+        from pyspark.sql import functions as F
+
+        df = spark.range(0, 10000).withColumn(
+            "v", (F.col("id") * 2654435761 % 10000).cast("long")
+        ).repartition(8)
+        flat = SnapshotTable(os.path.join(tdir, "flat"))
+        flat.write(df)
+        clustered = SnapshotTable(os.path.join(tdir, "clustered"))
+        # sort_files pins file granularity (KB-scale test data: AQE would
+        # correctly coalesce to one file and leave nothing to prune)
+        clustered.write(df, sort_by=["v"], sort_files=8)
+        where = {"v": (100, 200)}
+        kept_f, total_f = flat.plan_scan(where=where)
+        kept_c, total_c = clustered.plan_scan(where=where)
+        assert total_c > 1
+        assert len(kept_c) < total_c          # clustering prunes
+        assert len(kept_c) < max(len(kept_f), 2)
+        # identical results either way (pruning is correctness-neutral)
+        a = sorted(r["id"] for r in flat.read(spark, where=where).collect())
+        b = sorted(r["id"] for r in clustered.read(spark, where=where).collect())
+        assert a == b and len(a) > 0
+
+    def test_sort_order_survives_append_delete_compact(self, spark, tdir):
+        from pyspark.sql import functions as F
+
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        df = spark.range(0, 5000).withColumn(
+            "v", (F.col("id") * 48271 % 5000).cast("long")
+        )
+        t.write(df, sort_by=["v"])
+        t.append(
+            spark.range(5000, 6000).withColumn(
+                "v", (F.col("id") * 48271 % 5000 + 5000).cast("long")
+            )
+        )
+        t.delete_where(spark, F.col("v") < 10)
+        v = t.rewrite_data_files(spark)
+        for e in t.versions():
+            assert e.get("sort_by") == ["v"], e["version"]
+        # appended increment clustered on its own: range scan in the
+        # appended band still prunes below the full file count
+        kept, total = t.plan_scan(version=v, where={"v": (5100, 5200)})
+        assert len(kept) < total
+        got = t.read(spark, version=v, where={"v": (0, 20)})
+        assert sorted(r["v"] for r in got.collect()) == list(range(10, 21))
