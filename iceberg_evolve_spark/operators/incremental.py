@@ -218,3 +218,50 @@ def delta_join_rows(
     t2 = base_left.join(delta_right, keys, "inner")
     t3 = delta_left.join(delta_right, keys, "inner")
     return t1.unionByName(t2).unionByName(t3)
+
+
+def maintain_from_changelog(
+    base_agg: DataFrame,
+    changelog: DataFrame,
+    base_data: DataFrame,
+    keys: list[str],
+    row_key: str,
+    change_col: str = "_change_type",
+    sum_cols: dict[str, str] | None = None,
+    count_col: str = "n",
+    max_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Maintain a materialized rollup directly from a TABLE CHANGELOG —
+    the consumer ``SnapshotTable.changes_between`` exists for: its
+    'insert'/'delete' rows ARE the Z-set delta, so a snapshot table's
+    rollup refreshes between any two versions without rescanning the
+    table (``refreshed = maintain_from_changelog(old_rollup,
+    t.changes_between(spark, v_old, v_new), t.read(spark,
+    version=v_new), ...)``).
+
+    Thin, deliberately: the changelog's ``_change_type`` maps to the
+    signed op column and everything else is
+    :func:`merge_with_retractions` — SUM/COUNT retract exactly, MAX
+    repairs only the touched groups against ``base_data`` (the CURRENT
+    snapshot read — under merge-on-read that read already subtracts the
+    delete files, so the repair sees exactly the post-change rows).
+
+    Scale shape inherits from both halves: the changelog is
+    O(changes + one scan) by construction, the merge is one
+    key-partitioned join against the change-sized signed delta — a 100 TB
+    table's rollup refresh costs its changes, never its size."""
+    delta = changelog.withColumn(
+        "_op",
+        F.when(F.col(change_col) == "insert", F.lit(1)).otherwise(F.lit(-1)),
+    ).drop(change_col)
+    return merge_with_retractions(
+        base_agg,
+        delta,
+        base_data,
+        keys,
+        row_key,
+        op_col="_op",
+        sum_cols=sum_cols,
+        count_col=count_col,
+        max_cols=max_cols,
+    )

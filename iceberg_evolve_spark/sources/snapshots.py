@@ -1441,6 +1441,89 @@ class SnapshotTable:
             "seq bigint" + bound_schema,
         )
 
+    # -- table statistics (Iceberg's Puffin stats files) ---------------------
+    def _stats_path(self, version: int) -> str:
+        return os.path.join(self.path, "_stats", f"{version:05d}.json")
+
+    def analyze(
+        self,
+        spark: SparkSession,
+        cols: list[str],
+        version: int | None = None,
+    ) -> dict:
+        """ANALYZE TABLE for one snapshot: per-column NDV estimate (Spark's
+        JVM-side HyperLogLog++ via ``approx_count_distinct``), null count,
+        and min/max, computed in ONE aggregation pass over the snapshot
+        read (deletes applied — the stats describe what a query sees).
+        Persisted next to the table (``_stats/{version}.json``), keyed by
+        snapshot version so time travel has matching statistics — Iceberg's
+        Puffin statistics files, the input a cost-based planner consumes
+        for join ordering and size estimation. Returns the stats dict:
+        ``{col: {ndv, n_nulls, min, max}, "_n_rows": N}``. Cost: one scan;
+        re-analyzing a version overwrites its file (idempotent)."""
+        from pyspark.sql import functions as F
+
+        entry = self._resolve(version, None)
+        df = self.read(spark, version=entry["version"])
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"columns {missing} not in table {df.columns}")
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for i, c in enumerate(cols):
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"_ndv{i}"))
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"_nul{i}")
+            )
+            aggs.append(F.min(F.col(c)).alias(f"_lo{i}"))
+            aggs.append(F.max(F.col(c)).alias(f"_hi{i}"))
+        row = df.agg(*aggs).first()
+        stats: dict = {"_n_rows": int(row["_n"])}
+        for i, c in enumerate(cols):
+            stats[c] = {
+                "ndv": int(row[f"_ndv{i}"]),
+                "n_nulls": int(row[f"_nul{i}"] or 0),
+                "min": None if row[f"_lo{i}"] is None else str(row[f"_lo{i}"]),
+                "max": None if row[f"_hi{i}"] is None else str(row[f"_hi{i}"]),
+            }
+        os.makedirs(os.path.join(self.path, "_stats"), exist_ok=True)
+        tmp = self._stats_path(entry["version"]) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(stats, fh, indent=1)
+        os.replace(tmp, self._stats_path(entry["version"]))
+        return stats
+
+    def stats(self, version: int | None = None) -> dict | None:
+        """Persisted statistics of a snapshot (see :meth:`analyze`), or
+        None if that version was never analyzed — metadata read only."""
+        entry = self._resolve(version, None)
+        try:
+            with open(self._stats_path(entry["version"])) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    def stats_df(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """The analyzed statistics as a queryable relation (one row per
+        column) — what a planner joins against to cost a query without
+        touching data. Raises if the snapshot was never analyzed."""
+        entry = self._resolve(version, None)
+        st = self.stats(version=entry["version"])
+        if st is None:
+            raise LookupError(
+                f"snapshot v{entry['version']} has no statistics — run "
+                "analyze() first"
+            )
+        n = st.pop("_n_rows")
+        rows = [
+            (c, int(n), int(v["ndv"]), int(v["n_nulls"]), v["min"], v["max"])
+            for c, v in st.items()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "column string, n_rows bigint, ndv bigint, n_nulls bigint, "
+            "min string, max string",
+        )
+
     def changes_between(
         self,
         spark: SparkSession,
@@ -1667,4 +1750,13 @@ class SnapshotTable:
             ):
                 os.remove(full)
                 removed.append(name)
+        # statistics files (analyze()) of expired versions go with them
+        stats_dir = os.path.join(self.path, "_stats")
+        if os.path.isdir(stats_dir):
+            live_versions = {e["version"] for e in keep}
+            for name in sorted(os.listdir(stats_dir)):
+                m = re.fullmatch(r"(\d{5})\.json(\.tmp)?", name)
+                if m and int(m.group(1)) not in live_versions:
+                    os.remove(os.path.join(stats_dir, name))
+                    removed.append(os.path.join("_stats", name))
         return [e["version"] for e in expired], sorted(set(removed))

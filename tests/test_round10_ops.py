@@ -327,3 +327,107 @@ class TestSortOrder:
         assert len(kept) < total
         got = t.read(spark, version=v, where={"v": (0, 20)})
         assert sorted(r["v"] for r in got.collect()) == list(range(10, 21))
+
+
+class TestTableStats:
+    def test_analyze_and_stats_df(self, spark, tdir):
+        """Puffin-style snapshot statistics: one aggregation pass, NDV from
+        JVM-side HLL++, persisted per version, describing the MOR view a
+        query actually sees."""
+        from pyspark.sql import functions as F
+
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        df = spark.range(0, 1000).withColumn(
+            "g", (F.col("id") % 7).cast("long")
+        ).withColumn(
+            "s", F.when(F.col("id") % 10 == 0, None).otherwise(
+                F.concat(F.lit("u"), (F.col("id") % 50).cast("string"))
+            )
+        )
+        v1 = t.write(df)
+        st = t.analyze(spark, ["g", "s"])
+        assert st["_n_rows"] == 1000
+        assert st["g"]["ndv"] == 7 and st["g"]["n_nulls"] == 0
+        assert st["s"]["n_nulls"] == 100
+        # s has 45 exact distinct non-null values (ids divisible by 10 are
+        # NULL, removing the 5 residues 0/10/20/30/40 of id % 50);
+        # HLL++ default rsd 5% must land within tolerance of that
+        assert abs(st["s"]["ndv"] - 45) <= 5
+        rows = {r["column"]: r for r in t.stats_df(spark).collect()}
+        assert rows["g"]["ndv"] == 7 and rows["g"]["n_rows"] == 1000
+        assert rows["g"]["min"] == "0" and rows["g"]["max"] == "6"
+        # stats describe the merge-on-read view: delete, re-analyze
+        t.delete_where(spark, F.col("g") == 0)
+        t.analyze(spark, ["g"])
+        assert t.stats()["g"]["ndv"] == 6
+        assert t.stats()["_n_rows"] < 1000
+        # v1's stats are version-keyed and untouched
+        assert t.stats(version=v1)["g"]["ndv"] == 7
+
+    def test_stats_retention(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(5))
+        t.analyze(spark, ["id"])
+        t.write(spark.range(9))
+        t.analyze(spark, ["id"])
+        _, removed = t.expire_snapshots(keep_last=1)
+        assert any(r.startswith("_stats/00001") for r in removed)
+        assert t.stats() is not None          # survivor keeps its stats
+        with pytest.raises(LookupError):
+            t.stats_df(t.read(spark).sparkSession, version=1)  # expired
+
+    def test_analyze_unknown_column_raises(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(3))
+        with pytest.raises(ValueError, match="not in table"):
+            t.analyze(spark, ["nope"])
+        assert t.stats() is None  # nothing persisted
+
+
+class TestChangelogIvm:
+    def test_rollup_refresh_from_changelog(self, spark, tdir):
+        """The changelog scan's reason to exist: refresh a materialized
+        rollup between two snapshot versions from the changes alone —
+        result identical to a full recompute at the new version, including
+        the non-invertible MAX (repaired only for touched groups)."""
+        from iceberg_evolve_spark.operators.incremental import (
+            maintain_from_changelog,
+        )
+
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        df = spark.range(0, 500).withColumn(
+            "g", (F.col("id") % 5).cast("long")
+        ).withColumn("x", (F.col("id") * 7 % 101).cast("long"))
+
+        def rollup(d):
+            return d.groupBy("g").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("x").alias("sx"),
+                F.max("x").alias("mx"),
+            )
+
+        v1 = t.write(df)
+        base_agg = rollup(t.read(spark, version=v1))
+        # deletes that remove group maxima AND an append with new groups
+        t.delete_where(spark, F.col("x") > 90)
+        vN = t.append(
+            spark.range(1000, 1060).withColumn(
+                "g", (F.col("id") % 7).cast("long")
+            ).withColumn("x", (F.col("id") % 44).cast("long"))
+        )
+        log = t.changes_between(spark, v1, vN)
+        refreshed = maintain_from_changelog(
+            base_agg,
+            log,
+            t.read(spark, version=vN),
+            keys=["g"],
+            row_key="id",
+            sum_cols={"x": "sx"},
+            count_col="n",
+            max_cols={"x": "mx"},
+        )
+        got = sorted(tuple(r) for r in refreshed.collect())
+        want = sorted(
+            tuple(r) for r in rollup(t.read(spark, version=vN)).collect()
+        )
+        assert got == want
