@@ -1,0 +1,130 @@
+"""Model-based property test of the manifest-list storage layer.
+
+A random sequence of table operations (write / append / delete_by_key /
+delete_where / rollback / scoped compaction / expire / tag) runs against BOTH
+the real ``SnapshotTable`` and a trivial in-memory model (dict of version →
+multiset of rows). After every step the real table's reads must equal the
+model — current AND time-traveled — and retention must never break a
+surviving version. This is the test class that catches protocol bugs unit
+tests miss: interactions like "rollback to a version whose files a later
+scoped compaction partially replaced, then expire, then read the rollback".
+
+Kept deliberately small per example (Spark jobs are ~100 ms each) but wide
+in operation space; hypothesis shrinks failures to minimal op sequences.
+"""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+
+# one op = (kind, int parameter); interpretation is kind-specific
+_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(
+            ["append", "delete_key", "delete_pred", "rollback",
+             "compact", "expire", "tag"]
+        ),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=1,
+    max_size=7,
+)
+
+
+def _rows(lo: int, hi: int) -> dict[int, int]:
+    return {i: i % 5 for i in range(lo, hi)}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(ops=_OPS)
+def test_random_op_sequences_match_model(spark, ops):
+    tmp = tempfile.mkdtemp(prefix="ies-model-")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "t"))
+        # model: version -> {id: g} of live rows at that version
+        state = _rows(0, 30)
+        v = t.write(
+            spark.createDataFrame(list(state.items()), "id long, g long")
+        )
+        model = {v: dict(state)}
+        next_fresh = 100  # id source for appends
+        tagged: set[int] = set()
+
+        for kind, p in ops:
+            cur = dict(model[v])
+            if kind == "append":
+                new = _rows(next_fresh, next_fresh + 5)
+                next_fresh += 5
+                nv = t.append(
+                    spark.createDataFrame(
+                        list(new.items()), "id long, g long"
+                    )
+                )
+                cur.update(new)
+                v = nv
+            elif kind == "delete_key":
+                g = p % 5
+                keys = [i for i, gg in cur.items() if gg == g][:3]
+                if not keys:
+                    continue
+                nv = t.delete_by_key(
+                    spark.createDataFrame([(k,) for k in keys], "id long"),
+                    ["id"],
+                )
+                for k in keys:
+                    cur.pop(k, None)
+                v = nv
+            elif kind == "delete_pred":
+                cut = sorted(cur)[len(cur) // 2] if cur else 0
+                nv = t.delete_where(spark, F.col("id") < cut)
+                cur = {i: g for i, g in cur.items() if i >= cut}
+                v = nv
+            elif kind == "rollback":
+                targets = sorted(model)
+                tgt = targets[p % len(targets)]
+                nv = t.rollback(tgt)
+                cur = dict(model[tgt])
+                v = nv
+            elif kind == "compact":
+                nv = t.rewrite_data_files(spark)
+                v = nv  # state unchanged
+            elif kind == "expire":
+                keep = 1 + p % 3
+                t.expire_snapshots(keep_last=keep)
+                survivors = set(
+                    e["version"] for e in t.versions()
+                )
+                model = {
+                    mv: rows for mv, rows in model.items() if mv in survivors
+                }
+            elif kind == "tag":
+                name = f"tag{p}"
+                if name not in {f"tag{q}" for q in tagged}:
+                    t.tag(name, v)
+                    tagged.add(p)
+            model[v] = cur
+
+            # invariant: every surviving modeled version reads exactly
+            # its modeled rows (current and time travel alike)
+            for mv, rows in model.items():
+                got = {
+                    (r["id"], r["g"])
+                    for r in t.read(spark, version=mv).collect()
+                }
+                assert got == set(rows.items()), (
+                    f"version {mv} after {kind}: {len(got)} rows vs "
+                    f"model {len(rows)}"
+                )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
