@@ -10698,6 +10698,191 @@ FROM orders
 """
 
 
+def orders_sorted_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE SORT ORDER × SCAN PLANNING × SNAPSHOT STATISTICS (r10;
+    `sources/snapshots.py:write(sort_by=)/plan_scan/analyze`): orders
+    written CLUSTERED on o_totalprice (range repartition + in-task sort, 12
+    pinned files), a price-band scan planned from footer stats over the
+    manifest-listed files, and the snapshot ANALYZEd (one-pass NDV via
+    JVM-side HLL++, null counts, min/max — Iceberg's Puffin statistics).
+    Hash-gated surfaces are chosen for determinism under Spark's
+    sampling-based range partitioner (file BOUNDARIES vary run to run, so
+    file counts are not pinned): the pruned scan's exact in-band aggregates
+    (must equal the full-scan answer — pruning never loses rows), the
+    witness that pruning genuinely skipped files (kept < total — guaranteed
+    because 12 disjoint price ranges cannot all overlap one band), and the
+    stats' accuracy as booleans against exact values computed side by side
+    (HLL++ NDV within 5% of exact COUNT(DISTINCT); null count and row count
+    exact — register maxima make the HLL estimate partitioning-independent,
+    but only Spark can replay it, so the oracle pins the TOLERANCE, not the
+    register state). At 100 TB this is the read path that matters: the sort
+    order makes footer pruning selective, the stats feed the planner, and
+    both are snapshot-versioned metadata."""
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    lo, hi = 50000.0, 100000.0
+    tmp = tempfile.mkdtemp(prefix="ies-sorted-")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "orders_table"))
+        t.write(orders, sort_by=["o_totalprice"], sort_files=12, ts=1000.0)
+        kept, total = t.plan_scan(where={"o_totalprice": (lo, hi)})
+        pruned = len(kept) < total
+        band = t.read(spark, where={"o_totalprice": (lo, hi)})
+        agg = band.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)")
+            ).alias("p"),
+        ).first()
+        st = t.analyze(spark, ["o_custkey", "o_orderpriority"], rsd=0.01)
+        exact = orders.agg(
+            F.countDistinct("o_custkey").alias("dk"),
+            F.countDistinct("o_orderpriority").alias("dp"),
+        ).first()
+        ndv_ok = (
+            abs(st["o_custkey"]["ndv"] - exact["dk"]) <= 0.05 * exact["dk"]
+            and abs(st["o_orderpriority"]["ndv"] - exact["dp"])
+            <= 0.05 * exact["dp"]
+        )
+        rows = [
+            (
+                bool(pruned),
+                int(agg["n"]),
+                float(agg["p"]),
+                int(st["_n_rows"]),
+                int(st["o_custkey"]["n_nulls"]),
+                bool(ndv_ok),
+            )
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "files_pruned boolean, band_rows bigint, band_price double, "
+        "stat_rows bigint, custkey_nulls bigint, ndv_within_5pct boolean",
+    )
+
+
+_SORTED_SCAN_SQL = """
+SELECT TRUE AS files_pruned,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice BETWEEN 50000.0 AND 100000.0)
+            AS BIGINT) AS band_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(28,2)))
+              FILTER (WHERE o_totalprice BETWEEN 50000.0 AND 100000.0)
+            AS DOUBLE) AS band_price,
+       CAST(COUNT(*) AS BIGINT) AS stat_rows,
+       CAST(0 AS BIGINT) AS custkey_nulls,
+       TRUE AS ndv_within_5pct
+FROM orders
+"""
+
+
+def orders_changelog_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGELOG-DRIVEN INCREMENTAL VIEW MAINTENANCE (r10;
+    `operators/incremental.py:maintain_from_changelog` consuming
+    `sources/snapshots.py:changes_between`): a materialized per-status
+    rollup (COUNT, SUM, MAX — MAX is the non-invertible one) built at v1,
+    the table then hit by a positional delete (all orders above a price
+    cut — deliberately REMOVING group maxima so the additive path alone
+    would be wrong) and a fast-append of re-keyed 'P' orders; the rollup is
+    refreshed FROM THE CHANGELOG ALONE (signed Z-set merge; MAX repaired
+    only for touched groups against the current merge-on-read read) and
+    the refreshed rows are the hash surface. The oracle recomputes the
+    final state directly — refresh-equals-recompute IS the IVM contract.
+    At 100 TB: the changelog is O(changes + one scan) by manifest
+    attribution, the merge is one key-partitioned join against the
+    change-sized delta — the rollup refresh never rescans the table."""
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.operators.incremental import (
+        maintain_from_changelog,
+    )
+    from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    cut = 450000.0
+    tmp = tempfile.mkdtemp(prefix="ies-ivm-")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "orders_table"))
+        v1 = t.write(orders, ts=1000.0)
+
+        def _measured(df: DataFrame) -> DataFrame:
+            # exact-arithmetic measure column shared by the base rollup,
+            # the changelog delta, and the repair read: rounded DECIMAL so
+            # the signed retraction sums are order-independent bit-for-bit
+            return df.withColumn(
+                "price2",
+                F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)"),
+            )
+
+        base = _measured(t.read(spark, version=v1)).groupBy(
+            "o_orderstatus"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price2").alias("sp"),
+            F.max("price2").alias("mp"),
+        )
+        t.delete_where(spark, F.col("o_totalprice") > cut, ts=2000.0)
+        t.append(
+            orders.filter(F.col("o_orderstatus") == "P").withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(600000000)
+            ),
+            ts=3000.0,
+        )
+        vN = t.versions()[-1]["version"]
+        log = _measured(t.changes_between(spark, v1, vN))
+        refreshed = maintain_from_changelog(
+            base,
+            log,
+            _measured(t.read(spark, version=vN)),
+            keys=["o_orderstatus"],
+            row_key="o_orderkey",
+            change_col="_change_type",
+            sum_cols={"price2": "sp"},
+            count_col="n",
+            max_cols={"price2": "mp"},
+        )
+        rows = [
+            (
+                r["o_orderstatus"],
+                int(r["n"]),
+                float(r["sp"]),
+                float(r["mp"]),
+            )
+            for r in refreshed.collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderstatus string, n bigint, sum_price double, max_price double",
+    )
+
+
+#: Final state: orders <= cut, plus the re-keyed 'P' increment (appended
+#: AFTER the delete, so high-priced 'P' rows in it survive — the
+#: data-sequence rule the changelog preserves).
+_CHANGELOG_IVM_SQL = """
+WITH civ_final AS (
+    SELECT o_orderstatus, o_totalprice FROM orders WHERE o_totalprice <= 450000.0
+    UNION ALL
+    SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'P'
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(28,2))) AS DOUBLE)
+           AS sum_price,
+       CAST(MAX(ROUND(o_totalprice, 2)) AS DOUBLE) AS max_price
+FROM civ_final
+GROUP BY o_orderstatus
+"""
+
+
 #: Equality-delete key selector for the merge-on-read entry: customers this
 #: far in the red get their orders dropped (10 keys at sf0.01 — a genuinely
 #: small key list, the CDC-delete shape).
@@ -11815,6 +12000,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_cluster_components": dedup_cluster_components,
         # ---------------------- past the window ----------------------------
+        # (positions 51-52: NEW round-10 capabilities registered after the
+        # window filled — locally oracle-verified this round, queued FIRST
+        # for round 11's window head alongside the r05 cohort)
+        "orders_sorted_scan_stats": orders_sorted_scan_stats,
+        "orders_changelog_ivm": orders_changelog_ivm,
         # Everything below is r05-r09 hash-verified (freshest first-ish,
         # prior relative order preserved); every entry is still locally
         # oracle-verified each round by tests/test_entry_contract.py
@@ -12092,6 +12282,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_video_mjpeg": _mjpeg_avi_sql(),
         "multimodal_video_mp4": _mp4_sql(),
         "orders_wap_tagged_release": _WAP_RELEASE_SQL,
+        "orders_sorted_scan_stats": _SORTED_SCAN_SQL,
+        "orders_changelog_ivm": _CHANGELOG_IVM_SQL,
         "orders_mor_pruned_read": _MORPRUNE_SQL,
         "orders_changelog_scan": _CHANGELOG_SQL,
         "orders_cdc_stream_mor": _MOR_STREAM_SQL,

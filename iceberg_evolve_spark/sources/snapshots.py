@@ -1450,6 +1450,7 @@ class SnapshotTable:
         spark: SparkSession,
         cols: list[str],
         version: int | None = None,
+        rsd: float = 0.05,
     ) -> dict:
         """ANALYZE TABLE for one snapshot: per-column NDV estimate (Spark's
         JVM-side HyperLogLog++ via ``approx_count_distinct``), null count,
@@ -1469,8 +1470,12 @@ class SnapshotTable:
         if missing:
             raise ValueError(f"columns {missing} not in table {df.columns}")
         aggs = [F.count(F.lit(1)).alias("_n")]
+        # rsd = HLL++ target relative standard deviation (more registers,
+        # tighter NDV, still one pass; Spark's default is 0.05)
         for i, c in enumerate(cols):
-            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"_ndv{i}"))
+            aggs.append(
+                F.approx_count_distinct(F.col(c), rsd).alias(f"_ndv{i}")
+            )
             aggs.append(
                 F.sum(F.col(c).isNull().cast("long")).alias(f"_nul{i}")
             )
