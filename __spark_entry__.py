@@ -10883,6 +10883,152 @@ GROUP BY o_orderstatus
 """
 
 
+def orders_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION VECTORS (r10; Iceberg v3 —
+    `sources/snapshots.py:delete_where(vector=True)`): two vector deletes
+    with a fast-append between them. The first vector drops high-priced
+    orders; the append then lands re-keyed 'P' orders (positions are
+    FILE-scoped, so appended rows survive the earlier vector even where
+    they match its predicate — v3's cleaner variant of the data-sequence
+    rule); the second vector delete hits BOTH file generations and MERGES
+    with the first into ONE superseding structure. Hash surfaces: the
+    witness that the snapshot carries exactly one delete entry (one
+    vector, one supersede — K vector deletes never cost the reader more
+    than ONE anti-join, the v3 fix for v2's per-delete-file read
+    amplification) and the final per-status aggregates, which the oracle
+    recomputes from the predicates alone. At 100 TB the vector is a
+    parquet sidecar of sorted position arrays (delta-encoded — the role
+    roaring bitmaps play in Puffin); its application explodes the SMALL
+    side only, leaving the table scan in whole-stage codegen."""
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    hi_cut, lo_cut = 400000.0, 50000.0
+    tmp = tempfile.mkdtemp(prefix="ies-dv-")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "orders_table"))
+        t.write(orders.repartition(8), ts=1000.0)
+        t.delete_where(
+            spark, F.col("o_totalprice") > hi_cut, vector=True, ts=2000.0
+        )
+        t.append(
+            orders.filter(F.col("o_orderstatus") == "P").withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(600000000)
+            ),
+            ts=3000.0,
+        )
+        t.delete_where(
+            spark, F.col("o_totalprice") < lo_cut, vector=True, ts=4000.0
+        )
+        cur = t.versions()[-1]
+        dvs = [d for d in cur["deletes"] if d["kind"] == "dv"]
+        single_vector = (
+            len(cur["deletes"]) == 1
+            and len(dvs) == 1
+            and len(dvs[0].get("supersedes", [])) == 1
+        )
+        final = t.read(spark).groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)")
+            ).alias("sp"),
+        )
+        rows = [
+            (bool(single_vector), r["o_orderstatus"], int(r["n"]), float(r["sp"]))
+            for r in final.collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "single_vector boolean, o_orderstatus string, n bigint, "
+        "sum_price double",
+    )
+
+
+#: Final state: base rows inside [lo_cut, hi_cut] (vector 1 dropped > hi_cut,
+#: vector 2 dropped < lo_cut), plus the re-keyed 'P' increment appended
+#: BETWEEN them — file-scoped vectors never touch the appended files for
+#: vector 1, so only the < lo_cut bound applies to the increment.
+_DELETE_VECTORS_SQL = """
+WITH dv_final AS (
+    SELECT o_orderstatus, o_totalprice FROM orders
+    WHERE o_totalprice BETWEEN 50000.0 AND 400000.0
+    UNION ALL
+    SELECT o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderstatus = 'P' AND o_totalprice >= 50000.0
+)
+SELECT TRUE AS single_vector,
+       o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(28,2))) AS DOUBLE)
+           AS sum_price
+FROM dv_final
+GROUP BY o_orderstatus
+"""
+
+
+def orders_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION STATISTICS (r10; Iceberg's partition statistics files —
+    `sources/snapshots.py:partition_stats_df`): orders written PARTITIONED
+    by o_orderstatus, hit by a deletion-vector delete, then the partition
+    stats read back from METADATA ONLY (manifests + footers + the vector's
+    per-file index — never a data scan). Hash surfaces: per-partition
+    physical row counts, attributed delete-record counts, and the derived
+    live-row counts — all recomputable by the oracle from the partition
+    column and the delete predicate; file counts are physical (layout-
+    dependent) so only their positivity is gated. At 100 TB this relation
+    IS the partition-maintenance planner's input: delete-heavy partitions
+    compact first, and the metadata-plane cost is O(files), not O(rows)."""
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    cut = 300000.0
+    tmp = tempfile.mkdtemp(prefix="ies-pstats-")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "orders_table"))
+        t.write(orders, partition_by=["o_orderstatus"], ts=1000.0)
+        t.delete_where(
+            spark, F.col("o_totalprice") > cut, vector=True, ts=2000.0
+        )
+        rows = [
+            (
+                r["partition"].split("=", 1)[1],
+                bool(r["data_file_count"] >= 1 and r["data_bytes"] > 0),
+                int(r["data_row_count"]),
+                int(r["delete_record_count"]),
+                int(r["data_row_count"] - r["delete_record_count"]),
+            )
+            for r in t.partition_stats_df(spark).collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderstatus string, has_files boolean, data_rows bigint, "
+        "deleted_rows bigint, live_rows bigint",
+    )
+
+
+_PARTITION_STATS_SQL = """
+SELECT o_orderstatus,
+       TRUE AS has_files,
+       CAST(COUNT(*) AS BIGINT) AS data_rows,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice > 300000.0) AS BIGINT)
+           AS deleted_rows,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice <= 300000.0) AS BIGINT)
+           AS live_rows
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 #: Equality-delete key selector for the merge-on-read entry: customers this
 #: far in the red get their orders dropped (10 keys at sf0.01 — a genuinely
 #: small key list, the CDC-delete shape).
@@ -12000,11 +12146,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_cluster_components": dedup_cluster_components,
         # ---------------------- past the window ----------------------------
-        # (positions 51-52: NEW round-10 capabilities registered after the
+        # (positions 51-54: NEW round-10 capabilities registered after the
         # window filled — locally oracle-verified this round, queued FIRST
         # for round 11's window head alongside the r05 cohort)
         "orders_sorted_scan_stats": orders_sorted_scan_stats,
         "orders_changelog_ivm": orders_changelog_ivm,
+        "orders_delete_vectors": orders_delete_vectors,
+        "orders_partition_stats": orders_partition_stats,
         # Everything below is r05-r09 hash-verified (freshest first-ish,
         # prior relative order preserved); every entry is still locally
         # oracle-verified each round by tests/test_entry_contract.py
@@ -12284,6 +12432,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_wap_tagged_release": _WAP_RELEASE_SQL,
         "orders_sorted_scan_stats": _SORTED_SCAN_SQL,
         "orders_changelog_ivm": _CHANGELOG_IVM_SQL,
+        "orders_delete_vectors": _DELETE_VECTORS_SQL,
+        "orders_partition_stats": _PARTITION_STATS_SQL,
         "orders_mor_pruned_read": _MORPRUNE_SQL,
         "orders_changelog_scan": _CHANGELOG_SQL,
         "orders_cdc_stream_mor": _MOR_STREAM_SQL,

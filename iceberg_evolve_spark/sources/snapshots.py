@@ -37,6 +37,17 @@ Disciplines (the same ones real table formats automate):
   old version's manifest list (stamped ``rollback_of`` so changelog scans
   can refuse ambiguous ranges) — history is preserved and the rollback is
   itself a snapshot, exactly like Iceberg's ``rollback_to_snapshot``.
+* **Row deletes can be DELETION VECTORS (Iceberg v3).** ``delete_where(
+  vector=True)`` maintains AT MOST ONE merged positional structure per
+  snapshot — a parquet sidecar holding, per data file, the SORTED array of
+  deleted row positions (parquet's delta encoding + compression is the
+  bitmap; Iceberg v3 serializes roaring bitmaps into Puffin files for the
+  same reason). Each vector delete UNIONS with the previous vector and
+  supersedes it, so K delete commits cost the reader exactly ONE anti-join —
+  versus K anti-joins for K v2 positional delete files. The read-side
+  application is ``explode`` + anti-join: pure JVM, the scan side never
+  leaves whole-stage codegen. Superseded vectors stay on disk for time
+  travel until retention reclaims them.
 * **Compaction is scoped.** ``rewrite_data_files`` rewrites ONLY the files
   referenced by delete files (positional deletes name their files; equality
   deletes scope by key-column bound overlap, conservative on unknowns) plus
@@ -495,6 +506,12 @@ class SnapshotTable:
         # data-sequence stamp: this delete applies only to data files with a
         # strictly older sequence (rows appended AFTER it must survive it)
         delete = {**delete, "seq": new_version}
+        prior = list(cur.get("deletes", []))
+        if delete["kind"] == "dv":
+            # Iceberg v3 invariant: at most ONE deletion vector per snapshot —
+            # the new (merged) vector REPLACES the old, which stays on disk
+            # for older versions until retention reclaims it
+            prior = [d for d in prior if d["kind"] != "dv"]
         new_entry = {
             "version": new_version,
             "data_dir": cur["data_dir"],
@@ -502,7 +519,7 @@ class SnapshotTable:
             **({"has_appends": True} if cur.get("has_appends") else {}),
             **({"partition_by": list(cur["partition_by"])} if cur.get("partition_by") else {}),
             **({"sort_by": list(cur["sort_by"])} if cur.get("sort_by") else {}),
-            "deletes": list(cur.get("deletes", [])) + [delete],
+            "deletes": prior + [delete],
             "ts": time.time() if ts is None else ts,
             "note": note,
         }
@@ -519,6 +536,7 @@ class SnapshotTable:
         condition,
         note: str | None = None,
         ts: float | None = None,
+        vector: bool = False,
     ) -> int:
         """Row-level delete by predicate via a POSITIONAL delete file.
 
@@ -527,12 +545,25 @@ class SnapshotTable:
         pairs as a delete file, and commits a new snapshot referencing the
         unchanged data files. Returns the new version — or the current one
         unchanged if nothing matched (no empty commits, as Iceberg). The scan
-        is the cost of a filtered read; the write is O(rows deleted)."""
+        is the cost of a filtered read; the write is O(rows deleted).
+
+        ``vector=True`` writes a DELETION VECTOR instead (Iceberg v3): the
+        matched positions are UNIONED with the table's current vector and
+        committed as ONE merged per-file structure superseding it, so the
+        read side pays a single anti-join however many vector deletes have
+        accumulated — the v3 fix for v2's one-join-per-delete-file read
+        amplification. Cost: the same filtered scan + a shuffle of
+        O(all vectored positions) to re-group by file (Iceberg's
+        maintenance trade: merge on write, constant on read)."""
         entries = self.versions()
         if not entries:
             raise FileNotFoundError(f"no snapshots at {self.path}")
         live = self._read_with_pos(spark, entries[-1])
         matched = live.filter(condition).select("_file", "_pos")
+        if vector:
+            return self._commit_delete_vector(
+                spark, entries, matched, note or "delete_where (vector)", ts
+            )
         dd = self._next_delete_dir(entries)
         final = os.path.join(self.path, dd)
         tmp = final + ".tmp"
@@ -605,6 +636,101 @@ class SnapshotTable:
             note or f"delete_by_key {cols}",
             ts,
         )
+
+    # -- deletion vectors (Iceberg v3) --------------------------------------
+    @staticmethod
+    def _dv_entry(entry: dict) -> dict | None:
+        """The snapshot's (single) deletion-vector delete entry, if any."""
+        for d in entry.get("deletes", []):
+            if d["kind"] == "dv":
+                return d
+        return None
+
+    def _dv_pairs(self, spark: SparkSession, d: dict) -> DataFrame:
+        """A deletion vector unpacked to (_file, _pos) rows — ``explode`` of
+        the per-file sorted position arrays, pure JVM. The expansion is
+        O(deleted rows) on the (small) vector side only; the data scan it
+        anti-joins against is untouched."""
+        from pyspark.sql import functions as F
+
+        dfile = spark.read.parquet(os.path.join(self.path, d["dir"]))
+        return dfile.select(
+            "_file", F.explode("positions").alias("_pos")
+        )
+
+    def _dv_total_card(self, dirpath: str) -> int:
+        """Total deleted-position count of a vector dir, from its (one row
+        per data file) ``card`` column — KB-scale driver reads."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for root, _dirs, names in os.walk(dirpath):
+            for fn in names:
+                if fn.endswith(".parquet") and not fn.startswith("_"):
+                    col = pq.read_table(
+                        os.path.join(root, fn), columns=["card"]
+                    ).column(0)
+                    total += sum(col.to_pylist())
+        return total
+
+    def _commit_delete_vector(
+        self,
+        spark: SparkSession,
+        entries: list[dict],
+        matched: DataFrame,
+        note: str,
+        ts: float | None,
+    ) -> int:
+        """Merge ``matched`` (_file, _pos) rows into the table's deletion
+        vector and commit the result as the snapshot's single ``dv`` delete
+        entry (Iceberg v3: one vector per snapshot; a new vector always
+        SUPERSEDES — is a superset of — the old one, recorded in the
+        ``supersedes`` chain so changelog scans can attribute the delta).
+
+        Layout: a parquet dir with one row per touched data file —
+        ``(_file string, positions array<bigint> sorted, card bigint)``.
+        Sorted arrays make parquet's delta encoding the compression (the
+        role roaring bitmaps play in Iceberg's Puffin blobs) and the output
+        deterministic. Per-file arrays live in executor memory during the
+        groupBy — the same per-file bound a real DV writer carries."""
+        from pyspark.sql import functions as F
+
+        cur = entries[-1]
+        prev = self._dv_entry(cur)
+        pairs = matched
+        prev_card = 0
+        if prev is not None:
+            prev_card = self._dv_total_card(
+                os.path.join(self.path, prev["dir"])
+            )
+            pairs = pairs.unionByName(self._dv_pairs(spark, prev))
+        dv = (
+            pairs.groupBy("_file")
+            .agg(F.sort_array(F.collect_set("_pos")).alias("positions"))
+            .withColumn("card", F.size("positions").cast("long"))
+        )
+        dd = self._next_delete_dir(entries)
+        final = os.path.join(self.path, dd)
+        tmp = final + ".tmp"
+        dv.write.mode("overwrite").parquet(tmp)
+        # matched rows come from the CURRENT read (existing vector already
+        # applied), so merged ⊇ old with equality iff nothing new matched:
+        # equal cardinality ⇒ no commit (footer-scale check, no extra job)
+        if self._dv_total_card(tmp) == prev_card:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            return cur["version"]
+        os.rename(tmp, final)
+        chain = (
+            list(prev.get("supersedes", [])) + [prev["dir"]]
+            if prev is not None
+            else []
+        )
+        delete = {"dir": dd, "kind": "dv", "paths": "rel"}
+        if chain:
+            delete["supersedes"] = chain
+        return self._append_delete_entry(entries, delete, note, ts)
 
     def _check_pos_delete_paths(self, d: dict) -> None:
         """Refuse positional delete files recorded under the pre-r9
@@ -705,6 +831,17 @@ class SnapshotTable:
             if d["kind"] == "pos":
                 self._check_pos_delete_paths(d)
                 right = F.broadcast(dfile) if small else dfile
+                df = df.join(right, on=["_file", "_pos"], how="anti")
+            elif d["kind"] == "dv":
+                # deletion vector: explode the per-file position arrays on
+                # the (small) vector side, ONE anti-join total — the scan
+                # side stays in whole-stage codegen. Positions are file-
+                # scoped, so no sequence filter is needed (appends are new
+                # files a vector cannot reference).
+                pairs = dfile.select(
+                    "_file", F.explode("positions").alias("_pos")
+                )
+                right = F.broadcast(pairs) if small else pairs
                 df = df.join(right, on=["_file", "_pos"], how="anti")
             elif d["kind"] == "eq":
                 dseq = d.get("seq")
@@ -900,8 +1037,11 @@ class SnapshotTable:
         base_seq = int(cur.get("base_seq", cur["version"]))
         affected: set[str] = set()
         for d in cur.get("deletes", []):
-            if d["kind"] == "pos":
-                self._check_pos_delete_paths(d)
+            if d["kind"] in ("pos", "dv"):
+                # both name their data files outright (a deletion vector's
+                # _file column is its per-file index)
+                if d["kind"] == "pos":
+                    self._check_pos_delete_paths(d)
                 affected |= self._pos_delete_files(d) & set(rel_files)
                 continue
             dseq = int(d.get("seq") or 10**9)
@@ -1529,6 +1669,87 @@ class SnapshotTable:
             "min string, max string",
         )
 
+    def partition_stats_df(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        as_of: float | None = None,
+    ) -> DataFrame:
+        """PARTITION STATISTICS (Iceberg's partition statistics files): one
+        row per partition of one snapshot — data file/row/byte totals plus
+        the positional-delete pressure on that partition (pos-delete records
+        and deletion-vector cardinalities, attributed by the data files they
+        name). This is the relation partition-level planning reads: which
+        partitions are delete-heavy (compact them first), which are skewed,
+        what a partition-pruned scan will actually touch.
+
+        Cost: manifests + one footer read per data file + the (small)
+        delete sidecars' index columns — metadata-plane, driver-side, never
+        a data scan; exactly what Iceberg's partition-stats writer computes
+        from its manifests. EQUALITY deletes are key- not file-scoped, so
+        their row impact is unattributable without a scan: they are
+        reported as the table-wide ``eq_delete_files`` count on every row
+        (the conservative planner reading), never folded into
+        ``delete_record_count``. Unpartitioned snapshots yield one row with
+        ``partition = ''``."""
+        from collections import Counter, defaultdict
+
+        import pyarrow.parquet as pq
+
+        entry = self._resolve(version, as_of)
+        ddir = os.path.join(self.path, entry["data_dir"])
+        if entry.get("manifests"):
+            rels = self._entry_files(entry)
+        else:
+            rels = _walk_rel_parquet(ddir)
+        n_files: dict[str, int] = defaultdict(int)
+        n_rows: dict[str, int] = defaultdict(int)
+        n_bytes: dict[str, int] = defaultdict(int)
+        for rel in rels:
+            part = os.path.dirname(rel)
+            fp = os.path.join(ddir, rel)
+            n_files[part] += 1
+            n_rows[part] += pq.ParquetFile(fp).metadata.num_rows
+            n_bytes[part] += os.path.getsize(fp)
+        del_rows: Counter = Counter()
+        n_eq = 0
+        for d in entry.get("deletes", []):
+            if d["kind"] == "eq":
+                n_eq += 1
+                continue
+            if d["kind"] == "pos":
+                self._check_pos_delete_paths(d)
+            for root, _dirs, names in os.walk(os.path.join(self.path, d["dir"])):
+                for fn in names:
+                    if not fn.endswith(".parquet") or fn.startswith("_"):
+                        continue
+                    cols = ["_file", "card"] if d["kind"] == "dv" else ["_file"]
+                    tbl = pq.read_table(os.path.join(root, fn), columns=cols)
+                    fl = tbl.column(0).to_pylist()
+                    if d["kind"] == "dv":
+                        for f, c in zip(fl, tbl.column(1).to_pylist()):
+                            del_rows[os.path.dirname(f)] += int(c)
+                    else:
+                        for f in fl:
+                            del_rows[os.path.dirname(f)] += 1
+        rows = [
+            (
+                part,
+                int(n_files[part]),
+                int(n_rows[part]),
+                int(n_bytes[part]),
+                int(del_rows.get(part, 0)),
+                int(n_eq),
+            )
+            for part in sorted(n_files)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "partition string, data_file_count bigint, data_row_count "
+            "bigint, data_bytes bigint, delete_record_count bigint, "
+            "eq_delete_files bigint",
+        )
+
     def changes_between(
         self,
         spark: SparkSession,
@@ -1588,12 +1809,35 @@ class SnapshotTable:
                     break
         if boundary is None and eto.get("base_seq") != efrom.get("base_seq"):
             boundary = "full rewrite (new lineage) in range"
-        old = {json.dumps(d, sort_keys=True) for d in efrom.get("deletes", [])}
-        new = {json.dumps(d, sort_keys=True) for d in eto.get("deletes", [])}
+        old = {
+            json.dumps(d, sort_keys=True)
+            for d in efrom.get("deletes", [])
+            if d["kind"] != "dv"
+        }
+        new = {
+            json.dumps(d, sort_keys=True)
+            for d in eto.get("deletes", [])
+            if d["kind"] != "dv"
+        }
         if boundary is None and not old <= new:
             # membership, not len(): a rollback can REPLACE delete files
             # without shrinking the count (ADVICE r9)
             boundary = "delete files removed in range (rollback)"
+        # deletion vectors legitimately REPLACE each other — but only along
+        # the supersede chain (each new vector is a committed superset of
+        # the old). A vector outside the chain, or one that vanished, is a
+        # rollback this scan cannot attribute.
+        dv_from = self._dv_entry(efrom)
+        dv_to = self._dv_entry(eto)
+        if boundary is None and dv_from is not None:
+            if dv_to is None or (
+                dv_to["dir"] != dv_from["dir"]
+                and dv_from["dir"] not in dv_to.get("supersedes", [])
+            ):
+                boundary = (
+                    "deletion vector replaced outside its supersede chain "
+                    "(rollback)"
+                )
         if (
             boundary is None
             and efrom.get("manifests")
@@ -1622,15 +1866,18 @@ class SnapshotTable:
         new_deletes = [
             d
             for d in eto.get("deletes", [])
-            if json.dumps(d, sort_keys=True) not in old
+            if d["kind"] != "dv" and json.dumps(d, sort_keys=True) not in old
         ]
+        dv_grew = dv_to is not None and (
+            dv_from is None or dv_to["dir"] != dv_from["dir"]
+        )
         live_to = self._read_with_pos(spark, eto)
         inserts = (
             live_to.filter(F.col("_seq") > int(from_version))
             .drop(*_RESERVED_COLS)
             .withColumn("_change_type", F.lit("insert"))
         )
-        if not new_deletes:
+        if not new_deletes and not dv_grew:
             return inserts
         live_from = self._read_with_pos(spark, efrom)
         hit = None
@@ -1642,6 +1889,25 @@ class SnapshotTable:
             right = F.broadcast(dfile) if small else dfile
             on = ["_file", "_pos"] if d["kind"] == "pos" else list(d["cols"])
             h = live_from.join(right.select(*on).distinct(), on=on, how="semi")
+            hit = h if hit is None else hit.unionByName(h)
+        if dv_grew:
+            # the in-range vector delta: positions in the new vector but not
+            # the superseded one (a guaranteed superset along the chain, so
+            # anti-join IS set difference); rows both appended and vector-
+            # deleted inside the range reference files the `from` read does
+            # not hold, so the semi-join drops them — the net contract.
+            pairs = self._dv_pairs(spark, dv_to)
+            if dv_from is not None:
+                pairs = pairs.join(
+                    self._dv_pairs(spark, dv_from),
+                    on=["_file", "_pos"],
+                    how="anti",
+                )
+            small = _dir_bytes(os.path.join(self.path, dv_to["dir"])) <= (
+                BROADCAST_DELETE_MAX_BYTES
+            )
+            right = F.broadcast(pairs) if small else pairs
+            h = live_from.join(right, on=["_file", "_pos"], how="semi")
             hit = h if hit is None else hit.unionByName(h)
         deletes = (
             hit.dropDuplicates(["_file", "_pos"])

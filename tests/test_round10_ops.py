@@ -488,3 +488,204 @@ class TestStreamingMetadataBounds:
         assert {(r["k"], r["val"]) for r in t.read(spark).collect()} == set(
             state.items()
         )
+
+
+class TestDeletionVectors:
+    """Iceberg v3 deletion vectors: one merged per-file positional structure
+    per snapshot, superseding on every vector delete — K delete commits cost
+    the reader ONE anti-join (v2 positional files cost K)."""
+
+    def test_vector_delete_matches_filter(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        df = spark.range(0, 100).withColumn("g", F.col("id") % 7)
+        t.write(df)
+        t.delete_where(spark, F.col("id") % 10 == 0, vector=True)
+        got = sorted(r["id"] for r in t.read(spark).collect())
+        assert got == [i for i in range(100) if i % 10 != 0]
+
+    def test_vectors_merge_to_one_entry(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 100))
+        t.delete_where(spark, F.col("id") < 10, vector=True)
+        t.delete_where(spark, F.col("id") >= 90, vector=True)
+        t.delete_where(spark, F.col("id") % 2 == 1, vector=True)
+        cur = t.versions()[-1]
+        dvs = [d for d in cur["deletes"] if d["kind"] == "dv"]
+        assert len(dvs) == 1  # read amplification stays at exactly one
+        assert len(cur["deletes"]) == 1
+        assert len(dvs[0]["supersedes"]) == 2
+        got = sorted(r["id"] for r in t.read(spark).collect())
+        assert got == [i for i in range(10, 90) if i % 2 == 0]
+
+    def test_time_travel_through_superseded_vectors(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 50))
+        v2 = t.delete_where(spark, F.col("id") < 5, vector=True)
+        v3 = t.delete_where(spark, F.col("id") >= 45, vector=True)
+        assert sorted(r["id"] for r in t.read(spark, version=v2).collect()) == list(range(5, 50))
+        assert sorted(r["id"] for r in t.read(spark, version=v3).collect()) == list(range(5, 45))
+
+    def test_empty_vector_delete_is_no_commit(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 10))
+        v2 = t.delete_where(spark, F.col("id") < 3, vector=True)
+        # re-deleting already-vectored rows matches nothing new
+        assert t.delete_where(spark, F.col("id") < 3, vector=True) == v2
+        assert t.versions()[-1]["version"] == v2
+
+    def test_vector_is_file_scoped_appends_survive(self, spark, tdir):
+        """Positions are per-file: rows appended AFTER a vector delete live
+        in files the vector cannot reference, so they survive even when
+        they'd match the original predicate."""
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 20))
+        t.delete_where(spark, F.col("id") >= 10, vector=True)
+        t.append(spark.range(10, 15))  # same values as deleted ones
+        got = sorted(r["id"] for r in t.read(spark).collect())
+        assert got == list(range(0, 15))
+        # and a second vector delete can hit the appended files too
+        t.delete_where(spark, F.col("id") == 12, vector=True)
+        got = sorted(r["id"] for r in t.read(spark).collect())
+        assert got == [i for i in range(0, 15) if i != 12]
+
+    def test_vector_composes_with_eq_delete(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 30).withColumn("k", F.col("id") % 3))
+        t.delete_where(spark, F.col("id") < 6, vector=True)
+        t.delete_by_key(spark.createDataFrame([(2,)], "k long"), ["k"])
+        got = sorted(r["id"] for r in t.read(spark).collect())
+        assert got == [i for i in range(6, 30) if i % 3 != 2]
+
+    def test_changelog_attributes_vector_delta(self, spark, tdir):
+        """changes_between across vector commits emits exactly the delta
+        positions' rows as deletes — not the whole vector."""
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 40))
+        v2 = t.delete_where(spark, F.col("id") < 5, vector=True)
+        v3 = t.delete_where(spark, F.col("id") >= 35, vector=True)
+        v4 = t.append(spark.range(100, 103))
+        log = t.changes_between(spark, v2, v4)
+        got = sorted((r["_change_type"], r["id"]) for r in log.collect())
+        assert got == [
+            ("delete", 35), ("delete", 36), ("delete", 37),
+            ("delete", 38), ("delete", 39),
+            ("insert", 100), ("insert", 101), ("insert", 102),
+        ]
+        # unchanged vector across the range: no deletes emitted
+        log2 = t.changes_between(spark, v3, v4)
+        got2 = sorted((r["_change_type"], r["id"]) for r in log2.collect())
+        assert got2 == [("insert", 100), ("insert", 101), ("insert", 102)]
+
+    def test_changelog_detects_vector_rollback(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 20))
+        v2 = t.delete_where(spark, F.col("id") < 5, vector=True)
+        t.rollback(1)
+        v4 = t.append(spark.range(50, 52))
+        with pytest.raises(ValueError, match="rollback"):
+            t.changes_between(spark, v2, v4)
+
+    def test_compaction_folds_vector(self, spark, tdir):
+        """Scoped rewrite treats the vector's _file column as its scope:
+        referenced files are rewritten without their deleted rows, the
+        vector entry is dropped, untouched files carry byte-identical."""
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 100).repartition(8))
+        t.delete_where(spark, F.col("id") % 10 == 3, vector=True)
+        before = {
+            rel: os.path.getsize(os.path.join(t.path, "v00001", rel))
+            for rel in t._entry_files(t.versions()[-1])
+        }
+        t.rewrite_data_files(spark)
+        cur = t.versions()[-1]
+        assert cur.get("deletes", []) == []
+        got = sorted(r["id"] for r in t.read(spark).collect())
+        assert got == [i for i in range(100) if i % 10 != 3]
+        # every carried (untouched) file is byte-identical
+        after_files = set(t._entry_files(cur))
+        for rel, size in before.items():
+            if rel in after_files:
+                assert os.path.getsize(os.path.join(t.path, "v00001", rel)) == size
+
+    def test_retention_reclaims_superseded_vectors(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 20))
+        t.delete_where(spark, F.col("id") < 3, vector=True)
+        old_dv = t._dv_entry(t.versions()[-1])["dir"]
+        t.delete_where(spark, F.col("id") >= 18, vector=True)
+        assert os.path.isdir(os.path.join(t.path, old_dv))
+        _, removed = t.expire_snapshots(keep_last=1)
+        assert old_dv in removed
+        assert not os.path.isdir(os.path.join(t.path, old_dv))
+        got = sorted(r["id"] for r in t.read(spark).collect())
+        assert got == list(range(3, 18))
+
+    def test_files_df_reports_vector(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 20))
+        t.delete_where(spark, F.col("id") < 3, vector=True)
+        rows = t.files_df(spark).collect()
+        kinds = {r["content"] for r in rows}
+        assert "dv-delete" in kinds
+
+
+class TestPartitionStats:
+    """Iceberg partition statistics files: per-partition file/row/byte
+    totals + attributed positional-delete pressure, from metadata only."""
+
+    def test_partitioned_counts_match_data(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        df = spark.range(0, 90).withColumn("p", (F.col("id") % 3).cast("string"))
+        t.write(df, partition_by=["p"])
+        st = {r["partition"]: r for r in t.partition_stats_df(spark).collect()}
+        assert set(st) == {"p=0", "p=1", "p=2"}
+        for part, r in st.items():
+            assert r["data_row_count"] == 30
+            assert r["data_file_count"] >= 1
+            assert r["data_bytes"] > 0
+            assert r["delete_record_count"] == 0
+
+    def test_vector_deletes_attributed_per_partition(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        df = spark.range(0, 90).withColumn("p", (F.col("id") % 3).cast("string"))
+        t.write(df, partition_by=["p"])
+        # delete 10 rows, all in partition p=0 (ids ≡ 0 mod 3, < 30)
+        t.delete_where(
+            spark, (F.col("id") % 3 == 0) & (F.col("id") < 30), vector=True
+        )
+        st = {r["partition"]: r for r in t.partition_stats_df(spark).collect()}
+        assert st["p=0"]["delete_record_count"] == 10
+        assert st["p=1"]["delete_record_count"] == 0
+        assert st["p=2"]["delete_record_count"] == 0
+        # data_row_count stays physical (live = data - deletes)
+        assert st["p=0"]["data_row_count"] == 30
+
+    def test_pos_deletes_and_eq_reported(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        df = spark.range(0, 40).withColumn("p", (F.col("id") % 2).cast("string"))
+        t.write(df, partition_by=["p"])
+        t.delete_where(spark, F.col("id") < 4)  # pos: 2 rows per partition
+        t.delete_by_key(spark.createDataFrame([(38,)], "id long"), ["id"])
+        st = {r["partition"]: r for r in t.partition_stats_df(spark).collect()}
+        assert st["p=0"]["delete_record_count"] == 2
+        assert st["p=1"]["delete_record_count"] == 2
+        # eq deletes are key-scoped: counted, never attributed
+        assert all(r["eq_delete_files"] == 1 for r in st.values())
+
+    def test_unpartitioned_single_row(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 25))
+        rows = t.partition_stats_df(spark).collect()
+        assert len(rows) == 1
+        assert rows[0]["partition"] == ""
+        assert rows[0]["data_row_count"] == 25
+
+    def test_time_travel_stats(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        df = spark.range(0, 20).withColumn("p", (F.col("id") % 2).cast("string"))
+        v1 = t.write(df, partition_by=["p"])
+        t.delete_where(spark, F.col("id") < 10, vector=True)
+        old = {r["partition"]: r for r in t.partition_stats_df(spark, version=v1).collect()}
+        assert all(r["delete_record_count"] == 0 for r in old.values())
+        cur = {r["partition"]: r for r in t.partition_stats_df(spark).collect()}
+        assert sum(r["delete_record_count"] for r in cur.values()) == 10

@@ -28,8 +28,8 @@ from iceberg_evolve_spark.sources.snapshots import SnapshotTable
 _OPS = st.lists(
     st.tuples(
         st.sampled_from(
-            ["append", "delete_key", "delete_pred", "rollback",
-             "compact", "expire", "tag"]
+            ["append", "delete_key", "delete_pred", "delete_vec",
+             "rollback", "compact", "expire", "tag"]
         ),
         st.integers(min_value=0, max_value=9),
     ),
@@ -89,6 +89,15 @@ def test_random_op_sequences_match_model(spark, ops):
                 cut = sorted(cur)[len(cur) // 2] if cur else 0
                 nv = t.delete_where(spark, F.col("id") < cut)
                 cur = {i: g for i, g in cur.items() if i >= cut}
+                v = nv
+            elif kind == "delete_vec":
+                # Iceberg v3 deletion vector; merges with any prior vector
+                hi = sorted(cur)[-(1 + p % 4):] if cur else []
+                cut = hi[0] if hi else 0
+                nv = t.delete_where(
+                    spark, F.col("id") >= cut, vector=True
+                )
+                cur = {i: g for i, g in cur.items() if i < cut}
                 v = nv
             elif kind == "rollback":
                 targets = sorted(model)
