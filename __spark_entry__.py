@@ -11016,6 +11016,78 @@ def orders_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_cbo_planned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATS-DRIVEN JOIN PLANNING (r10; `operators/cbo.py` consuming
+    `snapshots.py:analyze` statistics): orders and customer land as
+    snapshot tables, both ANALYZEd (one-pass HLL++ NDV / nulls / bounds —
+    Iceberg Puffin stats), then `planned_table_join` makes the catalog-CBO
+    calls Catalyst cannot make for out-of-catalog parquet: the System-R
+    output-size estimate (rows_L x rows_R / max NDV, null-adjusted,
+    zeroed on disjoint key ranges), the broadcast decision from EXACT
+    manifest byte totals (customer is the small side -> broadcast build,
+    verified in the physical plan), and the application as a hint. Hash
+    surfaces: the decision (strategy/build side/plan shape/estimate
+    accuracy) as booleans plus the joined per-segment aggregates the
+    oracle replays. At 100 TB this decision is made from KB of metadata
+    BEFORE the first shuffle — AQE's runtime sizes arrive a stage too
+    late for join-strategy mistakes this large."""
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.operators.cbo import planned_table_join
+    from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    tmp = tempfile.mkdtemp(prefix="ies-cbo-")
+    try:
+        t_o = SnapshotTable(os.path.join(tmp, "orders_table"))
+        t_c = SnapshotTable(os.path.join(tmp, "customer_table"))
+        t_o.write(orders, ts=1000.0)
+        t_c.write(customer, ts=1000.0)
+        t_o.analyze(spark, ["o_custkey"], rsd=0.01)
+        t_c.analyze(spark, ["c_custkey"], rsd=0.01)
+        out, decision = planned_table_join(
+            spark, t_o, t_c, "o_custkey", "c_custkey"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        actual = out.count()
+        planned_ok = (
+            decision["strategy"] == "broadcast"
+            and decision["build_side"] == "right"
+            and "BroadcastHashJoin" in plan
+            and abs(decision["est_rows"] - actual) <= 0.1 * actual
+        )
+        agg = out.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)")
+            ).alias("sp"),
+        )
+        rows = [
+            (bool(planned_ok), r["c_mktsegment"], int(r["n"]), float(r["sp"]))
+            for r in agg.collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "planned_ok boolean, c_mktsegment string, n bigint, "
+        "sum_price double",
+    )
+
+
+_CBO_PLANNED_JOIN_SQL = """
+SELECT TRUE AS planned_ok,
+       c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(28,2))) AS DOUBLE)
+           AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 _PARTITION_STATS_SQL = """
 SELECT o_orderstatus,
        TRUE AS has_files,
@@ -12146,13 +12218,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_cluster_components": dedup_cluster_components,
         # ---------------------- past the window ----------------------------
-        # (positions 51-54: NEW round-10 capabilities registered after the
+        # (positions 51-55: NEW round-10 capabilities registered after the
         # window filled — locally oracle-verified this round, queued FIRST
         # for round 11's window head alongside the r05 cohort)
         "orders_sorted_scan_stats": orders_sorted_scan_stats,
         "orders_changelog_ivm": orders_changelog_ivm,
         "orders_delete_vectors": orders_delete_vectors,
         "orders_partition_stats": orders_partition_stats,
+        "orders_cbo_planned_join": orders_cbo_planned_join,
         # Everything below is r05-r09 hash-verified (freshest first-ish,
         # prior relative order preserved); every entry is still locally
         # oracle-verified each round by tests/test_entry_contract.py
@@ -12434,6 +12507,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_changelog_ivm": _CHANGELOG_IVM_SQL,
         "orders_delete_vectors": _DELETE_VECTORS_SQL,
         "orders_partition_stats": _PARTITION_STATS_SQL,
+        "orders_cbo_planned_join": _CBO_PLANNED_JOIN_SQL,
         "orders_mor_pruned_read": _MORPRUNE_SQL,
         "orders_changelog_scan": _CHANGELOG_SQL,
         "orders_cdc_stream_mor": _MOR_STREAM_SQL,

@@ -689,3 +689,99 @@ class TestPartitionStats:
         assert all(r["delete_record_count"] == 0 for r in old.values())
         cur = {r["partition"]: r for r in t.partition_stats_df(spark).collect()}
         assert sum(r["delete_record_count"] for r in cur.values()) == 10
+
+
+class TestCboJoinPlanning:
+    """Stats-driven join planning: the catalog-CBO decisions (broadcast /
+    shuffle / salt, output-size estimate) made from snapshot statistics and
+    manifest byte totals — metadata only — then applied as Catalyst hints."""
+
+    def _tables(self, spark, tdir, n_fact=5000, n_dim=20):
+        from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+        fact = SnapshotTable(os.path.join(tdir, "fact"))
+        dim = SnapshotTable(os.path.join(tdir, "dim"))
+        fact.write(
+            spark.range(0, n_fact).select(
+                F.col("id").alias("fk"), (F.col("id") % n_dim).alias("k")
+            )
+        )
+        dim.write(
+            spark.range(0, n_dim).select(
+                F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+            )
+        )
+        fact.analyze(spark, ["k"])
+        dim.analyze(spark, ["k"])
+        return fact, dim
+
+    def test_estimate_matches_exact_uniform(self, spark, tdir):
+        from iceberg_evolve_spark.operators.cbo import estimate_equi_join_rows
+        fact, dim = self._tables(spark, tdir)
+        est = estimate_equi_join_rows(fact.stats(), dim.stats(), "k", "k")
+        # uniform keys: exact join size is n_fact (each fact row matches 1 dim)
+        assert abs(est - 5000) <= 0.1 * 5000  # HLL NDV tolerance
+
+    def test_disjoint_ranges_estimate_zero(self, spark, tdir):
+        from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+        from iceberg_evolve_spark.operators.cbo import estimate_equi_join_rows
+        a = SnapshotTable(os.path.join(tdir, "a"))
+        b = SnapshotTable(os.path.join(tdir, "b"))
+        a.write(spark.range(0, 100).select(F.col("id").alias("k")))
+        b.write(spark.range(1000, 1100).select(F.col("id").alias("k")))
+        a.analyze(spark, ["k"]); b.analyze(spark, ["k"])
+        assert estimate_equi_join_rows(a.stats(), b.stats(), "k", "k") == 0
+
+    def test_broadcast_decision_and_plan(self, spark, tdir):
+        from iceberg_evolve_spark.operators.cbo import planned_table_join
+        fact, dim = self._tables(spark, tdir)
+        out, decision = planned_table_join(spark, fact, dim, "k", "k")
+        assert decision["strategy"] == "broadcast"
+        assert decision["build_side"] == "right"
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert out.count() == 5000
+
+    def test_shuffle_when_nothing_broadcastable(self, spark, tdir):
+        from iceberg_evolve_spark.operators.cbo import planned_table_join
+        fact, dim = self._tables(spark, tdir)
+        out, decision = planned_table_join(
+            spark, fact, dim, "k", "k", broadcast_bytes=1
+        )
+        assert decision["strategy"] == "shuffle"
+        assert out.count() == 5000
+
+    def test_salted_when_hot_key_reported(self, spark, tdir):
+        from iceberg_evolve_spark.operators.cbo import planned_table_join
+        fact, dim = self._tables(spark, tdir)
+        # avg key rows = 5000/20 = 250; report a 100x hot key
+        out, decision = planned_table_join(
+            spark, fact, dim, "k", "k",
+            broadcast_bytes=1, hot_key_rows=25000,
+        )
+        assert decision["strategy"] == "shuffle_salted"
+        assert out.count() == 5000
+
+    def test_strategies_agree_on_rows(self, spark, tdir):
+        from iceberg_evolve_spark.operators.cbo import apply_join
+        fact, dim = self._tables(spark, tdir)
+        l, r = fact.read(spark), dim.read(spark)
+        outs = [
+            apply_join(l, r, {"strategy": "broadcast", "build_side": "right"}, "k", "k"),
+            apply_join(l, r, {"strategy": "shuffle", "build_side": None}, "k", "k"),
+            apply_join(l, r, {"strategy": "shuffle_salted", "build_side": None}, "k", "k"),
+        ]
+        rows = [
+            sorted((x["fk"], x["k"], x["name"]) for x in o.select("fk", "k", "name").collect())
+            for o in outs
+        ]
+        assert rows[0] == rows[1] == rows[2]
+
+    def test_requires_stats(self, spark, tdir):
+        from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+        from iceberg_evolve_spark.operators.cbo import planned_table_join
+        a = SnapshotTable(os.path.join(tdir, "a"))
+        b = SnapshotTable(os.path.join(tdir, "b"))
+        a.write(spark.range(3).select(F.col("id").alias("k")))
+        b.write(spark.range(3).select(F.col("id").alias("k")))
+        with pytest.raises(LookupError, match="analyze"):
+            planned_table_join(spark, a, b, "k", "k")
