@@ -11016,6 +11016,95 @@ def orders_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_delete_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE-FILE REWRITE (r10; Iceberg's rewrite_position_delete_files —
+    `sources/snapshots.py:rewrite_delete_files`): a mixed delete stack
+    (one positional file, one equality file, one deletion vector) with a
+    fast-append in the middle, FOLDED into a single deletion vector —
+    zero data files written (the commit reuses the snapshot's manifests
+    verbatim, witness under the hash), read amplification back to one
+    anti-join. The eq delete's data-sequence rule must survive the fold:
+    the appended re-keyed 'P' rows match the deleted priority but carry a
+    newer sequence, so their positions never enter the vector. The oracle
+    recomputes the final state from the predicates alone — fold-equals-
+    no-fold IS the contract. At 100 TB this is the cheap maintenance tier
+    between plain reads and a data binpack: O(deleted rows) written, data
+    plane untouched (the streaming sink's delete_mode='vector')."""
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    hi_cut, lo_cut = 450000.0, 20000.0
+    tmp = tempfile.mkdtemp(prefix="ies-dfold-")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "orders_table"))
+        t.write(orders, ts=1000.0)
+        t.delete_where(spark, F.col("o_totalprice") > hi_cut, ts=2000.0)
+        t.delete_by_key(
+            spark.createDataFrame([("1-URGENT",)], "o_orderpriority string"),
+            ["o_orderpriority"],
+            ts=3000.0,
+        )
+        t.append(
+            orders.filter(F.col("o_orderstatus") == "P").withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(600000000)
+            ),
+            ts=4000.0,
+        )
+        t.delete_where(
+            spark, F.col("o_totalprice") < lo_cut, vector=True, ts=5000.0
+        )
+        pre = t.versions()[-1]
+        t.rewrite_delete_files(spark, ts=6000.0)
+        cur = t.versions()[-1]
+        folded_ok = (
+            [d["kind"] for d in cur["deletes"]] == ["dv"]
+            and cur["manifests"] == pre["manifests"]
+            and bool(cur.get("delete_rewrite"))
+        )
+        agg = t.read(spark).groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)")
+            ).alias("sp"),
+        )
+        rows = [
+            (bool(folded_ok), r["o_orderstatus"], int(r["n"]), float(r["sp"]))
+            for r in agg.collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "folded boolean, o_orderstatus string, n bigint, sum_price double",
+    )
+
+
+#: Base rows: inside [lo, hi] (pos delete dropped > hi, vector dropped < lo)
+#: and not '1-URGENT' (eq delete). Appended 'P' rows: positional deletes are
+#: file-scoped (committed before the append) and the eq delete's sequence is
+#: older, so only the vector's < lo bound applies to the increment.
+_DELETE_FOLD_SQL = """
+WITH dfold_final AS (
+    SELECT o_orderstatus, o_totalprice FROM orders
+    WHERE o_totalprice BETWEEN 20000.0 AND 450000.0
+      AND o_orderpriority <> '1-URGENT'
+    UNION ALL
+    SELECT o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderstatus = 'P' AND o_totalprice >= 20000.0
+)
+SELECT TRUE AS folded,
+       o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(28,2))) AS DOUBLE)
+           AS sum_price
+FROM dfold_final
+GROUP BY o_orderstatus
+"""
+
+
 def orders_cbo_planned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STATS-DRIVEN JOIN PLANNING (r10; `operators/cbo.py` consuming
     `snapshots.py:analyze` statistics): orders and customer land as
@@ -12218,7 +12307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_cluster_components": dedup_cluster_components,
         # ---------------------- past the window ----------------------------
-        # (positions 51-55: NEW round-10 capabilities registered after the
+        # (positions 51-56: NEW round-10 capabilities registered after the
         # window filled — locally oracle-verified this round, queued FIRST
         # for round 11's window head alongside the r05 cohort)
         "orders_sorted_scan_stats": orders_sorted_scan_stats,
@@ -12226,6 +12315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_delete_vectors": orders_delete_vectors,
         "orders_partition_stats": orders_partition_stats,
         "orders_cbo_planned_join": orders_cbo_planned_join,
+        "orders_delete_fold": orders_delete_fold,
         # Everything below is r05-r09 hash-verified (freshest first-ish,
         # prior relative order preserved); every entry is still locally
         # oracle-verified each round by tests/test_entry_contract.py
@@ -12508,6 +12598,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_delete_vectors": _DELETE_VECTORS_SQL,
         "orders_partition_stats": _PARTITION_STATS_SQL,
         "orders_cbo_planned_join": _CBO_PLANNED_JOIN_SQL,
+        "orders_delete_fold": _DELETE_FOLD_SQL,
         "orders_mor_pruned_read": _MORPRUNE_SQL,
         "orders_changelog_scan": _CHANGELOG_SQL,
         "orders_cdc_stream_mor": _MOR_STREAM_SQL,

@@ -732,6 +732,113 @@ class SnapshotTable:
             delete["supersedes"] = chain
         return self._append_delete_entry(entries, delete, note, ts)
 
+    def rewrite_delete_files(
+        self,
+        spark: SparkSession,
+        note: str | None = None,
+        ts: float | None = None,
+    ) -> int | None:
+        """Fold the ENTIRE delete stack (positional files, equality files,
+        prior vector) into ONE deletion vector — Iceberg's
+        ``rewrite_position_delete_files`` maintenance action, extended to
+        absorb equality deletes the way v2→v3 table migration does. No
+        data file is read beyond one scan, none is written: the commit
+        reuses the snapshot's manifests verbatim and replaces K delete
+        entries with a single ``dv`` entry, so read amplification returns
+        to one anti-join while write amplification is O(deleted rows) —
+        the cheap maintenance step between plain reads and a full
+        :meth:`rewrite_data_files` binpack.
+
+        The positions are computed by ONE pass: the snapshot's raw file
+        set scanned with row positions, each delete's own semantics
+        applied (pos/dv pairs directly; equality keys semi-joined under
+        the data-sequence rule), matching rows' (file, position) pairs
+        unioned. The new entry is stamped ``delete_rewrite`` so changelog
+        scans know delete files vanished WITHOUT a rollback: net changes
+        across this commit are zero by construction, and the changelog's
+        semi-join against the ``from``-side live rows keeps attribution
+        exact across it. Returns the new version, or None when the stack
+        is already a single vector (or empty) — no empty commits."""
+        from pyspark.sql import functions as F
+
+        entries = self.versions()
+        if not entries:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        cur = entries[-1]
+        deletes = cur.get("deletes", [])
+        if not deletes or (
+            len(deletes) == 1 and deletes[0]["kind"] == "dv"
+        ):
+            return None
+        raw = self._read_with_pos(spark, {**cur, "deletes": []})
+        multi_seq = bool(cur.get("has_appends"))
+        pairs = None
+        for d in deletes:
+            dfile = spark.read.parquet(os.path.join(self.path, d["dir"]))
+            if d["kind"] == "pos":
+                self._check_pos_delete_paths(d)
+                p = dfile.select("_file", "_pos")
+            elif d["kind"] == "dv":
+                p = self._dv_pairs(spark, d)
+            else:  # eq: keys hit rows with a strictly older data sequence
+                hit = raw.join(
+                    F.broadcast(dfile.select(*d["cols"]).distinct())
+                    if _dir_bytes(os.path.join(self.path, d["dir"]))
+                    <= BROADCAST_DELETE_MAX_BYTES
+                    else dfile.select(*d["cols"]).distinct(),
+                    on=list(d["cols"]),
+                    how="semi",
+                )
+                dseq = d.get("seq")
+                if dseq is not None and multi_seq:
+                    hit = hit.filter(F.col("_seq") < F.lit(int(dseq)))
+                p = hit.select("_file", "_pos")
+            pairs = p if pairs is None else pairs.unionByName(p)
+        pairs = pairs.dropDuplicates(["_file", "_pos"])
+        dv = (
+            pairs.groupBy("_file")
+            .agg(F.sort_array(F.collect_set("_pos")).alias("positions"))
+            .withColumn("card", F.size("positions").cast("long"))
+        )
+        dd = self._next_delete_dir(entries)
+        final = os.path.join(self.path, dd)
+        tmp = final + ".tmp"
+        dv.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+        prev = self._dv_entry(cur)
+        chain = (
+            list(prev.get("supersedes", [])) + [prev["dir"]]
+            if prev is not None
+            else []
+        )
+        version = cur["version"] + 1
+        delete = {"dir": dd, "kind": "dv", "paths": "rel", "seq": version}
+        if chain:
+            delete["supersedes"] = chain
+        new_entry = {
+            "version": version,
+            "data_dir": cur["data_dir"],
+            "base_seq": cur.get("base_seq", cur["version"]),
+            **({"has_appends": True} if cur.get("has_appends") else {}),
+            **(
+                {"partition_by": list(cur["partition_by"])}
+                if cur.get("partition_by")
+                else {}
+            ),
+            **({"sort_by": list(cur["sort_by"])} if cur.get("sort_by") else {}),
+            "deletes": [delete],
+            "delete_rewrite": True,
+            "ts": time.time() if ts is None else ts,
+            "note": note
+            or f"rewrite_delete_files: {len(deletes)} delete files -> 1 vector",
+        }
+        if cur.get("manifests"):
+            new_entry["fmt"] = SNAPSHOT_FORMAT
+            new_entry["manifests"] = list(cur["manifests"])
+        entries.append(new_entry)
+        self._commit(entries)
+        return version
+
     def _check_pos_delete_paths(self, d: dict) -> None:
         """Refuse positional delete files recorded under the pre-r9
         ABSOLUTE-path scheme (ADVICE r9): an unstamped delete whose first
@@ -1118,6 +1225,7 @@ class SnapshotTable:
         max_commits: int = 32,
         note: str | None = None,
         ts: float | None = None,
+        delete_mode: str = "rewrite",
     ) -> int | None:
         """AMORTIZED COMPACTION POLICY: fold the merge-on-read stack when
         read amplification warrants it — the maintenance loop every
@@ -1131,7 +1239,14 @@ class SnapshotTable:
         the last consolidation; otherwise does nothing. Returns the new
         version, or None when no action was taken. Cost when it fires is
         O(files touched), amortized O(1/N) per commit by the thresholds;
-        manifest-only to decide (no data read)."""
+        manifest-only to decide (no data read).
+
+        ``delete_mode="vector"`` answers DELETE pressure with the cheaper
+        action — :meth:`rewrite_delete_files` folds the stack into one
+        deletion vector, O(deleted rows) written, ZERO data files touched —
+        and reserves the data-file binpack for the manifest-count trigger
+        (small-file pressure). The two-tier policy real 100 TB maintenance
+        runs: vectors every few minutes, binpacks hourly."""
         entries = self.versions()
         if not entries:
             return None
@@ -1143,6 +1258,13 @@ class SnapshotTable:
             n_commits = cur["version"] - cur.get("base_seq", cur["version"])
         if n_deletes < max_delete_files and n_commits < max_commits:
             return None
+        if delete_mode == "vector" and n_commits < max_commits:
+            return self.rewrite_delete_files(
+                spark,
+                note=note
+                or f"maintain: fold {n_deletes} delete files -> vector",
+                ts=ts,
+            )
         return self.rewrite_data_files(
             spark,
             note=note
@@ -1819,9 +1941,19 @@ class SnapshotTable:
             for d in eto.get("deletes", [])
             if d["kind"] != "dv"
         }
-        if boundary is None and not old <= new:
+        rewrote_deletes = any(
+            e.get("delete_rewrite")
+            for e in entries
+            if from_version < e["version"] <= to_version
+        )
+        if boundary is None and not old <= new and not rewrote_deletes:
             # membership, not len(): a rollback can REPLACE delete files
-            # without shrinking the count (ADVICE r9)
+            # without shrinking the count (ADVICE r9). A delete_rewrite
+            # commit legitimately retires pos/eq files into a vector —
+            # rollbacks remain caught by their markers and the manifest
+            # membership check, and the vector delta below stays exact
+            # across the rewrite (over-inclusive pairs are filtered by the
+            # semi-join against the from-side LIVE rows).
             boundary = "delete files removed in range (rollback)"
         # deletion vectors legitimately REPLACE each other — but only along
         # the supersede chain (each new vector is a committed superset of

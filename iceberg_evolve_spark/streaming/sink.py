@@ -142,6 +142,7 @@ def mor_cdc_batch_writer(
     op_col: str = "op",
     order_col: str = "ts_ms",
     max_delete_files: int | None = None,
+    delete_mode: str = "rewrite",
 ):
     """``foreachBatch`` CDC apply with MERGE-ON-READ commits (VERDICT r7
     task 5): instead of rewriting the parquet snapshot per batch (the swap
@@ -171,7 +172,12 @@ def mor_cdc_batch_writer(
     delete-file count reaches the threshold (one anti-join per delete file
     on every read otherwise) — the amortized compaction loop a long-running
     MOR stream needs. A crash after the append but before the compaction
-    just defers the fold to the next batch."""
+    just defers the fold to the next batch. ``delete_mode="vector"`` makes
+    that fold the CHEAP one — equality-delete files collapse into one
+    deletion vector, O(deleted rows) written and zero data files touched —
+    reserving the data-file binpack for the manifest-count trigger; at
+    streaming cadence on a large table this is the difference between a
+    recurring metadata-sized job and a recurring file-rewrite job."""
     from iceberg_evolve_spark.sources.snapshots import SnapshotTable
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
@@ -216,7 +222,11 @@ def mor_cdc_batch_writer(
         if has_upserts:
             t.append(upserts, note=f"{stamp} append")
         if max_delete_files is not None:
-            t.maintain(spark, max_delete_files=max_delete_files)
+            t.maintain(
+                spark,
+                max_delete_files=max_delete_files,
+                delete_mode=delete_mode,
+            )
 
     return write
 
@@ -229,6 +239,7 @@ def run_mor_cdc_stream(
     op_col: str = "op",
     order_col: str = "ts_ms",
     max_delete_files: int | None = None,
+    delete_mode: str = "rewrite",
 ):
     """Start a merge-on-read CDC-apply stream (availableNow-compatible; see
     ``mor_cdc_batch_writer``)."""
@@ -236,7 +247,7 @@ def run_mor_cdc_stream(
         stream.writeStream.foreachBatch(
             mor_cdc_batch_writer(
                 stream.sparkSession, table_path, key, op_col, order_col,
-                max_delete_files=max_delete_files,
+                max_delete_files=max_delete_files, delete_mode=delete_mode,
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -785,3 +785,125 @@ class TestCboJoinPlanning:
         b.write(spark.range(3).select(F.col("id").alias("k")))
         with pytest.raises(LookupError, match="analyze"):
             planned_table_join(spark, a, b, "k", "k")
+
+
+class TestRewriteDeleteFiles:
+    """rewrite_position_delete_files analog: fold the pos/eq/vector delete
+    stack into ONE deletion vector — zero data files written, manifests
+    reused verbatim, read amplification back to one anti-join."""
+
+    def test_fold_preserves_state_and_touches_no_data(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 60).withColumn("k", F.col("id") % 6))
+        t.delete_where(spark, F.col("id") < 5)
+        t.delete_by_key(spark.createDataFrame([(2,)], "k long"), ["k"])
+        t.delete_where(spark, F.col("id") >= 55, vector=True)
+        before = t.versions()[-1]
+        files_before = set(t._entry_files(before))
+        want = sorted(r["id"] for r in t.read(spark).collect())
+        v = t.rewrite_delete_files(spark)
+        cur = t.versions()[-1]
+        assert v == cur["version"]
+        assert [d["kind"] for d in cur["deletes"]] == ["dv"]
+        assert cur["manifests"] == before["manifests"]  # no data commit
+        assert set(t._entry_files(cur)) == files_before
+        assert sorted(r["id"] for r in t.read(spark).collect()) == want
+        # old versions still time-travel through their own delete stacks
+        assert sorted(
+            r["id"] for r in t.read(spark, version=before["version"]).collect()
+        ) == want
+
+    def test_eq_sequence_rule_survives_fold(self, spark, tdir):
+        """Rows appended AFTER an equality delete must survive the fold
+        (their positions were never hit by the seq-filtered eq delete)."""
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 10).withColumn("k", F.col("id") % 2))
+        t.delete_by_key(spark.createDataFrame([(1,)], "k long"), ["k"])
+        t.append(
+            spark.range(100, 104).withColumn("k", F.lit(1))
+        )  # k=1 but newer sequence: survives
+        want = sorted(r["id"] for r in t.read(spark).collect())
+        assert want == [0, 2, 4, 6, 8, 100, 101, 102, 103]
+        t.rewrite_delete_files(spark)
+        assert sorted(r["id"] for r in t.read(spark).collect()) == want
+
+    def test_noop_on_single_vector_or_empty(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 10))
+        assert t.rewrite_delete_files(spark) is None
+        t.delete_where(spark, F.col("id") < 2, vector=True)
+        assert t.rewrite_delete_files(spark) is None
+
+    def test_changelog_across_delete_rewrite(self, spark, tdir):
+        """Net changes across a delete_rewrite commit stay exact: the fold
+        itself contributes nothing; real deletes on either side do."""
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 30))
+        v_from = t.delete_where(spark, F.col("id") < 3)
+        t.delete_where(spark, F.col("id") >= 27)      # in-range real delete
+        t.rewrite_delete_files(spark)                  # fold (net zero)
+        v_to = t.delete_where(
+            spark, F.col("id") == 15, vector=True
+        )  # post-fold vector delete
+        log = t.changes_between(spark, v_from, v_to)
+        got = sorted((r["_change_type"], r["id"]) for r in log.collect())
+        assert got == [
+            ("delete", 15), ("delete", 27), ("delete", 28), ("delete", 29),
+        ]
+
+    def test_maintain_vector_mode(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 40).withColumn("k", F.col("id") % 4))
+        for i in range(3):
+            t.delete_where(spark, F.col("id") == i * 10)
+        # below threshold: nothing
+        assert t.maintain(spark, max_delete_files=4, delete_mode="vector") is None
+        t.delete_where(spark, F.col("id") == 35)
+        v = t.maintain(spark, max_delete_files=4, delete_mode="vector")
+        assert v is not None
+        cur = t.versions()[-1]
+        assert [d["kind"] for d in cur["deletes"]] == ["dv"]
+        assert cur.get("delete_rewrite")
+        got = sorted(r["id"] for r in t.read(spark).collect())
+        assert got == [i for i in range(40) if i not in (0, 10, 20, 35)]
+
+
+class TestStreamingVectorMaintenance:
+    def test_vector_mode_stream_converges_without_data_rewrites(self, spark, tdir):
+        """The vector-mode maintenance tier: a 20-batch CDC stream whose
+        delete-pressure folds go to rewrite_delete_files (one deletion
+        vector, zero data files rewritten) — the converged state is exact,
+        the delete stack stays bounded, and NO commit in the log is a data
+        rewrite (no `rewrite` stamps; only appends, deletes, and
+        delete_rewrite folds)."""
+        from iceberg_evolve_spark.streaming.sink import mor_cdc_batch_writer
+
+        CDC_SCHEMA = "k long, val string, op string, ts_ms long"
+        tbl = os.path.join(tdir, "t")
+        writer = mor_cdc_batch_writer(
+            spark, tbl, "k", max_delete_files=3, delete_mode="vector"
+        )
+        rng_state = 97
+        state = {}
+        ts = 0
+        for b in range(20):
+            rows = []
+            for _ in range(5):
+                rng_state = (rng_state * 48271) % (2**31 - 1)
+                k = rng_state % 25
+                ts += 1
+                if k in state and rng_state % 4 == 0:
+                    rows.append((k, None, "d", ts))
+                    state.pop(k)
+                else:
+                    rows.append((k, f"v{ts}", "u" if k in state else "c", ts))
+                    state[k] = f"v{ts}"
+            writer(spark.createDataFrame(rows, CDC_SCHEMA), b)
+        t = SnapshotTable(tbl)
+        entries = t.versions()
+        cur = entries[-1]
+        assert len(cur.get("deletes", [])) <= 3
+        assert any(e.get("delete_rewrite") for e in entries)
+        assert not any(e.get("rewrite") for e in entries)  # zero data rewrites
+        got = {(r["k"], r["val"]) for r in t.read(spark).collect()}
+        assert got == set(state.items())

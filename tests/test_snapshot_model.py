@@ -29,7 +29,7 @@ _OPS = st.lists(
     st.tuples(
         st.sampled_from(
             ["append", "delete_key", "delete_pred", "delete_vec",
-             "rollback", "compact", "expire", "tag"]
+             "fold_deletes", "rollback", "compact", "expire", "tag"]
         ),
         st.integers(min_value=0, max_value=9),
     ),
@@ -99,6 +99,10 @@ def test_random_op_sequences_match_model(spark, ops):
                 )
                 cur = {i: g for i, g in cur.items() if i < cut}
                 v = nv
+            elif kind == "fold_deletes":
+                nv = t.rewrite_delete_files(spark)
+                if nv is not None:
+                    v = nv  # state unchanged
             elif kind == "rollback":
                 targets = sorted(model)
                 tgt = targets[p % len(targets)]
