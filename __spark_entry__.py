@@ -11105,6 +11105,166 @@ GROUP BY o_orderstatus
 """
 
 
+def orders_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO under merge-on-read (r10; `operators/merge.py:merge_into`
+    — Iceberg's `MERGE INTO ... WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    INSERT` with its MOR write mode): the source carries price-bumped
+    versions of every 'P' order (matched -> update) plus re-keyed copies
+    of a slice of 'F' orders (not matched -> insert); the merge costs ONE
+    equality-delete commit + ONE fast-append commit — for the classic
+    upsert clause pair the match set is never computed, so NO target scan
+    happens at write time (hash witness: exactly two commits, no rewrite
+    stamps). The oracle recomputes the merged state from the clauses. At
+    100 TB this is the upsert path that stays O(source): the target's
+    terabytes are never read, rewritten, or shuffled by the merge."""
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.operators.merge import merge_into
+    from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="ies-minto-")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "orders_table"))
+        v1 = t.write(orders, ts=1000.0)
+        updates = orders.filter(F.col("o_orderstatus") == "P").withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+        )
+        inserts = orders.filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 10 == 0)
+        ).withColumn("o_orderkey", F.col("o_orderkey") + F.lit(600000000))
+        vN = merge_into(
+            spark, t, updates.unionByName(inserts), on="o_orderkey", ts=2000.0
+        )
+        entries = t.versions()
+        mor_ok = vN == v1 + 2 and not any(e.get("rewrite") for e in entries)
+        agg = t.read(spark).groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)")
+            ).alias("sp"),
+        )
+        rows = [
+            (bool(mor_ok), r["o_orderstatus"], int(r["n"]), float(r["sp"]))
+            for r in agg.collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "mor_commits boolean, o_orderstatus string, n bigint, "
+        "sum_price double",
+    )
+
+
+#: Merged state: 'P' orders take the bumped price (matched -> update);
+#: everything else is untouched; the re-keyed 'F' slice lands as inserts
+#: (same status/price under new keys).
+_MERGE_INTO_SQL = """
+WITH minto_final AS (
+    SELECT o_orderstatus,
+           CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    UNION ALL
+    SELECT o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 0
+)
+SELECT TRUE AS mor_commits,
+       o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(28,2))) AS DOUBLE)
+           AS sum_price
+FROM minto_final
+GROUP BY o_orderstatus
+"""
+
+
+def orders_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-FILE BLOOM FILTER FILE SKIPPING (r10;
+    `sources/snapshots.py:analyze_bloom/plan_scan(eq=)/read(eq=)` —
+    parquet's column-index bloom filters / an Iceberg Puffin blob as
+    snapshot metadata): orders land UNSORTED over 8 files, so every
+    file's [min,max] o_orderkey bounds span the whole key space and range
+    pruning keeps all 8; the per-file blooms (portable md5 bit positions,
+    built by one grouped bit_or pass) prune point lookups instead. Three
+    probes — the smallest key, the smallest 'P'-order key, and an absent
+    key — each a planned read whose kept-file set shrank (witness boolean)
+    and whose rows the oracle replays by joining the same probe keys. At
+    100 TB this is the needle-in-haystack path: the planner answers
+    key-not-here from KB of driver-side metadata, reading zero data
+    files for misses instead of the whole table."""
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="ies-bloom-")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "orders_table"))
+        t.write(orders.repartition(8), ts=1000.0)
+        t.analyze_bloom(spark, ["o_orderkey"], m_bits=1 << 20, k=7)
+        probe_row = orders.agg(
+            F.min("o_orderkey").alias("kmin"),
+            F.min(
+                F.when(F.col("o_orderstatus") == "P", F.col("o_orderkey"))
+            ).alias("kp"),
+            (F.max("o_orderkey") + F.lit(777)).alias("kabs"),
+        ).first()
+        probes = [
+            ("min", int(probe_row["kmin"])),
+            ("pmin", int(probe_row["kp"])),
+            ("absent", int(probe_row["kabs"])),
+        ]
+        pruned = True
+        rows = []
+        for label, key in probes:
+            kept, total = t.plan_scan(eq={"o_orderkey": key})
+            pruned = pruned and len(kept) < total
+            got = t.read(spark, eq={"o_orderkey": key}).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)")
+                ).alias("sp"),
+            ).first()
+            rows.append(
+                (
+                    label,
+                    int(got["n"]),
+                    float(got["sp"]) if got["sp"] is not None else 0.0,
+                )
+            )
+        out = [(bool(pruned), lbl, n, sp) for lbl, n, sp in rows]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "pruned boolean, probe string, n bigint, sum_price double",
+    )
+
+
+_BLOOM_POINT_LOOKUP_SQL = """
+WITH bpl_probes AS (
+    SELECT 'min' AS probe, (SELECT MIN(o_orderkey) FROM orders) AS k
+    UNION ALL
+    SELECT 'pmin',
+           (SELECT MIN(o_orderkey) FROM orders WHERE o_orderstatus = 'P')
+    UNION ALL
+    SELECT 'absent', (SELECT MAX(o_orderkey) + 777 FROM orders)
+)
+SELECT TRUE AS pruned,
+       p.probe,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n,
+       CAST(COALESCE(
+            SUM(CAST(ROUND(o.o_totalprice, 2) AS DECIMAL(28,2))), 0)
+            AS DOUBLE) AS sum_price
+FROM bpl_probes p LEFT JOIN orders o ON o.o_orderkey = p.k
+GROUP BY p.probe
+"""
+
+
 def orders_cbo_planned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STATS-DRIVEN JOIN PLANNING (r10; `operators/cbo.py` consuming
     `snapshots.py:analyze` statistics): orders and customer land as
@@ -12307,7 +12467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_cluster_components": dedup_cluster_components,
         # ---------------------- past the window ----------------------------
-        # (positions 51-56: NEW round-10 capabilities registered after the
+        # (positions 51-58: NEW round-10 capabilities registered after the
         # window filled — locally oracle-verified this round, queued FIRST
         # for round 11's window head alongside the r05 cohort)
         "orders_sorted_scan_stats": orders_sorted_scan_stats,
@@ -12316,6 +12476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_partition_stats": orders_partition_stats,
         "orders_cbo_planned_join": orders_cbo_planned_join,
         "orders_delete_fold": orders_delete_fold,
+        "orders_merge_into": orders_merge_into,
+        "orders_bloom_point_lookup": orders_bloom_point_lookup,
         # Everything below is r05-r09 hash-verified (freshest first-ish,
         # prior relative order preserved); every entry is still locally
         # oracle-verified each round by tests/test_entry_contract.py
@@ -12599,6 +12761,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_partition_stats": _PARTITION_STATS_SQL,
         "orders_cbo_planned_join": _CBO_PLANNED_JOIN_SQL,
         "orders_delete_fold": _DELETE_FOLD_SQL,
+        "orders_merge_into": _MERGE_INTO_SQL,
+        "orders_bloom_point_lookup": _BLOOM_POINT_LOOKUP_SQL,
         "orders_mor_pruned_read": _MORPRUNE_SQL,
         "orders_changelog_scan": _CHANGELOG_SQL,
         "orders_cdc_stream_mor": _MOR_STREAM_SQL,

@@ -50,3 +50,67 @@ def merge_upsert(
         joined.filter(matched_or_insert).select(*[F.col(f"u.{c}").alias(c) for c in updates.columns])
     )
     return merged
+
+
+def merge_into(
+    spark,
+    table,
+    source: DataFrame,
+    on: str,
+    when_matched: str | None = "update",
+    when_not_matched: str | None = "insert",
+    note: str | None = None,
+    ts: float | None = None,
+) -> int:
+    """MERGE INTO over a :class:`~iceberg_evolve_spark.sources.snapshots.
+    SnapshotTable` with MERGE-ON-READ commits — Iceberg's
+    ``MERGE INTO ... WHEN MATCHED ... WHEN NOT MATCHED`` under its
+    merge-on-read write mode: the merge costs at most ONE equality-delete
+    commit (retiring matched keys) plus ONE fast-append commit (the new
+    row versions), never a rewrite of any target data file.
+
+    Clauses (SCD-1 semantics, as :func:`merge_upsert`):
+
+    * ``when_matched="update"`` — matched target rows take the source
+      row's values (retire + re-append);
+    * ``when_matched="delete"`` — matched target rows are deleted;
+    * ``when_matched=None`` — matched source rows are ignored;
+    * ``when_not_matched="insert"`` — unmatched source rows are appended;
+    * ``when_not_matched=None`` — unmatched source rows are ignored.
+
+    The classic upsert (update + insert) needs NO target scan at all: every
+    source key is retired and every source row appended — matched or not,
+    the outcome is identical, so the match set is never computed (the same
+    shortcut Iceberg's streaming upsert takes). Asymmetric clause pairs
+    need the match set: ONE column-pruned scan of the target's key column,
+    semi-/anti-joined against the (usually much smaller) source. Returns
+    the final new version. Source rows must be key-distinct — a MERGE with
+    several rows per key is ambiguous (Iceberg raises the same way)."""
+    if when_matched not in ("update", "delete", None):
+        raise ValueError(f"when_matched={when_matched!r}")
+    if when_not_matched not in ("insert", None):
+        raise ValueError(f"when_not_matched={when_not_matched!r}")
+    if when_matched is None and when_not_matched is None:
+        raise ValueError("at least one clause is required")
+    dup = source.groupBy(on).count().filter(F.col("count") > 1).limit(1)
+    if dup.count():
+        raise ValueError(
+            f"source has several rows per {on!r} — MERGE is ambiguous; "
+            "pre-aggregate to the latest row per key"
+        )
+    note = note or f"merge_into on {on}"
+    if when_matched == "update" and when_not_matched == "insert":
+        table.delete_by_key(source.select(on), [on], note=f"{note} retire", ts=ts)
+        return table.append(source, note=f"{note} apply", ts=ts)
+    # asymmetric clauses: compute the match set from the key column only
+    # (column-pruned target scan; the source side is the small one)
+    target_keys = table.read(spark).select(on)
+    if when_matched is not None:
+        matched = source.join(target_keys, on=[on], how="semi")
+        table.delete_by_key(matched.select(on), [on], note=f"{note} retire", ts=ts)
+        if when_matched == "update":
+            table.append(matched, note=f"{note} matched apply", ts=ts)
+    if when_not_matched == "insert":
+        unmatched = source.join(target_keys, on=[on], how="anti")
+        table.append(unmatched, note=f"{note} insert", ts=ts)
+    return table.versions()[-1]["version"]

@@ -1507,15 +1507,20 @@ class SnapshotTable:
         version: int | None = None,
         as_of: float | None = None,
         where: dict[str, tuple[object, object]] | None = None,
+        eq: dict[str, object] | None = None,
     ) -> tuple[list[str], int]:
-        """Scan PLANNING for one snapshot: (data files a ``where`` range scan
-        must read, total data files). Iceberg prunes manifests before
-        applying deletes; here the manifest's stats are the parquet footers
+        """Scan PLANNING for one snapshot: (data files the scan must read,
+        total data files). Iceberg prunes manifests before applying
+        deletes; here the manifest's stats are the parquet footers
         (`footer_stats.prune_files_multi` — conservative: a file without
         provable non-overlap is kept). The candidate set is the snapshot's
         manifest-listed files (format 2) or its data dir (format 1).
-        ``where`` maps column → (lo, hi), either bound None for
-        open-ended."""
+        ``where`` maps column → (lo, hi) range bounds, either bound None
+        for open-ended. ``eq`` maps column → exact value and prunes by the
+        PER-FILE BLOOM FILTERS (:meth:`analyze_bloom`) — the point-lookup
+        path where range bounds prune nothing; files a blob never saw
+        (later appends, never-analyzed tables) are kept, so the plan is
+        always conservative."""
         from iceberg_evolve_spark.sources.footer_stats import (
             _files,
             prune_files_multi,
@@ -1527,9 +1532,24 @@ class SnapshotTable:
             self._entry_abs_files(entry) if entry.get("manifests") else None
         )
         if not where:
-            all_files = files if files is not None else _files(data_path)
-            return all_files, len(all_files)
-        return prune_files_multi(data_path, where, files=files)
+            kept = list(files) if files is not None else _files(data_path)
+            total = len(kept)
+        else:
+            kept, total = prune_files_multi(data_path, where, files=files)
+        for col, value in (eq or {}).items():
+            blob = self._bloom_blob(entry, col)
+            if blob is None:
+                continue
+            covered = set(blob["covered"])
+            kept = [
+                f
+                for f in kept
+                if os.path.relpath(f, data_path) not in covered
+                or self._bloom_hit(
+                    blob, os.path.relpath(f, data_path), value
+                )
+            ]
+        return kept, total
 
     def read(
         self,
@@ -1537,6 +1557,7 @@ class SnapshotTable:
         version: int | None = None,
         as_of: float | None = None,
         where: dict[str, tuple[object, object]] | None = None,
+        eq: dict[str, object] | None = None,
     ) -> DataFrame:
         """Read the latest snapshot, a pinned ``version``, or the snapshot
         current ``as_of`` a timestamp (time travel). Snapshots carrying
@@ -1555,9 +1576,9 @@ class SnapshotTable:
         entry = self._resolve(version, as_of)
         data_dir = os.path.join(self.path, entry["data_dir"])
         files: list[str] | None = None
-        if where:
+        if where or eq:
             files, _total = self.plan_scan(
-                version=entry["version"], where=where
+                version=entry["version"], where=where, eq=eq
             )
             if not files:
                 # schema-stable empty relation: scan plan proves no file can
@@ -1582,6 +1603,10 @@ class SnapshotTable:
                     df = df.filter(F.col(c) >= F.lit(lo))
                 if hi is not None:
                     df = df.filter(F.col(c) <= F.lit(hi))
+        for c, v in (eq or {}).items():
+            # residual exact predicate: bloom pruning keeps false-positive
+            # files, so results equal the unpruned scan
+            df = df.filter(F.col(c) == F.lit(v))
         return df
 
 
@@ -1790,6 +1815,140 @@ class SnapshotTable:
             "column string, n_rows bigint, ndv bigint, n_nulls bigint, "
             "min string, max string",
         )
+
+    # -- per-file Bloom filters (parquet column-index blooms / Puffin blobs) --
+    def _bloom_path(self, version: int, col: str) -> str:
+        return os.path.join(
+            self.path, "_bloom", f"{version:05d}-{col}.json"
+        )
+
+    def analyze_bloom(
+        self,
+        spark: SparkSession,
+        cols: list[str],
+        version: int | None = None,
+        m_bits: int = 1 << 15,
+        k: int = 5,
+    ) -> dict:
+        """PER-FILE BLOOM FILTERS for point-lookup file skipping — the
+        pruning tool where min/max footer bounds prune NOTHING (high-NDV
+        identifier columns in unsorted layouts: every file's [min, max]
+        spans the whole key space). Parquet's column-index bloom filters /
+        an Iceberg Puffin blob, maintained as snapshot-versioned metadata:
+        one scan per call builds every requested column's per-file filter
+        (explode k portable bit positions, ``bit_or`` words grouped by
+        file — the shuffle carries filter words, not keys), persisted as
+        sparse word maps under ``_bloom/``.
+
+        The key is the column's STRING CAST (replayed exactly driver-side
+        at probe time), so string and integral columns are supported.
+        Because data files are immutable and never renamed within a
+        lineage, a filter stays valid for the files it covers across later
+        snapshots — :meth:`plan_scan` probes the newest blob at/below the
+        scanned version and keeps (never probes) files the blob has not
+        seen, e.g. later appends. False positives only cost an unpruned
+        file; false negatives cannot happen."""
+        from pyspark.sql import functions as F
+
+        from iceberg_evolve_spark.functions.bloom import (
+            WORD_BITS,
+            _positions,
+        )
+
+        entry = self._resolve(version, None)
+        raw = self._read_with_pos(spark, {**entry, "deletes": []})
+        out: dict = {}
+        os.makedirs(os.path.join(self.path, "_bloom"), exist_ok=True)
+        for col in cols:
+            if col not in raw.columns:
+                raise ValueError(f"column {col!r} not in table")
+            key = F.col(col).cast("string")
+            pos = F.explode(
+                F.array(*_positions(key, col, k, m_bits))
+            ).alias("pos")
+            rows = (
+                raw.filter(F.col(col).isNotNull())
+                .select("_file", pos)
+                .select(
+                    "_file",
+                    (F.col("pos") / WORD_BITS).cast("int").alias("w"),
+                    F.pow(
+                        F.lit(2.0), (F.col("pos") % WORD_BITS).cast("int")
+                    )
+                    .cast("bigint")
+                    .alias("m"),
+                )
+                .groupBy("_file", "w")
+                .agg(F.bit_or("m").alias("word"))
+                .collect()
+            )
+            files: dict[str, dict[str, int]] = {}
+            for r in rows:
+                files.setdefault(r["_file"], {})[str(int(r["w"]))] = int(
+                    r["word"]
+                )
+            if entry.get("manifests"):
+                covered = sorted(self._entry_files(entry))
+            else:
+                covered = _walk_rel_parquet(
+                    os.path.join(self.path, entry["data_dir"])
+                )
+            blob = {
+                "m_bits": int(m_bits),
+                "k": int(k),
+                "seed": col,
+                "data_dir": entry["data_dir"],
+                # every file the analyzed snapshot held — a covered file
+                # with missing bits is provably value-free, an uncovered
+                # one (later append) is always kept by the planner
+                "covered": covered,
+                "files": files,
+            }
+            tmp = self._bloom_path(entry["version"], col) + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(blob, fh)
+            os.replace(tmp, self._bloom_path(entry["version"], col))
+            out[col] = blob
+        return out
+
+    def _bloom_blob(self, entry: dict, col: str) -> dict | None:
+        """Newest persisted bloom blob for ``col`` at/below the entry's
+        version, same lineage — None when never analyzed."""
+        bdir = os.path.join(self.path, "_bloom")
+        if not os.path.isdir(bdir):
+            return None
+        best = None
+        for name in os.listdir(bdir):
+            m = re.fullmatch(rf"(\d{{5}})-{re.escape(col)}\.json", name)
+            if m and int(m.group(1)) <= entry["version"]:
+                best = max(best or 0, int(m.group(1)))
+        if not best:
+            return None
+        with open(self._bloom_path(best, col)) as fh:
+            blob = json.load(fh)
+        return blob if blob.get("data_dir") == entry["data_dir"] else None
+
+    @staticmethod
+    def _bloom_hit(blob: dict, rel: str, value) -> bool:
+        """Driver-side membership probe: True when ``rel`` may contain
+        ``value``. Files the blob covers with missing bits are provably
+        value-free; files it never saw (later appends) are kept by the
+        CALLER (this is only consulted for covered files)."""
+        import hashlib
+
+        from iceberg_evolve_spark.functions.hashing import SEP
+
+        words = blob["files"].get(rel)
+        if words is None:
+            return False  # analyzed file held no non-null keys at all
+        m_bits, k, seed = blob["m_bits"], blob["k"], blob["seed"]
+        for i in range(k):
+            s = f"{value}{SEP}bloom{seed}{SEP}{i}"
+            p = int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % m_bits
+            w = words.get(str(p // 32))
+            if w is None or not (int(w) & (1 << (p % 32))):
+                return False
+        return True
 
     def partition_stats_df(
         self,
@@ -2162,4 +2321,20 @@ class SnapshotTable:
                 if m and int(m.group(1)) not in live_versions:
                     os.remove(os.path.join(stats_dir, name))
                     removed.append(os.path.join("_stats", name))
+        # bloom blobs of versions no surviving LINEAGE can probe: a blob
+        # stays useful while any surviving entry shares its data_dir (files
+        # are immutable, the planner probes the newest blob <= version)
+        bloom_dir = os.path.join(self.path, "_bloom")
+        if os.path.isdir(bloom_dir):
+            live_lineages = {e["data_dir"] for e in keep}
+            for name in sorted(os.listdir(bloom_dir)):
+                full = os.path.join(bloom_dir, name)
+                try:
+                    with open(full) as fh:
+                        blob_dir = json.load(fh).get("data_dir")
+                except (json.JSONDecodeError, OSError):
+                    blob_dir = None  # torn .tmp orphan
+                if blob_dir not in live_lineages:
+                    os.remove(full)
+                    removed.append(os.path.join("_bloom", name))
         return [e["version"] for e in expired], sorted(set(removed))

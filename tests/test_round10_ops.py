@@ -907,3 +907,181 @@ class TestStreamingVectorMaintenance:
         assert not any(e.get("rewrite") for e in entries)  # zero data rewrites
         got = {(r["k"], r["val"]) for r in t.read(spark).collect()}
         assert got == set(state.items())
+
+
+class TestMergeInto:
+    """MERGE INTO with merge-on-read commits: <=1 equality-delete + <=1
+    fast-append per merge, never a data-file rewrite."""
+
+    def _seed(self, spark, tdir):
+        from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(
+            spark.createDataFrame(
+                [(k, f"old{k}") for k in range(6)], "k long, val string"
+            )
+        )
+        return t
+
+    def test_upsert_update_plus_insert(self, spark, tdir):
+        from iceberg_evolve_spark.operators.merge import merge_into
+        t = self._seed(spark, tdir)
+        src = spark.createDataFrame(
+            [(2, "new2"), (4, "new4"), (10, "new10")], "k long, val string"
+        )
+        v = merge_into(spark, t, src, on="k")
+        assert v == 3  # one delete commit + one append commit
+        got = sorted((r["k"], r["val"]) for r in t.read(spark).collect())
+        assert got == [
+            (0, "old0"), (1, "old1"), (2, "new2"), (3, "old3"),
+            (4, "new4"), (5, "old5"), (10, "new10"),
+        ]
+        # no data rewrite happened: lineage dir + manifests only grew
+        assert not any(e.get("rewrite") for e in t.versions())
+
+    def test_matched_delete_with_insert(self, spark, tdir):
+        from iceberg_evolve_spark.operators.merge import merge_into
+        t = self._seed(spark, tdir)
+        src = spark.createDataFrame(
+            [(1, "x"), (3, "x"), (20, "new20")], "k long, val string"
+        )
+        merge_into(
+            spark, t, src, on="k",
+            when_matched="delete", when_not_matched="insert",
+        )
+        got = sorted((r["k"], r["val"]) for r in t.read(spark).collect())
+        assert got == [
+            (0, "old0"), (2, "old2"), (4, "old4"), (5, "old5"),
+            (20, "new20"),
+        ]
+
+    def test_update_only_ignores_unmatched(self, spark, tdir):
+        from iceberg_evolve_spark.operators.merge import merge_into
+        t = self._seed(spark, tdir)
+        src = spark.createDataFrame(
+            [(0, "upd0"), (99, "ghost")], "k long, val string"
+        )
+        merge_into(spark, t, src, on="k", when_not_matched=None)
+        got = sorted((r["k"], r["val"]) for r in t.read(spark).collect())
+        assert got == [
+            (0, "upd0"), (1, "old1"), (2, "old2"), (3, "old3"),
+            (4, "old4"), (5, "old5"),
+        ]
+
+    def test_insert_only_ignores_matched(self, spark, tdir):
+        from iceberg_evolve_spark.operators.merge import merge_into
+        t = self._seed(spark, tdir)
+        src = spark.createDataFrame(
+            [(0, "clobber"), (7, "new7")], "k long, val string"
+        )
+        merge_into(spark, t, src, on="k", when_matched=None)
+        got = sorted((r["k"], r["val"]) for r in t.read(spark).collect())
+        assert got == [
+            (0, "old0"), (1, "old1"), (2, "old2"), (3, "old3"),
+            (4, "old4"), (5, "old5"), (7, "new7"),
+        ]
+
+    def test_ambiguous_source_raises(self, spark, tdir):
+        from iceberg_evolve_spark.operators.merge import merge_into
+        t = self._seed(spark, tdir)
+        src = spark.createDataFrame(
+            [(2, "a"), (2, "b")], "k long, val string"
+        )
+        with pytest.raises(ValueError, match="ambiguous"):
+            merge_into(spark, t, src, on="k")
+
+    def test_merge_then_fold_composes(self, spark, tdir):
+        """Repeated merges stack eq-delete files; the vector fold collapses
+        them without touching the merged data."""
+        from iceberg_evolve_spark.operators.merge import merge_into
+        t = self._seed(spark, tdir)
+        for i in range(3):
+            src = spark.createDataFrame(
+                [(i, f"gen{i}"), (100 + i, f"new{i}")], "k long, val string"
+            )
+            merge_into(spark, t, src, on="k")
+        want = sorted((r["k"], r["val"]) for r in t.read(spark).collect())
+        assert len(t.versions()[-1]["deletes"]) == 3
+        t.rewrite_delete_files(spark)
+        assert [d["kind"] for d in t.versions()[-1]["deletes"]] == ["dv"]
+        got = sorted((r["k"], r["val"]) for r in t.read(spark).collect())
+        assert got == want
+
+
+class TestBloomFileSkipping:
+    """Per-file Bloom filters: point-lookup file pruning where min/max
+    bounds prune nothing (high-NDV keys, unsorted layout)."""
+
+    def _table(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        # ids 0..799 spread round-robin over 8 files: every file's [min,max]
+        # spans nearly the whole range, so RANGE pruning keeps all 8 files
+        df = spark.range(0, 800).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+        ).repartition(8)
+        t.write(df)
+        return t
+
+    def test_bloom_prunes_where_ranges_cannot(self, spark, tdir):
+        t = self._table(spark, tdir)
+        t.analyze_bloom(spark, ["k"])
+        # range plan: all files kept (overlapping bounds)
+        kept_range, total = t.plan_scan(where={"k": (123, 123)})
+        kept_bloom, _ = t.plan_scan(eq={"k": 123})
+        assert total == 8
+        assert len(kept_bloom) < len(kept_range)  # blooms strictly better
+        got = t.read(spark, eq={"k": 123}).collect()
+        assert len(got) == 1 and got[0]["k"] == 123
+
+    def test_absent_value_prunes_everything(self, spark, tdir):
+        t = self._table(spark, tdir)
+        t.analyze_bloom(spark, ["k"])
+        kept, _ = t.plan_scan(eq={"k": 99999})
+        # m=32Ki bits over ~100 keys/file: absent key hits all-zero bits
+        assert kept == []
+        assert t.read(spark, eq={"k": 99999}).count() == 0
+
+    def test_unanalyzed_column_is_conservative(self, spark, tdir):
+        t = self._table(spark, tdir)
+        kept, total = t.plan_scan(eq={"k": 5})
+        assert len(kept) == total  # no blob -> no pruning, never wrong
+        assert t.read(spark, eq={"k": 5}).count() == 1
+
+    def test_appends_after_analysis_are_kept(self, spark, tdir):
+        """Files the blob never saw must always be kept — an append after
+        analyze_bloom would otherwise be silently unsearchable."""
+        t = self._table(spark, tdir)
+        t.analyze_bloom(spark, ["k"])
+        t.append(spark.createDataFrame([(90001, 1)], "k long, g long"))
+        got = t.read(spark, eq={"k": 90001}).collect()
+        assert len(got) == 1
+        kept, total = t.plan_scan(eq={"k": 90001})
+        assert len(kept) >= 1  # the appended file survives the probe
+
+    def test_string_keys_and_results_match_unpruned(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        df = spark.range(0, 300).select(
+            F.concat(F.lit("user-"), F.col("id")).alias("u"),
+            F.col("id").alias("n"),
+        ).repartition(6)
+        t.write(df)
+        t.analyze_bloom(spark, ["u"])
+        want = sorted(
+            r["n"] for r in t.read(spark).filter(F.col("u") == "user-42").collect()
+        )
+        got = sorted(r["n"] for r in t.read(spark, eq={"u": "user-42"}).collect())
+        assert got == want == [42]
+
+    def test_retention_keeps_blobs_of_live_lineage(self, spark, tdir):
+        t = self._table(spark, tdir)
+        t.analyze_bloom(spark, ["k"])
+        t.append(spark.createDataFrame([(90001, 1)], "k long, g long"))
+        t.expire_snapshots(keep_last=1)
+        # the lineage survives, so the blob still prunes: every covered
+        # file is gone from the plan, only uncovered appended files remain
+        kept, _ = t.plan_scan(eq={"k": 99999})
+        assert all("s00002-" in os.path.basename(f) for f in kept)
+        # a fresh write starts a new lineage: its retention drops the blob
+        t.write(spark.createDataFrame([(1, 1)], "k long, g long"))
+        _, removed = t.expire_snapshots(keep_last=1)
+        assert any(r.startswith("_bloom/") for r in removed)
