@@ -1634,6 +1634,75 @@ class SnapshotTable:
             "n_delete_files int",
         )
 
+    def refs_df(self, spark: SparkSession) -> DataFrame:
+        """Named references as a relation — Iceberg's ``tbl.refs``: every
+        tag plus the implicit ``main`` head, each with the version it pins
+        and that snapshot's commit timestamp. Metadata-sized."""
+        entries = self.versions()
+        by_version = {e["version"]: e for e in entries}
+        rows = []
+        if entries:
+            head = entries[-1]
+            rows.append(
+                ("main", "branch", int(head["version"]), float(head["ts"]))
+            )
+        for name, v in sorted(self.tags().items()):
+            e = by_version.get(v)
+            rows.append(
+                (name, "tag", int(v), float(e["ts"]) if e else None)
+            )
+        return spark.createDataFrame(
+            rows, "name string, type string, version int, ts double"
+        )
+
+    def manifests_df(self, spark: SparkSession) -> DataFrame:
+        """Manifest files as a relation — Iceberg's ``tbl.manifests``: one
+        row per manifest file on disk with the commit version it records,
+        its listed-file count, total listed bytes, and how many surviving
+        snapshots reference it. The commit-plane audit view: manifest
+        growth IS the metadata cost of an append cadence, and
+        ``referenced_by == 0`` rows are what retention will sweep.
+        Cost: one JSON read per manifest — never touches data."""
+        refcount: dict[str, int] = {}
+        for e in self.versions():
+            for mname in e.get("manifests", []):
+                refcount[mname] = refcount.get(mname, 0) + 1
+        rows = []
+        for name in sorted(os.listdir(self.path)):
+            m = re.fullmatch(r"m(\d{5})(-base)?\.json", name)
+            if not m:
+                continue
+            with open(os.path.join(self.path, name)) as fh:
+                listed = json.load(fh)["files"]
+            # listed paths are lineage-relative; size them through the most
+            # recent lineage dir that holds them (manifest names embed no
+            # lineage, but files are unique within one, and every surviving
+            # reference shares the dir)
+            total = 0
+            for e in self.versions():
+                if name in e.get("manifests", []):
+                    dd = os.path.join(self.path, e["data_dir"])
+                    total = sum(
+                        os.path.getsize(os.path.join(dd, rel))
+                        for rel in listed
+                        if os.path.exists(os.path.join(dd, rel))
+                    )
+                    break
+            rows.append(
+                (
+                    name,
+                    int(m.group(1)),
+                    len(listed),
+                    int(total),
+                    int(refcount.get(name, 0)),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "manifest string, commit_version int, n_files int, "
+            "listed_bytes bigint, referenced_by int",
+        )
+
     def files_df(
         self,
         spark: SparkSession,

@@ -1085,3 +1085,36 @@ class TestBloomFileSkipping:
         t.write(spark.createDataFrame([(1, 1)], "k long, g long"))
         _, removed = t.expire_snapshots(keep_last=1)
         assert any(r.startswith("_bloom/") for r in removed)
+
+
+class TestRefsAndManifestsTables:
+    """Iceberg's tbl.refs / tbl.manifests as metadata relations."""
+
+    def test_refs_df(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(5), ts=100.0)
+        t.append(spark.range(5, 8), ts=200.0)
+        t.tag("release-1", 1)
+        refs = {r["name"]: r for r in t.refs_df(spark).collect()}
+        assert refs["main"]["type"] == "branch"
+        assert refs["main"]["version"] == 2
+        assert refs["main"]["ts"] == 200.0
+        assert refs["release-1"]["type"] == "tag"
+        assert refs["release-1"]["version"] == 1
+        assert refs["release-1"]["ts"] == 100.0
+
+    def test_manifests_df(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(10))
+        t.append(spark.range(10, 15))
+        rows = {r["manifest"]: r for r in t.manifests_df(spark).collect()}
+        assert len(rows) == 2
+        assert all(r["n_files"] >= 1 for r in rows.values())
+        assert all(r["listed_bytes"] > 0 for r in rows.values())
+        # v2 references both manifests, v1 only the first
+        assert rows["m00001.json"]["referenced_by"] == 2
+        assert rows["m00002.json"]["referenced_by"] == 1
+        # after expiry, unreferenced manifests leave the relation
+        t.expire_snapshots(keep_last=1)
+        t2 = {r["manifest"] for r in t.manifests_df(spark).collect()}
+        assert t2 == {"m00001.json", "m00002.json"}  # both still referenced by v2
