@@ -11265,6 +11265,94 @@ GROUP BY p.probe
 """
 
 
+def orders_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING TABLE TAIL (r10; `sources/snapshot_stream.py` — Iceberg's
+    incremental streaming read on the Spark 4 Python DataSource API):
+    orders land as a snapshot table in three commits (one write + two
+    fast-appends by key residue); a Structured Streaming query tails the
+    table — offsets are snapshot VERSIONS, each micro-batch is the
+    manifest-attributed added-file set, each partition one file read via
+    Arrow. Run 1 (availableNow) consumes the first two commits; the third
+    commit lands; run 2 RESUMES FROM THE CHECKPOINT and must emit ONLY
+    the delta (witness boolean: run-2 rows == slice-3 rows — the
+    exactly-once incremental contract). The oracle replays the union of
+    the three slices. At 100 TB the driver's per-batch planning cost is
+    KB of manifest JSON; the data plane is per-file scans — a streaming
+    consumer never rescans or diffs the table."""
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.sources.snapshot_stream import (
+        SnapshotStreamDataSource,
+    )
+    from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+
+    try:
+        spark.dataSource.register(SnapshotStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="ies-tail-")
+
+    def _run(tbl: str, out: str, ck: str) -> None:
+        q = (
+            spark.readStream.format("snapshot_stream")
+            .option("path", tbl)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    try:
+        tbl = os.path.join(tmp, "orders_table")
+        out = os.path.join(tmp, "out")
+        ck = os.path.join(tmp, "ck")
+        t = SnapshotTable(tbl)
+        t.write(orders.filter(F.col("o_orderkey") % 3 == 0), ts=1000.0)
+        t.append(orders.filter(F.col("o_orderkey") % 3 == 1), ts=2000.0)
+        _run(tbl, out, ck)
+        n_run1 = spark.read.parquet(out).count()
+        t.append(orders.filter(F.col("o_orderkey") % 3 == 2), ts=3000.0)
+        _run(tbl, out, ck)
+        tailed = spark.read.parquet(out)
+        n_slice3 = orders.filter(F.col("o_orderkey") % 3 == 2).count()
+        delta_only = (tailed.count() - n_run1) == n_slice3
+        agg = tailed.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)")
+            ).alias("sp"),
+        )
+        rows = [
+            (bool(delta_only), r["o_orderstatus"], int(r["n"]), float(r["sp"]))
+            for r in agg.collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "delta_only boolean, o_orderstatus string, n bigint, "
+        "sum_price double",
+    )
+
+
+#: The tailed rows are exactly the union of the three key-residue slices —
+#: i.e. all of orders; the per-status aggregates replay directly.
+_STREAM_TAIL_SQL = """
+SELECT TRUE AS delta_only,
+       o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(28,2))) AS DOUBLE)
+           AS sum_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 def orders_cbo_planned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STATS-DRIVEN JOIN PLANNING (r10; `operators/cbo.py` consuming
     `snapshots.py:analyze` statistics): orders and customer land as
@@ -12467,7 +12555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_cluster_components": dedup_cluster_components,
         # ---------------------- past the window ----------------------------
-        # (positions 51-58: NEW round-10 capabilities registered after the
+        # (positions 51-59: NEW round-10 capabilities registered after the
         # window filled — locally oracle-verified this round, queued FIRST
         # for round 11's window head alongside the r05 cohort)
         "orders_sorted_scan_stats": orders_sorted_scan_stats,
@@ -12478,6 +12566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_delete_fold": orders_delete_fold,
         "orders_merge_into": orders_merge_into,
         "orders_bloom_point_lookup": orders_bloom_point_lookup,
+        "orders_stream_tail": orders_stream_tail,
         # Everything below is r05-r09 hash-verified (freshest first-ish,
         # prior relative order preserved); every entry is still locally
         # oracle-verified each round by tests/test_entry_contract.py
@@ -12763,6 +12852,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_delete_fold": _DELETE_FOLD_SQL,
         "orders_merge_into": _MERGE_INTO_SQL,
         "orders_bloom_point_lookup": _BLOOM_POINT_LOOKUP_SQL,
+        "orders_stream_tail": _STREAM_TAIL_SQL,
         "orders_mor_pruned_read": _MORPRUNE_SQL,
         "orders_changelog_scan": _CHANGELOG_SQL,
         "orders_cdc_stream_mor": _MOR_STREAM_SQL,

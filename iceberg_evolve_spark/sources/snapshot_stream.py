@@ -1,0 +1,263 @@
+"""Structured Streaming SOURCE over a :class:`SnapshotTable` — Iceberg's
+incremental streaming read (``spark.readStream.format("iceberg")``) built on
+the Spark 4 Python DataSource API.
+
+The snapshot log IS a replayable change log: every fast-append commit names
+exactly the files it added (its manifest), so a streaming consumer can tail
+the table by version number —
+
+* **offset** = snapshot version (a single monotone integer; checkpoints
+  store it, restarts resume from it);
+* **micro-batch (start, end]** = the data files added by the commits in that
+  version range, assembled from the MANIFESTS — O(new files) planning, no
+  directory listing, no data diff;
+* **partition** = one added file; executors read their file via Arrow and
+  emit record batches, so a big append parallelizes per file exactly like a
+  batch scan of the same data;
+* **exactly-once** = pure recomputation: the same version range always
+  resolves to the same file list (manifests are immutable), the same files
+  always hold the same rows (data files are immutable).
+
+Append-only discipline, as Iceberg: a commit that is not a plain append
+(row deletes, compaction rewrite, rollback, delete-fold) breaks
+"new rows = new files" attribution, so the reader RAISES when the range
+crosses one — or skips it under ``on_change="skip"`` (emitting only the
+appended files of the range, Iceberg's ``streaming-skip-delete-snapshots``
+/ ``streaming-skip-overwrite-snapshots`` escape hatch).
+
+Usage::
+
+    spark.dataSource.register(SnapshotStreamDataSource)
+    stream = (spark.readStream.format("snapshot_stream")
+              .option("path", table_dir)
+              .option("on_change", "fail")       # default
+              .load())
+
+At 100 TB: the driver's per-batch work is reading a few KB of manifest
+JSON; the data plane is per-file Arrow scans on executors. A CDC-heavy
+table streams through :mod:`.snapshots`' changelog instead — this source is
+the append-cadence fast path, which is also the only shape Iceberg's own
+streaming source supports natively.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+#: Arrow → Spark DDL for the scalar types the testdata uses; extend as
+#: needed. Nested/list columns raise (the streaming tail targets flat
+#: warehouse tables; the batch reader handles everything parquet does).
+_ARROW_DDL = {
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "large_string": "string",
+    "bool": "boolean",
+    "date32[day]": "date",
+    "binary": "binary",
+    "large_binary": "binary",
+}
+
+
+def _table_ddl(table_path: str) -> str:
+    """Schema of the table's current snapshot as a DDL string, from one
+    parquet footer (KB-scale driver read)."""
+    import pyarrow.parquet as pq
+
+    entries = _log(table_path)
+    if not entries:
+        raise FileNotFoundError(f"no snapshots at {table_path}")
+    files = _entry_files(table_path, entries[-1])
+    if not files:
+        raise FileNotFoundError(f"snapshot has no data files: {table_path}")
+    schema = pq.ParquetFile(files[0]).schema_arrow
+    cols = []
+    for field in schema:
+        t = str(field.type)
+        if t.startswith("timestamp"):
+            ddl = "timestamp"
+        elif t.startswith("decimal128(") or t.startswith("decimal("):
+            ddl = t.replace("decimal128", "decimal")
+        elif t in _ARROW_DDL:
+            ddl = _ARROW_DDL[t]
+        else:
+            raise ValueError(
+                f"column {field.name!r}: arrow type {t} not supported by "
+                "the streaming tail (flat scalar columns only)"
+            )
+        cols.append(f"{field.name} {ddl}")
+    return ", ".join(cols)
+
+
+def _log(table_path: str) -> list[dict]:
+    try:
+        with open(os.path.join(table_path, "_snapshots.json")) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return []
+
+
+def _entry_files(table_path: str, entry: dict) -> list[str]:
+    dd = os.path.join(table_path, entry["data_dir"])
+    out = []
+    for mname in entry.get("manifests", []):
+        with open(os.path.join(table_path, mname)) as fh:
+            out.extend(os.path.join(dd, rel) for rel in json.load(fh)["files"])
+    return out
+
+
+def _manifest_files(table_path: str, entry: dict, mnames) -> list[str]:
+    dd = os.path.join(table_path, entry["data_dir"])
+    out = []
+    for mname in sorted(mnames):
+        with open(os.path.join(table_path, mname)) as fh:
+            out.extend(os.path.join(dd, rel) for rel in json.load(fh)["files"])
+    return out
+
+
+def _added_files(
+    table_path: str, start_v: int, end_v: int, on_change: str
+) -> list[str]:
+    """Data files added by commits in (start_v, end_v] — the manifests an
+    entry carries beyond its predecessor's. Non-append commits raise (or
+    are skipped under ``on_change='skip'``): deletes/rewrites/rollbacks
+    change visibility without adding rows, so "new rows = new files"
+    attribution would be wrong across them."""
+    entries = _log(table_path)
+    by_v = {e["version"]: e for e in entries}
+    if not by_v:
+        return []
+    first_v = min(by_v)
+    if start_v and start_v < first_v - 1:
+        raise ValueError(
+            f"stream offset v{start_v} predates the retained log (oldest "
+            f"v{first_v}): snapshots were expired under the consumer — "
+            "restart the stream from scratch"
+        )
+    out: list[str] = []
+    for v in sorted(by_v):
+        if v <= start_v or v > end_v:
+            continue
+        e = by_v[v]
+        cur = set(e.get("manifests", []))
+        prev = by_v.get(v - 1)
+        if prev is None:
+            # the first retained snapshot: its ENTIRE file set bootstraps
+            # a from-zero consumer (there is no predecessor to diff)
+            out.extend(_manifest_files(table_path, e, cur))
+            continue
+        prev_m = set(prev.get("manifests", []))
+        is_append = (
+            prev_m <= cur
+            and e.get("rollback_of") is None
+            and not e.get("rewrite")
+            and not e.get("delete_rewrite")
+            and len(e.get("deletes", [])) == len(prev.get("deletes", []))
+        )
+        if is_append:
+            out.extend(_manifest_files(table_path, e, cur - prev_m))
+        elif on_change != "skip":
+            raise ValueError(
+                f"snapshot v{v} is not a plain append (delete/rewrite/"
+                "rollback in the streamed range); set on_change='skip' to "
+                "stream past it, or consume changes_between() instead"
+            )
+    return out
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class SnapshotStreamReader(DataSourceStreamReader):
+    """Version-offset micro-batch reader (see module docstring)."""
+
+    def __init__(self, options: dict, schema=None):
+        self.table_path = options.get("path")
+        if not self.table_path:
+            raise ValueError("option 'path' (the SnapshotTable dir) required")
+        self.on_change = options.get("on_change", "fail")
+        self.start_version = int(options.get("start_version", 0))
+        self._schema = schema
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        entries = _log(self.table_path)
+        return {"version": entries[-1]["version"] if entries else 0}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        files = _added_files(
+            self.table_path,
+            int(start["version"]),
+            int(end["version"]),
+            self.on_change,
+        )
+        return [_FilePartition(p) for p in files]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.path)
+        # Cast every file to the stream's DECLARED schema: Spark's Arrow
+        # ingestion binds typed accessors from it, and files of different
+        # commit generations may legally differ in physical type (an
+        # int32-written column in a bigint table) or encoding
+        # (dictionary) — schema-on-read normalization, as the batch
+        # reader's union_by_field_id does for richer evolution.
+        if self._schema is not None:
+            from pyspark.sql.pandas.types import to_arrow_type
+
+            target = pa.schema(
+                [
+                    pa.field(
+                        f.name, to_arrow_type(f.dataType), nullable=True
+                    )
+                    for f in self._schema.fields
+                ]
+            )
+            tbl = tbl.select([f.name for f in self._schema.fields])
+        else:
+            target = pa.schema(
+                [
+                    pa.field(
+                        f.name,
+                        f.type.value_type
+                        if pa.types.is_dictionary(f.type)
+                        else f.type,
+                        nullable=True,
+                    )
+                    for f in tbl.schema
+                ]
+            )
+        yield from tbl.cast(target).combine_chunks().to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint; nothing to clean up
+
+
+class SnapshotStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_stream"
+
+    def schema(self) -> str:
+        return _table_ddl(self.options["path"])
+
+    def streamReader(self, schema) -> SnapshotStreamReader:  # noqa: ANN001
+        return SnapshotStreamReader(self.options, schema)

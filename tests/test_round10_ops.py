@@ -1118,3 +1118,103 @@ class TestRefsAndManifestsTables:
         t.expire_snapshots(keep_last=1)
         t2 = {r["manifest"] for r in t.manifests_df(spark).collect()}
         assert t2 == {"m00001.json", "m00002.json"}  # both still referenced by v2
+
+
+class TestSnapshotStreamSource:
+    """Structured Streaming tail of a snapshot table (Iceberg's streaming
+    read): offsets = versions, micro-batches = manifest-attributed added
+    files, per-file Arrow partitions, exactly-once by recomputation."""
+
+    def _start(self, spark, tbl, out, ck, **opts):
+        from iceberg_evolve_spark.sources.snapshot_stream import (
+            SnapshotStreamDataSource,
+        )
+        try:
+            spark.dataSource.register(SnapshotStreamDataSource)
+        except Exception:
+            pass  # already registered in this session
+        r = spark.readStream.format("snapshot_stream").option("path", tbl)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        q = (
+            r.load().writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    def test_backfill_then_incremental(self, spark, tdir):
+        tbl = os.path.join(tdir, "t")
+        out = os.path.join(tdir, "out")
+        ck = os.path.join(tdir, "ck")
+        t = SnapshotTable(tbl)
+        t.write(spark.range(0, 10).withColumn("g", F.col("id") % 3))
+        t.append(spark.range(100, 105).withColumn("g", F.col("id") % 3))
+        self._start(spark, tbl, out, ck)
+        got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+        assert got == list(range(10)) + list(range(100, 105))
+        # restart with the same checkpoint: ONLY the new append arrives
+        t.append(spark.range(200, 203).withColumn("g", F.lit(0).cast("long")))
+        self._start(spark, tbl, out, ck)
+        got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+        assert got == (
+            list(range(10)) + list(range(100, 105)) + list(range(200, 203))
+        )
+
+    def test_non_append_commit_fails_stream(self, spark, tdir):
+        tbl = os.path.join(tdir, "t")
+        t = SnapshotTable(tbl)
+        t.write(spark.range(0, 10))
+        t.delete_where(spark, F.col("id") == 0)
+        with pytest.raises(Exception, match="not a plain append"):
+            self._start(
+                spark, tbl,
+                os.path.join(tdir, "out"), os.path.join(tdir, "ck"),
+            )
+
+    def test_skip_mode_streams_past_changes(self, spark, tdir):
+        tbl = os.path.join(tdir, "t")
+        t = SnapshotTable(tbl)
+        t.write(spark.range(0, 10))
+        t.delete_where(spark, F.col("id") == 0)
+        t.append(spark.range(50, 52))
+        self._start(
+            spark, tbl,
+            os.path.join(tdir, "out"), os.path.join(tdir, "ck"),
+            on_change="skip",
+        )
+        got = sorted(
+            r["id"]
+            for r in spark.read.parquet(os.path.join(tdir, "out")).collect()
+        )
+        # bootstrap emits v1's files; the delete commit is skipped (no new
+        # rows); the append lands — rows, not visibility, is the contract
+        assert got == list(range(10)) + [50, 51]
+
+    def test_expired_offset_detected(self, spark, tdir):
+        from iceberg_evolve_spark.sources.snapshot_stream import _added_files
+        tbl = os.path.join(tdir, "t")
+        t = SnapshotTable(tbl)
+        t.write(spark.range(3))
+        for i in range(3):
+            t.append(spark.range(10 + i, 11 + i))
+        t.expire_snapshots(keep_last=1)
+        with pytest.raises(ValueError, match="expired"):
+            _added_files(tbl, 1, 4, "fail")
+
+    def test_heterogeneous_generation_types_normalize(self, spark, tdir):
+        """A column written int32 in one commit and int64 in another must
+        stream under ONE declared schema (the cast-to-declared rule)."""
+        tbl = os.path.join(tdir, "t")
+        t = SnapshotTable(tbl)
+        t.write(spark.range(0, 4).withColumn("g", F.col("id") % 2))
+        t.append(
+            spark.range(10, 12).withColumn("g", F.lit(7))
+        )  # g: int32 here
+        self._start(
+            spark, tbl,
+            os.path.join(tdir, "out"), os.path.join(tdir, "ck"),
+        )
+        rows = spark.read.parquet(os.path.join(tdir, "out"))
+        got = sorted((r["id"], r["g"]) for r in rows.collect())
+        assert got == [(0, 0), (1, 1), (2, 0), (3, 1), (10, 7), (11, 7)]
