@@ -11353,6 +11353,97 @@ GROUP BY o_orderstatus
 """
 
 
+def orders_branch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITABLE BRANCHES (r10; `sources/snapshots.py:create_branch/
+    fast_forward` — Iceberg's audit-branch workflow, the mechanism behind
+    `spark.wap.branch`): orders land on main; an `audit` branch forks and
+    takes the full correction workload — a MERGE INTO (price corrections
+    + late orders), a deletion-vector delete of invalid rows — while main
+    stays byte-identical for readers (witness boolean: main's aggregate
+    unchanged while the branch diverges); a DQ gate on the branch read
+    passes and main FAST-FORWARDS to the branch head (O(log JSON), no
+    data movement). The oracle recomputes the published state from the
+    correction rules. At 100 TB a branch costs one JSON file — data files
+    are shared and immutable — and the publish step moves a pointer, so
+    the audit workflow never copies, rewrites, or blocks the table."""
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.operators.merge import merge_into
+    from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    cut = 500000.0
+    tmp = tempfile.mkdtemp(prefix="ies-branch-")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "orders_table"))
+        t.write(orders, ts=1000.0)
+        base_n = t.read(spark).count()
+        b = t.create_branch("audit")
+        updates = orders.filter(F.col("o_orderstatus") == "P").withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+        )
+        inserts = orders.filter(
+            (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 10 == 0)
+        ).withColumn("o_orderkey", F.col("o_orderkey") + F.lit(600000000))
+        merge_into(
+            spark, b, updates.unionByName(inserts), on="o_orderkey", ts=2000.0
+        )
+        b.delete_where(
+            spark, F.col("o_totalprice") > cut, vector=True, ts=3000.0
+        )
+        main_untouched = t.read(spark).count() == base_n and (
+            t.versions()[-1]["version"] == 1
+        )
+        t.fast_forward("audit")
+        agg = t.read(spark).groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)")
+            ).alias("sp"),
+        )
+        rows = [
+            (
+                bool(main_untouched),
+                r["o_orderstatus"],
+                int(r["n"]),
+                float(r["sp"]),
+            )
+            for r in agg.collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "isolated boolean, o_orderstatus string, n bigint, "
+        "sum_price double",
+    )
+
+
+#: Published state: 'P' orders price-bumped (merge update), the re-keyed 'O'
+#: slice inserted, then the vector delete drops every row above the cut —
+#: including bumped/inserted rows (it ran after the merge on the branch).
+_BRANCH_AUDIT_SQL = """
+WITH ba_merged AS (
+    SELECT o_orderstatus,
+           CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    UNION ALL
+    SELECT o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderstatus = 'O' AND o_orderkey % 10 = 0
+)
+SELECT TRUE AS isolated,
+       o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(28,2))) AS DOUBLE)
+           AS sum_price
+FROM ba_merged
+WHERE o_totalprice <= 500000.0
+GROUP BY o_orderstatus
+"""
+
+
 def orders_cbo_planned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STATS-DRIVEN JOIN PLANNING (r10; `operators/cbo.py` consuming
     `snapshots.py:analyze` statistics): orders and customer land as
@@ -12555,7 +12646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_cluster_components": dedup_cluster_components,
         # ---------------------- past the window ----------------------------
-        # (positions 51-59: NEW round-10 capabilities registered after the
+        # (positions 51-60: NEW round-10 capabilities registered after the
         # window filled — locally oracle-verified this round, queued FIRST
         # for round 11's window head alongside the r05 cohort)
         "orders_sorted_scan_stats": orders_sorted_scan_stats,
@@ -12567,6 +12658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_merge_into": orders_merge_into,
         "orders_bloom_point_lookup": orders_bloom_point_lookup,
         "orders_stream_tail": orders_stream_tail,
+        "orders_branch_audit": orders_branch_audit,
         # Everything below is r05-r09 hash-verified (freshest first-ish,
         # prior relative order preserved); every entry is still locally
         # oracle-verified each round by tests/test_entry_contract.py
@@ -12853,6 +12945,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_merge_into": _MERGE_INTO_SQL,
         "orders_bloom_point_lookup": _BLOOM_POINT_LOOKUP_SQL,
         "orders_stream_tail": _STREAM_TAIL_SQL,
+        "orders_branch_audit": _BRANCH_AUDIT_SQL,
         "orders_mor_pruned_read": _MORPRUNE_SQL,
         "orders_changelog_scan": _CHANGELOG_SQL,
         "orders_cdc_stream_mor": _MOR_STREAM_SQL,

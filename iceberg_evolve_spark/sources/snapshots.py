@@ -175,14 +175,24 @@ def _apply_sort_order(
 
 
 class SnapshotTable:
-    """A versioned parquet table rooted at ``path``."""
+    """A versioned parquet table rooted at ``path``.
 
-    def __init__(self, path: str) -> None:
+    ``branch`` binds the handle to a WRITABLE BRANCH (see
+    :meth:`create_branch`) instead of ``main``: reads, commits, time
+    travel, changelogs, and metadata tables all operate on the branch's
+    own snapshot log while sharing the table's immutable data files."""
+
+    def __init__(self, path: str, branch: str | None = None) -> None:
         self.path = path.rstrip("/")
+        self.branch = branch
         os.makedirs(self.path, exist_ok=True)
 
     # -- snapshot log --------------------------------------------------------
     def _manifest_path(self) -> str:
+        if self.branch:
+            return os.path.join(
+                self.path, f"_snapshots_{self.branch}.json"
+            )
         return os.path.join(self.path, MANIFEST)
 
     def versions(self) -> list[dict]:
@@ -206,7 +216,12 @@ class SnapshotTable:
     ) -> str:
         """Write ``m{version}{suffix}.json`` listing one commit's data files
         (paths relative to the lineage dir); atomic replace so a crashed
-        retry of the same version simply overwrites its own orphan."""
+        retry of the same version simply overwrites its own orphan. Branch
+        commits scope the name (``m00002-audit.json``): a diverged main
+        committing the same version number must never clobber the branch's
+        manifest, and vice versa."""
+        if self.branch:
+            suffix = f"-{self.branch}{suffix}"
         name = f"m{version:05d}{suffix}.json"
         tmp = os.path.join(self.path, name + ".tmp")
         with open(tmp, "w") as fh:
@@ -261,6 +276,11 @@ class SnapshotTable:
         for this snapshot) — reads, metadata tables, footer pruning, and
         merge-on-read deletes all walk it.
 
+        Not available on a BRANCH handle: ``write`` starts a new lineage,
+        and branches extend their fork point's lineage (Iceberg's audit
+        branches behave the same — appends and row-level deletes, never a
+        table replace).
+
         ``sort_by`` is the table's SORT ORDER (Iceberg's sort-order spec):
         rows are range-repartitioned then sorted within each task on these
         columns before writing, so every data file covers a NARROW range
@@ -270,6 +290,12 @@ class SnapshotTable:
         sorted lineage re-sort their own increment (file-level clustering,
         as Iceberg's sorted writes), and scoped compaction re-sorts what it
         rewrites."""
+        if self.branch:
+            raise ValueError(
+                "write() starts a new lineage — not allowed on branch "
+                f"{self.branch!r}; use append()/delete_*/merge instead, "
+                "or write on main"
+            )
         entries = self.versions()
         version = (entries[-1]["version"] + 1) if entries else 1
         data_dir = f"v{version:05d}"
@@ -1317,6 +1343,11 @@ class SnapshotTable:
         a tag that silently moves defeats its reproducibility purpose.
         Tagged versions survive :meth:`expire_snapshots` regardless of
         ``keep_last``, exactly as Iceberg retention honors refs."""
+        if self.branch:
+            raise ValueError(
+                "tags pin MAIN versions — fast_forward the branch first, "
+                "then tag from the main handle"
+            )
         entries = self.versions()
         if not entries:
             raise FileNotFoundError(f"no snapshots at {self.path}")
@@ -1351,6 +1382,104 @@ class SnapshotTable:
         if name not in tags:
             raise KeyError(f"no tag {name!r}")
         return self.read(spark, version=tags[name])
+
+    # -- branches (writable refs: Iceberg's audit-branch workflow) -----------
+    _BRANCH_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9_\-]*\Z")
+
+    def create_branch(
+        self, name: str, version: int | None = None
+    ) -> "SnapshotTable":
+        """Create a WRITABLE BRANCH at ``version`` (default: the current
+        head) and return a handle bound to it — Iceberg's branch refs, the
+        mechanism behind ``spark.wap.branch``: commits land on the branch's
+        own snapshot log (appends, row-level deletes, merges, folds — the
+        full MOR toolkit) while ``main`` and its readers never see them
+        until :meth:`fast_forward`.
+
+        Mechanics: the branch log starts as a copy of main's entries up to
+        the fork point; both logs reference the SAME immutable data files,
+        so the branch costs one JSON file, not a data copy. Divergent
+        version numbers cannot collide on storage — data files are
+        UUID-named and every format-2 read is manifest-scoped (branching
+        therefore requires a format-2 head). ``write()`` (new lineage) is
+        not allowed on a branch."""
+        if self.branch:
+            raise ValueError("create branches from the main handle")
+        if name == "main" or not self._BRANCH_RE.fullmatch(name):
+            raise ValueError(f"invalid branch name {name!r}")
+        bpath = os.path.join(self.path, f"_snapshots_{name}.json")
+        if os.path.exists(bpath):
+            raise ValueError(f"branch {name!r} already exists")
+        entries = self.versions()
+        if not entries:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        upto = entries[-1]["version"] if version is None else version
+        fork = [e for e in entries if e["version"] <= upto]
+        if not fork:
+            raise KeyError(f"no snapshot at or below v{upto}")
+        if not fork[-1].get("manifests"):
+            raise ValueError(
+                "branching requires a format-2 (manifest-list) head — "
+                "commit once on this layout first"
+            )
+        tmp = bpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(fork, fh, indent=1)
+        os.replace(tmp, bpath)
+        return SnapshotTable(self.path, branch=name)
+
+    def branch_table(self, name: str) -> "SnapshotTable":
+        """Handle bound to an existing branch."""
+        if not os.path.exists(
+            os.path.join(self.path, f"_snapshots_{name}.json")
+        ):
+            raise KeyError(f"no branch {name!r}")
+        return SnapshotTable(self.path, branch=name)
+
+    def branches(self) -> dict[str, int]:
+        """``{branch name: head version}`` of every live branch."""
+        out = {}
+        for fname in sorted(os.listdir(self.path)):
+            m = re.fullmatch(r"_snapshots_(.+)\.json", fname)
+            if m:
+                with open(os.path.join(self.path, fname)) as fh:
+                    log = json.load(fh)
+                if log:
+                    out[m.group(1)] = log[-1]["version"]
+        return out
+
+    def fast_forward(self, name: str) -> int:
+        """Advance ``main`` to the branch's head — Iceberg's
+        ``fast_forward('main', branch)``, the publish step of the
+        audit-branch workflow. Requires main's log to be a PREFIX of the
+        branch log (main has not moved since the fork); a diverged main
+        raises, exactly like a non-fast-forward git push. O(log JSON):
+        no data file is touched. The branch stays (drop it explicitly)."""
+        if self.branch:
+            raise ValueError("fast_forward from the main handle")
+        bpath = os.path.join(self.path, f"_snapshots_{name}.json")
+        if not os.path.exists(bpath):
+            raise KeyError(f"no branch {name!r}")
+        with open(bpath) as fh:
+            blog = json.load(fh)
+        mlog = self.versions()
+        if len(mlog) > len(blog) or any(
+            json.dumps(a, sort_keys=True) != json.dumps(b, sort_keys=True)
+            for a, b in zip(mlog, blog)
+        ):
+            raise ValueError(
+                f"main diverged from branch {name!r} since the fork — "
+                "fast-forward impossible; merge the branch's changes "
+                "explicitly (e.g. changes_between + merge_into)"
+            )
+        self._commit(blog)
+        return blog[-1]["version"]
+
+    def drop_branch(self, name: str) -> None:
+        bpath = os.path.join(self.path, f"_snapshots_{name}.json")
+        if not os.path.exists(bpath):
+            raise KeyError(f"no branch {name!r}")
+        os.remove(bpath)
 
     # -- write-audit-publish (Iceberg WAP) -----------------------------------
     def stage(
@@ -1651,6 +1780,16 @@ class SnapshotTable:
             rows.append(
                 (name, "tag", int(v), float(e["ts"]) if e else None)
             )
+        for name in sorted(self.branches()):
+            with open(
+                os.path.join(self.path, f"_snapshots_{name}.json")
+            ) as fh:
+                blog = json.load(fh)
+            if blog:
+                rows.append(
+                    (name, "branch", int(blog[-1]["version"]),
+                     float(blog[-1]["ts"]))
+                )
         return spark.createDataFrame(
             rows, "name string, type string, version int, ts double"
         )
@@ -1669,7 +1808,7 @@ class SnapshotTable:
                 refcount[mname] = refcount.get(mname, 0) + 1
         rows = []
         for name in sorted(os.listdir(self.path)):
-            m = re.fullmatch(r"m(\d{5})(-base)?\.json", name)
+            m = re.fullmatch(r"m(\d{5})(-[A-Za-z0-9_\-]+)?\.json", name)
             if not m:
                 continue
             with open(os.path.join(self.path, name)) as fh:
@@ -2306,6 +2445,11 @@ class SnapshotTable:
         Returns (expired version numbers, removed dirs/files)."""
         import shutil
 
+        if self.branch:
+            raise ValueError(
+                "expire_snapshots runs on the main handle — a branch pins "
+                "its own history; drop_branch() releases it"
+            )
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         entries = self.versions()
@@ -2329,13 +2473,21 @@ class SnapshotTable:
         if expired:
             # commit point: expired versions unresolvable from here on
             self._commit(keep)
+        # live BRANCHES pin everything their logs reference — a branch is
+        # an explicit ref, exactly like a tag (drop_branch releases it)
+        branch_entries: list[dict] = []
+        for bname in self.branches():
+            with open(
+                os.path.join(self.path, f"_snapshots_{bname}.json")
+            ) as fh:
+                branch_entries.extend(json.load(fh))
         live_dirs = {e["data_dir"] for e in keep}
         live_manifests: set[str] = set()
         # per lineage dir: the union of surviving entries' file lists, or
         # None when ANY surviving entry reads it by walk (format 1) — then
         # the whole dir is live and per-file sweeping is off for it
         live_rel: dict[str, set[str] | None] = {}
-        for e in keep:
+        for e in keep + branch_entries:
             live_dirs.update(d["dir"] for d in e.get("deletes", []))
             if e.get("manifests"):
                 live_manifests.update(e["manifests"])
@@ -2376,7 +2528,7 @@ class SnapshotTable:
                             removed.append(os.path.join(name, rel))
             elif (
                 os.path.isfile(full)
-                and re.fullmatch(r"m\d{5}(-base)?\.json(\.tmp)?", name)
+                and re.fullmatch(r"m\d{5}(-[A-Za-z0-9_\-]+)?\.json(\.tmp)?", name)
                 and name not in live_manifests
             ):
                 os.remove(full)
@@ -2384,7 +2536,9 @@ class SnapshotTable:
         # statistics files (analyze()) of expired versions go with them
         stats_dir = os.path.join(self.path, "_stats")
         if os.path.isdir(stats_dir):
-            live_versions = {e["version"] for e in keep}
+            live_versions = {
+                e["version"] for e in keep + branch_entries
+            }
             for name in sorted(os.listdir(stats_dir)):
                 m = re.fullmatch(r"(\d{5})\.json(\.tmp)?", name)
                 if m and int(m.group(1)) not in live_versions:
@@ -2395,7 +2549,9 @@ class SnapshotTable:
         # are immutable, the planner probes the newest blob <= version)
         bloom_dir = os.path.join(self.path, "_bloom")
         if os.path.isdir(bloom_dir):
-            live_lineages = {e["data_dir"] for e in keep}
+            live_lineages = {
+                e["data_dir"] for e in keep + branch_entries
+            }
             for name in sorted(os.listdir(bloom_dir)):
                 full = os.path.join(bloom_dir, name)
                 try:

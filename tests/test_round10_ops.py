@@ -1218,3 +1218,105 @@ class TestSnapshotStreamSource:
         rows = spark.read.parquet(os.path.join(tdir, "out"))
         got = sorted((r["id"], r["g"]) for r in rows.collect())
         assert got == [(0, 0), (1, 1), (2, 0), (3, 1), (10, 7), (11, 7)]
+
+
+class TestBranches:
+    """Writable branches (Iceberg's audit-branch / spark.wap.branch flow):
+    commits land on the branch's own log, main never sees them until
+    fast_forward; data files are shared, the branch costs one JSON file."""
+
+    def test_branch_commits_isolated_from_main(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 10))
+        b = t.create_branch("audit")
+        b.append(spark.range(100, 103))
+        b.delete_where(spark, F.col("id") < 2)
+        # main unchanged
+        assert sorted(r["id"] for r in t.read(spark).collect()) == list(range(10))
+        # branch sees its own state
+        got = sorted(r["id"] for r in b.read(spark).collect())
+        assert got == list(range(2, 10)) + [100, 101, 102]
+        assert t.branches() == {"audit": 3}
+
+    def test_fast_forward_publishes(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 5))
+        b = t.create_branch("audit")
+        b.append(spark.range(50, 52))
+        v = t.fast_forward("audit")
+        assert v == 2
+        assert sorted(r["id"] for r in t.read(spark).collect()) == [0, 1, 2, 3, 4, 50, 51]
+        # time travel on main now resolves the branch-committed version
+        assert t.read(spark, version=1).count() == 5
+        t.drop_branch("audit")
+        assert t.branches() == {}
+
+    def test_diverged_main_refuses_fast_forward(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 5))
+        b = t.create_branch("audit")
+        b.append(spark.range(50, 52))
+        t.append(spark.range(90, 91))  # main moves after the fork
+        with pytest.raises(ValueError, match="diverged"):
+            t.fast_forward("audit")
+        # both histories remain intact and readable
+        assert t.read(spark).count() == 6
+        assert b.read(spark).count() == 7
+
+    def test_retention_on_main_keeps_branch_files(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 5))
+        b = t.create_branch("audit")
+        b.append(spark.range(50, 55))
+        t.append(spark.range(90, 92))
+        t.append(spark.range(95, 97))
+        t.expire_snapshots(keep_last=1)
+        # the branch's appended rows survive main's retention
+        got = sorted(r["id"] for r in b.read(spark).collect())
+        assert got == list(range(5)) + list(range(50, 55))
+        # dropping the branch releases its files on the next sweep
+        t.drop_branch("audit")
+        _, removed = t.expire_snapshots(keep_last=1)
+        assert any("s00002-" in r for r in removed)
+
+    def test_branch_guards(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(3))
+        b = t.create_branch("audit")
+        with pytest.raises(ValueError, match="new lineage"):
+            b.write(spark.range(5))
+        with pytest.raises(ValueError, match="main"):
+            b.expire_snapshots(keep_last=1)
+        with pytest.raises(ValueError, match="MAIN"):
+            b.tag("nope")
+        with pytest.raises(ValueError, match="already exists"):
+            t.create_branch("audit")
+        with pytest.raises(ValueError, match="invalid"):
+            t.create_branch("main")
+
+    def test_refs_df_lists_branches(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(3), ts=100.0)
+        b = t.create_branch("audit")
+        b.append(spark.range(5, 7), ts=200.0)
+        refs = {r["name"]: r for r in t.refs_df(spark).collect()}
+        assert refs["audit"]["type"] == "branch"
+        assert refs["audit"]["version"] == 2
+        assert refs["audit"]["ts"] == 200.0
+
+    def test_branch_full_toolkit(self, spark, tdir):
+        """The MOR toolkit works on a branch: merge_into, vector deletes,
+        fold, changelog."""
+        from iceberg_evolve_spark.operators.merge import merge_into
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.createDataFrame([(k, f"v{k}") for k in range(6)], "k long, val string"))
+        b = t.create_branch("fix")
+        merge_into(spark, b, spark.createDataFrame([(2, "fixed"), (9, "new")], "k long, val string"), on="k")
+        b.delete_where(spark, F.col("k") == 0, vector=True)
+        b.rewrite_delete_files(spark)
+        got = sorted((r["k"], r["val"]) for r in b.read(spark).collect())
+        assert got == [(1, "v1"), (2, "fixed"), (3, "v3"), (4, "v4"), (5, "v5"), (9, "new")]
+        v = t.fast_forward("fix")
+        assert sorted((r["k"], r["val"]) for r in t.read(spark).collect()) == got
+        log = t.changes_between(spark, 1, v, allow_rewrite_boundary=True)
+        assert log.count() > 0
