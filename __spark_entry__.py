@@ -12583,22 +12583,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST 50 entries each round. The window rotates so every entry's hash
     # stays fresh (union of recent rounds covers the whole registry); see
     # COVERAGE.md for the schedule and the per-round history.
+    #
+    # ROUND 11: the bench-budget split fired (BASELINE.md policy; VERDICT r10
+    # task 2) — the oldest non-parity, non-storage entries moved to
+    # queries_extended() (still oracle-gated every round by
+    # tests/test_entry_contract.py and swept by the committed LOCAL/SF1
+    # benches with SPARK_GRAFT_BENCH_EXTENDED=1; only the driver's per-round
+    # measurement surface shrank). What remains here: the full SURVEY §2.1
+    # parity surface, the whole snapshot-storage plane, one real decode per
+    # modality, and the round-10 data-plane window (freshest hashes).
     return {
-        # ---------- ROUND-10 WINDOW (first 50; driver hashes these) ----------
-        # (a) NEW this round: write-audit-publish composed with staged-append
-        #     publish, DQ gating, tags, and retention pinning — the two
-        #     round-9 capabilities that had test-only evidence (VERDICT r9
-        #     task 4), plus the r10 append-mode publish (task 5).
+        # ---------- ROUND-11 WINDOW (first 50; driver hashes these) ----------
+        # (a) the 10 round-10 storage-plane entries — registered last round
+        #     after the window filled; local-oracle evidence only until now
+        #     (VERDICT r10 task 1):
+        "orders_sorted_scan_stats": orders_sorted_scan_stats,
+        "orders_changelog_ivm": orders_changelog_ivm,
+        "orders_delete_vectors": orders_delete_vectors,
+        "orders_partition_stats": orders_partition_stats,
+        "orders_cbo_planned_join": orders_cbo_planned_join,
+        "orders_delete_fold": orders_delete_fold,
+        "orders_merge_into": orders_merge_into,
+        "orders_bloom_point_lookup": orders_bloom_point_lookup,
+        "orders_stream_tail": orders_stream_tail,
+        "orders_branch_audit": orders_branch_audit,
+        # (b) every remaining r05/r06-hashed entry (parity + storage — the
+        #     stalest driver evidence left in this registry):
+        "snapshot_schema_drift": snapshot_schema_drift,
+        "orders_compact_roundtrip": orders_compact_roundtrip,
+        "snapshot_incremental_dedup": snapshot_incremental_dedup,
+        "snapshot_drift_migrate": snapshot_drift_migrate,
+        "orders_dq_expectations": orders_dq_expectations,
+        "scd2_incremental_apply": scd2_incremental_apply,
+        "snapshot_data_drift": snapshot_data_drift,
+        "schema_of_lineitem": schema_of_lineitem,
+        "schema_diff_by_name": schema_diff_by_name,
+        "evolve_users_diff": evolve_users_diff,
+        "evolve_users_plan": evolve_users_plan,
+        "migrate_customer": migrate_customer,
+        "evolve_required_flips": evolve_required_flips,
+        "orders_partition_evolution": orders_partition_evolution,
+        "orders_snapshot_expire": orders_snapshot_expire,
+        # (c) the r08-hashed parity/storage cohort:
+        "orders_avro_roundtrip": orders_avro_roundtrip,
+        "cdc_schema_drift_apply": cdc_schema_drift_apply,
+        "orders_file_skipping": orders_file_skipping,
+        "evolve_add_with_defaults": evolve_add_with_defaults,
+        "orders_schema_on_read": orders_schema_on_read,
+        "schema_s3_source": schema_s3_source,
+        "schema_json_schema_dict": schema_json_schema_dict,
+        "schema_serialize_roundtrip": schema_serialize_roundtrip,
+        "render_diff_tree": render_diff_tree,
+        "render_ops_plan": render_ops_plan,
+        "render_type_tree": render_type_tree,
+        "cli_diff_json": cli_diff_json,
+        "cli_evolve_sql_only": cli_evolve_sql_only,
+        "cli_serialize_parquet": cli_serialize_parquet,
+        "sqltype_parse_table": sqltype_parse_table,
+        "jsonschema_roundtrip": jsonschema_roundtrip,
+        "evolve_compiled_ddl": evolve_compiled_ddl,
+        "orders_bloom_prefilter": orders_bloom_prefilter,
+        "merge_customer_updates": merge_customer_updates,
+        # (d) stalest r09 storage/parity entries (fills the window to 50):
+        "orders_mor_pruned_read": orders_mor_pruned_read,
+        "evolve_struct_default_generations": evolve_struct_default_generations,
+        "orders_avro_split": orders_avro_split,
+        "orders_avro_complex": orders_avro_complex,
+        "orders_metadata_tables": orders_metadata_tables,
+        "orders_footer_minmax": orders_footer_minmax,
+        # ---------------------- past the window ----------------------------
+        # r09-hashed remainder (queued for the r12 window head):
+        "multimodal_jpeg_decode": multimodal_jpeg_decode,
+        "multimodal_audio_vad": multimodal_audio_vad,
+        "multimodal_video_mjpeg": multimodal_video_mjpeg,
+        "orders_orc_roundtrip": orders_orc_roundtrip,
+        "orders_cdc_apply": orders_cdc_apply,
+        # r10-hashed (freshest; re-enter the rotation after the above):
         "orders_wap_tagged_release": orders_wap_tagged_release,
-        # (b) re-verify after this round's storage-layer restructure
-        #     (manifest file lists replacing hard-link forests; scoped
-        #     compaction) — VERDICT r9 task 1's done-criterion trio:
         "orders_merge_on_read": orders_merge_on_read,
         "orders_cdc_stream_mor": orders_cdc_stream_mor,
         "orders_changelog_scan": orders_changelog_scan,
-        # (c) the 46 entries whose last driver hash was r04 — the stalest
-        #     cohort (VERDICT r9 task 3), prior relative order preserved.
-        #     46 + 4 above fills the window exactly.
         "totalprice_percentiles": totalprice_percentiles,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -12645,29 +12709,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_cluster_components": dedup_cluster_components,
-        # ---------------------- past the window ----------------------------
-        # (positions 51-60: NEW round-10 capabilities registered after the
-        # window filled — locally oracle-verified this round, queued FIRST
-        # for round 11's window head alongside the r05 cohort)
-        "orders_sorted_scan_stats": orders_sorted_scan_stats,
-        "orders_changelog_ivm": orders_changelog_ivm,
-        "orders_delete_vectors": orders_delete_vectors,
-        "orders_partition_stats": orders_partition_stats,
-        "orders_cbo_planned_join": orders_cbo_planned_join,
-        "orders_delete_fold": orders_delete_fold,
-        "orders_merge_into": orders_merge_into,
-        "orders_bloom_point_lookup": orders_bloom_point_lookup,
-        "orders_stream_tail": orders_stream_tail,
-        "orders_branch_audit": orders_branch_audit,
-        # Everything below is r05-r09 hash-verified (freshest first-ish,
-        # prior relative order preserved); every entry is still locally
-        # oracle-verified each round by tests/test_entry_contract.py
-        # regardless of window position.
-        "orders_mor_pruned_read": orders_mor_pruned_read,
-        "evolve_struct_default_generations": evolve_struct_default_generations,
-        "orders_avro_split": orders_avro_split,
-        "orders_avro_complex": orders_avro_complex,
-        "orders_metadata_tables": orders_metadata_tables,
+    }
+
+
+def queries_extended() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Bench-budget split (BASELINE.md policy; fired round 11 at 518.8 s
+    driver bench vs the ~480 s trigger): the oldest non-§2.1-parity,
+    non-storage-plane entries, moved off the driver's per-round bill.
+
+    Correctness coverage is UNCHANGED: every entry here keeps its
+    :func:`oracle_sql` row and is replayed against DuckDB at sf0.001 every
+    round by ``tests/test_entry_contract.py``, and the committed LOCAL/SF1
+    sweeps run with ``SPARK_GRAFT_BENCH_EXTENDED=1`` so these stay measured
+    at both scales. Only the driver's measurement surface shrank. Selection
+    rule (VERDICT r10 task 2): last driver hash ≤ r09, not §2.1 parity, not
+    snapshot-storage-plane, keeping one real decode per modality in
+    :func:`queries` (jpeg / audio-VAD / MJPEG)."""
+    return {
         "q10_returned_items": q10_returned_items,
         "q15_top_supplier": q15_top_supplier,
         "q18_large_orders": q18_large_orders,
@@ -12685,8 +12743,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_trend": events_daily_trend,
         "incremental_retract_rollup": incremental_retract_rollup,
         "hll_merge_by_source": hll_merge_by_source,
-        "orders_footer_minmax": orders_footer_minmax,
-        "multimodal_jpeg_decode": multimodal_jpeg_decode,
         "embedding_hard_negatives": embedding_hard_negatives,
         "ann_retrieval_quality": ann_retrieval_quality,
         "ann_recall_at_k": ann_recall_at_k,
@@ -12694,53 +12750,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_budget_mixture": docs_token_budget_mixture,
         "hll_overlap_sources": hll_overlap_sources,
         "multimodal_resize_real": multimodal_resize_real,
-        "multimodal_audio_vad": multimodal_audio_vad,
         "customer_entity_groups": customer_entity_groups,
         "multimodal_video_motion": multimodal_video_motion,
         "lang_id_confusion": lang_id_confusion,
-        "multimodal_video_mjpeg": multimodal_video_mjpeg,
         "incremental_join_view": incremental_join_view,
         "docs_surprisal_score": docs_surprisal_score,
         "docs_temperature_mixture": docs_temperature_mixture,
         "ann_matryoshka_recall": ann_matryoshka_recall,
         "multimodal_image_ahash": multimodal_image_ahash,
-        "orders_orc_roundtrip": orders_orc_roundtrip,
         "events_sliding_distinct_hll": events_sliding_distinct_hll,
         "docs_grouped_split": docs_grouped_split,
-        "orders_cdc_apply": orders_cdc_apply,
         "multimodal_png_decode": multimodal_png_decode,
         "ann_topk_hamming": ann_topk_hamming,
-        "orders_partition_evolution": orders_partition_evolution,
-        "orders_avro_roundtrip": orders_avro_roundtrip,
         "multimodal_video_mp4": multimodal_video_mp4,
-        "cdc_schema_drift_apply": cdc_schema_drift_apply,
-        "orders_file_skipping": orders_file_skipping,
         "parts_kcore": parts_kcore,
         "docs_bigram_surprisal": docs_bigram_surprisal,
-        "evolve_add_with_defaults": evolve_add_with_defaults,
-        "orders_schema_on_read": orders_schema_on_read,
         "docs_train_quality_classifier": docs_train_quality_classifier,
         "sessions_overlap_degree": sessions_overlap_degree,
         "parts_label_communities": parts_label_communities,
-        "schema_s3_source": schema_s3_source,
-        "schema_json_schema_dict": schema_json_schema_dict,
-        "schema_serialize_roundtrip": schema_serialize_roundtrip,
-        "render_diff_tree": render_diff_tree,
-        "render_ops_plan": render_ops_plan,
-        "render_type_tree": render_type_tree,
-        "cli_diff_json": cli_diff_json,
-        "cli_evolve_sql_only": cli_evolve_sql_only,
-        "cli_serialize_parquet": cli_serialize_parquet,
-        "sqltype_parse_table": sqltype_parse_table,
-        "jsonschema_roundtrip": jsonschema_roundtrip,
-        "evolve_compiled_ddl": evolve_compiled_ddl,
         "ann_topk_ivf": ann_topk_ivf,
         "ann_topk_ivf_sq8": ann_topk_ivf_sq8,
         "multimodal_image_decode": multimodal_image_decode,
         "multimodal_video_decode": multimodal_video_decode,
         "skew_salted_agg": skew_salted_agg,
         "skew_salted_join": skew_salted_join,
-        "orders_bloom_prefilter": orders_bloom_prefilter,
         "events_sessionize": events_sessionize,
         "events_hourly_counts": events_hourly_counts,
         "events_time_rollup": events_time_rollup,
@@ -12756,11 +12789,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_grouping_sets": orders_grouping_sets,
         "orders_cube": orders_cube,
         "lineitem_metrics_unpivot": lineitem_metrics_unpivot,
-        "merge_customer_updates": merge_customer_updates,
         "doc_token_chunks": doc_token_chunks,
         "orders_geomean": orders_geomean,
         "orders_trimmed_mean": orders_trimmed_mean,
-        "orders_snapshot_expire": orders_snapshot_expire,
         "docs_repetition_score": docs_repetition_score,
         "docs_pack_sequences": docs_pack_sequences,
         "multimodal_audio_decode": multimodal_audio_decode,
@@ -12777,19 +12808,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "events_ab_lift": events_ab_lift,
-        "snapshot_schema_drift": snapshot_schema_drift,
         "multimodal_gif_decode": multimodal_gif_decode,
-        "orders_compact_roundtrip": orders_compact_roundtrip,
         "dedup_incremental_probe": dedup_incremental_probe,
-        "snapshot_incremental_dedup": snapshot_incremental_dedup,
         "docs_domain_governance": docs_domain_governance,
         "dedup_soft_weights": dedup_soft_weights,
-        "snapshot_drift_migrate": snapshot_drift_migrate,
-        "orders_dq_expectations": orders_dq_expectations,
         "join_size_estimate_cms": join_size_estimate_cms,
         "parts_triangle_count": parts_triangle_count,
-        "scd2_incremental_apply": scd2_incremental_apply,
-        "snapshot_data_drift": snapshot_data_drift,
         "dedup_keep_best": dedup_keep_best,
         "decontaminate_docs": decontaminate_docs,
         "kmv_distinct_parts": kmv_distinct_parts,
@@ -12806,32 +12830,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "bpe_token_counts": bpe_token_counts,
         "multimodal_features": multimodal_features,
-        "schema_of_lineitem": schema_of_lineitem,
-        "schema_diff_by_name": schema_diff_by_name,
-        "evolve_users_diff": evolve_users_diff,
-        "evolve_users_plan": evolve_users_plan,
-        "migrate_customer": migrate_customer,
         "q12_priority_by_flag": q12_priority_by_flag,
         "ann_topk_lsh": ann_topk_lsh,
         "dedup_embedding_lsh": dedup_embedding_lsh,
-        "evolve_required_flips": evolve_required_flips,
         "docs_pii_redaction": docs_pii_redaction,
         "docs_quality_gate": docs_quality_gate,
     }
-
-
-def queries_extended() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry-split standby (bench-budget policy, BASELINE.md): when the
-    driver bench approaches its ~480 s budget, entries migrate from
-    :func:`queries` (driver-hashed + driver-benched) to this map — still
-    oracle-gated by ``tests/test_entry_contract.py`` and still swept by the
-    local benches (``SPARK_GRAFT_BENCH_EXTENDED=1``), just off the driver's
-    per-round bill. Empty until the trigger fires; the split is then a
-    one-commit move of dict lines because every consumer (contract test,
-    bench, completeness checker) already iterates BOTH maps. Entries here
-    keep their :func:`oracle_sql` rows — the correctness surface never
-    shrinks, only the driver's measurement surface."""
-    return {}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -49,26 +49,29 @@ def main() -> None:
     spark = get_session(app_name="iceberg-evolve-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    all_qs = dict(entry_mod.queries())
-    # Registry-split mechanics (bench-budget policy): the driver's per-round
-    # run benches queries() only; the committed LOCAL sweeps set
-    # SPARK_GRAFT_BENCH_EXTENDED=1 so entries moved off the driver's bill
-    # (queries_extended) stay measured every round.
+    # union_qs resolves ANY registered query (warmups + SPARK_GRAFT_BENCH_ONLY
+    # solo runs work regardless of which side of the split an entry lives on);
+    # the MEASURED set `qs` is queries() only for the driver's per-round run,
+    # plus queries_extended() when SPARK_GRAFT_BENCH_EXTENDED=1 (the committed
+    # LOCAL/SF1 sweeps — entries off the driver's bill stay measured).
+    union_qs = dict(entry_mod.queries())
+    if hasattr(entry_mod, "queries_extended"):
+        union_qs.update(entry_mod.queries_extended())
+    qs = dict(entry_mod.queries())
     if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED") == "1" and hasattr(
         entry_mod, "queries_extended"
     ):
-        all_qs.update(entry_mod.queries_extended())
-    qs = all_qs
+        qs.update(entry_mod.queries_extended())
     if ONLY:
         wanted = [n.strip() for n in ONLY.split(",") if n.strip()]
-        unknown = set(wanted) - set(all_qs)
+        unknown = set(wanted) - set(union_qs)
         if unknown:
             raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY: unknown queries {sorted(unknown)}")
-        qs = {n: all_qs[n] for n in wanted}
+        qs = {n: union_qs[n] for n in wanted}
 
     def run(name: str) -> float:
         t0 = time.time()
-        all_qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        union_qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
     # warmup: touch all tables + codegen paths once; also fit a 3-row KMeans so

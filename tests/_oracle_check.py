@@ -28,7 +28,7 @@ def main() -> int:
     import __spark_entry__ as entry
     from iceberg_evolve_spark.sources import get_session
 
-    qs = entry.queries()
+    qs = {**entry.queries(), **entry.queries_extended()}
     oracles = entry.oracle_sql()
     names = list(oracles) if args == ["--all"] else args
 

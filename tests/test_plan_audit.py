@@ -61,7 +61,9 @@ _SINGLE_ROW_NLJ_BUDGET = {
     "docs_bigram_surprisal": 2,
 }
 
-_QUERIES = entry_mod.queries()
+# Audit the FULL surface: the bench-budget split moves entries off the
+# driver's measurement bill, never out of the plan-quality gate.
+_QUERIES = {**entry_mod.queries(), **entry_mod.queries_extended()}
 
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))
@@ -144,7 +146,7 @@ def test_ivf_probe_is_partition_pruned(spark, sf_dir):
     cell-partitioned store, not a post-scan filter over the full corpus."""
     import __spark_entry__ as e
 
-    df = e.queries()["ann_topk_ivf"](spark, sf_dir)
+    df = {**e.queries(), **e.queries_extended()}["ann_topk_ivf"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "_cell" in plan.split("PartitionFilters:")[1][:200]
     assert "Exchange" not in plan  # scan + local TopK + driver merge only
