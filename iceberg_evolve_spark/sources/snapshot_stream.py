@@ -52,9 +52,9 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-#: Arrow → Spark DDL for the scalar types the testdata uses; extend as
-#: needed. Nested/list columns raise (the streaming tail targets flat
-#: warehouse tables; the batch reader handles everything parquet does).
+#: Arrow → Spark DDL for scalar leaf types; nested types (list / struct /
+#: map) recurse through :func:`_arrow_ddl`, so the tail source covers every
+#: table the batch reader does.
 _ARROW_DDL = {
     "int8": "tinyint",
     "int16": "smallint",
@@ -71,6 +71,32 @@ _ARROW_DDL = {
 }
 
 
+def _arrow_ddl(atype) -> str:
+    """Arrow type → Spark DDL, recursively (list/struct/map supported)."""
+    import pyarrow as pa
+
+    if pa.types.is_dictionary(atype):
+        return _arrow_ddl(atype.value_type)
+    if pa.types.is_list(atype) or pa.types.is_large_list(atype):
+        return f"array<{_arrow_ddl(atype.value_type)}>"
+    if pa.types.is_struct(atype):
+        inner = ", ".join(
+            f"{atype.field(i).name}: {_arrow_ddl(atype.field(i).type)}"
+            for i in range(atype.num_fields)
+        )
+        return f"struct<{inner}>"
+    if pa.types.is_map(atype):
+        return f"map<{_arrow_ddl(atype.key_type)}, {_arrow_ddl(atype.item_type)}>"
+    t = str(atype)
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t.startswith("decimal128(") or t.startswith("decimal("):
+        return t.replace("decimal128", "decimal")
+    if t in _ARROW_DDL:
+        return _ARROW_DDL[t]
+    raise ValueError(f"arrow type {t} not supported by the streaming tail")
+
+
 def _table_ddl(table_path: str) -> str:
     """Schema of the table's current snapshot as a DDL string, from one
     parquet footer (KB-scale driver read)."""
@@ -85,18 +111,10 @@ def _table_ddl(table_path: str) -> str:
     schema = pq.ParquetFile(files[0]).schema_arrow
     cols = []
     for field in schema:
-        t = str(field.type)
-        if t.startswith("timestamp"):
-            ddl = "timestamp"
-        elif t.startswith("decimal128(") or t.startswith("decimal("):
-            ddl = t.replace("decimal128", "decimal")
-        elif t in _ARROW_DDL:
-            ddl = _ARROW_DDL[t]
-        else:
-            raise ValueError(
-                f"column {field.name!r}: arrow type {t} not supported by "
-                "the streaming tail (flat scalar columns only)"
-            )
+        try:
+            ddl = _arrow_ddl(field.type)
+        except ValueError as exc:
+            raise ValueError(f"column {field.name!r}: {exc}") from None
         cols.append(f"{field.name} {ddl}")
     return ", ".join(cols)
 
@@ -127,6 +145,15 @@ def _manifest_files(table_path: str, entry: dict, mnames) -> list[str]:
     return out
 
 
+def _delete_keys(entry: dict) -> set:
+    """Structural identity of an entry's delete stack. Counting deletes is
+    not enough: a second ``delete_where(vector=True)`` REPLACES the prior
+    dv entry ([dv] -> [dv'], same length, manifests unchanged), which a
+    length compare misclassifies as a plain append and the stream silently
+    drops the delete."""
+    return {json.dumps(d, sort_keys=True) for d in entry.get("deletes", [])}
+
+
 def _added_files(
     table_path: str, start_v: int, end_v: int, on_change: str
 ) -> list[str]:
@@ -134,29 +161,47 @@ def _added_files(
     entry carries beyond its predecessor's. Non-append commits raise (or
     are skipped under ``on_change='skip'``): deletes/rewrites/rollbacks
     change visibility without adding rows, so "new rows = new files"
-    attribution would be wrong across them."""
+    attribution would be wrong across them.
+
+    Exactly-once under retention: each emitted version diffs against the
+    nearest RETAINED predecessor entry (manifest lists are cumulative per
+    entry, so the set difference attributes every file exactly once even
+    when ``expire_snapshots`` left gaps in the log — e.g. only tagged
+    versions retained mid-range). The full-set bootstrap is allowed ONLY
+    for a from-zero consumer (``start_v == 0``) at the oldest retained
+    snapshot; a checkpointed offset that is no longer in the log raises
+    instead of silently re-delivering rows the consumer already has."""
     entries = _log(table_path)
     by_v = {e["version"]: e for e in entries}
     if not by_v:
         return []
     first_v = min(by_v)
-    if start_v and start_v < first_v - 1:
+    if start_v and start_v < end_v and start_v not in by_v:
         raise ValueError(
-            f"stream offset v{start_v} predates the retained log (oldest "
+            f"stream offset v{start_v} is not in the retained log (oldest "
             f"v{first_v}): snapshots were expired under the consumer — "
             "restart the stream from scratch"
         )
     out: list[str] = []
+    prev = by_v.get(start_v) if start_v else None
     for v in sorted(by_v):
         if v <= start_v or v > end_v:
             continue
         e = by_v[v]
         cur = set(e.get("manifests", []))
-        prev = by_v.get(v - 1)
         if prev is None:
-            # the first retained snapshot: its ENTIRE file set bootstraps
-            # a from-zero consumer (there is no predecessor to diff)
+            if v != first_v or start_v != 0:
+                # a gap below v with a non-zero checkpoint would re-emit
+                # v's whole cumulative set — refuse (handled above), and
+                # defend here against any other path into this state
+                raise ValueError(
+                    f"snapshot v{v} has no retained predecessor to diff "
+                    "against — restart the stream from scratch"
+                )
+            # from-zero bootstrap at the oldest retained snapshot: its
+            # ENTIRE (cumulative) file set is the table state to deliver
             out.extend(_manifest_files(table_path, e, cur))
+            prev = e
             continue
         prev_m = set(prev.get("manifests", []))
         is_append = (
@@ -164,7 +209,7 @@ def _added_files(
             and e.get("rollback_of") is None
             and not e.get("rewrite")
             and not e.get("delete_rewrite")
-            and len(e.get("deletes", [])) == len(prev.get("deletes", []))
+            and _delete_keys(e) == _delete_keys(prev)
         )
         if is_append:
             out.extend(_manifest_files(table_path, e, cur - prev_m))
@@ -174,6 +219,7 @@ def _added_files(
                 "rollback in the streamed range); set on_change='skip' to "
                 "stream past it, or consume changes_between() instead"
             )
+        prev = e
     return out
 
 

@@ -1669,14 +1669,27 @@ class SnapshotTable:
             blob = self._bloom_blob(entry, col)
             if blob is None:
                 continue
-            covered = set(blob["covered"])
+            covered = self._bloom_covered(blob)
+            if covered is None:
+                continue  # coverage unreconstructable -> keep everything
+            from iceberg_evolve_spark.functions.bloom import WORD_BITS
+
+            ps, words = self._bloom_probe(blob, value)
+
+            def _hit(rel: str) -> bool:
+                # a covered file missing any probed bit is provably
+                # value-free (covered files with NO keys have no rows at
+                # all — same conclusion via the .get default)
+                return all(
+                    words.get((rel, p // WORD_BITS), 0) & (1 << (p % WORD_BITS))
+                    for p in ps
+                )
+
             kept = [
                 f
                 for f in kept
                 if os.path.relpath(f, data_path) not in covered
-                or self._bloom_hit(
-                    blob, os.path.relpath(f, data_path), value
-                )
+                or _hit(os.path.relpath(f, data_path))
             ]
         return kept, total
 
@@ -1937,8 +1950,18 @@ class SnapshotTable:
         )
 
     # -- table statistics (Iceberg's Puffin stats files) ---------------------
+    def _sidecar_prefix(self) -> str:
+        """Branch-scoped sidecar naming: snapshot logs and manifests are
+        branch-scoped, so version numbers diverge between main and a
+        branch — an unscoped ``_stats/{version}.json`` written from a
+        branch handle would overwrite main's stats for that version
+        (wrong CBO estimates; stale bloom coverage)."""
+        return f"{self.branch}-" if self.branch else ""
+
     def _stats_path(self, version: int) -> str:
-        return os.path.join(self.path, "_stats", f"{version:05d}.json")
+        return os.path.join(
+            self.path, "_stats", f"{self._sidecar_prefix()}{version:05d}.json"
+        )
 
     def analyze(
         self,
@@ -2025,9 +2048,12 @@ class SnapshotTable:
         )
 
     # -- per-file Bloom filters (parquet column-index blooms / Puffin blobs) --
+    def _bloom_name(self, version: int, col: str) -> str:
+        return f"{self._sidecar_prefix()}{version:05d}-{col}"
+
     def _bloom_path(self, version: int, col: str) -> str:
         return os.path.join(
-            self.path, "_bloom", f"{version:05d}-{col}.json"
+            self.path, "_bloom", self._bloom_name(version, col) + ".json"
         )
 
     def analyze_bloom(
@@ -2055,7 +2081,17 @@ class SnapshotTable:
         snapshots — :meth:`plan_scan` probes the newest blob at/below the
         scanned version and keeps (never probes) files the blob has not
         seen, e.g. later appends. False positives only cost an unpruned
-        file; false negatives cannot happen."""
+        file; false negatives cannot happen.
+
+        Storage is DISTRIBUTED (round 11): the per-file filter words are
+        written by the EXECUTORS as a parquet sidecar
+        (``_bloom/{version}-{col}.words/``) range-sorted by word index,
+        and the JSON blob holds only KB of metadata (parameters + the
+        analyzed entry's manifest names, from which coverage is
+        recomputed). The driver never materializes the filter set — at 1M
+        files x 2^20 bits the old monolithic blob was multi-GB of driver
+        JSON; now a probe reads exactly its k word indexes back through
+        parquet row-group pruning."""
         from pyspark.sql import functions as F
 
         from iceberg_evolve_spark.functions.bloom import (
@@ -2074,7 +2110,7 @@ class SnapshotTable:
             pos = F.explode(
                 F.array(*_positions(key, col, k, m_bits))
             ).alias("pos")
-            rows = (
+            words = (
                 raw.filter(F.col(col).isNotNull())
                 .select("_file", pos)
                 .select(
@@ -2088,30 +2124,42 @@ class SnapshotTable:
                 )
                 .groupBy("_file", "w")
                 .agg(F.bit_or("m").alias("word"))
-                .collect()
             )
-            files: dict[str, dict[str, int]] = {}
-            for r in rows:
-                files.setdefault(r["_file"], {})[str(int(r["w"]))] = int(
-                    r["word"]
-                )
-            if entry.get("manifests"):
-                covered = sorted(self._entry_files(entry))
-            else:
-                covered = _walk_rel_parquet(
-                    os.path.join(self.path, entry["data_dir"])
-                )
+            name = self._bloom_name(entry["version"], col)
+            words_dir = os.path.join(self.path, "_bloom", name + ".words")
+            # executors write; global range-sort on w puts each word index
+            # in O(1) row groups so a point probe reads k index slices, not
+            # the table's whole filter set
+            (
+                words.repartitionByRange(F.col("w"))
+                .sortWithinPartitions("w", "_file")
+                .write.mode("overwrite")
+                .parquet(words_dir)
+            )
             blob = {
                 "m_bits": int(m_bits),
                 "k": int(k),
                 "seed": col,
                 "data_dir": entry["data_dir"],
-                # every file the analyzed snapshot held — a covered file
-                # with missing bits is provably value-free, an uncovered
-                # one (later append) is always kept by the planner
-                "covered": covered,
-                "files": files,
+                "version": int(entry["version"]),
+                "words": name + ".words",
             }
+            if self.branch:
+                blob["branch"] = self.branch
+            if entry.get("manifests"):
+                # coverage = the analyzed entry's manifest-listed files,
+                # RECOMPUTED at probe time from the (immutable, retained-
+                # while-referenced) manifest files — never a driver-held
+                # list of every file
+                blob["manifests"] = sorted(entry["manifests"])
+            else:
+                # format-1 lineage (no manifests): walk once and persist
+                blob["covered"] = _walk_rel_parquet(
+                    os.path.join(self.path, entry["data_dir"])
+                )
+            # words parquet lands BEFORE the json that references it: a
+            # crash in between leaves an orphan .words dir (swept by
+            # expire_snapshots), never a blob pointing at nothing
             tmp = self._bloom_path(entry["version"], col) + ".tmp"
             with open(tmp, "w") as fh:
                 json.dump(blob, fh)
@@ -2121,13 +2169,15 @@ class SnapshotTable:
 
     def _bloom_blob(self, entry: dict, col: str) -> dict | None:
         """Newest persisted bloom blob for ``col`` at/below the entry's
-        version, same lineage — None when never analyzed."""
+        version, same lineage and same branch scope — None when never
+        analyzed."""
         bdir = os.path.join(self.path, "_bloom")
         if not os.path.isdir(bdir):
             return None
+        pre = re.escape(self._sidecar_prefix())
         best = None
         for name in os.listdir(bdir):
-            m = re.fullmatch(rf"(\d{{5}})-{re.escape(col)}\.json", name)
+            m = re.fullmatch(rf"{pre}(\d{{5}})-{re.escape(col)}\.json", name)
             if m and int(m.group(1)) <= entry["version"]:
                 best = max(best or 0, int(m.group(1)))
         if not best:
@@ -2136,27 +2186,56 @@ class SnapshotTable:
             blob = json.load(fh)
         return blob if blob.get("data_dir") == entry["data_dir"] else None
 
-    @staticmethod
-    def _bloom_hit(blob: dict, rel: str, value) -> bool:
-        """Driver-side membership probe: True when ``rel`` may contain
-        ``value``. Files the blob covers with missing bits are provably
-        value-free; files it never saw (later appends) are kept by the
-        CALLER (this is only consulted for covered files)."""
+    def _bloom_covered(self, blob: dict) -> set[str] | None:
+        """Lineage-relative files the blob's analysis saw, recomputed from
+        the analyzed entry's manifest names — or None when coverage can no
+        longer be reconstructed (manifests expired), in which case the
+        caller must keep every candidate (conservative, never wrong)."""
+        if "covered" in blob:
+            return set(blob["covered"])
+        mnames = blob.get("manifests")
+        if mnames is None:
+            return None
+        covered: set[str] = set()
+        for mname in mnames:
+            try:
+                with open(os.path.join(self.path, mname)) as fh:
+                    covered.update(json.load(fh)["files"])
+            except (FileNotFoundError, json.JSONDecodeError):
+                return None
+        return covered
+
+    def _bloom_probe(self, blob: dict, value) -> "tuple[list[int], dict]":
+        """One point probe against the distributed words sidecar: the k
+        bit positions of ``value`` plus ``{(file, word_idx): word}`` for
+        EXACTLY those word indexes — a parquet row-group-pruned read of
+        O(k) index slices, never the whole filter set."""
         import hashlib
 
+        import pyarrow.dataset as ds
+
+        from iceberg_evolve_spark.functions.bloom import WORD_BITS
         from iceberg_evolve_spark.functions.hashing import SEP
 
-        words = blob["files"].get(rel)
-        if words is None:
-            return False  # analyzed file held no non-null keys at all
         m_bits, k, seed = blob["m_bits"], blob["k"], blob["seed"]
+        ps = []
         for i in range(k):
             s = f"{value}{SEP}bloom{seed}{SEP}{i}"
-            p = int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % m_bits
-            w = words.get(str(p // 32))
-            if w is None or not (int(w) & (1 << (p % 32))):
-                return False
-        return True
+            ps.append(
+                int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % m_bits
+            )
+        ws = sorted({p // WORD_BITS for p in ps})
+        dset = ds.dataset(os.path.join(self.path, "_bloom", blob["words"]))
+        tbl = dset.to_table(filter=ds.field("w").isin(ws))
+        wordmap = {
+            (f, int(w)): int(word)
+            for f, w, word in zip(
+                tbl.column("_file").to_pylist(),
+                tbl.column("w").to_pylist(),
+                tbl.column("word").to_pylist(),
+            )
+        }
+        return ps, wordmap
 
     def partition_stats_df(
         self,
@@ -2475,12 +2554,15 @@ class SnapshotTable:
             self._commit(keep)
         # live BRANCHES pin everything their logs reference — a branch is
         # an explicit ref, exactly like a tag (drop_branch releases it)
-        branch_entries: list[dict] = []
+        branch_logs: dict[str, list[dict]] = {}
         for bname in self.branches():
             with open(
                 os.path.join(self.path, f"_snapshots_{bname}.json")
             ) as fh:
-                branch_entries.extend(json.load(fh))
+                branch_logs[bname] = json.load(fh)
+        branch_entries: list[dict] = [
+            e for ents in branch_logs.values() for e in ents
+        ]
         live_dirs = {e["data_dir"] for e in keep}
         live_manifests: set[str] = set()
         # per lineage dir: the union of surviving entries' file lists, or
@@ -2533,33 +2615,76 @@ class SnapshotTable:
             ):
                 os.remove(full)
                 removed.append(name)
-        # statistics files (analyze()) of expired versions go with them
+        # statistics files (analyze()) of expired versions go with them;
+        # sidecars are branch-scoped ({branch}-{version}.json), so a
+        # branch's stats live exactly as long as its log names the version
         stats_dir = os.path.join(self.path, "_stats")
         if os.path.isdir(stats_dir):
-            live_versions = {
-                e["version"] for e in keep + branch_entries
-            }
+            live_stats = {f"{e['version']:05d}" for e in keep}
+            for bname, ents in branch_logs.items():
+                live_stats.update(f"{bname}-{e['version']:05d}" for e in ents)
             for name in sorted(os.listdir(stats_dir)):
-                m = re.fullmatch(r"(\d{5})\.json(\.tmp)?", name)
-                if m and int(m.group(1)) not in live_versions:
+                m = re.fullmatch(
+                    r"((?:[A-Za-z0-9][A-Za-z0-9_\-]*-)?\d{5})\.json(\.tmp)?",
+                    name,
+                )
+                if m and m.group(1) not in live_stats:
                     os.remove(os.path.join(stats_dir, name))
                     removed.append(os.path.join("_stats", name))
         # bloom blobs of versions no surviving LINEAGE can probe: a blob
         # stays useful while any surviving entry shares its data_dir (files
-        # are immutable, the planner probes the newest blob <= version)
+        # are immutable, the planner probes the newest blob <= version); a
+        # branch-scoped blob additionally needs its branch to still exist.
+        # Each blob's .words parquet sidecar follows its json; a .words dir
+        # without a json is a torn-analyze orphan and is reclaimed.
         bloom_dir = os.path.join(self.path, "_bloom")
         if os.path.isdir(bloom_dir):
             live_lineages = {
                 e["data_dir"] for e in keep + branch_entries
             }
+
+            def _rm_bloom(name: str) -> None:
+                full = os.path.join(bloom_dir, name)
+                if os.path.isdir(full):
+                    shutil.rmtree(full, ignore_errors=True)
+                elif os.path.exists(full):
+                    os.remove(full)
+                else:
+                    return  # already swept with its companion blob
+                removed.append(os.path.join("_bloom", name))
+
             for name in sorted(os.listdir(bloom_dir)):
                 full = os.path.join(bloom_dir, name)
+                if os.path.isdir(full) or not os.path.exists(full):
+                    continue  # .words dirs follow their blob json below
                 try:
                     with open(full) as fh:
-                        blob_dir = json.load(fh).get("data_dir")
+                        blob = json.load(fh)
                 except (json.JSONDecodeError, OSError):
-                    blob_dir = None  # torn .tmp orphan
-                if blob_dir not in live_lineages:
-                    os.remove(full)
-                    removed.append(os.path.join("_bloom", name))
+                    blob = {}  # torn .tmp orphan
+                live = blob.get("data_dir") in live_lineages and (
+                    blob.get("branch") is None
+                    or blob.get("branch") in branch_logs
+                )
+                if not live:
+                    _rm_bloom(name)
+                    wname = blob.get("words")
+                    if wname and os.path.exists(
+                        os.path.join(bloom_dir, wname)
+                    ):
+                        _rm_bloom(wname)
+            live_words = set()
+            for name in os.listdir(bloom_dir):
+                if name.endswith(".json"):
+                    try:
+                        with open(os.path.join(bloom_dir, name)) as fh:
+                            live_words.add(json.load(fh).get("words"))
+                    except (json.JSONDecodeError, OSError):
+                        pass
+            for name in sorted(os.listdir(bloom_dir)):
+                if (
+                    os.path.isdir(os.path.join(bloom_dir, name))
+                    and name not in live_words
+                ):
+                    _rm_bloom(name)
         return [e["version"] for e in expired], sorted(set(removed))

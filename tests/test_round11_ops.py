@@ -1,0 +1,243 @@
+"""Round-11 additions: streaming-tail exactly-once under retention,
+structural delete detection, nested-schema tails, distributed Bloom
+sidecars, CAS commit guard, branch cherry-pick, and CBO join hardening.
+
+Reference parity anchor: the reference (anatol-ju/iceberg-evolve) has no
+data plane — these extend the rebuild's storage/streaming layer beyond it
+(SURVEY.md §2.2 mandate)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path)
+
+
+class TestStreamTailExactlyOnceUnderRetention:
+    """ADVICE r10 (high): _added_files must never re-deliver rows a
+    checkpointed consumer already has — neither at the retention boundary
+    (offset == oldest-1) nor across expiry gaps left by tagged snapshots."""
+
+    def _files(self, tbl, start_v, end_v, mode="fail"):
+        from iceberg_evolve_spark.sources.snapshot_stream import _added_files
+
+        return _added_files(tbl, start_v, end_v, mode)
+
+    def _table(self, spark, tdir, n_appends=3):
+        tbl = os.path.join(tdir, "t")
+        t = SnapshotTable(tbl)
+        t.write(spark.range(0, 10))
+        for i in range(n_appends):
+            t.append(spark.range(100 + 10 * i, 105 + 10 * i))
+        return tbl, t
+
+    def test_offset_at_retention_boundary_raises(self, spark, tdir):
+        """Checkpointed at first_v - 1: the old guard let this bootstrap
+        and re-deliver the WHOLE cumulative set — must raise instead."""
+        tbl, t = self._table(spark, tdir)  # versions 1..4
+        t.expire_snapshots(keep_last=2)  # retained: {3, 4}
+        with pytest.raises(ValueError, match="expired under the consumer"):
+            self._files(tbl, 2, 4)
+        # a consumer AT a retained offset resumes fine, delta-only
+        got = self._files(tbl, 3, 4)
+        all_v4 = self._files(tbl, 0, 4)
+        assert got and set(got) < set(all_v4)
+
+    def test_expiry_gap_from_tag_does_not_duplicate(self, spark, tdir):
+        """expire keeps tagged mid-range versions -> gaps in the log. The
+        diff must run against the nearest RETAINED predecessor, delivering
+        every file exactly once (the old code re-emitted v4's whole
+        cumulative set because v3 was missing)."""
+        tbl, t = self._table(spark, tdir)  # versions 1..4
+        t.tag("pin", 2)
+        t.expire_snapshots(keep_last=1)  # retained: {2 (tag), 4}
+        boot = self._files(tbl, 0, 4)  # fresh consumer: full state once
+        assert len(boot) == len(set(boot))
+        # resumed consumer at the tagged version: only v3+v4's files
+        delta = self._files(tbl, 2, 4)
+        assert len(delta) == len(set(delta))
+        assert set(boot) == set(self._files(tbl, 0, 2)) | set(delta)
+        # offset inside the gap was expired under the consumer: raise
+        with pytest.raises(ValueError, match="expired under the consumer"):
+            self._files(tbl, 3, 4)
+
+    def test_second_vector_delete_is_not_an_append(self, spark, tdir):
+        """ADVICE r10 (medium): dv -> dv' replaces the single vector entry
+        (same length, same manifests) — a length compare misses it and the
+        stream silently ignores the delete. Structural compare must raise."""
+        tbl = os.path.join(tdir, "t")
+        t = SnapshotTable(tbl)
+        t.write(spark.range(0, 10))
+        t.delete_where(spark, F.col("id") == 1, vector=True)  # v2: [dv]
+        t.delete_where(spark, F.col("id") == 2, vector=True)  # v3: [dv']
+        with pytest.raises(ValueError, match="not a plain append"):
+            self._files(tbl, 2, 3)
+        # skip mode streams past it without inventing rows
+        assert self._files(tbl, 2, 3, "skip") == []
+
+
+class TestStreamTailNestedSchema:
+    """VERDICT r10 task 8: the tail source covers struct/array columns via
+    recursive Arrow->DDL, same as the batch reader."""
+
+    def test_struct_and_array_roundtrip(self, spark, tdir):
+        from iceberg_evolve_spark.sources.snapshot_stream import (
+            SnapshotStreamDataSource,
+        )
+
+        tbl = os.path.join(tdir, "t")
+        out = os.path.join(tdir, "out")
+        ck = os.path.join(tdir, "ck")
+        t = SnapshotTable(tbl)
+        df = spark.range(0, 6).select(
+            F.col("id"),
+            F.struct(
+                F.col("id").alias("a"),
+                F.concat(F.lit("x"), F.col("id")).alias("b"),
+            ).alias("s"),
+            F.array(F.col("id"), F.col("id") * 2).alias("arr"),
+        )
+        t.write(df)
+        try:
+            spark.dataSource.register(SnapshotStreamDataSource)
+        except Exception:
+            pass
+        q = (
+            spark.readStream.format("snapshot_stream")
+            .option("path", tbl)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = {
+            r["id"]: (r["s"]["a"], r["s"]["b"], list(r["arr"]))
+            for r in spark.read.parquet(out).collect()
+        }
+        assert rows == {i: (i, f"x{i}", [i, 2 * i]) for i in range(6)}
+
+    def test_arrow_ddl_recursion(self):
+        import pyarrow as pa
+
+        from iceberg_evolve_spark.sources.snapshot_stream import _arrow_ddl
+
+        t = pa.struct(
+            [("a", pa.int64()), ("b", pa.list_(pa.string()))]
+        )
+        assert _arrow_ddl(t) == "struct<a: bigint, b: array<string>>"
+        assert _arrow_ddl(pa.map_(pa.string(), pa.int32())) == (
+            "map<string, int>"
+        )
+
+
+class TestBloomDistributedBuild:
+    """VERDICT r10 task 3: the Bloom metadata plane is distributed — the
+    build writes filter words as an executor-written parquet sidecar and
+    the driver NEVER materializes the filter set; probes read only their
+    k word indexes back through parquet row-group pruning."""
+
+    def _table(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(
+            spark.range(0, 800)
+            .select(F.col("id").alias("k"), (F.col("id") % 7).alias("g"))
+            .repartition(8)
+        )
+        return t
+
+    def test_build_never_collects_to_driver(self, spark, tdir, monkeypatch):
+        """The old build collect()ed every file's words (multi-GB at 1M
+        files x 2^20 bits). Poison every driver-materialization path for
+        the duration of the build: it must complete without one."""
+        from pyspark.sql import DataFrame
+
+        t = self._table(spark, tdir)
+
+        def _banned(self, *a, **kw):  # noqa: ANN001
+            raise AssertionError("analyze_bloom must not materialize rows on the driver")
+
+        monkeypatch.setattr(DataFrame, "collect", _banned)
+        monkeypatch.setattr(DataFrame, "toPandas", _banned)
+        monkeypatch.setattr(DataFrame, "toLocalIterator", _banned)
+        t.analyze_bloom(spark, ["k"])
+        monkeypatch.undo()
+        kept, total = t.plan_scan(eq={"k": 123})
+        assert total == 8 and len(kept) < total
+        assert t.read(spark, eq={"k": 123}).count() == 1
+
+    def test_blob_is_metadata_only_and_words_are_parquet(self, spark, tdir):
+        t = self._table(spark, tdir)
+        blobs = t.analyze_bloom(spark, ["k"])
+        blob = blobs["k"]
+        # no per-file word maps, no covered list in the driver-held blob
+        assert "files" not in blob and "covered" not in blob
+        assert blob["manifests"] == ["m00001.json"]
+        wdir = os.path.join(t.path, "_bloom", blob["words"])
+        parts = [f for f in os.listdir(wdir) if f.endswith(".parquet")]
+        assert parts, "executor-written parquet sidecar missing"
+
+    def test_absent_and_present_probe_semantics_unchanged(self, spark, tdir):
+        t = self._table(spark, tdir)
+        t.analyze_bloom(spark, ["k"])
+        assert t.plan_scan(eq={"k": 99999})[0] == []
+        got = t.read(spark, eq={"k": 456}).collect()
+        assert len(got) == 1 and got[0]["k"] == 456
+
+    def test_expiry_sweeps_words_sidecar_with_blob(self, spark, tdir):
+        t = self._table(spark, tdir)
+        t.analyze_bloom(spark, ["k"])
+        t.write(spark.createDataFrame([(1, 1)], "k long, g long"))  # new lineage
+        _, removed = t.expire_snapshots(keep_last=1)
+        assert any(r.endswith(".json") and r.startswith("_bloom/") for r in removed)
+        assert any(r.endswith(".words") for r in removed)
+        assert not os.path.isdir(os.path.join(t.path, "_bloom")) or not os.listdir(
+            os.path.join(t.path, "_bloom")
+        )
+
+
+class TestBranchScopedSidecars:
+    """ADVICE r10 (low): _stats/_bloom sidecars are keyed by version only
+    while logs are branch-scoped — analyze() on a branch whose version
+    numbers diverged must not overwrite main's sidecar for that version."""
+
+    def test_branch_analyze_does_not_clobber_main_stats(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 100).select(F.col("id").alias("k")))
+        t.append(spark.range(100, 200).select(F.col("id").alias("k")))
+        t.analyze(spark, ["k"], version=2)  # main v2: 200 rows
+        b = t.create_branch("audit", 1)
+        b.append(spark.range(500, 510).select(F.col("id").alias("k")))
+        b.analyze(spark, ["k"])  # branch v2: 110 rows
+        assert t.stats(version=2)["_n_rows"] == 200  # main untouched
+        assert b.stats()["_n_rows"] == 110
+        assert os.path.exists(
+            os.path.join(t.path, "_stats", "audit-00002.json")
+        )
+
+    def test_branch_bloom_is_scoped_and_probed_separately(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(
+            spark.range(0, 800)
+            .select(F.col("id").alias("k"))
+            .repartition(8)
+        )
+        b = t.create_branch("audit")
+        b.analyze_bloom(spark, ["k"])
+        # main never analyzed: no blob in main scope -> conservative plan
+        kept, total = t.plan_scan(eq={"k": 99999})
+        assert len(kept) == total == 8
+        # branch probes its own blob and prunes
+        kept_b, _ = b.plan_scan(eq={"k": 99999})
+        assert kept_b == []
