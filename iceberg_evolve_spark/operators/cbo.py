@@ -128,6 +128,26 @@ def choose_join_strategy(
     return {"strategy": "shuffle", "build_side": None, "est_rows": est}
 
 
+#: join type (lower-cased, underscores stripped) -> sides BroadcastHashJoin
+#: may build from: the build side can never be the OUTER side, which must
+#: stream to emit its non-matching rows
+_BROADCASTABLE_SIDES = {
+    "inner": {"left", "right"},
+    "cross": {"left", "right"},
+    "left": {"right"},
+    "leftouter": {"right"},
+    "leftsemi": {"right"},
+    "leftanti": {"right"},
+    "semi": {"right"},
+    "anti": {"right"},
+    "right": {"left"},
+    "rightouter": {"left"},
+    "full": set(),
+    "outer": set(),
+    "fullouter": set(),
+}
+
+
 def apply_join(
     left: DataFrame,
     right: DataFrame,
@@ -140,13 +160,32 @@ def apply_join(
     """Execute a :func:`choose_join_strategy` decision as the hinted plan
     Catalyst will honor. Results (rows AND schema) are identical across
     strategies — only the physical shape differs. The right key column is
-    renamed to the left's so every strategy joins USING one key column."""
+    renamed to the left's so every strategy joins USING one key column
+    (a pre-existing distinct ``left_key`` column on the right side would
+    make that rename ambiguous and is rejected).
+
+    A broadcast decision is applied only when Spark's BroadcastHashJoin
+    can honor it: the build side must not be the OUTER side (the outer
+    side must stream to emit non-matching rows — broadcasting the left of
+    a LEFT join is silently dropped by Catalyst), so such decisions fall
+    back to the shuffle plan instead of carrying a dead hint."""
     if right_key != left_key:
+        if left_key in right.columns:
+            raise ValueError(
+                f"right side already has a column {left_key!r}: renaming "
+                f"{right_key!r} onto it for the USING-join would be "
+                "ambiguous — rename one side first"
+            )
         right = right.withColumnRenamed(right_key, left_key)
     if decision["strategy"] == "broadcast":
-        if decision["build_side"] == "right":
-            return left.join(F.broadcast(right), on=[left_key], how=how)
-        return F.broadcast(left).join(right, on=[left_key], how=how)
+        allowed = _BROADCASTABLE_SIDES.get(
+            how.lower().replace("_", ""), {"left", "right"}
+        )
+        if decision["build_side"] in allowed:
+            if decision["build_side"] == "right":
+                return left.join(F.broadcast(right), on=[left_key], how=how)
+            return F.broadcast(left).join(right, on=[left_key], how=how)
+        # unbroadcastable build side for this join type: honest shuffle
     if decision["strategy"] == "shuffle_salted":
         if how != "inner":
             raise ValueError("salted joins support inner only")

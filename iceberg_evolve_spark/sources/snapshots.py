@@ -69,10 +69,20 @@ import json
 import os
 import re
 import time
+import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "_snapshots.json"
+
+#: sentinel: `_commit(entries)` without a CAS check (legacy full replace)
+_UNCHECKED = object()
+
+
+class CommitConflict(RuntimeError):
+    """Another writer advanced the snapshot log under this commit and the
+    change cannot be (or must not be) rebased onto the new head."""
 
 #: Manifest format stamped on new snapshot entries. Format 2 = manifest file
 #: lists (this module's current write path); entries without the stamp (and
@@ -204,11 +214,125 @@ class SnapshotTable:
         except FileNotFoundError:
             return []
 
-    def _commit(self, entries: list[dict]) -> None:
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(entries, fh, indent=1)
-        os.replace(tmp, self._manifest_path())  # atomic on POSIX
+    def _commit(self, entries: list[dict], expected_head=_UNCHECKED) -> None:
+        """Replace the snapshot log. With ``expected_head`` (the head
+        version the caller read before building its change; 0 = empty
+        log), the replace is a COMPARE-AND-SWAP: inside a lock-file
+        critical section the log is re-read and :class:`CommitConflict`
+        raised if another writer advanced it — the catalog-CAS stand-in
+        real Iceberg gets from its catalog (this one is valid on a shared
+        POSIX filesystem; single-writer remains the protocol across
+        machines without one). Unchecked callers keep the legacy
+        last-write-wins replace (deliberate history rewrites: overwrite,
+        expire bootstrap)."""
+        if expected_head is _UNCHECKED:
+            tmp = self._manifest_path() + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(entries, fh, indent=1)
+            os.replace(tmp, self._manifest_path())  # atomic on POSIX
+            return
+        with self._commit_lock():
+            cur = self.versions()
+            head = cur[-1]["version"] if cur else 0
+            if head != expected_head:
+                raise CommitConflict(
+                    f"snapshot log advanced to v{head} (expected "
+                    f"v{expected_head}) under this commit"
+                )
+            tmp = self._manifest_path() + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(entries, fh, indent=1)
+            os.replace(tmp, self._manifest_path())
+
+    @contextmanager
+    def _commit_lock(self, timeout: float = 30.0):
+        """Same-filesystem mutex around the read-validate-replace critical
+        section (O_EXCL lock file). A lock older than ``timeout`` is
+        presumed crashed and stolen."""
+        lockp = self._manifest_path() + ".lock"
+        t0 = time.time()
+        while True:
+            try:
+                fd = os.open(lockp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lockp) > timeout:
+                        os.unlink(lockp)  # stale: crashed holder
+                        continue
+                except FileNotFoundError:
+                    continue  # holder released between checks
+                if time.time() - t0 > timeout:
+                    raise TimeoutError(
+                        f"could not acquire commit lock {lockp}"
+                    )
+                time.sleep(0.005)
+        try:
+            yield
+        finally:
+            os.close(fd)
+            try:
+                os.unlink(lockp)
+            except FileNotFoundError:
+                pass
+
+    def _commit_build(self, build) -> int:
+        """Run ``build(fresh_entries) -> new_entry`` INSIDE the commit-lock
+        critical section against the freshest log and commit its entry on
+        top. Version numbers, manifest names, and the swap all resolve
+        under the lock, so a concurrent writer can delay this commit but
+        never clobber it; incompatibilities surface as
+        :class:`CommitConflict` from the builder's own validation (see
+        :meth:`_composable_head`). The payload (data files, delete files)
+        is written BEFORE the lock — only KB-scale metadata work happens
+        inside it."""
+        with self._commit_lock():
+            fresh = self.versions()
+            new_entry = build(fresh)
+            tmp = self._manifest_path() + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(fresh + [new_entry], fh, indent=1)
+            os.replace(tmp, self._manifest_path())
+        return int(new_entry["version"])
+
+    @staticmethod
+    def _composable_head(
+        fresh: list[dict], cur: dict, allow_fold: bool
+    ) -> dict:
+        """The freshest head, validated as a plain append/delete-commit
+        descendant of ``cur`` (the snapshot this writer's payload was
+        computed against) in the same lineage — the precondition for
+        committing on top of a head another writer moved. Overwrites,
+        rollbacks, and compaction rewrites in between raise
+        :class:`CommitConflict` (the payload references replaced state);
+        delete-stack folds are transparent to appends (``allow_fold``)
+        but conflict with delete commits, whose vector merges were
+        computed against the pre-fold stack."""
+        if not fresh:
+            raise CommitConflict("snapshot log vanished under the commit")
+        head = fresh[-1]
+        if head["version"] == cur["version"]:
+            return head  # fast path: nothing moved
+        cm = set(cur.get("manifests") or [])
+        hm = set(head.get("manifests") or [])
+        conflicting = any(
+            e.get("rollback_of") is not None
+            or e.get("rewrite")
+            or (e.get("delete_rewrite") and not allow_fold)
+            for e in fresh
+            if e["version"] > cur["version"]
+        )
+        if (
+            head.get("data_dir") != cur.get("data_dir")
+            or not cm <= hm
+            or conflicting
+        ):
+            raise CommitConflict(
+                "concurrent overwrite/rollback/rewrite commit — this "
+                "change was computed against replaced table state; "
+                "re-read and retry against the new head"
+            )
+        return head
 
     # -- manifest files (per-commit added-file lists) ------------------------
     def _write_manifest_file(
@@ -400,11 +524,11 @@ class SnapshotTable:
             return self.write(df, note=note or "append (bootstrap)", ts=ts)
         cur = entries[-1]
         version = cur["version"] + 1
-        stage = os.path.join(self.path, f"v{version:05d}.stage")
-        if os.path.isdir(stage):  # crashed prior attempt of this version
-            import shutil
-
-            shutil.rmtree(stage)
+        # writer-unique stage dir: two concurrent appends must never share
+        # scratch (crashed stages become orphans, swept by expire_snapshots)
+        stage = os.path.join(
+            self.path, f"v{version:05d}-{uuid.uuid4().hex[:8]}.stage"
+        )
         # a sorted lineage clusters each increment on its own (file-level
         # clustering, as Iceberg sorted writes — old files stay untouched)
         df = _apply_sort_order(df, cur.get("sort_by"))
@@ -422,31 +546,41 @@ class SnapshotTable:
             shutil.rmtree(stage, ignore_errors=True)
             return cur["version"]
         dest = os.path.join(self.path, cur["data_dir"])
+        # the s{seq}- prefix is provisional: if the CAS below lands on a
+        # moved head the entry renumbers but the files keep this stamp —
+        # harmless, because a sequence that is LOWER than the final commit
+        # version only widens which later deletes apply, matching the
+        # serialized order (part names are job-UUID'd, so no collisions)
         new_rels = self._ingest_stage(stage, dest, f"s{version:05d}-")
-        manifests = self._manifests_of(cur)
-        mname = self._write_manifest_file(version, new_rels)
-        new_entry = {
-            "version": version,
-            "data_dir": cur["data_dir"],
-            "fmt": SNAPSHOT_FORMAT,
-            "manifests": manifests + [mname],
-            "base_seq": cur.get("base_seq", cur["version"]),
-            # marks the lineage as multi-sequence: readers must compare
-            # per-file sequence numbers against delete sequences (append-free
-            # lineages keep the cheaper plain anti-join)
-            "has_appends": True,
-            "ts": time.time() if ts is None else ts,
-            "note": note or "append",
-        }
-        if cur.get("partition_by"):
-            new_entry["partition_by"] = list(cur["partition_by"])
-        if cur.get("sort_by"):
-            new_entry["sort_by"] = list(cur["sort_by"])
-        if cur.get("deletes"):
-            new_entry["deletes"] = list(cur["deletes"])
-        entries.append(new_entry)
-        self._commit(entries)
-        return version
+
+        def _build(fresh: list[dict]) -> dict:
+            head = self._composable_head(fresh, cur, allow_fold=True)
+            new_version = head["version"] + 1
+            manifests = self._manifests_of(head)
+            mname = self._write_manifest_file(new_version, new_rels)
+            new_entry = {
+                "version": new_version,
+                "data_dir": head["data_dir"],
+                "fmt": SNAPSHOT_FORMAT,
+                "manifests": manifests + [mname],
+                "base_seq": head.get("base_seq", head["version"]),
+                # marks the lineage as multi-sequence: readers must compare
+                # per-file sequence numbers against delete sequences
+                # (append-free lineages keep the cheaper plain anti-join)
+                "has_appends": True,
+                "ts": time.time() if ts is None else ts,
+                "note": note or "append",
+            }
+            for prop in ("partition_by", "sort_by"):
+                if head.get(prop):
+                    new_entry[prop] = list(head[prop])
+            if head.get("deletes"):
+                new_entry["deletes"] = list(head["deletes"])
+            return new_entry
+
+        # CAS under the commit lock: two concurrent appends both survive
+        # (the later one renumbers onto the winner's head inside _build)
+        return self._commit_build(_build)
 
     def rollback(self, version: int, note: str | None = None, ts: float | None = None) -> int:
         """Make ``version``'s data current again by appending a NEW snapshot
@@ -478,8 +612,9 @@ class SnapshotTable:
             new_entry["sort_by"] = list(target["sort_by"])
         if target.get("deletes"):
             new_entry["deletes"] = list(target["deletes"])
-        entries.append(new_entry)
-        self._commit(entries)
+        # rollbacks rewrite visibility: never compose — CAS raises if any
+        # writer advanced the log since the target was resolved
+        self._commit(entries + [new_entry], expected_head=entries[-1]["version"])
         return new_version
 
     # -- row-level deletes (Iceberg v2 merge-on-read) -----------------------
@@ -506,6 +641,21 @@ class SnapshotTable:
     # are KBs-to-MBs against TBs of data, so both anti-joins broadcast the
     # delete side — the scan stays a single pass with no extra shuffle.
 
+    def _claim_delete_dir(self, tmp: str, dd: str) -> str:
+        """Atomically claim a delete-dir name by renaming the written
+        scratch dir into place. POSIX ``rename`` onto an existing
+        non-empty directory fails, so when a concurrent writer took the
+        name first this re-scans for the next free number and retries —
+        each writer ends up with its OWN directory, never silently
+        sharing one. Returns the dir name actually claimed."""
+        for _ in range(1000):
+            try:
+                os.rename(tmp, os.path.join(self.path, dd))
+                return dd
+            except OSError:
+                dd = self._next_delete_dir(self.versions())
+        raise CommitConflict("could not claim a delete directory name")
+
     def _next_delete_dir(self, entries: list[dict]) -> str:
         # max over log references AND disk names, +1: a count-based scheme
         # can SHRINK after expire_snapshots drops entries and then collide
@@ -528,33 +678,54 @@ class SnapshotTable:
         ts: float | None,
     ) -> int:
         cur = entries[-1]
-        new_version = cur["version"] + 1
-        # data-sequence stamp: this delete applies only to data files with a
-        # strictly older sequence (rows appended AFTER it must survive it)
-        delete = {**delete, "seq": new_version}
-        prior = list(cur.get("deletes", []))
-        if delete["kind"] == "dv":
-            # Iceberg v3 invariant: at most ONE deletion vector per snapshot —
-            # the new (merged) vector REPLACES the old, which stays on disk
-            # for older versions until retention reclaims it
-            prior = [d for d in prior if d["kind"] != "dv"]
-        new_entry = {
-            "version": new_version,
-            "data_dir": cur["data_dir"],
-            "base_seq": cur.get("base_seq", cur["version"]),
-            **({"has_appends": True} if cur.get("has_appends") else {}),
-            **({"partition_by": list(cur["partition_by"])} if cur.get("partition_by") else {}),
-            **({"sort_by": list(cur["sort_by"])} if cur.get("sort_by") else {}),
-            "deletes": prior + [delete],
-            "ts": time.time() if ts is None else ts,
-            "note": note,
-        }
-        if cur.get("manifests"):
-            new_entry["fmt"] = SNAPSHOT_FORMAT
-            new_entry["manifests"] = list(cur["manifests"])
-        entries.append(new_entry)
-        self._commit(entries)
-        return new_version
+
+        def _build(fresh: list[dict]) -> dict:
+            # CAS under the commit lock: a delete commit composes with
+            # concurrent plain appends (it serializes after them — the
+            # sequence stamp below is the FINAL commit's, so it applies to
+            # everything strictly older, Iceberg's commit-time sequence
+            # assignment); a concurrent change to the delete stack a
+            # MERGED deletion vector was computed against raises instead
+            # of silently dropping the other writer's deletes
+            head = self._composable_head(fresh, cur, allow_fold=False)
+            new_version = head["version"] + 1
+            # data-sequence stamp: this delete applies only to data files
+            # with a strictly older sequence (rows appended AFTER it must
+            # survive it)
+            d = {**delete, "seq": new_version}
+            prior = list(head.get("deletes", []))
+            if d["kind"] == "dv":
+                stack = lambda e: {  # noqa: E731
+                    json.dumps(x, sort_keys=True)
+                    for x in e.get("deletes", [])
+                }
+                if stack(head) != stack(cur):
+                    raise CommitConflict(
+                        "concurrent delete commit: this merged deletion "
+                        "vector was computed against a delete stack that "
+                        "moved — retry the delete against the new head"
+                    )
+                # Iceberg v3 invariant: at most ONE deletion vector per
+                # snapshot — the new (merged) vector REPLACES the old,
+                # which stays on disk for older versions until retention
+                prior = [x for x in prior if x["kind"] != "dv"]
+            new_entry = {
+                "version": new_version,
+                "data_dir": head["data_dir"],
+                "base_seq": head.get("base_seq", head["version"]),
+                **({"has_appends": True} if head.get("has_appends") else {}),
+                **({"partition_by": list(head["partition_by"])} if head.get("partition_by") else {}),
+                **({"sort_by": list(head["sort_by"])} if head.get("sort_by") else {}),
+                "deletes": prior + [d],
+                "ts": time.time() if ts is None else ts,
+                "note": note,
+            }
+            if head.get("manifests"):
+                new_entry["fmt"] = SNAPSHOT_FORMAT
+                new_entry["manifests"] = list(head["manifests"])
+            return new_entry
+
+        return self._commit_build(_build)
 
     def delete_where(
         self,
@@ -591,8 +762,9 @@ class SnapshotTable:
                 spark, entries, matched, note or "delete_where (vector)", ts
             )
         dd = self._next_delete_dir(entries)
-        final = os.path.join(self.path, dd)
-        tmp = final + ".tmp"
+        # writer-unique scratch; the final name is claimed atomically after
+        # the write (concurrent writers re-scan instead of sharing a dir)
+        tmp = os.path.join(self.path, f"{dd}.{uuid.uuid4().hex[:8]}.tmp")
         # No coalesce: the filtered snapshot scan must parallelize (coalesce
         # is a narrow dependency, so coalesce(1) would pull the WHOLE
         # read→filter pipeline onto one task — a serial full-table scan at
@@ -610,7 +782,7 @@ class SnapshotTable:
 
             shutil.rmtree(tmp, ignore_errors=True)
             return entries[-1]["version"]
-        os.rename(tmp, final)
+        dd = self._claim_delete_dir(tmp, dd)
         # paths stamp (ADVICE r9): recorded _file values are lineage-dir-
         # relative; the reader REFUSES unstamped delete files whose paths
         # look absolute (the pre-r9 scheme) instead of silently un-deleting.
@@ -644,8 +816,9 @@ class SnapshotTable:
         if bad:
             raise ValueError(f"equality-delete keys contain NULLs in {cols}")
         dd = self._next_delete_dir(entries)
-        final = os.path.join(self.path, dd)
-        tmp = final + ".tmp"
+        # writer-unique scratch; the final name is claimed atomically after
+        # the write (concurrent writers re-scan instead of sharing a dir)
+        tmp = os.path.join(self.path, f"{dd}.{uuid.uuid4().hex[:8]}.tmp")
         # distinct() already shuffled, so the write parallelism is the
         # post-shuffle partitioning — AQE-coalesced to few files when the key
         # set is small, parallel when a mass delete is genuinely large.
@@ -655,7 +828,7 @@ class SnapshotTable:
 
             shutil.rmtree(tmp, ignore_errors=True)
             return entries[-1]["version"]
-        os.rename(tmp, final)
+        dd = self._claim_delete_dir(tmp, dd)
         return self._append_delete_entry(
             entries,
             {"dir": dd, "kind": "eq", "cols": list(cols)},
@@ -736,8 +909,9 @@ class SnapshotTable:
             .withColumn("card", F.size("positions").cast("long"))
         )
         dd = self._next_delete_dir(entries)
-        final = os.path.join(self.path, dd)
-        tmp = final + ".tmp"
+        # writer-unique scratch; the final name is claimed atomically after
+        # the write (concurrent writers re-scan instead of sharing a dir)
+        tmp = os.path.join(self.path, f"{dd}.{uuid.uuid4().hex[:8]}.tmp")
         dv.write.mode("overwrite").parquet(tmp)
         # matched rows come from the CURRENT read (existing vector already
         # applied), so merged ⊇ old with equality iff nothing new matched:
@@ -747,7 +921,7 @@ class SnapshotTable:
 
             shutil.rmtree(tmp, ignore_errors=True)
             return cur["version"]
-        os.rename(tmp, final)
+        dd = self._claim_delete_dir(tmp, dd)
         chain = (
             list(prev.get("supersedes", [])) + [prev["dir"]]
             if prev is not None
@@ -827,10 +1001,11 @@ class SnapshotTable:
             .withColumn("card", F.size("positions").cast("long"))
         )
         dd = self._next_delete_dir(entries)
-        final = os.path.join(self.path, dd)
-        tmp = final + ".tmp"
+        # writer-unique scratch; the final name is claimed atomically after
+        # the write (concurrent writers re-scan instead of sharing a dir)
+        tmp = os.path.join(self.path, f"{dd}.{uuid.uuid4().hex[:8]}.tmp")
         dv.write.mode("overwrite").parquet(tmp)
-        os.rename(tmp, final)
+        dd = self._claim_delete_dir(tmp, dd)
         prev = self._dv_entry(cur)
         chain = (
             list(prev.get("supersedes", [])) + [prev["dir"]]
@@ -861,8 +1036,9 @@ class SnapshotTable:
         if cur.get("manifests"):
             new_entry["fmt"] = SNAPSHOT_FORMAT
             new_entry["manifests"] = list(cur["manifests"])
-        entries.append(new_entry)
-        self._commit(entries)
+        # folds replace the delete stack: never compose — CAS raises if a
+        # writer advanced the log since the stack was read
+        self._commit(entries + [new_entry], expected_head=cur["version"])
         return version
 
     def _check_pos_delete_paths(self, d: dict) -> None:
@@ -1200,11 +1376,9 @@ class SnapshotTable:
                 spark, cur, files=sorted(os.path.join(data_dir, r) for r in affected)
             ).drop(*_RESERVED_COLS)
             survivors = _apply_sort_order(survivors, cur.get("sort_by"))
-            stage = os.path.join(self.path, f"v{version:05d}.stage")
-            if os.path.isdir(stage):
-                import shutil
-
-                shutil.rmtree(stage)
+            stage = os.path.join(
+                self.path, f"v{version:05d}-{uuid.uuid4().hex[:8]}.stage"
+            )
             writer = survivors.write.mode("overwrite")
             if spec:
                 writer = writer.partitionBy(*spec)
@@ -1240,8 +1414,9 @@ class SnapshotTable:
             new_entry["partition_by"] = list(spec)
         if cur.get("sort_by"):
             new_entry["sort_by"] = list(cur["sort_by"])
-        entries.append(new_entry)
-        self._commit(entries)
+        # compaction rewrites the manifest set: never composes — CAS raises
+        # if a writer advanced the log since the rewrite was planned
+        self._commit(entries + [new_entry], expected_head=cur["version"])
         return version
 
     def maintain(
@@ -1472,8 +1647,128 @@ class SnapshotTable:
                 "fast-forward impossible; merge the branch's changes "
                 "explicitly (e.g. changes_between + merge_into)"
             )
-        self._commit(blog)
+        # CAS against the prefix check just performed: a commit racing the
+        # fast-forward would otherwise be silently overwritten by the branch
+        self._commit(
+            blog, expected_head=mlog[-1]["version"] if mlog else 0
+        )
         return blog[-1]["version"]
+
+    def cherry_pick(self, name: str) -> int:
+        """Apply a DIVERGED branch's post-fork commits onto moved main —
+        Iceberg's ``cherrypick_snapshot`` generalized to the audit-branch
+        increment (the recovery path when :meth:`fast_forward` refuses
+        because main moved since the fork). The branch's plain APPENDS
+        compose directly (manifest-list union onto main's head — the
+        manifest files are immutable and branch-name-scoped, so they are
+        referenced, never copied); its pos/eq DELETE commits re-serialize
+        on top of main with restamped sequence numbers (they now apply to
+        everything committed before the pick, exactly Iceberg's
+        commit-time sequence assignment). Anything non-composable on
+        either side — a rollback, a compaction rewrite, a delete fold, a
+        branch deletion vector (merged against branch-local state), or a
+        replaced lineage — raises :class:`CommitConflict`: nothing is
+        ever silently dropped. Each picked commit lands as its own main
+        commit under the CAS lock; the branch stays (drop it explicitly).
+        Returns main's new head version."""
+        if self.branch:
+            raise ValueError("cherry_pick from the main handle")
+        bpath = os.path.join(self.path, f"_snapshots_{name}.json")
+        if not os.path.exists(bpath):
+            raise KeyError(f"no branch {name!r}")
+        with open(bpath) as fh:
+            blog = json.load(fh)
+        mlog = self.versions()
+
+        def _key(e: dict) -> str:
+            return json.dumps(e, sort_keys=True)
+
+        fork = 0
+        while (
+            fork < len(blog)
+            and fork < len(mlog)
+            and _key(blog[fork]) == _key(mlog[fork])
+        ):
+            fork += 1
+        picks = blog[fork:]
+        if not picks:
+            return mlog[-1]["version"] if mlog else 0  # branch adds nothing
+        if fork == len(mlog):
+            return self.fast_forward(name)  # main never moved
+        if fork == 0:
+            raise CommitConflict(
+                f"branch {name!r} shares no history with main — "
+                "cherry-pick impossible"
+            )
+        base = mlog[fork - 1]
+        # main's post-fork commits must themselves be append/delete-shaped,
+        # or the branch's payload references replaced state
+        for e in mlog[fork:]:
+            if (
+                e.get("rollback_of") is not None
+                or e.get("rewrite")
+                or e.get("delete_rewrite")
+                or e.get("data_dir") != base["data_dir"]
+            ):
+                raise CommitConflict(
+                    "main rewrote history since the fork (rollback/"
+                    "compaction/fold/overwrite) — the branch's commits "
+                    "cannot be re-validated against it"
+                )
+        out = 0
+        prev = base
+        for e in picks:
+            pm = set(prev.get("manifests") or [])
+            own_m = [m for m in e.get("manifests", []) if m not in pm]
+            sp = {_key(d) for d in prev.get("deletes", [])}
+            own_d = [d for d in e.get("deletes", []) if _key(d) not in sp]
+            removed = sp - {_key(d) for d in e.get("deletes", [])}
+            if (
+                e.get("rollback_of") is not None
+                or e.get("rewrite")
+                or e.get("delete_rewrite")
+                or removed
+                or e.get("data_dir") != base["data_dir"]
+                or any(d.get("kind") == "dv" for d in own_d)
+            ):
+                raise CommitConflict(
+                    f"branch commit v{e['version']} is not a plain append/"
+                    "pos-or-eq-delete — cherry-pick refuses (fold, rollback,"
+                    " rewrite, and deletion-vector merges are branch-local)"
+                )
+
+            def _build(fresh, own_m=own_m, own_d=own_d, e=e):
+                head = fresh[-1]
+                if head.get("data_dir") != base["data_dir"]:
+                    raise CommitConflict(
+                        "main's lineage changed under the cherry-pick"
+                    )
+                nv = head["version"] + 1
+                entry = {
+                    "version": nv,
+                    "data_dir": head["data_dir"],
+                    "fmt": SNAPSHOT_FORMAT,
+                    "manifests": self._manifests_of(head) + own_m,
+                    "base_seq": head.get("base_seq", head["version"]),
+                    "ts": time.time(),
+                    "note": f"cherry-pick {name}@v{e['version']}: "
+                    f"{e.get('note') or ''}".rstrip(": "),
+                }
+                if head.get("has_appends") or e.get("has_appends"):
+                    entry["has_appends"] = True
+                deletes = list(head.get("deletes", [])) + [
+                    {**d, "seq": nv} for d in own_d
+                ]
+                if deletes:
+                    entry["deletes"] = deletes
+                for prop in ("partition_by", "sort_by"):
+                    if head.get(prop):
+                        entry[prop] = list(head[prop])
+                return entry
+
+            out = self._commit_build(_build)
+            prev = e
+        return out
 
     def drop_branch(self, name: str) -> None:
         bpath = os.path.join(self.path, f"_snapshots_{name}.json")
@@ -1596,8 +1891,9 @@ class SnapshotTable:
                 new_entry["sort_by"] = list(cur["sort_by"])
             if cur.get("deletes"):
                 new_entry["deletes"] = list(cur["deletes"])
-            entries.append(new_entry)
-            self._commit(entries)
+            self._commit(
+                entries + [new_entry], expected_head=cur["version"]
+            )
             return version
         version = (entries[-1]["version"] + 1) if entries else 1
         data_dir = f"v{version:05d}"
@@ -1619,8 +1915,10 @@ class SnapshotTable:
         }
         if partition_by:
             new_entry["partition_by"] = list(partition_by)
-        entries.append(new_entry)
-        self._commit(entries)
+        self._commit(
+            entries + [new_entry],
+            expected_head=entries[-1]["version"] if entries else 0,
+        )
         return version
 
     def discard_staged(self, stage_id: str) -> None:
@@ -2551,7 +2849,9 @@ class SnapshotTable:
         expired = [e for e in entries if e not in keep]
         if expired:
             # commit point: expired versions unresolvable from here on
-            self._commit(keep)
+            # (CAS: raise rather than clobber a commit that raced this
+            # retention run)
+            self._commit(keep, expected_head=entries[-1]["version"])
         # live BRANCHES pin everything their logs reference — a branch is
         # an explicit ref, exactly like a tag (drop_branch releases it)
         branch_logs: dict[str, list[dict]] = {}
@@ -2593,6 +2893,9 @@ class SnapshotTable:
                 # crashed write/append staging dirs are orphans too
                 if stem.endswith(suffix):
                     stem = stem[: -len(suffix)]
+                    # writer-unique scratch carries a uuid token
+                    # (v00006-ab12cd34.stage / d00002.ab12cd34.tmp)
+                    stem = re.sub(r"[.-][0-9a-f]{8}\Z", "", stem)
             if (
                 os.path.isdir(full)
                 and stem[:1] in ("v", "d")

@@ -85,6 +85,59 @@ class TestStreamTailExactlyOnceUnderRetention:
         assert self._files(tbl, 2, 3, "skip") == []
 
 
+class TestCboApplyJoinHardening:
+    """ADVICE r10 (low): apply_join must reject an ambiguous key rename
+    and must not hint a broadcast Catalyst cannot honor (build side ==
+    outer side)."""
+
+    def test_clashing_right_column_raises(self, spark):
+        from iceberg_evolve_spark.operators.cbo import apply_join
+
+        left = spark.range(5).select(F.col("id").alias("k"))
+        right = spark.range(5).select(
+            F.col("id").alias("rk"), F.lit(1).alias("k")
+        )
+        with pytest.raises(ValueError, match="ambiguous"):
+            apply_join(
+                left, right,
+                {"strategy": "shuffle", "build_side": None, "est_rows": 5},
+                "k", "rk",
+            )
+
+    def test_outer_side_broadcast_falls_back_to_shuffle(self, spark):
+        from iceberg_evolve_spark.operators.cbo import apply_join
+
+        left = spark.range(6).select(F.col("id").alias("k"))
+        right = spark.range(3).select(
+            F.col("id").alias("rk"), (F.col("id") * 10).alias("v")
+        )
+        decision = {"strategy": "broadcast", "build_side": "left",
+                    "est_rows": 3}
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = apply_join(left, right, decision, "k", "rk", how="left")
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            # with auto-broadcast off, only an HONORED hint could produce a
+            # BroadcastHashJoin — the dead left-side hint must not
+            assert "BroadcastHashJoin" not in plan
+            rows = {(r["k"], r["v"]) for r in out.collect()}
+            assert rows == {(0, 0), (1, 10), (2, 20), (3, None), (4, None),
+                            (5, None)}
+            # a legal broadcast (build side = inner side) still lands
+            ok = apply_join(
+                left, right,
+                {"strategy": "broadcast", "build_side": "right",
+                 "est_rows": 3},
+                "k", "rk", how="left",
+            )
+            assert "BroadcastHashJoin" in (
+                ok._jdf.queryExecution().executedPlan().toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 class TestStreamTailNestedSchema:
     """VERDICT r10 task 8: the tail source covers struct/array columns via
     recursive Arrow->DDL, same as the batch reader."""
@@ -205,6 +258,216 @@ class TestBloomDistributedBuild:
         assert not os.path.isdir(os.path.join(t.path, "_bloom")) or not os.listdir(
             os.path.join(t.path, "_bloom")
         )
+
+
+class TestCommitCAS:
+    """VERDICT r10 task 5 (What's missing 2): the snapshot-log commit is a
+    compare-and-swap under a lock-file critical section — two concurrent
+    appends BOTH survive (the later renumbers onto the winner's head);
+    writes that cannot compose raise CommitConflict instead of silently
+    last-write-wins clobbering."""
+
+    def test_two_concurrent_appends_both_survive(self, spark, tdir):
+        import threading
+
+        from iceberg_evolve_spark.sources.snapshots import CommitConflict
+
+        path = os.path.join(tdir, "t")
+        SnapshotTable(path).write(spark.range(0, 10))
+        dfs = {
+            "a": spark.range(100, 110),
+            "b": spark.range(200, 210),
+        }
+        errs: list[Exception] = []
+        barrier = threading.Barrier(2)
+
+        def run(key):
+            try:
+                barrier.wait()
+                SnapshotTable(path).append(dfs[key])
+            except Exception as exc:  # noqa: BLE001
+                errs.append(exc)
+
+        ts = [threading.Thread(target=run, args=(k,)) for k in dfs]
+        [t.start() for t in ts]
+        [t.join(120) for t in ts]
+        assert not errs, errs
+        t = SnapshotTable(path)
+        got = sorted(r["id"] for r in t.read(spark).collect())
+        assert got == list(range(10)) + list(range(100, 110)) + list(
+            range(200, 210)
+        )
+        assert [e["version"] for e in t.versions()] == [1, 2, 3]
+        # the manifest lists compose: head references all three commits
+        assert len(t.versions()[-1]["manifests"]) == 3
+
+    def test_stale_vector_delete_raises_not_clobbers(self, spark, tdir):
+        """A merged deletion vector computed against a delete stack that
+        moved must raise — replaying it would drop the winner's deletes."""
+        from iceberg_evolve_spark.sources.snapshots import CommitConflict
+
+        path = os.path.join(tdir, "t")
+        t = SnapshotTable(path)
+        t.write(spark.range(0, 20))
+        stale_entries = t.versions()  # snapshot of the log pre-race
+        t.delete_where(spark, F.col("id") == 1, vector=True)  # the winner
+        with pytest.raises(CommitConflict, match="delete"):
+            t._append_delete_entry(
+                stale_entries,
+                {"dir": "d99999", "kind": "dv", "paths": "rel"},
+                "loser", None,
+            )
+        # the winner's delete is intact
+        assert sorted(r["id"] for r in t.read(spark).collect()) == [
+            i for i in range(20) if i != 1
+        ]
+
+    def test_append_composes_over_concurrent_delete(self, spark, tdir):
+        """An append built against a head that a delete commit then moved
+        lands on top of the delete (serialized after it) — no clobber, no
+        spurious conflict."""
+        path = os.path.join(tdir, "t")
+        t = SnapshotTable(path)
+        t.write(spark.range(0, 10))
+        stale = t.versions()
+        t.delete_where(spark, F.col("id") == 3)  # moves the head to v2
+        # replay append's commit path against the stale read
+        cur = stale[-1]
+        import json as _json
+
+        def _build(fresh):
+            head = t._composable_head(fresh, cur, allow_fold=True)
+            assert head["version"] == 2  # composed onto the delete commit
+            mname = t._write_manifest_file(head["version"] + 1, [])
+            return {
+                "version": head["version"] + 1,
+                "data_dir": head["data_dir"],
+                "fmt": 2,
+                "manifests": t._manifests_of(head) + [mname],
+                "base_seq": head.get("base_seq", head["version"]),
+                "has_appends": True,
+                "deletes": list(head.get("deletes", [])),
+                "ts": 1.0,
+                "note": "composed append",
+            }
+
+        assert t._commit_build(_build) == 3
+        # the delete survived the composed append
+        assert 3 not in {r["id"] for r in t.read(spark).collect()}
+
+    def test_expire_raises_when_log_moved(self, spark, tdir):
+        from iceberg_evolve_spark.sources.snapshots import CommitConflict
+
+        path = os.path.join(tdir, "t")
+        t = SnapshotTable(path)
+        t.write(spark.range(5))
+        t.append(spark.range(5, 8))
+        stale = t.versions()
+        t.append(spark.range(8, 11))
+        with pytest.raises(CommitConflict, match="advanced"):
+            t._commit(stale[-1:], expected_head=stale[-1]["version"])
+
+    def test_concurrent_vector_deletes_never_lose_rows(self, spark, tdir):
+        """Race two vector deletes: either both commit (serialized) or the
+        loser raises CommitConflict — a committed delete is never silently
+        undone."""
+        import threading
+
+        from iceberg_evolve_spark.sources.snapshots import CommitConflict
+
+        path = os.path.join(tdir, "t")
+        SnapshotTable(path).write(spark.range(0, 30))
+        outcomes: dict[int, Exception | None] = {}
+        barrier = threading.Barrier(2)
+
+        def run(key):
+            try:
+                barrier.wait()
+                SnapshotTable(path).delete_where(
+                    spark, F.col("id") == key, vector=True
+                )
+                outcomes[key] = None
+            except CommitConflict as exc:
+                outcomes[key] = exc
+
+        ts = [threading.Thread(target=run, args=(k,)) for k in (5, 7)]
+        [t.start() for t in ts]
+        [t.join(180) for t in ts]
+        assert set(outcomes) == {5, 7}
+        live = {r["id"] for r in SnapshotTable(path).read(spark).collect()}
+        for key, err in outcomes.items():
+            if err is None:
+                assert key not in live  # committed delete applied
+            else:
+                assert key in live  # refused delete changed nothing
+
+
+class TestBranchCherryPick:
+    """VERDICT r10 task 6 (What's missing 3): a diverged audit branch gets
+    a path back onto moved main — Iceberg's cherrypick_snapshot."""
+
+    def _diverged(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 10))
+        b = t.create_branch("audit")
+        b.append(spark.range(100, 105))  # branch increment
+        t.append(spark.range(200, 203))  # main moves -> diverged
+        return t, b
+
+    def test_cherry_pick_lands_increment_ff_still_refuses(self, spark, tdir):
+        t, b = self._diverged(spark, tdir)
+        with pytest.raises(ValueError, match="diverged"):
+            t.fast_forward("audit")
+        v = t.cherry_pick("audit")
+        assert v == 3
+        got = sorted(r["id"] for r in t.read(spark).collect())
+        assert got == list(range(10)) + list(range(100, 105)) + list(
+            range(200, 203)
+        )
+        # still refuses afterwards: main's history is not the branch's
+        with pytest.raises(ValueError, match="diverged"):
+            t.fast_forward("audit")
+
+    def test_cherry_pick_delete_commit_reserializes(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 10))
+        b = t.create_branch("audit")
+        b.delete_where(spark, F.col("id") == 4)
+        t.append(spark.range(100, 103))  # main moves
+        t.cherry_pick("audit")
+        got = sorted(r["id"] for r in t.read(spark).collect())
+        assert got == [i for i in range(10) if i != 4] + [100, 101, 102]
+        # the picked delete serialized after main's append
+        assert t.versions()[-1]["deletes"][-1]["seq"] == 3
+
+    def test_cherry_pick_refuses_branch_vector_merge(self, spark, tdir):
+        from iceberg_evolve_spark.sources.snapshots import CommitConflict
+
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 10))
+        b = t.create_branch("audit")
+        b.delete_where(spark, F.col("id") == 4, vector=True)
+        t.append(spark.range(100, 103))
+        with pytest.raises(CommitConflict, match="deletion-vector"):
+            t.cherry_pick("audit")
+
+    def test_cherry_pick_refuses_when_main_compacted(self, spark, tdir):
+        from iceberg_evolve_spark.sources.snapshots import CommitConflict
+
+        t, b = self._diverged(spark, tdir)
+        t.delete_where(spark, F.col("id") == 1)
+        t.rewrite_data_files(spark)  # main rewrote history
+        with pytest.raises(CommitConflict, match="rewrote history"):
+            t.cherry_pick("audit")
+
+    def test_fast_forward_path_taken_when_main_static(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 10))
+        b = t.create_branch("audit")
+        b.append(spark.range(100, 105))
+        assert t.cherry_pick("audit") == 2  # == fast_forward
+        got = sorted(r["id"] for r in t.read(spark).collect())
+        assert got == list(range(10)) + list(range(100, 105))
 
 
 class TestBranchScopedSidecars:
