@@ -11467,6 +11467,99 @@ GROUP BY o_orderstatus
 """
 
 
+def orders_branch_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRANCH CHERRY-PICK (r11; `sources/snapshots.py:cherry_pick` —
+    Iceberg's `cherrypick_snapshot`, the recovery path VERDICT r10 named
+    when `fast_forward` refuses because main moved): an `audit` branch
+    takes a positional delete (bad 'F' orders) and an append (a re-keyed
+    'O' slice) while MAIN independently appends a 'P' slice — diverged
+    history, witnessed by fast_forward actually refusing. `cherry_pick`
+    then lands the branch's two commits onto moved main: the append
+    composes by manifest-list union (the branch's immutable, name-scoped
+    manifest files are referenced, never copied) and the delete commit
+    re-serializes with a commit-time sequence stamp. The oracle
+    recomputes the converged state from the rules. At 100 TB each picked
+    commit is O(KB) of manifest JSON under the commit lock — no data file
+    is read, copied, or rewritten."""
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="ies-cherry-")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "orders_table"))
+        t.write(orders, ts=1000.0)
+        b = t.create_branch("audit")
+        b.delete_where(
+            spark,
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 7 == 0),
+            ts=2000.0,
+        )
+        b.append(
+            orders.filter(
+                (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 10 == 0)
+            ).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(600000000)
+            ),
+            ts=2500.0,
+        )
+        t.append(
+            orders.filter(F.col("o_orderstatus") == "P").withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(700000000)
+            ),
+            ts=3000.0,
+        )  # main moves -> diverged
+        try:
+            t.fast_forward("audit")
+            diverged = False  # should be unreachable
+        except ValueError:
+            diverged = True
+        t.cherry_pick("audit")
+        agg = t.read(spark).groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)")
+            ).alias("sp"),
+        )
+        rows = [
+            (bool(diverged), r["o_orderstatus"], int(r["n"]), float(r["sp"]))
+            for r in agg.collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "diverged boolean, o_orderstatus string, n bigint, sum_price double",
+    )
+
+
+#: Converged state: base orders minus the branch's positional delete
+#: (F-status, key % 7 = 0 — positions name fork-time files only, so
+#: neither side's appended rows are touched), plus the branch's re-keyed
+#: 'O' slice and main's re-keyed 'P' slice (keys shift, statuses don't).
+_BRANCH_CHERRY_PICK_SQL = """
+WITH bcp_state AS (
+    SELECT o_orderstatus, o_totalprice FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)
+    UNION ALL
+    SELECT o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderstatus = 'O' AND o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderstatus = 'P'
+)
+SELECT TRUE AS diverged,
+       o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(28,2))) AS DOUBLE)
+           AS sum_price
+FROM bcp_state
+GROUP BY o_orderstatus
+"""
+
+
 def orders_cbo_planned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STATS-DRIVEN JOIN PLANNING (r10; `operators/cbo.py` consuming
     `snapshots.py:analyze` statistics): orders and customer land as
@@ -12675,6 +12768,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_metadata_tables": orders_metadata_tables,
         "orders_footer_minmax": orders_footer_minmax,
         # ---------------------- past the window ----------------------------
+        # NEW round 11 (locally oracle-verified; queued for the r12 window
+        # head with the r09 remainder below):
+        "orders_branch_cherry_pick": orders_branch_cherry_pick,
         # r09-hashed remainder (queued for the r12 window head):
         "multimodal_jpeg_decode": multimodal_jpeg_decode,
         "multimodal_audio_vad": multimodal_audio_vad,
@@ -12971,6 +13067,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_delete_fold": _DELETE_FOLD_SQL,
         "orders_merge_into": _MERGE_INTO_SQL,
         "orders_bloom_point_lookup": _BLOOM_POINT_LOOKUP_SQL,
+        "orders_branch_cherry_pick": _BRANCH_CHERRY_PICK_SQL,
         "orders_stream_tail": _STREAM_TAIL_SQL,
         "orders_branch_audit": _BRANCH_AUDIT_SQL,
         "orders_mor_pruned_read": _MORPRUNE_SQL,
