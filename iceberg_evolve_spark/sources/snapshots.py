@@ -1717,6 +1717,7 @@ class SnapshotTable:
                 )
         out = 0
         prev = base
+        eq_delete_picked = False
         for e in picks:
             pm = set(prev.get("manifests") or [])
             own_m = [m for m in e.get("manifests", []) if m not in pm]
@@ -1736,6 +1737,22 @@ class SnapshotTable:
                     "pos-or-eq-delete — cherry-pick refuses (fold, rollback,"
                     " rewrite, and deletion-vector merges are branch-local)"
                 )
+            if own_m and eq_delete_picked:
+                # an EQUALITY delete earlier in the pick set must not apply
+                # to this later branch append, but the append's files keep
+                # their branch-version sequence stamps while the delete was
+                # restamped to the (larger) pick-time sequence — one scalar
+                # sequence cannot order "after main's concurrent appends but
+                # before the branch's own later files". Positional deletes
+                # are immune (they name fork-time files outright).
+                raise CommitConflict(
+                    "branch history appends AFTER an equality delete — the "
+                    "restamped delete would wrongly apply to those files; "
+                    "publish this branch by fast_forward after rebasing "
+                    "main, or re-apply the changes via merge_into"
+                )
+            if any(d.get("kind") == "eq" for d in own_d):
+                eq_delete_picked = True
 
             def _build(fresh, own_m=own_m, own_d=own_d, e=e):
                 head = fresh[-1]

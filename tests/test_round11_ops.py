@@ -460,6 +460,41 @@ class TestBranchCherryPick:
         with pytest.raises(CommitConflict, match="rewrote history"):
             t.cherry_pick("audit")
 
+    def test_eq_delete_then_append_refused(self, spark, tdir):
+        """A branch eq-delete FOLLOWED by a branch append cannot cherry-pick:
+        the restamped delete sequence would wrongly apply to the branch's
+        own later files (one scalar seq cannot order 'after main's
+        concurrent appends but before the branch's later appends')."""
+        from iceberg_evolve_spark.sources.snapshots import CommitConflict
+
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 10).select(F.col("id").alias("k")))
+        b = t.create_branch("audit")
+        b.delete_by_key(
+            spark.createDataFrame([(3,)], "k long"), ["k"]
+        )
+        b.append(spark.createDataFrame([(3,)], "k long"))  # re-insert k=3
+        t.append(spark.createDataFrame([(50,)], "k long"))  # main moves
+        with pytest.raises(CommitConflict, match="appends AFTER an equality"):
+            t.cherry_pick("audit")
+
+    def test_append_then_eq_delete_picks_correctly(self, spark, tdir):
+        """The reverse order IS safe: the restamped eq delete must apply to
+        both the branch's earlier append and main's concurrent append."""
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 10).select(F.col("id").alias("k")))
+        b = t.create_branch("audit")
+        b.append(spark.createDataFrame([(100,), (101,)], "k long"))
+        b.delete_by_key(
+            spark.createDataFrame([(100,), (5,), (50,)], "k long"), ["k"]
+        )
+        t.append(spark.createDataFrame([(50,), (51,)], "k long"))  # main
+        t.cherry_pick("audit")
+        got = sorted(r["k"] for r in t.read(spark).collect())
+        # 5 (base), 100 (branch append), 50 (main append) all deleted; the
+        # delete serialized after everything committed before the pick
+        assert got == [i for i in range(10) if i != 5] + [51, 101]
+
     def test_fast_forward_path_taken_when_main_static(self, spark, tdir):
         t = SnapshotTable(os.path.join(tdir, "t"))
         t.write(spark.range(0, 10))

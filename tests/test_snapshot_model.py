@@ -141,3 +141,101 @@ def test_random_op_sequences_match_model(spark, ops):
                 )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# -- branch divergence + cherry-pick convergence (round 11) -----------------
+
+_BRANCH_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(
+            ["b_append", "b_delete_pred", "m_append", "m_delete_pred"]
+        ),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(ops=_BRANCH_OPS)
+def test_branch_cherry_pick_converges_to_model(spark, ops):
+    """Random interleave of composable ops (appends + positional deletes)
+    on a branch and on main, then cherry_pick: the converged table must
+    equal the model union — fork rows survive iff NEITHER side deleted
+    them, each side's appends survive its own deletes, and no side's
+    deletes ever touch the other side's appends (positional deletes name
+    fork-or-own files only). Id ranges are disjoint by construction
+    (fork < 100, branch appends 100-499, main appends >= 500) so the
+    model is exact."""
+    tmp = tempfile.mkdtemp(prefix="ies-model-branch-")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "t"))
+        fork = _rows(0, 20)
+        t.write(spark.createDataFrame(list(fork.items()), "id long, g long"))
+        b = t.create_branch("audit")
+        bstate = dict(fork)  # branch view
+        mstate = dict(fork)  # main view
+        bnext, mnext = 100, 500
+        for kind, p in ops:
+            if kind == "b_append":
+                new = _rows(bnext, bnext + 4)
+                bnext += 4
+                b.append(
+                    spark.createDataFrame(list(new.items()), "id long, g long")
+                )
+                bstate.update(new)
+            elif kind == "b_delete_pred":
+                ids = sorted(bstate)
+                if not ids:
+                    continue
+                cut = ids[p % len(ids)]
+                b.delete_where(
+                    spark, (F.col("id") >= cut) & (F.col("id") < cut + 3)
+                )
+                bstate = {
+                    i: g
+                    for i, g in bstate.items()
+                    if not (cut <= i < cut + 3)
+                }
+            elif kind == "m_append":
+                new = _rows(mnext, mnext + 4)
+                mnext += 4
+                t.append(
+                    spark.createDataFrame(list(new.items()), "id long, g long")
+                )
+                mstate.update(new)
+            elif kind == "m_delete_pred":
+                ids = sorted(mstate)
+                if not ids:
+                    continue
+                cut = ids[p % len(ids)]
+                t.delete_where(
+                    spark, (F.col("id") >= cut) & (F.col("id") < cut + 3)
+                )
+                mstate = {
+                    i: g
+                    for i, g in mstate.items()
+                    if not (cut <= i < cut + 3)
+                }
+        t.cherry_pick("audit")
+        expect = (
+            # fork rows: survive iff neither side deleted them
+            {
+                i: g
+                for i, g in fork.items()
+                if i in bstate and i in mstate
+            }
+            # branch appends: survive the branch's own deletes
+            | {i: g for i, g in bstate.items() if 100 <= i < 500}
+            # main appends: branch deletes can never name their files
+            | {i: g for i, g in mstate.items() if i >= 500}
+        )
+        got = {(r["id"], r["g"]) for r in t.read(spark).collect()}
+        assert got == set(expect.items())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
