@@ -1989,7 +1989,11 @@ class SnapshotTable:
                 continue  # coverage unreconstructable -> keep everything
             from iceberg_evolve_spark.functions.bloom import WORD_BITS
 
-            ps, words = self._bloom_probe(blob, value)
+            ps, words = self._bloom_probe(
+                blob,
+                value,
+                rels=[os.path.relpath(f, data_path) for f in kept],
+            )
 
             def _hit(rel: str) -> bool:
                 # a covered file missing any probed bit is provably
@@ -2520,11 +2524,15 @@ class SnapshotTable:
                 return None
         return covered
 
-    def _bloom_probe(self, blob: dict, value) -> "tuple[list[int], dict]":
+    def _bloom_probe(
+        self, blob: dict, value, rels: "list[str] | None" = None
+    ) -> "tuple[list[int], dict]":
         """One point probe against the distributed words sidecar: the k
         bit positions of ``value`` plus ``{(file, word_idx): word}`` for
         EXACTLY those word indexes — a parquet row-group-pruned read of
-        O(k) index slices, never the whole filter set."""
+        O(k) index slices, never the whole filter set. When the caller's
+        candidate set is already small (``rels``, e.g. after range
+        pruning), the read narrows to those files' rows too."""
         import hashlib
 
         import pyarrow.dataset as ds
@@ -2541,7 +2549,10 @@ class SnapshotTable:
             )
         ws = sorted({p // WORD_BITS for p in ps})
         dset = ds.dataset(os.path.join(self.path, "_bloom", blob["words"]))
-        tbl = dset.to_table(filter=ds.field("w").isin(ws))
+        flt = ds.field("w").isin(ws)
+        if rels is not None and len(rels) <= 1024:
+            flt = flt & ds.field("_file").isin(rels)
+        tbl = dset.to_table(filter=flt)
         wordmap = {
             (f, int(w)): int(word)
             for f, w, word in zip(

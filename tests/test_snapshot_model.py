@@ -239,3 +239,75 @@ def test_branch_cherry_pick_converges_to_model(spark, ops):
         assert got == set(expect.items())
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# -- streaming-tail delivery model (round 11, ADVICE r10 high) --------------
+
+_TAIL_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(["append", "delete_pred", "tag", "expire"]),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=1,
+    max_size=7,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(ops=_TAIL_OPS)
+def test_stream_tail_delivery_is_exactly_once(spark, ops):
+    """Random append/delete/tag/expire sequences, then every consumer
+    position is checked against the delivery model: for any retained
+    checkpoint (start, head], files delivered in skip mode compose
+    DISJOINTLY with the files delivered up to start (no duplicates, no
+    gaps: bootstrap(0->start) ⊎ delta(start->head) == bootstrap(0->head)),
+    and an expired checkpoint raises instead of re-delivering. This is
+    the property ADVICE r10 (high) showed the old guard violated at
+    retention boundaries and across tag-pinned expiry gaps."""
+    from iceberg_evolve_spark.sources.snapshot_stream import _added_files
+
+    tmp = tempfile.mkdtemp(prefix="ies-model-tail-")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "t"))
+        t.write(spark.createDataFrame(list(_rows(0, 12).items()), "id long, g long"))
+        nxt = 100
+        tagged = 0
+        for kind, p in ops:
+            if kind == "append":
+                t.append(
+                    spark.createDataFrame(
+                        list(_rows(nxt, nxt + 4).items()), "id long, g long"
+                    )
+                )
+                nxt += 4
+            elif kind == "delete_pred":
+                t.delete_where(spark, F.col("id") % 11 == p % 11)
+            elif kind == "tag":
+                t.tag(f"pin{tagged}", t.versions()[p % len(t.versions())]["version"])
+                tagged += 1
+            elif kind == "expire":
+                t.expire_snapshots(keep_last=1 + p % 3)
+        retained = [e["version"] for e in t.versions()]
+        head = retained[-1]
+        full = _added_files(t.path, 0, head, "skip")
+        assert len(full) == len(set(full)), "bootstrap delivered a file twice"
+        for start in range(0, head):
+            if start != 0 and start not in retained:
+                with pytest.raises(ValueError, match="expired under the consumer"):
+                    _added_files(t.path, start, head, "skip")
+                continue
+            upto = _added_files(t.path, 0, start, "skip")
+            delta = _added_files(t.path, start, head, "skip")
+            assert len(delta) == len(set(delta))
+            assert set(upto) & set(delta) == set(), (
+                f"duplicate delivery across checkpoint {start}"
+            )
+            assert set(upto) | set(delta) == set(full), (
+                f"gap in delivery across checkpoint {start}"
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
