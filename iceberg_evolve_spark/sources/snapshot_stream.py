@@ -146,12 +146,12 @@ def _manifest_files(table_path: str, entry: dict, mnames) -> list[str]:
 
 
 def _delete_keys(entry: dict) -> set:
-    """Structural identity of an entry's delete stack. Counting deletes is
-    not enough: a second ``delete_where(vector=True)`` REPLACES the prior
-    dv entry ([dv] -> [dv'], same length, manifests unchanged), which a
-    length compare misclassifies as a plain append and the stream silently
-    drops the delete."""
-    return {json.dumps(d, sort_keys=True) for d in entry.get("deletes", [])}
+    """Structural identity of an entry's delete stack — the shared
+    canonicalization from :mod:`.snapshots` (see ``delete_stack_keys``
+    there for why counting is not enough)."""
+    from iceberg_evolve_spark.sources.snapshots import delete_stack_keys
+
+    return delete_stack_keys(entry)
 
 
 def _added_files(
@@ -197,6 +197,18 @@ def _added_files(
                 raise ValueError(
                     f"snapshot v{v} has no retained predecessor to diff "
                     "against — restart the stream from scratch"
+                )
+            if e.get("deletes") and on_change != "skip":
+                # the bootstrap snapshot carries row-level deletes: a
+                # rows-from-files tail would deliver the deleted rows too
+                # (files are the unit; visibility is not) — refuse, like
+                # any other non-append shape; skip mode keeps the
+                # documented rows-not-visibility contract
+                raise ValueError(
+                    f"bootstrap snapshot v{v} carries row-level deletes; "
+                    "the file-attributed tail cannot express them — set "
+                    "on_change='skip' (rows, not visibility) or consume "
+                    "changes_between() instead"
                 )
             # from-zero bootstrap at the oldest retained snapshot: its
             # ENTIRE (cumulative) file set is the table state to deliver

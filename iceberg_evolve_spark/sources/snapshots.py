@@ -84,6 +84,16 @@ class CommitConflict(RuntimeError):
     """Another writer advanced the snapshot log under this commit and the
     change cannot be (or must not be) rebased onto the new head."""
 
+
+def delete_stack_keys(entry: dict) -> "set[str]":
+    """Structural identity of an entry's delete stack (one canonical JSON
+    string per delete descriptor). The ONE shared definition for every
+    stack comparison (commit composability, cherry-pick, the streaming
+    tail) — counting deletes is not enough: a merged deletion vector
+    REPLACES the prior dv entry ([dv] -> [dv'], same length, manifests
+    unchanged), which a length compare misclassifies as a plain append."""
+    return {json.dumps(d, sort_keys=True) for d in entry.get("deletes", [])}
+
 #: Manifest format stamped on new snapshot entries. Format 2 = manifest file
 #: lists (this module's current write path); entries without the stamp (and
 #: without a ``manifests`` key) are format 1 and read via directory walk.
@@ -248,7 +258,14 @@ class SnapshotTable:
     def _commit_lock(self, timeout: float = 30.0):
         """Same-filesystem mutex around the read-validate-replace critical
         section (O_EXCL lock file). A lock older than ``timeout`` is
-        presumed crashed and stolen."""
+        presumed crashed and stolen — via an atomic RENAME to a
+        stealer-unique name, so exactly one of any number of concurrent
+        stealers wins (a bare unlink would let two waiters both 'steal'
+        and both enter the critical section). Release unlinks the lock
+        only while its inode is still ours, so a holder whose stale lock
+        was stolen can never delete the thief's fresh lock. (The
+        critical section is KB-scale JSON work — a live holder aging past
+        ``timeout`` means a pathological pause.)"""
         lockp = self._manifest_path() + ".lock"
         t0 = time.time()
         while True:
@@ -258,7 +275,10 @@ class SnapshotTable:
             except FileExistsError:
                 try:
                     if time.time() - os.path.getmtime(lockp) > timeout:
-                        os.unlink(lockp)  # stale: crashed holder
+                        # atomic steal: one winner, losers see ENOENT next
+                        stale = f"{lockp}.stale-{uuid.uuid4().hex[:8]}"
+                        os.rename(lockp, stale)
+                        os.unlink(stale)
                         continue
                 except FileNotFoundError:
                     continue  # holder released between checks
@@ -267,12 +287,14 @@ class SnapshotTable:
                         f"could not acquire commit lock {lockp}"
                     )
                 time.sleep(0.005)
+        our_ino = os.fstat(fd).st_ino
         try:
             yield
         finally:
             os.close(fd)
             try:
-                os.unlink(lockp)
+                if os.stat(lockp).st_ino == our_ino:
+                    os.unlink(lockp)
             except FileNotFoundError:
                 pass
 
@@ -546,18 +568,23 @@ class SnapshotTable:
             shutil.rmtree(stage, ignore_errors=True)
             return cur["version"]
         dest = os.path.join(self.path, cur["data_dir"])
-        # the s{seq}- prefix is provisional: if the CAS below lands on a
-        # moved head the entry renumbers but the files keep this stamp —
-        # harmless, because a sequence that is LOWER than the final commit
-        # version only widens which later deletes apply, matching the
-        # serialized order (part names are job-UUID'd, so no collisions)
+        # the s{seq}- prefix is provisional: files are invisible until the
+        # log commit (reads are manifest-scoped), so if the CAS below lands
+        # on a moved head, _build RENAMES them to the final commit's
+        # sequence before the manifest is written — Iceberg assigns data
+        # sequence numbers at commit time, and keeping a stale lower stamp
+        # would let an equality delete that serialized BEFORE this append
+        # wrongly erase its rows (part names are job-UUID'd: no collisions)
         new_rels = self._ingest_stage(stage, dest, f"s{version:05d}-")
 
         def _build(fresh: list[dict]) -> dict:
             head = self._composable_head(fresh, cur, allow_fold=True)
             new_version = head["version"] + 1
+            rels = new_rels
+            if new_version != version:
+                rels = self._restamp_seq(dest, new_rels, version, new_version)
             manifests = self._manifests_of(head)
-            mname = self._write_manifest_file(new_version, new_rels)
+            mname = self._write_manifest_file(new_version, rels)
             new_entry = {
                 "version": new_version,
                 "data_dir": head["data_dir"],
@@ -641,6 +668,30 @@ class SnapshotTable:
     # are KBs-to-MBs against TBs of data, so both anti-joins broadcast the
     # delete side — the scan stays a single pass with no extra shuffle.
 
+    @staticmethod
+    def _restamp_seq(
+        dest: str, rels: list[str], old_v: int, new_v: int
+    ) -> list[str]:
+        """Rename just-ingested (still-uncommitted, hence invisible) files
+        from the provisional ``s{old_v}-`` sequence stamp to the final
+        commit's ``s{new_v}-`` — O(new files) metadata renames inside the
+        commit lock. Without this, a commit renumbered past a concurrent
+        equality delete would keep a sequence OLDER than that delete's,
+        and the delete would silently erase rows that serialized after
+        it."""
+        old_p, new_p = f"s{old_v:05d}-", f"s{new_v:05d}-"
+        out = []
+        for rel in rels:
+            d, base = os.path.split(rel)
+            if not base.startswith(old_p):  # defensive: never mangle
+                out.append(rel)
+                continue
+            nbase = new_p + base[len(old_p):]
+            nrel = os.path.join(d, nbase) if d else nbase
+            os.rename(os.path.join(dest, rel), os.path.join(dest, nrel))
+            out.append(nrel)
+        return sorted(out)
+
     def _claim_delete_dir(self, tmp: str, dd: str) -> str:
         """Atomically claim a delete-dir name by renaming the written
         scratch dir into place. POSIX ``rename`` onto an existing
@@ -648,11 +699,15 @@ class SnapshotTable:
         name first this re-scans for the next free number and retries —
         each writer ends up with its OWN directory, never silently
         sharing one. Returns the dir name actually claimed."""
+        import errno
+
         for _ in range(1000):
             try:
                 os.rename(tmp, os.path.join(self.path, dd))
                 return dd
-            except OSError:
+            except OSError as exc:
+                if exc.errno not in (errno.EEXIST, errno.ENOTEMPTY):
+                    raise  # real filesystem failure, not a name collision
                 dd = self._next_delete_dir(self.versions())
         raise CommitConflict("could not claim a delete directory name")
 
@@ -695,11 +750,7 @@ class SnapshotTable:
             d = {**delete, "seq": new_version}
             prior = list(head.get("deletes", []))
             if d["kind"] == "dv":
-                stack = lambda e: {  # noqa: E731
-                    json.dumps(x, sort_keys=True)
-                    for x in e.get("deletes", [])
-                }
-                if stack(head) != stack(cur):
+                if delete_stack_keys(head) != delete_stack_keys(cur):
                     raise CommitConflict(
                         "concurrent delete commit: this merged deletion "
                         "vector was computed against a delete stack that "
@@ -1654,7 +1705,7 @@ class SnapshotTable:
         )
         return blog[-1]["version"]
 
-    def cherry_pick(self, name: str) -> int:
+    def cherry_pick(self, name: str, ts: float | None = None) -> int:
         """Apply a DIVERGED branch's post-fork commits onto moved main —
         Iceberg's ``cherrypick_snapshot`` generalized to the audit-branch
         increment (the recovery path when :meth:`fast_forward` refuses
@@ -1669,8 +1720,14 @@ class SnapshotTable:
         branch deletion vector (merged against branch-local state), or a
         replaced lineage — raises :class:`CommitConflict`: nothing is
         ever silently dropped. Each picked commit lands as its own main
-        commit under the CAS lock; the branch stays (drop it explicitly).
-        Returns main's new head version."""
+        commit under the CAS lock (so a conflict mid-sequence leaves the
+        already-picked PREFIX applied — a consistent converged prefix,
+        exactly as if only those branch commits had been picked; re-run
+        after resolving to land the rest); the branch stays (drop it
+        explicitly). ``ts`` stamps the picked entries (default: wall
+        clock), matching every other commit API so logically-timestamped
+        tables keep ``as_of`` coherent. Returns main's new head
+        version."""
         if self.branch:
             raise ValueError("cherry_pick from the main handle")
         bpath = os.path.join(self.path, f"_snapshots_{name}.json")
@@ -1721,9 +1778,9 @@ class SnapshotTable:
         for e in picks:
             pm = set(prev.get("manifests") or [])
             own_m = [m for m in e.get("manifests", []) if m not in pm]
-            sp = {_key(d) for d in prev.get("deletes", [])}
+            sp = delete_stack_keys(prev)
             own_d = [d for d in e.get("deletes", []) if _key(d) not in sp]
-            removed = sp - {_key(d) for d in e.get("deletes", [])}
+            removed = sp - delete_stack_keys(e)
             if (
                 e.get("rollback_of") is not None
                 or e.get("rewrite")
@@ -1756,9 +1813,21 @@ class SnapshotTable:
 
             def _build(fresh, own_m=own_m, own_d=own_d, e=e):
                 head = fresh[-1]
-                if head.get("data_dir") != base["data_dir"]:
+                # re-run the main-side validation against the FRESH log:
+                # a rollback/rewrite/fold landing between the mlog read
+                # (or between picks) keeps the same data_dir, so a
+                # data_dir check alone would compose onto exactly the
+                # replaced state the pre-check exists to refuse
+                if head.get("data_dir") != base["data_dir"] or any(
+                    e2.get("rollback_of") is not None
+                    or e2.get("rewrite")
+                    or e2.get("delete_rewrite")
+                    for e2 in fresh
+                    if e2["version"] > base["version"]
+                ):
                     raise CommitConflict(
-                        "main's lineage changed under the cherry-pick"
+                        "main rewrote history under the cherry-pick — "
+                        "re-validate and retry"
                     )
                 nv = head["version"] + 1
                 entry = {
@@ -1767,7 +1836,7 @@ class SnapshotTable:
                     "fmt": SNAPSHOT_FORMAT,
                     "manifests": self._manifests_of(head) + own_m,
                     "base_seq": head.get("base_seq", head["version"]),
-                    "ts": time.time(),
+                    "ts": time.time() if ts is None else ts,
                     "note": f"cherry-pick {name}@v{e['version']}: "
                     f"{e.get('note') or ''}".rstrip(": "),
                 }
@@ -2448,9 +2517,13 @@ class SnapshotTable:
             words_dir = os.path.join(self.path, "_bloom", name + ".words")
             # executors write; global range-sort on w puts each word index
             # in O(1) row groups so a point probe reads k index slices, not
-            # the table's whole filter set
+            # the table's whole filter set. Explicit partition count: the
+            # default shuffle partitioning would shatter a KB-scale filter
+            # into dozens of near-empty part files whose per-file open
+            # cost dwarfs the k row-group reads the probe pays for
+            n_parts = max(1, min(32, (m_bits // WORD_BITS) // 8192))
             (
-                words.repartitionByRange(F.col("w"))
+                words.repartitionByRange(n_parts, F.col("w"))
                 .sortWithinPartitions("w", "_file")
                 .write.mode("overwrite")
                 .parquet(words_dir)
@@ -2822,7 +2895,10 @@ class SnapshotTable:
 
     # -- maintenance -------------------------------------------------------
     def expire_snapshots(
-        self, keep_last: int, min_ts: float | None = None
+        self,
+        keep_last: int,
+        min_ts: float | None = None,
+        orphan_grace_sec: float = 0.0,
     ) -> tuple[list[int], list[str]]:
         """Retention: expire log entries beyond the newest ``keep_last``
         (optionally also keeping everything at/after ``min_ts``), then
@@ -2910,10 +2986,20 @@ class SnapshotTable:
         # Sweep EVERY unreferenced dir/file, not just what this call
         # expired — a crash between a previous retention's log commit and
         # its cleanup leaves orphans whose entries are already gone, so
-        # "remove what I expired" would strand them forever. Part of the
-        # single-writer protocol (a concurrent writer's renamed-but-
-        # uncommitted files would look like orphans; table formats guard
-        # this with the catalog's commit lock).
+        # "remove what I expired" would strand them forever. A concurrent
+        # writer's renamed-but-uncommitted files/scratch would ALSO look
+        # like orphans: ``orphan_grace_sec`` skips reclamation targets
+        # younger than the window (Iceberg's remove_orphan_files
+        # ``older_than``, default 3 days there). The 0.0 default keeps the
+        # single-maintenance protocol's immediate cleanup; deployments
+        # running retention beside live writers must pass a grace window.
+        def _graced(path_: str) -> bool:
+            if orphan_grace_sec <= 0:
+                return False
+            try:
+                return time.time() - os.path.getmtime(path_) < orphan_grace_sec
+            except OSError:
+                return True  # vanished/in-flux: leave for the next run
         for name in sorted(os.listdir(self.path)):
             full = os.path.join(self.path, name)
             stem = name
@@ -2929,20 +3015,22 @@ class SnapshotTable:
                 and stem[:1] in ("v", "d")
                 and stem[1:].isdigit()
             ):
-                if name not in live_dirs:
+                if name not in live_dirs and not _graced(full):
                     shutil.rmtree(full)
                     removed.append(name)
                 elif name == stem and live_rel.get(name):
                     # live format-2 lineage dir: per-file sweep
                     live = live_rel[name]
                     for rel in _walk_rel_parquet(full):
-                        if rel not in live:
-                            os.remove(os.path.join(full, rel))
+                        fp = os.path.join(full, rel)
+                        if rel not in live and not _graced(fp):
+                            os.remove(fp)
                             removed.append(os.path.join(name, rel))
             elif (
                 os.path.isfile(full)
                 and re.fullmatch(r"m\d{5}(-[A-Za-z0-9_\-]+)?\.json(\.tmp)?", name)
                 and name not in live_manifests
+                and not _graced(full)
             ):
                 os.remove(full)
                 removed.append(name)

@@ -505,6 +505,126 @@ class TestBranchCherryPick:
         assert got == list(range(10)) + list(range(100, 105))
 
 
+class TestReviewFixes:
+    """Round-11 self-review findings, each pinned by a test."""
+
+    def test_renumbered_append_restamps_file_sequence(self, spark, tdir):
+        """An append renumbered past a concurrent EQUALITY delete must
+        restamp its files to the final commit's sequence — otherwise the
+        delete (strictly-older rule) silently erases rows that serialized
+        AFTER it."""
+        path = os.path.join(tdir, "t")
+
+        class Racy(SnapshotTable):
+            raced = False
+
+            def _commit_build(self, build):
+                # inject a concurrent eq-delete between this append's
+                # versions() read and its commit — deterministic race
+                if not Racy.raced:
+                    Racy.raced = True
+                    SnapshotTable(self.path).delete_by_key(
+                        spark.createDataFrame([(5,)], "k long"), ["k"]
+                    )
+                return super()._commit_build(build)
+
+        SnapshotTable(path).write(
+            spark.range(0, 10).select(F.col("id").alias("k"))
+        )
+        t = Racy(path)
+        t.append(spark.createDataFrame([(5,), (77,)], "k long"))
+        log = SnapshotTable(path).versions()
+        assert [e["version"] for e in log] == [1, 2, 3]
+        assert log[1]["deletes"][0]["kind"] == "eq"  # the injected delete
+        # the re-appended k=5 row serialized AFTER the delete: must survive
+        got = sorted(r["k"] for r in SnapshotTable(path).read(spark).collect())
+        assert got == [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 77]
+        # and the files physically carry the final sequence stamp
+        files = SnapshotTable(path)._entry_files(log[-1])
+        assert any(os.path.basename(f).startswith("s00003-") for f in files)
+        assert not any(
+            os.path.basename(f).startswith("s00002-") for f in files
+        )
+
+    def test_bootstrap_with_deletes_refuses_in_fail_mode(self, spark, tdir):
+        """A from-zero bootstrap at a delete-carrying snapshot would
+        deliver deleted rows (files are the unit, visibility is not):
+        fail mode must refuse; skip mode keeps the rows-not-visibility
+        contract."""
+        from iceberg_evolve_spark.sources.snapshot_stream import _added_files
+
+        tbl = os.path.join(tdir, "t")
+        t = SnapshotTable(tbl)
+        t.write(spark.range(0, 10))
+        t.append(spark.range(10, 14))
+        t.delete_where(spark, F.col("id") == 1)
+        t.tag("pin", 3)
+        t.expire_snapshots(keep_last=1)  # oldest retained = v3 (deletes)
+        with pytest.raises(ValueError, match="carries row-level deletes"):
+            _added_files(tbl, 0, 3, "fail")
+        boot = _added_files(tbl, 0, 3, "skip")
+        assert len(boot) == len(set(boot)) and boot  # rows contract holds
+
+    def test_cherry_pick_accepts_logical_ts(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 6), ts=1000.0)
+        b = t.create_branch("audit")
+        b.append(spark.range(10, 12), ts=2000.0)
+        t.append(spark.range(20, 22), ts=3000.0)
+        t.cherry_pick("audit", ts=4000.0)
+        assert t.versions()[-1]["ts"] == 4000.0
+        # as_of stays coherent on the logical time scale
+        assert t.read(spark, as_of=3500.0).count() == 8
+        assert t.read(spark, as_of=4500.0).count() == 10
+
+    def test_cherry_pick_revalidates_under_the_lock(self, spark, tdir):
+        """A rollback landing on main between the pre-check and a pick
+        keeps the same data_dir — _build must still refuse."""
+        from iceberg_evolve_spark.sources.snapshots import CommitConflict
+
+        path = os.path.join(tdir, "t")
+
+        class Racy(SnapshotTable):
+            raced = False
+
+            def _commit_build(self, build):
+                if not Racy.raced:
+                    Racy.raced = True
+                    SnapshotTable(self.path).rollback(1)
+                return super()._commit_build(build)
+
+        SnapshotTable(path).write(spark.range(0, 6))
+        b = SnapshotTable(path).create_branch("audit")
+        b.append(spark.range(10, 12))
+        SnapshotTable(path).append(spark.range(20, 22))  # diverge
+        with pytest.raises(CommitConflict, match="rewrote history"):
+            Racy(path).cherry_pick("audit")
+
+    def test_expire_orphan_grace_spares_fresh_scratch(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(spark.range(0, 6))
+        t.append(spark.range(6, 9))
+        scratch = os.path.join(t.path, "v00099-deadbeef.stage")
+        os.makedirs(scratch)
+        # fresh scratch survives a graced retention (a concurrent writer
+        # may own it) ...
+        t.expire_snapshots(keep_last=1, orphan_grace_sec=3600.0)
+        assert os.path.isdir(scratch)
+        # ... and is reclaimed by an ungraced one (single-writer default)
+        t.expire_snapshots(keep_last=1)
+        assert not os.path.isdir(scratch)
+
+    def test_bloom_words_sidecar_is_few_files(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(
+            spark.range(0, 800).select(F.col("id").alias("k")).repartition(8)
+        )
+        blob = t.analyze_bloom(spark, ["k"])["k"]  # default m_bits = 2^15
+        wdir = os.path.join(t.path, "_bloom", blob["words"])
+        parts = [f for f in os.listdir(wdir) if f.endswith(".parquet")]
+        assert 1 <= len(parts) <= 2  # not shattered by default shuffling
+
+
 class TestBranchScopedSidecars:
     """ADVICE r10 (low): _stats/_bloom sidecars are keyed by version only
     while logs are branch-scoped — analyze() on a branch whose version
