@@ -99,12 +99,13 @@ def _migrate_struct(col: Column | None, cur: StructType, new: StructType, path: 
     return F.struct(*parts)
 
 
-def migrate_dataframe(df: DataFrame, current: StructType, new: StructType) -> DataFrame:
-    """Project ``df`` (whose columns follow ``current``) into schema ``new``.
-
-    One ``select`` — Catalyst fuses it with upstream/downstream operators; at 100 TB
-    this is a pure map-side rewrite with no shuffle.
-    """
+def migration_columns(current: StructType, new: StructType) -> list[Column]:
+    """The projection expressions converting a relation written under
+    ``current`` into schema ``new`` (field-id resolution; see
+    :func:`migrate_dataframe`). Exposed separately so callers that must
+    carry extra passthrough columns (e.g. the snapshot reader's
+    ``_file``/``_pos`` merge-on-read helpers) can append them to the same
+    single select."""
     cur_by_id = {f.field_id: f for f in current.fields}
     out: list[Column] = []
     for nf in new.fields:
@@ -114,7 +115,16 @@ def migrate_dataframe(df: DataFrame, current: StructType, new: StructType) -> Da
         else:
             expr = _migrate_column(F.col(cf.name), cf.type, nf.type, nf.name)
         out.append(expr.alias(nf.name))
-    return df.select(*out)
+    return out
+
+
+def migrate_dataframe(df: DataFrame, current: StructType, new: StructType) -> DataFrame:
+    """Project ``df`` (whose columns follow ``current``) into schema ``new``.
+
+    One ``select`` — Catalyst fuses it with upstream/downstream operators; at 100 TB
+    this is a pure map-side rewrite with no shuffle.
+    """
+    return df.select(*migration_columns(current, new))
 
 
 def union_by_field_id(

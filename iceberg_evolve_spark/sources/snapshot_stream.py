@@ -120,11 +120,25 @@ def _table_ddl(table_path: str) -> str:
 
 
 def _log(table_path: str) -> list[dict]:
+    """The table's snapshot log: checkpoint + atomically-linked commit-file
+    tail — the same assembly as ``SnapshotTable.versions()`` (round 12's
+    lock-free commit plane), inlined here so the streaming source stays a
+    self-contained driver-side reader."""
     try:
         with open(os.path.join(table_path, "_snapshots.json")) as fh:
-            return json.load(fh)
+            entries = json.load(fh)
     except FileNotFoundError:
-        return []
+        entries = []
+    v = (int(entries[-1]["version"]) if entries else 0) + 1
+    while True:
+        try:
+            with open(
+                os.path.join(table_path, f"c{v:05d}.commit.json")
+            ) as fh:
+                entries.append(json.load(fh))
+        except FileNotFoundError:
+            return entries
+        v += 1
 
 
 def _entry_files(table_path: str, entry: dict) -> list[str]:

@@ -4,14 +4,30 @@ time travel, logical rollback) implemented on a directory, so the concepts the
 schema-evolution engine targets (reference: iceberg-evolve operates on Iceberg
 tables' snapshot metadata) are runnable here without a table-format jar.
 
-Layout (manifest format 2 — round 10)::
+Layout (manifest format 2 — round 10; commit-file log plane — round 12)::
 
     table_dir/
       v00001/           # lineage data dir: base files + appended s{seq}-*
       d00001/           # delete files (Iceberg v2 merge-on-read row deletes)
       m00001.json       # per-commit manifest: the files that commit ADDED
       m00003.json
-      _snapshots.json   # ordered snapshot log: the ONLY mutable file
+      c00002.commit.json  # ONE snapshot entry: an atomically-linked commit
+      _snapshots.json   # CHECKPOINT: the log folded up to some version
+
+The snapshot log is the checkpoint's entries plus the contiguous run of
+``c{version}.commit.json`` files ABOVE the checkpoint head. Each commit file
+is published with ``os.link`` (write a private tmp, hard-link it to the
+versioned name): the link succeeds for EXACTLY ONE writer per version —
+a true compare-and-swap with no lock file, no steal heuristic, and no
+paused-writer hazard (a writer that stalls for an hour between reading the
+log and publishing simply loses the link race and recomputes; it can never
+clobber a committed entry, because nothing ever REPLACES a commit file).
+This is the catalog-CAS real Iceberg gets from its catalog, realized with
+filesystem semantics only (valid wherever link/rename are atomic — POSIX
+and HDFS; object stores want the same protocol over a conditional PUT).
+Retention (:meth:`SnapshotTable.expire_snapshots`) folds the commit tail
+into the checkpoint; commit files at/below the checkpoint head are inert
+and swept.
 
 Disciplines (the same ones real table formats automate):
 
@@ -70,7 +86,6 @@ import os
 import re
 import time
 import uuid
-from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -83,6 +98,13 @@ _UNCHECKED = object()
 class CommitConflict(RuntimeError):
     """Another writer advanced the snapshot log under this commit and the
     change cannot be (or must not be) rebased onto the new head."""
+
+
+class _LinkRaced(Exception):
+    """Internal: the per-version commit-file link lost its race (another
+    writer published this version first, or a checkpoint already covers
+    it). Retryable — :meth:`SnapshotTable._commit_build` rebuilds against
+    the fresh log; non-rebasing callers convert it to CommitConflict."""
 
 
 def delete_stack_keys(entry: dict) -> "set[str]":
@@ -215,107 +237,163 @@ class SnapshotTable:
             )
         return os.path.join(self.path, MANIFEST)
 
-    def versions(self) -> list[dict]:
-        """Ordered snapshot entries: ``{version, data_dir, manifests, ts,
-        note, ...}`` (format-1 entries lack ``manifests``)."""
+    def _commit_file(self, version: int) -> str:
+        suffix = f"-{self.branch}" if self.branch else ""
+        return os.path.join(
+            self.path, f"c{version:05d}{suffix}.commit.json"
+        )
+
+    def _commit_file_re(self) -> "re.Pattern[str]":
+        """Matches THIS scope's commit-file names (main files never match
+        a branch scope and vice versa)."""
+        suffix = f"-{re.escape(self.branch)}" if self.branch else ""
+        return re.compile(rf"c(\d{{5}}){suffix}\.commit\.json")
+
+    def _checkpoint_entries(self) -> list[dict]:
         try:
             with open(self._manifest_path()) as fh:
                 return json.load(fh)
         except FileNotFoundError:
             return []
 
+    def _checkpoint_head(self) -> int:
+        ck = self._checkpoint_entries()
+        return int(ck[-1]["version"]) if ck else 0
+
+    def versions(self) -> list[dict]:
+        """Ordered snapshot entries: ``{version, data_dir, manifests, ts,
+        note, ...}`` (format-1 entries lack ``manifests``). Assembled from
+        the checkpoint plus the contiguous commit-file tail above its head
+        (see module docstring) — O(tail) KB-scale JSON reads; retention
+        folds the tail back into the checkpoint."""
+        entries = self._checkpoint_entries()
+        v = (int(entries[-1]["version"]) if entries else 0) + 1
+        while True:
+            try:
+                with open(self._commit_file(v)) as fh:
+                    entries.append(json.load(fh))
+            except FileNotFoundError:
+                return entries
+            v += 1
+
+    def _link_commit(self, entry: dict) -> None:
+        """Publish ``entry`` as its version's commit file — the atomic CAS.
+        ``os.link`` onto the versioned name succeeds for exactly one writer
+        (the tmp is complete before the link, so a visible commit file is
+        never torn); a loser raises :class:`_LinkRaced` and rebuilds. The
+        post-link checkpoint check closes the one residual race: a
+        retention run folding the log and sweeping old commit files between
+        this writer's read and its link could otherwise let a re-created
+        commit file sit invisibly at/below the checkpoint head."""
+        v = int(entry["version"])
+        final = self._commit_file(v)
+        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(entry, fh, indent=1)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise _LinkRaced(f"v{v} already committed") from None
+        finally:
+            os.unlink(tmp)
+        if self._checkpoint_head() >= v:
+            # a checkpoint already covers this version: our entry would be
+            # invisible (versions() reads the tail strictly above the
+            # checkpoint head). Withdraw and retry against the fresh log.
+            try:
+                os.unlink(final)
+            except FileNotFoundError:
+                pass
+            raise _LinkRaced(f"checkpoint advanced past v{v}")
+
     def _commit(self, entries: list[dict], expected_head=_UNCHECKED) -> None:
-        """Replace the snapshot log. With ``expected_head`` (the head
-        version the caller read before building its change; 0 = empty
-        log), the replace is a COMPARE-AND-SWAP: inside a lock-file
-        critical section the log is re-read and :class:`CommitConflict`
-        raised if another writer advanced it — the catalog-CAS stand-in
-        real Iceberg gets from its catalog (this one is valid on a shared
-        POSIX filesystem; single-writer remains the protocol across
-        machines without one). Unchecked callers keep the legacy
-        last-write-wins replace (deliberate history rewrites: overwrite,
-        expire bootstrap)."""
+        """Install ``entries`` as the snapshot log. With ``expected_head``
+        (the head version the caller read before building its change; 0 =
+        empty log) this is a COMPARE-AND-SWAP append: every entry past the
+        expected head is published as an atomically-linked commit file, so
+        a concurrent writer makes the first link fail and
+        :class:`CommitConflict` is raised — nothing committed is ever
+        replaced. Unchecked callers (deliberate history REWRITES: tests
+        forcing a log shape, crash simulations) force-replace the
+        checkpoint and clear this scope's commit tail — explicitly
+        single-writer, as before."""
         if expected_head is _UNCHECKED:
+            cre = self._commit_file_re()
+            for name in os.listdir(self.path):
+                if cre.fullmatch(name):
+                    os.unlink(os.path.join(self.path, name))
             tmp = self._manifest_path() + ".tmp"
             with open(tmp, "w") as fh:
                 json.dump(entries, fh, indent=1)
             os.replace(tmp, self._manifest_path())  # atomic on POSIX
             return
-        with self._commit_lock():
-            cur = self.versions()
-            head = cur[-1]["version"] if cur else 0
-            if head != expected_head:
+        cur = self.versions()
+        head = cur[-1]["version"] if cur else 0
+        if head != expected_head:
+            raise CommitConflict(
+                f"snapshot log advanced to v{head} (expected "
+                f"v{expected_head}) under this commit"
+            )
+        to_add = [e for e in entries if e["version"] > expected_head]
+        for e in to_add:
+            try:
+                self._link_commit(e)
+            except _LinkRaced:
                 raise CommitConflict(
-                    f"snapshot log advanced to v{head} (expected "
-                    f"v{expected_head}) under this commit"
-                )
-            tmp = self._manifest_path() + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(entries, fh, indent=1)
-            os.replace(tmp, self._manifest_path())
+                    f"snapshot log advanced past v{expected_head} under "
+                    "this commit"
+                ) from None
 
-    @contextmanager
-    def _commit_lock(self, timeout: float = 30.0):
-        """Same-filesystem mutex around the read-validate-replace critical
-        section (O_EXCL lock file). A lock older than ``timeout`` is
-        presumed crashed and stolen — via an atomic RENAME to a
-        stealer-unique name, so exactly one of any number of concurrent
-        stealers wins (a bare unlink would let two waiters both 'steal'
-        and both enter the critical section). Release unlinks the lock
-        only while its inode is still ours, so a holder whose stale lock
-        was stolen can never delete the thief's fresh lock. (The
-        critical section is KB-scale JSON work — a live holder aging past
-        ``timeout`` means a pathological pause.)"""
-        lockp = self._manifest_path() + ".lock"
-        t0 = time.time()
-        while True:
-            try:
-                fd = os.open(lockp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
+    def _install_checkpoint(self, entries: list[dict]) -> None:
+        """Fold ``entries`` (the retained log, head unchanged) into the
+        checkpoint file and sweep the commit files it covers. Commits
+        racing this fold land ABOVE the head and survive untouched — the
+        checkpoint never shadows a version it does not contain. Commit
+        files are swept only AFTER the checkpoint lands, so a crash leaves
+        harmless duplicates (the tail read ignores versions at/below the
+        checkpoint head)."""
+        head = int(entries[-1]["version"]) if entries else 0
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(entries, fh, indent=1)
+        os.replace(tmp, self._manifest_path())
+        cre = self._commit_file_re()
+        for name in os.listdir(self.path):
+            m = cre.fullmatch(name)
+            if m and int(m.group(1)) <= head:
                 try:
-                    if time.time() - os.path.getmtime(lockp) > timeout:
-                        # atomic steal: one winner, losers see ENOENT next
-                        stale = f"{lockp}.stale-{uuid.uuid4().hex[:8]}"
-                        os.rename(lockp, stale)
-                        os.unlink(stale)
-                        continue
+                    os.unlink(os.path.join(self.path, name))
                 except FileNotFoundError:
-                    continue  # holder released between checks
-                if time.time() - t0 > timeout:
-                    raise TimeoutError(
-                        f"could not acquire commit lock {lockp}"
-                    )
-                time.sleep(0.005)
-        our_ino = os.fstat(fd).st_ino
-        try:
-            yield
-        finally:
-            os.close(fd)
-            try:
-                if os.stat(lockp).st_ino == our_ino:
-                    os.unlink(lockp)
-            except FileNotFoundError:
-                pass
+                    pass
 
     def _commit_build(self, build) -> int:
-        """Run ``build(fresh_entries) -> new_entry`` INSIDE the commit-lock
-        critical section against the freshest log and commit its entry on
-        top. Version numbers, manifest names, and the swap all resolve
-        under the lock, so a concurrent writer can delay this commit but
-        never clobber it; incompatibilities surface as
-        :class:`CommitConflict` from the builder's own validation (see
-        :meth:`_composable_head`). The payload (data files, delete files)
-        is written BEFORE the lock — only KB-scale metadata work happens
-        inside it."""
-        with self._commit_lock():
+        """Run ``build(fresh_entries) -> new_entry`` against the freshest
+        log and publish its entry as the next commit file. A lost link
+        race re-runs the builder against the re-read log (version numbers,
+        manifest names, and sequence restamps all recompute), so a
+        concurrent writer can delay this commit but never clobber it —
+        and, symmetrically, this writer can stall for ANY length between
+        build and publish without endangering anyone else's commit (no
+        lock to go stale, nothing is replaced). Semantic
+        incompatibilities surface as :class:`CommitConflict` from the
+        builder's own validation (see :meth:`_composable_head`). The
+        payload (data files, delete files) is written BEFORE this loop —
+        only KB-scale metadata work happens inside it."""
+        for _ in range(256):
             fresh = self.versions()
             new_entry = build(fresh)
-            tmp = self._manifest_path() + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(fresh + [new_entry], fh, indent=1)
-            os.replace(tmp, self._manifest_path())
-        return int(new_entry["version"])
+            if new_entry is None:
+                # builder resolved to a no-op against the fresh head
+                # (e.g. a cherry-pick whose payload main already carries)
+                return int(fresh[-1]["version"]) if fresh else 0
+            try:
+                self._link_commit(new_entry)
+            except _LinkRaced:
+                continue
+            return int(new_entry["version"])
+        raise CommitConflict(
+            "commit lost the publish race 256 times in a row — giving up"
+        )
 
     @staticmethod
     def _composable_head(
@@ -341,6 +419,11 @@ class SnapshotTable:
             e.get("rollback_of") is not None
             or e.get("rewrite")
             or (e.get("delete_rewrite") and not allow_fold)
+            # a schema evolution between the payload's read and its commit:
+            # the payload (appended files, delete keys, or a competing
+            # evolve's diff) was produced under the OLD schema — stamping
+            # it with the new head's schema id would mis-project it
+            or e.get("schema_evolution")
             for e in fresh
             if e["version"] > cur["version"]
         )
@@ -361,18 +444,30 @@ class SnapshotTable:
         self, version: int, rel_files: list[str], suffix: str = ""
     ) -> str:
         """Write ``m{version}{suffix}.json`` listing one commit's data files
-        (paths relative to the lineage dir); atomic replace so a crashed
-        retry of the same version simply overwrites its own orphan. Branch
-        commits scope the name (``m00002-audit.json``): a diverged main
-        committing the same version number must never clobber the branch's
-        manifest, and vice versa."""
+        (paths relative to the lineage dir). Published by atomic LINK, never
+        replace: with the lock-free commit plane two writers can both stage
+        a manifest for the same target version, and an overwrite would
+        corrupt whichever one wins the commit race — on a name collision
+        (concurrent writer, or a crashed retry's orphan) this takes a
+        uuid-suffixed name instead; the unreferenced orphan is swept by
+        retention. Branch commits scope the name (``m00002-audit.json``): a
+        diverged main committing the same version number must never clobber
+        the branch's manifest, and vice versa."""
         if self.branch:
             suffix = f"-{self.branch}{suffix}"
         name = f"m{version:05d}{suffix}.json"
-        tmp = os.path.join(self.path, name + ".tmp")
+        tmp = os.path.join(
+            self.path, f"{name}.tmp-{uuid.uuid4().hex[:8]}"
+        )
         with open(tmp, "w") as fh:
             json.dump({"files": sorted(rel_files)}, fh, indent=1)
-        os.replace(tmp, os.path.join(self.path, name))
+        try:
+            os.link(tmp, os.path.join(self.path, name))
+        except FileExistsError:
+            name = f"m{version:05d}{suffix}-{uuid.uuid4().hex[:8]}.json"
+            os.link(tmp, os.path.join(self.path, name))
+        finally:
+            os.unlink(tmp)
         return name
 
     def _entry_files(self, entry: dict) -> list[str]:
@@ -403,6 +498,309 @@ class SnapshotTable:
         got = entry.get("manifests")
         return list(got) if got else [self._synth_base_manifest(entry)]
 
+    # -- per-snapshot schema tracking (round 12) ------------------------------
+    #
+    # A schema-tracked lineage records, per snapshot entry:
+    #
+    # * ``schema_id``   — the CURRENT schema's id;
+    # * ``schemas``     — {id: schema JSON (with Iceberg field ids)} for
+    #   every generation any retained manifest still needs;
+    # * ``manifest_schemas`` — {manifest name: schema id} mapping each
+    #   commit's files to the schema they were WRITTEN under.
+    #
+    # :meth:`evolve_schema` is then a METADATA-ONLY commit (the reference's
+    # entire purpose — iceberg_evolve/schema.py:152-283 evolves a live
+    # table by catalog DDL, never rewriting data): the new entry carries
+    # the same manifests, deletes and data_dir, only the schema keys move.
+    # Reads resolve every file generation by FIELD ID against the entry's
+    # current schema (operators/migrate_df.py:union_by_field_id — a pure
+    # projection per generation, no shuffle), so a 100 TB table evolves in
+    # one KB-scale commit and reads at full speed across generations.
+
+    @staticmethod
+    def _carry_schema(entry: dict, src: dict) -> dict:
+        """Copy schema tracking from ``src`` onto a new entry whose
+        ``manifests`` are already final: known manifests keep their
+        recorded generation, new ones are stamped with the current id."""
+        if "schema_id" not in src:
+            return entry
+        sid = src["schema_id"]
+        known = src.get("manifest_schemas", {})
+        entry["schema_id"] = sid
+        entry["schemas"] = dict(src["schemas"])
+        entry["manifest_schemas"] = {
+            m: known.get(m, sid) for m in entry.get("manifests", [])
+        }
+        return entry
+
+    def _entry_schema(self, entry: dict):
+        """The entry's current tracked schema as a :class:`Schema`, or None
+        for untracked lineages."""
+        if "schema_id" not in entry:
+            return None
+        from iceberg_evolve_spark.schema import Schema
+
+        return Schema.from_json(
+            entry["schemas"][str(entry["schema_id"])], source="<snapshot>"
+        )
+
+    def _rel_schema_map(self, entry: dict) -> "dict[str, int] | None":
+        """{lineage-relative data file: schema id it was written under} for
+        a schema-tracked entry — assembled from the manifest lists (KB of
+        JSON), None when untracked or single-generation (the fast path:
+        no projection machinery on the scan)."""
+        ms = entry.get("manifest_schemas")
+        if not ms or set(ms.values()) == {entry["schema_id"]}:
+            # fast path: every file is already the CURRENT generation —
+            # no projection machinery on the scan
+            return None
+        out: dict[str, int] = {}
+        for mname in entry["manifests"]:
+            sid = ms[mname]
+            with open(os.path.join(self.path, mname)) as fh:
+                for rel in json.load(fh)["files"]:
+                    out[rel] = sid
+        return out
+
+    def table_schema(self):
+        """Current tracked schema of the head snapshot (None if the
+        lineage is not schema-tracked)."""
+        entries = self.versions()
+        return self._entry_schema(entries[-1]) if entries else None
+
+    def _check_append_schema(self, entry: dict, df: DataFrame) -> None:
+        """Explicit refusal of silent drift on a schema-tracked lineage:
+        an appended batch must match the CURRENT tracked schema by name
+        AND type — either evolve the table first (metadata-only) or
+        project the batch (operators/migrate_df.py) to the current
+        schema. Untracked lineages keep the legacy anything-goes
+        behavior."""
+        if "schema_id" not in entry:
+            return
+        schema = self._entry_schema(entry)
+        expect = {
+            f.name: str(f.dataType) for f in schema.to_spark_struct().fields
+        }
+        got = {f.name: str(f.dataType) for f in df.schema.fields}
+        if got != expect:
+            drift = sorted(
+                set(expect.items()) ^ set(got.items()),
+                key=lambda kv: kv[0],
+            )
+            raise ValueError(
+                "append schema drifts from the tracked table schema "
+                f"(mismatches: {drift}) — run evolve_schema() first, or "
+                "project the batch with migrate_dataframe()"
+            )
+
+    def _union_generations(
+        self,
+        spark: SparkSession,
+        entry: dict,
+        files: list[str],
+        data_dir: str,
+        rel_sids: "dict[str, int]",
+        prep=None,
+    ) -> DataFrame:
+        """SCHEMA-ON-READ across generations: group the scanned files by
+        the schema they were written under, project every group to the
+        entry's CURRENT schema by FIELD ID (renames resolve, widened types
+        cast, added columns fill with their default/NULL — see
+        operators/migrate_df.py), and union positionally. Each group is
+        one narrow map stage fused into its scan — zero shuffles, so a
+        100 TB read across five schema generations costs what a
+        single-generation read does. ``prep`` (optional) runs on each raw
+        group scan BEFORE projection — the merge-on-read reader injects
+        its ``_file``/``_pos`` helper derivation there, because Spark's
+        ``_metadata`` pseudo-column resolves only on the scan relation."""
+        from pyspark.sql import functions as F
+
+        from iceberg_evolve_spark.operators.migrate_df import (
+            migration_columns,
+        )
+        from iceberg_evolve_spark.serializer import schema_from_json
+
+        cur_sid = int(entry["schema_id"])
+        cur_struct, _ = schema_from_json(entry["schemas"][str(cur_sid)])
+        groups: dict[int, list[str]] = {}
+        for f in files:
+            rel = os.path.relpath(f, data_dir)
+            groups.setdefault(rel_sids.get(rel, cur_sid), []).append(f)
+        parts = []
+        for sid in sorted(groups):
+            sdf = spark.read.option("basePath", data_dir).parquet(
+                *groups[sid]
+            )
+            extras = []
+            if prep is not None:
+                before = set(sdf.columns)
+                sdf = prep(sdf)
+                extras = [c for c in sdf.columns if c not in before]
+            gen_struct, _ = schema_from_json(entry["schemas"][str(sid)])
+            parts.append(
+                sdf.select(
+                    *migration_columns(gen_struct, cur_struct),
+                    *[F.col(c) for c in extras],
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _base_scan(
+        self, spark: SparkSession, entry: dict, files: list[str]
+    ) -> DataFrame:
+        """Delete-free scan of an explicit file list, generation-aware for
+        schema-tracked lineages (see :meth:`_union_generations`)."""
+        data_dir = os.path.join(self.path, entry["data_dir"])
+        rel_sids = self._rel_schema_map(entry)
+        if rel_sids is not None:
+            return self._union_generations(
+                spark, entry, files, data_dir, rel_sids
+            )
+        return spark.read.option("basePath", data_dir).parquet(*files)
+
+    def _gate_schema_change(self, head: dict, ops: list) -> None:
+        """Storage-plane legality of an evolution against ``head``:
+        partition/sort columns and live equality-delete keys are bound to
+        their PHYSICAL names (directory layout, recorded key columns), so
+        renaming/dropping/retyping them cannot be a metadata-only change."""
+        from iceberg_evolve_spark.operators.evolution import (
+            DropColumn,
+            RenameColumn,
+            UpdateColumn,
+        )
+
+        bound = set(head.get("partition_by", [])) | set(
+            head.get("sort_by", [])
+        )
+        eq_cols = {
+            c
+            for d in head.get("deletes", [])
+            if d.get("kind") == "eq"
+            for c in d.get("cols", [])
+        }
+        for op in ops:
+            if not isinstance(op, (RenameColumn, DropColumn, UpdateColumn)):
+                continue
+            name = op.name.split(".", 1)[0]
+            if name in bound:
+                raise ValueError(
+                    f"column {name!r} is a partition/sort column of the "
+                    "current lineage — its physical layout is bound to "
+                    "the name; rewrite the table (write()) to change it"
+                )
+            if name in eq_cols:
+                raise CommitConflict(
+                    f"column {name!r} is named by a live equality-delete "
+                    "file — compact first (rewrite_data_files) so the "
+                    "delete keys fold away, then evolve"
+                )
+
+    def evolve_schema(
+        self,
+        new_schema,
+        *,
+        allow_breaking: bool = False,
+        match_by: str = "id",
+        note: str | None = None,
+        ts: float | None = None,
+    ):
+        """EVOLVE the table's schema as one METADATA-ONLY commit — no data
+        file is read, rewritten, or even listed (the reference's core
+        operation, iceberg_evolve/schema.py:152-283, composed with this
+        storage plane). The diff/gating semantics are the parity layer's
+        (:meth:`iceberg_evolve_spark.schema.Schema.evolve`): unsupported
+        ops raise, breaking ops need ``allow_breaking=True``; on top of
+        that, storage-plane bindings (partition/sort columns, live equality-
+        delete keys) refuse changes that cannot be metadata-only. Reads of
+        the new head resolve OLD file generations by field id
+        automatically; time-travel reads of old versions use their own
+        recorded schema. Returns the new version number."""
+        from iceberg_evolve_spark.operators.evolution import UnionSchema
+        from iceberg_evolve_spark.serializer import schema_to_json
+
+        entries = self.versions()
+        if not entries:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        cur = entries[-1]
+        cur_schema = self._entry_schema(cur)
+        if cur_schema is None:
+            raise ValueError(
+                "lineage is not schema-tracked — bootstrap with "
+                "write(df, schema=...) or write(df, track_schema=True)"
+            )
+        diff = cur_schema.diff(new_schema, match_by=match_by)
+        ops = diff.to_evolution_operations()
+        if not ops:
+            return cur["version"]  # no-op: no empty commits
+        if any(isinstance(op, UnionSchema) for op in ops):
+            raise NotImplementedError(
+                "UnionSchema operations cannot be applied; use "
+                "match_by='name' to plan per-field adds/updates instead"
+            )
+        unsupported = [op for op in ops if not op.is_supported]
+        if unsupported:
+            raise ValueError(
+                "Unsupported operations present: "
+                + ", ".join(op.pretty() for op in unsupported)
+            )
+        breaking = [op for op in ops if op.is_breaking()]
+        if breaking and not allow_breaking:
+            raise ValueError(
+                "Breaking operations present (pass allow_breaking=True): "
+                + ", ".join(op.pretty() for op in breaking)
+            )
+        self._gate_schema_change(cur, ops)
+
+        def _build(fresh: list[dict]) -> dict:
+            head = self._composable_head(fresh, cur, allow_fold=False)
+            # the diff was computed against cur's schema; any schema move
+            # in between (another evolve) invalidates it
+            if head.get("schema_id") != cur.get("schema_id"):
+                raise CommitConflict(
+                    "schema evolved under this evolve_schema — re-diff "
+                    "against the new head and retry"
+                )
+            self._gate_schema_change(head, ops)  # fresh deletes too
+            new_sid = max(int(k) for k in head["schemas"]) + 1
+            entry = {
+                "version": head["version"] + 1,
+                "data_dir": head["data_dir"],
+                "fmt": SNAPSHOT_FORMAT,
+                "manifests": list(head["manifests"]),
+                "base_seq": head.get("base_seq", head["version"]),
+                "ts": time.time() if ts is None else ts,
+                "note": note or f"evolve schema -> id {new_sid}",
+                "schema_id": new_sid,
+                "schemas": {
+                    **head["schemas"],
+                    str(new_sid): schema_to_json(
+                        new_schema.struct, new_sid
+                    ),
+                },
+                "manifest_schemas": dict(
+                    head.get("manifest_schemas", {})
+                ),
+                "schema_evolution": {
+                    "from": int(head["schema_id"]),
+                    "to": new_sid,
+                },
+            }
+            for prop in ("partition_by", "sort_by", "has_appends"):
+                if head.get(prop):
+                    entry[prop] = (
+                        list(head[prop])
+                        if isinstance(head[prop], list)
+                        else head[prop]
+                    )
+            if head.get("deletes"):
+                entry["deletes"] = list(head["deletes"])
+            return entry
+
+        return self._commit_build(_build)
+
     # -- write path ----------------------------------------------------------
     def write(
         self,
@@ -412,6 +810,8 @@ class SnapshotTable:
         partition_by: list[str] | None = None,
         sort_by: list[str] | None = None,
         sort_files: int | None = None,
+        schema=None,
+        track_schema: bool = False,
     ) -> int:
         """Write ``df`` as the next snapshot; returns the new version number.
 
@@ -485,8 +885,31 @@ class SnapshotTable:
             new_entry["sort_by"] = list(sort_by)
             if sort_files is not None:
                 new_entry["sort_files"] = int(sort_files)
-        entries.append(new_entry)
-        self._commit(entries)
+        if schema is not None or track_schema:
+            # bootstrap schema tracking (see the tracking section above):
+            # an explicit Schema pins the field ids; track_schema derives
+            # one from the DataFrame (sequential ids)
+            from iceberg_evolve_spark.schema import Schema
+            from iceberg_evolve_spark.serializer import schema_to_json
+
+            if schema is None:
+                schema = Schema.from_spark_struct(df.schema)
+            if sorted(f.name for f in schema.fields) != sorted(df.columns):
+                raise ValueError(
+                    "schema fields do not match the DataFrame's columns: "
+                    f"{sorted(f.name for f in schema.fields)} vs "
+                    f"{sorted(df.columns)}"
+                )
+            new_entry["schema_id"] = 0
+            new_entry["schemas"] = {"0": schema_to_json(schema.struct, 0)}
+            new_entry["manifest_schemas"] = {mname: 0}
+        # CAS publish: a concurrent writer advancing the log raises instead
+        # of the legacy last-write-wins replace (write() replaces the table
+        # CONTENT, but never someone else's commit)
+        self._commit(
+            entries + [new_entry],
+            expected_head=entries[-1]["version"] if entries else 0,
+        )
         return version
 
     def _ingest_stage(self, stage: str, dest_dir: str, prefix: str) -> list[str]:
@@ -545,6 +968,7 @@ class SnapshotTable:
         if not entries:
             return self.write(df, note=note or "append (bootstrap)", ts=ts)
         cur = entries[-1]
+        self._check_append_schema(cur, df)
         version = cur["version"] + 1
         # writer-unique stage dir: two concurrent appends must never share
         # scratch (crashed stages become orphans, swept by expire_snapshots)
@@ -576,13 +1000,21 @@ class SnapshotTable:
         # would let an equality delete that serialized BEFORE this append
         # wrongly erase its rows (part names are job-UUID'd: no collisions)
         new_rels = self._ingest_stage(stage, dest, f"s{version:05d}-")
+        # mutable across CAS retries: each lost publish race re-runs _build
+        # against the fresh log, and the restamp must move the files from
+        # wherever the PREVIOUS attempt left them, not from the original
+        # provisional names
+        stamped = {"v": version, "rels": new_rels}
 
         def _build(fresh: list[dict]) -> dict:
             head = self._composable_head(fresh, cur, allow_fold=True)
             new_version = head["version"] + 1
-            rels = new_rels
-            if new_version != version:
-                rels = self._restamp_seq(dest, new_rels, version, new_version)
+            if new_version != stamped["v"]:
+                stamped["rels"] = self._restamp_seq(
+                    dest, stamped["rels"], stamped["v"], new_version
+                )
+                stamped["v"] = new_version
+            rels = stamped["rels"]
             manifests = self._manifests_of(head)
             mname = self._write_manifest_file(new_version, rels)
             new_entry = {
@@ -603,10 +1035,10 @@ class SnapshotTable:
                     new_entry[prop] = list(head[prop])
             if head.get("deletes"):
                 new_entry["deletes"] = list(head["deletes"])
-            return new_entry
+            return self._carry_schema(new_entry, head)
 
-        # CAS under the commit lock: two concurrent appends both survive
-        # (the later one renumbers onto the winner's head inside _build)
+        # CAS publish: two concurrent appends both survive (the later one
+        # renumbers onto the winner's head inside _build)
         return self._commit_build(_build)
 
     def rollback(self, version: int, note: str | None = None, ts: float | None = None) -> int:
@@ -639,6 +1071,9 @@ class SnapshotTable:
             new_entry["sort_by"] = list(target["sort_by"])
         if target.get("deletes"):
             new_entry["deletes"] = list(target["deletes"])
+        # a rollback restores the TARGET's schema too (its data reads
+        # under the schema it was committed with)
+        self._carry_schema(new_entry, target)
         # rollbacks rewrite visibility: never compose — CAS raises if any
         # writer advanced the log since the target was resolved
         self._commit(entries + [new_entry], expected_head=entries[-1]["version"])
@@ -774,7 +1209,7 @@ class SnapshotTable:
             if head.get("manifests"):
                 new_entry["fmt"] = SNAPSHOT_FORMAT
                 new_entry["manifests"] = list(head["manifests"])
-            return new_entry
+            return self._carry_schema(new_entry, head)
 
         return self._commit_build(_build)
 
@@ -1087,6 +1522,7 @@ class SnapshotTable:
         if cur.get("manifests"):
             new_entry["fmt"] = SNAPSHOT_FORMAT
             new_entry["manifests"] = list(cur["manifests"])
+        self._carry_schema(new_entry, cur)
         # folds replace the delete stack: never compose — CAS raises if a
         # writer advanced the log since the stack was read
         self._commit(entries + [new_entry], expected_head=cur["version"])
@@ -1139,31 +1575,47 @@ class SnapshotTable:
         data_dir = os.path.join(self.path, entry["data_dir"])
         if files is None and entry.get("manifests"):
             files = self._entry_abs_files(entry)
-        if files is not None:
+
+        def _with_meta(sdf: DataFrame) -> DataFrame:
+            clash = [c for c in _RESERVED_COLS if c in sdf.columns]
+            if clash:
+                raise ValueError(
+                    f"table columns {clash} collide with merge-on-read "
+                    "helper columns; rename them before using row-level "
+                    "deletes"
+                )
+            # _file is the path RELATIVE to the lineage's data dir.
+            # Appends add files but never move existing ones, so relative
+            # paths (and therefore recorded positional deletes) stay valid
+            # for the life of the lineage; a fresh write() starts a clean
+            # lineage with no carried deletes. Names are unique within a
+            # lineage (Spark part-file UUIDs + the s-prefix).
+            return sdf.select(
+                *sdf.columns,
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), r"^.*/v\d{5}/", ""
+                ).alias("_file"),
+                F.col("_metadata.row_index").alias("_pos"),
+            )
+
+        rel_sids = (
+            self._rel_schema_map(entry) if files is not None else None
+        )
+        if rel_sids is not None:
+            # schema-tracked multi-generation lineage: scan and project
+            # each generation to the entry's current schema by field id —
+            # the helper columns ride along through the projection
+            df = self._union_generations(
+                spark, entry, files, data_dir, rel_sids, _with_meta
+            )
+        elif files is not None:
             # basePath keeps key=value partition columns discoverable when
             # scanning an explicit FILE LIST instead of the whole dir
-            df = spark.read.option("basePath", data_dir).parquet(*files)
-        else:
-            df = spark.read.parquet(data_dir)
-        clash = [c for c in _RESERVED_COLS if c in df.columns]
-        if clash:
-            raise ValueError(
-                f"table columns {clash} collide with merge-on-read helper "
-                "columns; rename them before using row-level deletes"
+            df = _with_meta(
+                spark.read.option("basePath", data_dir).parquet(*files)
             )
-        # _file is the path RELATIVE to the lineage's data dir. Appends add
-        # files but never move existing ones, so relative paths (and
-        # therefore recorded positional deletes) stay valid for the life of
-        # the lineage; a fresh write() starts a clean lineage with no
-        # carried deletes. Names are unique within a lineage (Spark
-        # part-file UUIDs + the s-prefix).
-        df = df.select(
-            *df.columns,
-            F.regexp_replace(
-                F.col("_metadata.file_path"), r"^.*/v\d{5}/", ""
-            ).alias("_file"),
-            F.col("_metadata.row_index").alias("_pos"),
-        )
+        else:
+            df = _with_meta(spark.read.parquet(data_dir))
         # data sequence number per file: appended files carry it in their
         # s{seq}- name prefix; base files inherit the lineage base sequence.
         # Append-free lineages (the common case) skip the per-row regexp —
@@ -1446,12 +1898,33 @@ class SnapshotTable:
                     stage, data_dir, f"s{version:05d}-"
                 )
         all_rels = untouched + new_rels
-        mname = self._write_manifest_file(version, all_rels)
+        rel_sids = self._rel_schema_map(cur)
+        if rel_sids is None:
+            new_manifests = [self._write_manifest_file(version, all_rels)]
+            manifest_schemas = None
+        else:
+            # multi-generation lineage: rewritten files come out of the
+            # generation-aware read CURRENT-schema, but untouched files
+            # keep their written generation — group the consolidated
+            # manifest per schema id so reads keep projecting correctly
+            cur_sid = int(cur["schema_id"])
+            groups: dict[int, list[str]] = {}
+            for rel in untouched:
+                groups.setdefault(rel_sids.get(rel, cur_sid), []).append(rel)
+            if new_rels or not groups:
+                groups.setdefault(cur_sid, []).extend(new_rels)
+            new_manifests, manifest_schemas = [], {}
+            for sid in sorted(groups):
+                mn = self._write_manifest_file(
+                    version, sorted(groups[sid]), suffix=f"-g{sid}"
+                )
+                new_manifests.append(mn)
+                manifest_schemas[mn] = sid
         new_entry = {
             "version": version,
             "data_dir": cur["data_dir"],
             "fmt": SNAPSHOT_FORMAT,
-            "manifests": [mname],
+            "manifests": new_manifests,
             "base_seq": base_seq,
             "rewrite": True,
             "ts": time.time() if ts is None else ts,
@@ -1465,6 +1938,12 @@ class SnapshotTable:
             new_entry["partition_by"] = list(spec)
         if cur.get("sort_by"):
             new_entry["sort_by"] = list(cur["sort_by"])
+        if "schema_id" in cur:
+            new_entry["schema_id"] = int(cur["schema_id"])
+            new_entry["schemas"] = dict(cur["schemas"])
+            new_entry["manifest_schemas"] = manifest_schemas or {
+                mn: int(cur["schema_id"]) for mn in new_manifests
+            }
         # compaction rewrites the manifest set: never composes — CAS raises
         # if a writer advanced the log since the rewrite was planned
         self._commit(entries + [new_entry], expected_head=cur["version"])
@@ -1648,6 +2127,14 @@ class SnapshotTable:
                 "branching requires a format-2 (manifest-list) head — "
                 "commit once on this layout first"
             )
+        # defensive: a crashed drop_branch can never leave commit files
+        # without their checkpoint (it removes the tail first), but clear
+        # any stale scope files regardless — they would splice a dead
+        # branch's history onto the new fork
+        cre = SnapshotTable(self.path, branch=name)._commit_file_re()
+        for fname in os.listdir(self.path):
+            if cre.fullmatch(fname):
+                os.unlink(os.path.join(self.path, fname))
         tmp = bpath + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(fork, fh, indent=1)
@@ -1668,8 +2155,7 @@ class SnapshotTable:
         for fname in sorted(os.listdir(self.path)):
             m = re.fullmatch(r"_snapshots_(.+)\.json", fname)
             if m:
-                with open(os.path.join(self.path, fname)) as fh:
-                    log = json.load(fh)
+                log = SnapshotTable(self.path, branch=m.group(1)).versions()
                 if log:
                     out[m.group(1)] = log[-1]["version"]
         return out
@@ -1686,8 +2172,7 @@ class SnapshotTable:
         bpath = os.path.join(self.path, f"_snapshots_{name}.json")
         if not os.path.exists(bpath):
             raise KeyError(f"no branch {name!r}")
-        with open(bpath) as fh:
-            blog = json.load(fh)
+        blog = SnapshotTable(self.path, branch=name).versions()
         mlog = self.versions()
         if len(mlog) > len(blog) or any(
             json.dumps(a, sort_keys=True) != json.dumps(b, sort_keys=True)
@@ -1733,8 +2218,7 @@ class SnapshotTable:
         bpath = os.path.join(self.path, f"_snapshots_{name}.json")
         if not os.path.exists(bpath):
             raise KeyError(f"no branch {name!r}")
-        with open(bpath) as fh:
-            blog = json.load(fh)
+        blog = SnapshotTable(self.path, branch=name).versions()
         mlog = self.versions()
 
         def _key(e: dict) -> str:
@@ -1747,24 +2231,52 @@ class SnapshotTable:
             and _key(blog[fork]) == _key(mlog[fork])
         ):
             fork += 1
-        picks = blog[fork:]
-        if not picks:
+        if fork == len(blog):
             return mlog[-1]["version"] if mlog else 0  # branch adds nothing
-        if fork == len(mlog):
+        if fork == len(mlog) and fork > 0:
             return self.fast_forward(name)  # main never moved
-        if fork == 0:
+        # Version-aligned fork detection: prefix equality under-detects
+        # shared history once retention trimmed main's old entries (the
+        # branch pins its own copy of them, so the raw prefixes diverge at
+        # index 0). Shared history = the longest run of entries IDENTICAL
+        # at the same version across every version BOTH logs retain.
+        m_by_v = {e["version"]: e for e in mlog}
+        fork_version = 0
+        for e in blog:
+            me = m_by_v.get(e["version"])
+            if me is not None:
+                if _key(me) != _key(e):
+                    break  # true divergence: nothing above is shared
+                fork_version = e["version"]
+        picks = [e for e in blog if e["version"] > fork_version]
+        if not picks:
+            return mlog[-1]["version"]
+        if fork_version == 0:
             raise CommitConflict(
-                f"branch {name!r} shares no history with main — "
-                "cherry-pick impossible"
+                f"branch {name!r} shares no retained history with main "
+                "(different table, or retention trimmed past the fork "
+                "point) — cherry-pick impossible"
             )
-        base = mlog[fork - 1]
+        base = m_by_v[fork_version]
+        base_keys = delete_stack_keys(base)
+        # schema-tracked lineages: picked files carry the schema generation
+        # they were written under; that is only meaningful on main if
+        # NEITHER side evolved since the fork (a branch evolve entry would
+        # otherwise dedup to an invisible no-op and be silently dropped)
+        if any(e.get("schema_evolution") for e in blog if e["version"] > fork_version):
+            raise CommitConflict(
+                "branch history contains a schema evolution — cherry-pick "
+                "cannot replay metadata-only schema commits onto moved "
+                "main; evolve main directly, then pick the data commits"
+            )
         # main's post-fork commits must themselves be append/delete-shaped,
         # or the branch's payload references replaced state
-        for e in mlog[fork:]:
+        for e in (e for e in mlog if e["version"] > fork_version):
             if (
                 e.get("rollback_of") is not None
                 or e.get("rewrite")
                 or e.get("delete_rewrite")
+                or e.get("schema_evolution")
                 or e.get("data_dir") != base["data_dir"]
             ):
                 raise CommitConflict(
@@ -1822,6 +2334,7 @@ class SnapshotTable:
                     e2.get("rollback_of") is not None
                     or e2.get("rewrite")
                     or e2.get("delete_rewrite")
+                    or e2.get("schema_evolution")
                     for e2 in fresh
                     if e2["version"] > base["version"]
                 ):
@@ -1829,6 +2342,40 @@ class SnapshotTable:
                         "main rewrote history under the cherry-pick — "
                         "re-validate and retry"
                     )
+                # dedup against the FRESH head: a pick whose manifests or
+                # deletes main already carries (shared history retention
+                # trimmed, or a re-run after a mid-sequence conflict)
+                # contributes nothing and must not double-list files
+                hm = set(head.get("manifests") or [])
+                hk = delete_stack_keys(head)
+                own_m = [m for m in own_m if m not in hm]
+                own_d = [d for d in own_d if _key(d) not in hk]
+                if not own_m and not own_d:
+                    return None  # no-op pick: skip, no empty commit
+                if own_m:
+                    # picked files keep their branch-version sequence
+                    # stamps (manifests are referenced, never copied), so
+                    # a main-side equality delete committed after the fork
+                    # with a HIGHER sequence would silently erase the
+                    # picked rows at read time (_seq < dseq) even though
+                    # they logically commit after it — refuse (ADVICE r11
+                    # high). Checked against the fresh head so deletes
+                    # landing mid-pick are caught too.
+                    stamp = int(e["version"])
+                    for d in head.get("deletes", []):
+                        if (
+                            d.get("kind") == "eq"
+                            and _key(d) not in base_keys
+                            and int(d.get("seq") or 0) > stamp
+                        ):
+                            raise CommitConflict(
+                                "main committed an equality delete (seq "
+                                f"{d.get('seq')}) after the fork that "
+                                "would wrongly apply to the picked files "
+                                f"(stamped s{stamp:05d}) — rebase by "
+                                "re-applying the branch changes via "
+                                "merge_into, or compact main first"
+                            )
                 nv = head["version"] + 1
                 entry = {
                     "version": nv,
@@ -1850,7 +2397,9 @@ class SnapshotTable:
                 for prop in ("partition_by", "sort_by"):
                     if head.get(prop):
                         entry[prop] = list(head[prop])
-                return entry
+                # both sides evolve-free since the fork (validated above),
+                # so the head's current generation stamps the picked files
+                return self._carry_schema(entry, head)
 
             out = self._commit_build(_build)
             prev = e
@@ -1860,6 +2409,13 @@ class SnapshotTable:
         bpath = os.path.join(self.path, f"_snapshots_{name}.json")
         if not os.path.exists(bpath):
             raise KeyError(f"no branch {name!r}")
+        # commit tail first, checkpoint last: a crash in between leaves a
+        # still-resolvable (shortened) branch, never a resurrected one
+        # whose old tail pollutes a later create_branch of the same name
+        cre = SnapshotTable(self.path, branch=name)._commit_file_re()
+        for fname in os.listdir(self.path):
+            if cre.fullmatch(fname):
+                os.unlink(os.path.join(self.path, fname))
         os.remove(bpath)
 
     # -- write-audit-publish (Iceberg WAP) -----------------------------------
@@ -1953,6 +2509,25 @@ class SnapshotTable:
 
                 shutil.rmtree(staged, ignore_errors=True)
                 return cur["version"]  # no empty commits, as append()
+            if "schema_id" in cur:
+                import pyarrow.parquet as pq
+
+                first = _walk_rel_parquet(staged)[0]
+                phys = set(
+                    pq.ParquetFile(
+                        os.path.join(staged, first)
+                    ).schema_arrow.names
+                )
+                expect = {
+                    f["name"]
+                    for f in cur["schemas"][str(cur["schema_id"])]["fields"]
+                }
+                if phys | set(partition_by or []) != expect:
+                    raise ValueError(
+                        "staged schema drifts from the tracked table "
+                        "schema — evolve_schema() first, or restage a "
+                        "migrated batch"
+                    )
             version = cur["version"] + 1
             dest = os.path.join(self.path, cur["data_dir"])
             new_rels = self._ingest_stage(staged, dest, f"s{version:05d}-")
@@ -1977,6 +2552,7 @@ class SnapshotTable:
                 new_entry["sort_by"] = list(cur["sort_by"])
             if cur.get("deletes"):
                 new_entry["deletes"] = list(cur["deletes"])
+            self._carry_schema(new_entry, cur)
             self._commit(
                 entries + [new_entry], expected_head=cur["version"]
             )
@@ -2058,11 +2634,14 @@ class SnapshotTable:
                 continue  # coverage unreconstructable -> keep everything
             from iceberg_evolve_spark.functions.bloom import WORD_BITS
 
-            ps, words = self._bloom_probe(
+            probe = self._bloom_probe(
                 blob,
                 value,
                 rels=[os.path.relpath(f, data_path) for f in kept],
             )
+            if probe is None:
+                continue  # filter words unreadable -> keep everything
+            ps, words = probe
 
             def _hit(rel: str) -> bool:
                 # a covered file missing any probed bit is provably
@@ -2114,17 +2693,16 @@ class SnapshotTable:
                 # schema-stable empty relation: scan plan proves no file can
                 # contain in-range rows
                 all_files, _n = self.plan_scan(version=entry["version"])
-                base = spark.read.option("basePath", data_dir).parquet(
-                    *all_files
+                return self._base_scan(spark, entry, all_files).filter(
+                    F.lit(False)
                 )
-                return base.filter(F.lit(False))
         elif entry.get("manifests"):
             files = self._entry_abs_files(entry)
         if entry.get("deletes"):
             df = self._read_with_pos(spark, entry, files=files)
             df = df.drop("_file", "_pos", "_seq")
         elif files is not None:
-            df = spark.read.option("basePath", data_dir).parquet(*files)
+            df = self._base_scan(spark, entry, files)
         else:
             df = spark.read.parquet(data_dir)
         if where:
@@ -2182,10 +2760,7 @@ class SnapshotTable:
                 (name, "tag", int(v), float(e["ts"]) if e else None)
             )
         for name in sorted(self.branches()):
-            with open(
-                os.path.join(self.path, f"_snapshots_{name}.json")
-            ) as fh:
-                blog = json.load(fh)
+            blog = SnapshotTable(self.path, branch=name).versions()
             if blog:
                 rows.append(
                     (name, "branch", int(blog[-1]["version"]),
@@ -2513,8 +3088,14 @@ class SnapshotTable:
                 .groupBy("_file", "w")
                 .agg(F.bit_or("m").alias("word"))
             )
+            # uuid-unique sidecar dir per analysis run: re-analyzing the
+            # same version/col must never rewrite the words a concurrent
+            # probe is reading mid-scan (ADVICE r11 low) — the fresh blob
+            # json swaps in atomically below, and the superseded dir
+            # (referenced by no blob) is reclaimed by expire's sweep
             name = self._bloom_name(entry["version"], col)
-            words_dir = os.path.join(self.path, "_bloom", name + ".words")
+            words_name = f"{name}-{uuid.uuid4().hex[:8]}.words"
+            words_dir = os.path.join(self.path, "_bloom", words_name)
             # executors write; global range-sort on w puts each word index
             # in O(1) row groups so a point probe reads k index slices, not
             # the table's whole filter set. Explicit partition count: the
@@ -2534,7 +3115,7 @@ class SnapshotTable:
                 "seed": col,
                 "data_dir": entry["data_dir"],
                 "version": int(entry["version"]),
-                "words": name + ".words",
+                "words": words_name,
             }
             if self.branch:
                 blob["branch"] = self.branch
@@ -2599,20 +3180,30 @@ class SnapshotTable:
 
     def _bloom_probe(
         self, blob: dict, value, rels: "list[str] | None" = None
-    ) -> "tuple[list[int], dict]":
+    ) -> "tuple[list[int], dict] | None":
         """One point probe against the distributed words sidecar: the k
         bit positions of ``value`` plus ``{(file, word_idx): word}`` for
         EXACTLY those word indexes — a parquet row-group-pruned read of
         O(k) index slices, never the whole filter set. When the caller's
         candidate set is already small (``rels``, e.g. after range
-        pruning), the read narrows to those files' rows too."""
+        pruning), the read narrows to those files' rows too.
+
+        Returns None when the filter words cannot be read — a blob with no
+        ``words`` sidecar (pre-round-11 monolithic format) or a sidecar
+        torn away under the probe (concurrent expire / crashed
+        re-analyze). The planner then keeps every candidate file: a bloom
+        filter may only ever PRUNE, never turn a read into a failure
+        (ADVICE r11 medium)."""
         import hashlib
 
+        import pyarrow as pa_lib
         import pyarrow.dataset as ds
 
         from iceberg_evolve_spark.functions.bloom import WORD_BITS
         from iceberg_evolve_spark.functions.hashing import SEP
 
+        if "words" not in blob:
+            return None
         m_bits, k, seed = blob["m_bits"], blob["k"], blob["seed"]
         ps = []
         for i in range(k):
@@ -2621,11 +3212,16 @@ class SnapshotTable:
                 int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % m_bits
             )
         ws = sorted({p // WORD_BITS for p in ps})
-        dset = ds.dataset(os.path.join(self.path, "_bloom", blob["words"]))
         flt = ds.field("w").isin(ws)
         if rels is not None and len(rels) <= 1024:
             flt = flt & ds.field("_file").isin(rels)
-        tbl = dset.to_table(filter=flt)
+        try:
+            dset = ds.dataset(
+                os.path.join(self.path, "_bloom", blob["words"])
+            )
+            tbl = dset.to_table(filter=flt)
+        except (FileNotFoundError, OSError, pa_lib.ArrowInvalid):
+            return None
         wordmap = {
             (f, int(w)): int(word)
             for f, w, word in zip(
@@ -2822,6 +3418,18 @@ class SnapshotTable:
             and not set(efrom["manifests"]) <= set(eto["manifests"])
         ):
             boundary = "manifest set shrank in range (rollback/rewrite)"
+        if boundary is None and efrom.get("schema_id") != eto.get(
+            "schema_id"
+        ):
+            # a schema evolution in range: the from side reads under the
+            # old schema, the to side under the new — file-attributed rows
+            # cannot be emitted under one coherent schema. Surfaced
+            # explicitly; the value-level fallback projects the from side
+            # forward by field id.
+            boundary = (
+                f"schema evolution in range (schema id "
+                f"{efrom.get('schema_id')} -> {eto.get('schema_id')})"
+            )
         if boundary is not None:
             if not allow_rewrite_boundary:
                 raise ValueError(
@@ -2832,6 +3440,21 @@ class SnapshotTable:
                 )
             dfrom = self.read(spark, version=from_version)
             dto = self.read(spark, version=to_version)
+            if "schema_id" in eto and efrom.get("schema_id") != eto.get(
+                "schema_id"
+            ):
+                from iceberg_evolve_spark.operators.migrate_df import (
+                    migrate_dataframe,
+                )
+                from iceberg_evolve_spark.serializer import schema_from_json
+
+                s_from, _ = schema_from_json(
+                    efrom["schemas"][str(efrom["schema_id"])]
+                )
+                s_to, _ = schema_from_json(
+                    eto["schemas"][str(eto["schema_id"])]
+                )
+                dfrom = migrate_dataframe(dfrom, s_from, s_to)
             inserts = dto.exceptAll(dfrom).withColumn(
                 "_change_type", F.lit("insert")
             )
@@ -2951,19 +3574,18 @@ class SnapshotTable:
                 e for e in entries if e["version"] in tagged or e in keep
             ]
         expired = [e for e in entries if e not in keep]
-        if expired:
-            # commit point: expired versions unresolvable from here on
-            # (CAS: raise rather than clobber a commit that raced this
-            # retention run)
-            self._commit(keep, expected_head=entries[-1]["version"])
+        # Fold the log into the checkpoint even when nothing expires: this
+        # is also what bounds the commit-file tail a streaming append
+        # cadence grows (versions() is O(tail)). Commits racing this fold
+        # land above the head and survive — see _install_checkpoint.
+        self._install_checkpoint(keep)
         # live BRANCHES pin everything their logs reference — a branch is
         # an explicit ref, exactly like a tag (drop_branch releases it)
         branch_logs: dict[str, list[dict]] = {}
         for bname in self.branches():
-            with open(
-                os.path.join(self.path, f"_snapshots_{bname}.json")
-            ) as fh:
-                branch_logs[bname] = json.load(fh)
+            branch_logs[bname] = SnapshotTable(
+                self.path, branch=bname
+            ).versions()
         branch_entries: list[dict] = [
             e for ents in branch_logs.values() for e in ents
         ]
@@ -3028,12 +3650,47 @@ class SnapshotTable:
                             removed.append(os.path.join(name, rel))
             elif (
                 os.path.isfile(full)
-                and re.fullmatch(r"m\d{5}(-[A-Za-z0-9_\-]+)?\.json(\.tmp)?", name)
+                and re.fullmatch(
+                    r"m\d{5}(-[A-Za-z0-9_\-]+)?\.json(\.tmp(-[0-9a-f]{8})?)?",
+                    name,
+                )
                 and name not in live_manifests
                 and not _graced(full)
             ):
                 os.remove(full)
                 removed.append(name)
+            elif os.path.isfile(full) and re.fullmatch(
+                r"c\d{5}(-[A-Za-z0-9_\-]+)?\.commit\.json\.tmp-[0-9a-f]{8}",
+                name,
+            ):
+                # crashed commit publish: the tmp was never linked (a
+                # successful _link_commit always unlinks its tmp)
+                if not _graced(full):
+                    os.remove(full)
+                    removed.append(name)
+            elif os.path.isfile(full) and (
+                m_c := re.fullmatch(
+                    r"c(\d{5})(?:-([A-Za-z0-9_\-]+))?\.commit\.json", name
+                )
+            ):
+                # commit files a checkpoint already covers are inert
+                # (versions() reads only the tail above the checkpoint
+                # head), as are files of a dropped branch — crash
+                # leftovers of _install_checkpoint / drop_branch
+                bname = m_c.group(2)
+                scope = (
+                    self if bname is None
+                    else SnapshotTable(self.path, branch=bname)
+                )
+                branch_gone = bname is not None and not os.path.exists(
+                    scope._manifest_path()
+                )
+                if (
+                    branch_gone
+                    or int(m_c.group(1)) <= scope._checkpoint_head()
+                ) and not _graced(full):
+                    os.remove(full)
+                    removed.append(name)
         # statistics files (analyze()) of expired versions go with them;
         # sidecars are branch-scoped ({branch}-{version}.json), so a
         # branch's stats live exactly as long as its log names the version

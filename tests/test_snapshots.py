@@ -51,12 +51,20 @@ def test_orphan_data_dir_is_ignored(spark, table):
     assert table.read(spark).count() == 25
 
 
-def test_manifest_is_valid_json_after_every_commit(spark, table):
-    with open(os.path.join(table.path, MANIFEST)) as fh:
-        entries = json.load(fh)
+def test_log_is_valid_json_after_every_commit(spark, table):
+    # round 12: the log is the checkpoint plus atomically-linked commit
+    # files; each commit file is complete JSON (never torn — the tmp is
+    # fully written before the link) and no tmp remnants survive a commit
+    entries = table.versions()
     assert all({"version", "data_dir", "ts"} <= set(e) for e in entries)
-    # and no .tmp manifest remnant exists
-    assert not os.path.exists(os.path.join(table.path, MANIFEST + ".tmp"))
+    for name in os.listdir(table.path):
+        if name.endswith(".commit.json"):
+            with open(os.path.join(table.path, name)) as fh:
+                e = json.load(fh)
+            assert {"version", "data_dir", "ts"} <= set(e)
+        assert ".tmp" not in name or name.endswith(
+            (".stage",)
+        ), f"torn tmp remnant {name}"
 
 
 def test_snapshots_are_immutable_under_append(spark, table):
