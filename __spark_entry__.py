@@ -105,6 +105,14 @@ NGRAM_MAX_DF = 5
 MINHASH_N = 16
 LSH_BANDS = 8
 JACCARD_T = 0.5
+#: Fixed content-addressed document panel for EVALUATION entries whose
+#: ground truth is super-linear in corpus size (exact Jaccard over all
+#: shared-shingle pairs). Smallest-N doc_ids by portable hash60 — a
+#: superset-stable selection (the panel at sf0.01 ⊂ panel at sf0.1 only if
+#: ids nest, which synthetic SFs do not guarantee — so the panel is simply
+#: DETERMINISTIC per SF, which is what the oracle replay needs), same
+#: pattern as EMB_EXACT_PANEL below.
+DOC_EVAL_PANEL = 2048
 SIMHASH_BITS = 32
 ANN_K = 20
 EMB_DIM = 64
@@ -169,6 +177,19 @@ sigs AS (
     FROM sh, seeds GROUP BY doc_id, seed
 )
 """
+)
+
+#: _MINHASH_CTE restricted to the fixed DOC_EVAL_PANEL corpus (the quality
+#: entry's bounded ground truth — see dedup_lsh_quality).
+_MINHASH_PANEL_CTE = (
+    f"""
+doc_eval_panel AS (
+    SELECT * FROM documents
+    ORDER BY {hash60_sql('CAST(doc_id AS VARCHAR)')} ASC, doc_id ASC
+    LIMIT {DOC_EVAL_PANEL}
+),
+""".strip()
+    + _MINHASH_CTE.replace("FROM documents", "FROM doc_eval_panel")
 )
 
 
@@ -4095,13 +4116,34 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the same threshold, as one summary row. Both pipelines are
     deterministic, so the oracle replays them end-to-end and the quality
     numbers become regression-checked. The compare is ONE tag-union +
-    per-pair max + single aggregation — no cross join, no NLJ."""
+    per-pair max + single aggregation — no cross join, no NLJ.
+
+    Evaluated over the FIXED content-addressed DOC_EVAL_PANEL corpus
+    (VERDICT r11 What's wrong 2): an exact-Jaccard ground truth over the
+    whole table grows with the corpus's shared-shingle pair count — the
+    one entry that breached the 10x scaling discipline at sf1. A fixed
+    panel (same `EMB_EXACT_PANEL` pattern as the cosine entry) keeps the
+    quality measurement meaningful and the eval cost FLAT in table size;
+    the production LSH path itself stays measured at full scale by
+    `dedup_minhash_lsh`."""
     from iceberg_evolve_spark.functions.dedup import _attach_intermediates
 
     docs = _t(spark, sf_dir, "documents")
-    exact = ngram_jaccard_pairs(docs, "doc_id", k=SHINGLE_K, threshold=JACCARD_T)
+    # repartition after the limit: a global top-N lands on ONE partition,
+    # which would serialize the whole shingle/minhash pipeline downstream
+    panel = (
+        docs.orderBy(
+            hash60(F.col("doc_id").cast("string")).asc(),
+            F.col("doc_id").asc(),
+        )
+        .limit(DOC_EVAL_PANEL)
+        .repartition(16, F.col("doc_id"))
+    )
+    exact = ngram_jaccard_pairs(
+        panel, "doc_id", k=SHINGLE_K, threshold=JACCARD_T
+    )
     lsh = minhash_lsh_pairs(
-        docs, "doc_id", num_hashes=MINHASH_N, bands=LSH_BANDS, k=SHINGLE_K,
+        panel, "doc_id", num_hashes=MINHASH_N, bands=LSH_BANDS, k=SHINGLE_K,
         threshold=JACCARD_T,
     )
     tagged = (
@@ -4133,7 +4175,7 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LSH_QUALITY_SQL = f"""
-WITH {_MINHASH_CTE},
+WITH {_MINHASH_PANEL_CTE},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 common AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
@@ -11560,6 +11602,153 @@ GROUP BY o_orderstatus
 """
 
 
+def orders_schema_evolution_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION AS A METADATA-ONLY SNAPSHOT COMMIT (r12;
+    `sources/snapshots.py:evolve_schema` — the reference's core operation,
+    iceberg_evolve/schema.py:152-283 evolving a live table by catalog
+    metadata, composed with the engine's own storage plane per VERDICT r11
+    task 1): a schema-tracked orders table takes two commits under schema
+    id 0 (o_custkey int), then EVOLVES — widen o_custkey int→long, rename
+    o_totalprice→total_price, add `channel string` with Iceberg-v3
+    initial-default 'web' — in ONE commit that touches no data file
+    (witnessed: the (path, size, mtime) file set is byte-identical across
+    the evolve, hashed as `zero_rewrite`). A post-evolve append lands
+    under schema id 1, and the head read resolves BOTH generations by
+    FIELD ID (old files: renamed column mapped, custkey widened, channel
+    filled with its default) — `union_by_field_id` wired into the scan,
+    per-generation shuffle-free projections. Also witnessed: time travel
+    to v2 still reads the OLD column names (`old_schema_kept`), and a
+    drifted append is refused loudly (`drift_refused`). At 100 TB the
+    evolve costs KB of JSON; the multi-generation read costs exactly a
+    single-generation read (narrow map stages fused into each scan)."""
+    import copy
+    import glob
+    import shutil
+    import tempfile
+
+    from iceberg_evolve_spark.schema import Schema
+    from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("int").alias("o_custkey"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    tmp = tempfile.mkdtemp(prefix="ies-evolve-commit-")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "orders_table"))
+        t.write(
+            orders.filter(F.col("o_orderkey") % 3 == 0),
+            track_schema=True,
+            ts=1000.0,
+        )
+        t.append(orders.filter(F.col("o_orderkey") % 3 == 1), ts=2000.0)
+
+        def _file_state():
+            return sorted(
+                (p, os.path.getsize(p), os.path.getmtime(p))
+                for p in glob.glob(
+                    os.path.join(t.path, "v*", "**", "*.parquet"),
+                    recursive=True,
+                )
+            )
+
+        before = _file_state()
+        j = copy.deepcopy(t.table_schema().to_json())
+        for f in j["fields"]:
+            if f["name"] == "o_custkey":
+                f["type"] = "long"
+            if f["name"] == "o_totalprice":
+                f["name"] = "total_price"
+        j["fields"].append(
+            {
+                "id": 901,
+                "name": "channel",
+                "type": "string",
+                "required": False,
+                "initial-default": "web",
+            }
+        )
+        t.evolve_schema(Schema.from_json(j), ts=3000.0)
+        zero_rewrite = _file_state() == before
+        # drifted append (old shape) must refuse loudly
+        try:
+            t.append(orders.filter(F.col("o_orderkey") % 3 == 2))
+            drift_refused = False
+        except ValueError:
+            drift_refused = True
+        # post-evolve append under schema id 1
+        t.append(
+            orders.filter(F.col("o_orderkey") % 3 == 2).select(
+                "o_orderkey",
+                F.col("o_custkey").cast("long").alias("o_custkey"),
+                "o_orderstatus",
+                F.col("o_totalprice").alias("total_price"),
+                F.lit("store").alias("channel"),
+            ),
+            ts=4000.0,
+        )
+        old_schema_kept = set(
+            t.read(spark, version=2).columns
+        ) == {"o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"}
+        agg = (
+            t.read(spark)
+            .groupBy("channel")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.round(F.col("total_price"), 2).cast("decimal(28,2)")
+                ).alias("sp"),
+                F.sum("o_custkey").alias("sc"),
+            )
+        )
+        rows = [
+            (
+                bool(zero_rewrite),
+                bool(old_schema_kept),
+                bool(drift_refused),
+                r["channel"],
+                int(r["n"]),
+                float(r["sp"]),
+                int(r["sc"]),
+            )
+            for r in agg.collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "zero_rewrite boolean, old_schema_kept boolean, drift_refused "
+        "boolean, channel string, n bigint, sum_price double, "
+        "sum_cust bigint",
+    )
+
+
+#: Post-evolve head: the two pre-evolve slices read with channel's
+#: initial-default 'web'; the post-evolve slice carries 'store'. The
+#: rename and the int→long widening are value-transparent.
+_SCHEMA_EVOLUTION_COMMIT_SQL = """
+WITH sec_state AS (
+    SELECT 'web' AS channel, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    UNION ALL
+    SELECT 'store' AS channel, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey % 3 = 2
+)
+SELECT TRUE AS zero_rewrite,
+       TRUE AS old_schema_kept,
+       TRUE AS drift_refused,
+       channel,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(28,2))) AS DOUBLE)
+           AS sum_price,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+FROM sec_state
+GROUP BY channel
+"""
+
+
 def orders_cbo_planned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STATS-DRIVEN JOIN PLANNING (r10; `operators/cbo.py` consuming
     `snapshots.py:analyze` statistics): orders and customer land as
@@ -12709,75 +12898,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # parity surface, the whole snapshot-storage plane, one real decode per
     # modality, and the round-10 data-plane window (freshest hashes).
     return {
-        # ---------- ROUND-11 WINDOW (first 50; driver hashes these) ----------
-        # (a) the 10 round-10 storage-plane entries — registered last round
-        #     after the window filled; local-oracle evidence only until now
-        #     (VERDICT r10 task 1):
-        "orders_sorted_scan_stats": orders_sorted_scan_stats,
-        "orders_changelog_ivm": orders_changelog_ivm,
-        "orders_delete_vectors": orders_delete_vectors,
-        "orders_partition_stats": orders_partition_stats,
-        "orders_cbo_planned_join": orders_cbo_planned_join,
-        "orders_delete_fold": orders_delete_fold,
-        "orders_merge_into": orders_merge_into,
-        "orders_bloom_point_lookup": orders_bloom_point_lookup,
-        "orders_stream_tail": orders_stream_tail,
-        "orders_branch_audit": orders_branch_audit,
-        # (b) every remaining r05/r06-hashed entry (parity + storage — the
-        #     stalest driver evidence left in this registry):
-        "snapshot_schema_drift": snapshot_schema_drift,
-        "orders_compact_roundtrip": orders_compact_roundtrip,
-        "snapshot_incremental_dedup": snapshot_incremental_dedup,
-        "snapshot_drift_migrate": snapshot_drift_migrate,
-        "orders_dq_expectations": orders_dq_expectations,
-        "scd2_incremental_apply": scd2_incremental_apply,
-        "snapshot_data_drift": snapshot_data_drift,
-        "schema_of_lineitem": schema_of_lineitem,
-        "schema_diff_by_name": schema_diff_by_name,
-        "evolve_users_diff": evolve_users_diff,
-        "evolve_users_plan": evolve_users_plan,
-        "migrate_customer": migrate_customer,
-        "evolve_required_flips": evolve_required_flips,
-        "orders_partition_evolution": orders_partition_evolution,
-        "orders_snapshot_expire": orders_snapshot_expire,
-        # (c) the r08-hashed parity/storage cohort:
-        "orders_avro_roundtrip": orders_avro_roundtrip,
-        "cdc_schema_drift_apply": cdc_schema_drift_apply,
-        "orders_file_skipping": orders_file_skipping,
-        "evolve_add_with_defaults": evolve_add_with_defaults,
-        "orders_schema_on_read": orders_schema_on_read,
-        "schema_s3_source": schema_s3_source,
-        "schema_json_schema_dict": schema_json_schema_dict,
-        "schema_serialize_roundtrip": schema_serialize_roundtrip,
-        "render_diff_tree": render_diff_tree,
-        "render_ops_plan": render_ops_plan,
-        "render_type_tree": render_type_tree,
-        "cli_diff_json": cli_diff_json,
-        "cli_evolve_sql_only": cli_evolve_sql_only,
-        "cli_serialize_parquet": cli_serialize_parquet,
-        "sqltype_parse_table": sqltype_parse_table,
-        "jsonschema_roundtrip": jsonschema_roundtrip,
-        "evolve_compiled_ddl": evolve_compiled_ddl,
-        "orders_bloom_prefilter": orders_bloom_prefilter,
-        "merge_customer_updates": merge_customer_updates,
-        # (d) stalest r09 storage/parity entries (fills the window to 50):
-        "orders_mor_pruned_read": orders_mor_pruned_read,
-        "evolve_struct_default_generations": evolve_struct_default_generations,
-        "orders_avro_split": orders_avro_split,
-        "orders_avro_complex": orders_avro_complex,
-        "orders_metadata_tables": orders_metadata_tables,
-        "orders_footer_minmax": orders_footer_minmax,
-        # ---------------------- past the window ----------------------------
-        # NEW round 11 (locally oracle-verified; queued for the r12 window
-        # head with the r09 remainder below):
+        # ---------- ROUND-12 WINDOW (first 50; driver hashes these) ----------
+        # (a) NEW round 12 (the schema-evolution metadata commit — VERDICT
+        #     r11 task 1's done-criterion entry) plus the entries with
+        #     never/oldest driver evidence: the round-11 addition (local
+        #     oracle only) and the 5 r09-hashed keepers:
+        "orders_schema_evolution_commit": orders_schema_evolution_commit,
         "orders_branch_cherry_pick": orders_branch_cherry_pick,
-        # r09-hashed remainder (queued for the r12 window head):
         "multimodal_jpeg_decode": multimodal_jpeg_decode,
         "multimodal_audio_vad": multimodal_audio_vad,
         "multimodal_video_mjpeg": multimodal_video_mjpeg,
         "orders_orc_roundtrip": orders_orc_roundtrip,
         "orders_cdc_apply": orders_cdc_apply,
-        # r10-hashed (freshest; re-enter the rotation after the above):
+        # (b) the first 43 of the 50 r10-hashed data-plane entries (prior
+        #     relative order preserved; the remaining 7 head round 13):
         "orders_wap_tagged_release": orders_wap_tagged_release,
         "orders_merge_on_read": orders_merge_on_read,
         "orders_cdc_stream_mor": orders_cdc_stream_mor,
@@ -12821,6 +12955,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_model_score": docs_model_score,
         "lineitem_correlations": lineitem_correlations,
         "orders_snapshot_time_travel": orders_snapshot_time_travel,
+        # ---------------------- past the window ----------------------------
+        # r10-hashed remainder (displaced by the round-12 addition; heads
+        # round 13's window):
         "ann_topk_filtered": ann_topk_filtered,
         "events_daily_gapfill": events_daily_gapfill,
         "docs_bpe_train": docs_bpe_train,
@@ -12828,6 +12965,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_cluster_components": dedup_cluster_components,
+        # r11-hashed cohort (freshest driver evidence; re-enters the
+        # rotation after the above):
+        "orders_sorted_scan_stats": orders_sorted_scan_stats,
+        "orders_changelog_ivm": orders_changelog_ivm,
+        "orders_delete_vectors": orders_delete_vectors,
+        "orders_partition_stats": orders_partition_stats,
+        "orders_cbo_planned_join": orders_cbo_planned_join,
+        "orders_delete_fold": orders_delete_fold,
+        "orders_merge_into": orders_merge_into,
+        "orders_bloom_point_lookup": orders_bloom_point_lookup,
+        "orders_stream_tail": orders_stream_tail,
+        "orders_branch_audit": orders_branch_audit,
+        "snapshot_schema_drift": snapshot_schema_drift,
+        "orders_compact_roundtrip": orders_compact_roundtrip,
+        "snapshot_incremental_dedup": snapshot_incremental_dedup,
+        "snapshot_drift_migrate": snapshot_drift_migrate,
+        "orders_dq_expectations": orders_dq_expectations,
+        "scd2_incremental_apply": scd2_incremental_apply,
+        "snapshot_data_drift": snapshot_data_drift,
+        "schema_of_lineitem": schema_of_lineitem,
+        "schema_diff_by_name": schema_diff_by_name,
+        "evolve_users_diff": evolve_users_diff,
+        "evolve_users_plan": evolve_users_plan,
+        "migrate_customer": migrate_customer,
+        "evolve_required_flips": evolve_required_flips,
+        "orders_partition_evolution": orders_partition_evolution,
+        "orders_snapshot_expire": orders_snapshot_expire,
+        "orders_avro_roundtrip": orders_avro_roundtrip,
+        "cdc_schema_drift_apply": cdc_schema_drift_apply,
+        "orders_file_skipping": orders_file_skipping,
+        "evolve_add_with_defaults": evolve_add_with_defaults,
+        "orders_schema_on_read": orders_schema_on_read,
+        "schema_s3_source": schema_s3_source,
+        "schema_json_schema_dict": schema_json_schema_dict,
+        "schema_serialize_roundtrip": schema_serialize_roundtrip,
+        "render_diff_tree": render_diff_tree,
+        "render_ops_plan": render_ops_plan,
+        "render_type_tree": render_type_tree,
+        "cli_diff_json": cli_diff_json,
+        "cli_evolve_sql_only": cli_evolve_sql_only,
+        "cli_serialize_parquet": cli_serialize_parquet,
+        "sqltype_parse_table": sqltype_parse_table,
+        "jsonschema_roundtrip": jsonschema_roundtrip,
+        "evolve_compiled_ddl": evolve_compiled_ddl,
+        "orders_bloom_prefilter": orders_bloom_prefilter,
+        "merge_customer_updates": merge_customer_updates,
+        "orders_mor_pruned_read": orders_mor_pruned_read,
+        "evolve_struct_default_generations": evolve_struct_default_generations,
+        "orders_avro_split": orders_avro_split,
+        "orders_avro_complex": orders_avro_complex,
+        "orders_metadata_tables": orders_metadata_tables,
+        "orders_footer_minmax": orders_footer_minmax,
     }
 
 
@@ -13068,6 +13257,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_merge_into": _MERGE_INTO_SQL,
         "orders_bloom_point_lookup": _BLOOM_POINT_LOOKUP_SQL,
         "orders_branch_cherry_pick": _BRANCH_CHERRY_PICK_SQL,
+        "orders_schema_evolution_commit": _SCHEMA_EVOLUTION_COMMIT_SQL,
         "orders_stream_tail": _STREAM_TAIL_SQL,
         "orders_branch_audit": _BRANCH_AUDIT_SQL,
         "orders_mor_pruned_read": _MORPRUNE_SQL,

@@ -150,12 +150,19 @@ def _entry_files(table_path: str, entry: dict) -> list[str]:
     return out
 
 
-def _manifest_files(table_path: str, entry: dict, mnames) -> list[str]:
+def _manifest_files(table_path: str, entry: dict, mnames) -> list[tuple]:
+    """(absolute path, schema id) per file of the named manifests; the id
+    is the generation the manifest was committed under (None when the
+    lineage is not schema-tracked)."""
     dd = os.path.join(table_path, entry["data_dir"])
+    sids = entry.get("manifest_schemas", {})
     out = []
     for mname in sorted(mnames):
         with open(os.path.join(table_path, mname)) as fh:
-            out.extend(os.path.join(dd, rel) for rel in json.load(fh)["files"])
+            out.extend(
+                (os.path.join(dd, rel), sids.get(mname))
+                for rel in json.load(fh)["files"]
+            )
     return out
 
 
@@ -169,13 +176,22 @@ def _delete_keys(entry: dict) -> set:
 
 
 def _added_files(
-    table_path: str, start_v: int, end_v: int, on_change: str
-) -> list[str]:
+    table_path: str,
+    start_v: int,
+    end_v: int,
+    on_change: str,
+    with_schema: bool = False,
+) -> list:
     """Data files added by commits in (start_v, end_v] — the manifests an
     entry carries beyond its predecessor's. Non-append commits raise (or
     are skipped under ``on_change='skip'``): deletes/rewrites/rollbacks
     change visibility without adding rows, so "new rows = new files"
-    attribution would be wrong across them.
+    attribution would be wrong across them. ``with_schema=True`` returns
+    ``(path, schema_id)`` pairs instead of bare paths — the schema id each
+    file's manifest was committed under on a schema-tracked lineage (None
+    when untracked), so the reader can detect and project drifted
+    generations. A schema-evolution commit itself adds no files and is
+    therefore transparent to the rows-only tail.
 
     Exactly-once under retention: each emitted version diffs against the
     nearest RETAINED predecessor entry (manifest lists are cumulative per
@@ -246,24 +262,75 @@ def _added_files(
                 "stream past it, or consume changes_between() instead"
             )
         prev = e
-    return out
+    return out if with_schema else [p for p, _sid in out]
+
+
+def _project_by_field_id(tbl, gen_json: dict, pinned_json: dict):
+    """Rename/select/fill an Arrow table written under the ``gen_json``
+    schema into the PINNED schema's top-level shape by FIELD ID — the
+    streaming twin of ``operators/migrate_df.py``. Renames map through
+    the id; fields the generation lacks fill with their Iceberg-v3
+    ``initial-default`` (else null). Type WIDENING is delegated to the
+    reader's declared-schema cast downstream; a nested shape change that
+    cannot cast raises there — the documented loud failure, never silent
+    corruption."""
+    import pyarrow as pa
+
+    gen_by_id = {f["id"]: f for f in gen_json["fields"]}
+    n = len(tbl)
+    cols, names = [], []
+    for f in pinned_json["fields"]:
+        g = gen_by_id.get(f["id"])
+        if g is not None and g["name"] in tbl.schema.names:
+            cols.append(tbl.column(g["name"]))
+        else:
+            default = f.get("initial-default")
+            cols.append(
+                pa.nulls(n) if default is None else pa.array([default] * n)
+            )
+        names.append(f["name"])
+    return pa.table(dict(zip(names, cols)))
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, sid: "int | None" = None):
         self.path = path
+        self.sid = sid
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
-    """Version-offset micro-batch reader (see module docstring)."""
+    """Version-offset micro-batch reader (see module docstring).
+
+    SCHEMA DRIFT (round 12): on a schema-tracked table the stream PINS the
+    schema generation current at reader construction. Files committed
+    under a different generation (the table evolved mid-stream) are
+    handled per ``on_schema_change``:
+
+    * ``"fail"`` (default) — raise loudly, naming both generations: the
+      consumer restarts the stream to pick up the new schema;
+    * ``"project"`` — resolve the file to the pinned schema by FIELD ID
+      (renames map, dropped-then-readded columns fill with their
+      default/NULL), exactly the batch reader's generation resolution, so
+      a long-running consumer keeps its declared schema across renames
+      and additive evolution. A file whose matched column cannot cast to
+      the pinned type still raises (never silent corruption).
+    """
 
     def __init__(self, options: dict, schema=None):
         self.table_path = options.get("path")
         if not self.table_path:
             raise ValueError("option 'path' (the SnapshotTable dir) required")
         self.on_change = options.get("on_change", "fail")
+        self.on_schema_change = options.get("on_schema_change", "fail")
         self.start_version = int(options.get("start_version", 0))
         self._schema = schema
+        entries = _log(self.table_path)
+        head = entries[-1] if entries else {}
+        # pinned at construction; partitions stamped with a different id
+        # are drifted generations (self is pickled to executors, so the
+        # schema dict rides along — KB of JSON)
+        self._pinned_sid = head.get("schema_id")
+        self._schemas = head.get("schemas", {})
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -278,14 +345,33 @@ class SnapshotStreamReader(DataSourceStreamReader):
             int(start["version"]),
             int(end["version"]),
             self.on_change,
+            with_schema=True,
         )
-        return [_FilePartition(p) for p in files]
+        return [_FilePartition(p, sid) for p, sid in files]
 
     def read(self, partition: _FilePartition) -> Iterator:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(partition.path)
+        if (
+            partition.sid is not None
+            and self._pinned_sid is not None
+            and partition.sid != self._pinned_sid
+        ):
+            if self.on_schema_change != "project":
+                raise ValueError(
+                    f"file {partition.path} was committed under schema id "
+                    f"{partition.sid} but this stream pinned schema id "
+                    f"{self._pinned_sid} (the table evolved mid-stream) — "
+                    "restart the stream to adopt the new schema, or set "
+                    "on_schema_change='project'"
+                )
+            tbl = _project_by_field_id(
+                tbl,
+                self._schemas[str(partition.sid)],
+                self._schemas[str(self._pinned_sid)],
+            )
         # Cast every file to the stream's DECLARED schema: Spark's Arrow
         # ingestion binds typed accessors from it, and files of different
         # commit generations may legally differ in physical type (an
@@ -328,7 +414,27 @@ class SnapshotStreamDataSource(DataSource):
     def name(cls) -> str:
         return "snapshot_stream"
 
-    def schema(self) -> str:
+    def schema(self):
+        # schema-tracked tables declare the TRACKED current schema (the
+        # head may legally contain files of several physical generations,
+        # so a footer sample would be wrong); untracked tables keep the
+        # one-footer derivation. All fields nullable: old generations
+        # fill added columns with defaults/NULL.
+        entries = _log(self.options["path"])
+        if entries and "schema_id" in entries[-1]:
+            from pyspark.sql import types as T
+
+            from iceberg_evolve_spark.serializer import schema_from_json
+            from iceberg_evolve_spark.spark_convert import struct_to_spark
+
+            head = entries[-1]
+            struct, _sid = schema_from_json(
+                head["schemas"][str(head["schema_id"])]
+            )
+            st = struct_to_spark(struct)
+            return T.StructType(
+                [T.StructField(f.name, f.dataType, True) for f in st.fields]
+            )
         return _table_ddl(self.options["path"])
 
     def streamReader(self, schema) -> SnapshotStreamReader:  # noqa: ANN001

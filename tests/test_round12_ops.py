@@ -573,3 +573,104 @@ class TestSchemaEvolutionCommit:
         ins = diff.filter(F.col("_change_type") == "insert")
         assert ins.count() == 3
         assert "note" in diff.columns
+
+
+class TestStreamTailSchemaDrift:
+    """VERDICT r11 task 6: a tail across an evolve_schema commit either
+    refuses loudly in fail mode or (on_schema_change='project') delivers
+    drifted generations projected to the stream's pinned schema by field
+    id — never silent mis-shaped rows."""
+
+    def _start(self, spark, tbl, out, ck, **opts):
+        from iceberg_evolve_spark.sources.snapshot_stream import (
+            SnapshotStreamDataSource,
+        )
+
+        try:
+            spark.dataSource.register(SnapshotStreamDataSource)
+        except Exception:
+            pass
+        r = spark.readStream.format("snapshot_stream").option("path", tbl)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        q = (
+            r.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def _evolved_table(self, spark, tdir):
+        import copy
+
+        from iceberg_evolve_spark.schema import Schema
+
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        df = spark.range(0, 6).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * 2).cast("int").alias("val"),
+        )
+        t.write(df, track_schema=True)
+        j = copy.deepcopy(t.table_schema().to_json())
+        for f in j["fields"]:
+            if f["name"] == "val":
+                f["name"] = "value"
+        t.evolve_schema(Schema.from_json(j))
+        t.append(
+            spark.range(100, 103).select(
+                F.col("id").cast("int").alias("k"),
+                (F.col("id") * 2).cast("int").alias("value"),
+            )
+        )
+        return t
+
+    def test_declared_schema_is_the_tracked_current(self, spark, tdir):
+        from iceberg_evolve_spark.sources.snapshot_stream import (
+            SnapshotStreamDataSource,
+        )
+
+        t = self._evolved_table(spark, tdir)
+        try:
+            spark.dataSource.register(SnapshotStreamDataSource)
+        except Exception:
+            pass
+        st = (
+            spark.readStream.format("snapshot_stream")
+            .option("path", t.path)
+            .load()
+            .schema
+        )
+        assert [f.name for f in st.fields] == ["k", "value"]
+
+    def test_fail_mode_refuses_drifted_generation(self, spark, tdir):
+        t = self._evolved_table(spark, tdir)
+        with pytest.raises(Exception, match="schema id"):
+            self._start(
+                spark,
+                t.path,
+                os.path.join(tdir, "o"),
+                os.path.join(tdir, "c"),
+            )
+
+    def test_project_mode_delivers_under_pinned_schema(self, spark, tdir):
+        t = self._evolved_table(spark, tdir)
+        out, ck = os.path.join(tdir, "o"), os.path.join(tdir, "c")
+        self._start(spark, t.path, out, ck, on_schema_change="project")
+        got = spark.read.parquet(out)
+        assert set(got.columns) == {"k", "value"}
+        rows = sorted((r["k"], r["value"]) for r in got.collect())
+        assert rows == [(i, 2 * i) for i in range(6)] + [
+            (i, 2 * i) for i in range(100, 103)
+        ]
+        # incremental continuation under the same checkpoint stays exact
+        t.append(
+            spark.range(200, 202).select(
+                F.col("id").cast("int").alias("k"),
+                (F.col("id") * 2).cast("int").alias("value"),
+            )
+        )
+        self._start(spark, t.path, out, ck, on_schema_change="project")
+        assert spark.read.parquet(out).count() == 11

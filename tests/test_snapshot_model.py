@@ -245,7 +245,7 @@ def test_branch_cherry_pick_converges_to_model(spark, ops):
 
 _TAIL_OPS = st.lists(
     st.tuples(
-        st.sampled_from(["append", "delete_pred", "tag", "expire"]),
+        st.sampled_from(["append", "delete_pred", "tag", "expire", "evolve"]),
         st.integers(min_value=0, max_value=9),
     ),
     min_size=1,
@@ -267,22 +267,35 @@ def test_stream_tail_delivery_is_exactly_once(spark, ops):
     gaps: bootstrap(0->start) ⊎ delta(start->head) == bootstrap(0->head)),
     and an expired checkpoint raises instead of re-delivering. This is
     the property ADVICE r10 (high) showed the old guard violated at
-    retention boundaries and across tag-pinned expiry gaps."""
+    retention boundaries and across tag-pinned expiry gaps. Round 12 adds
+    ``evolve`` (a metadata-only schema commit) to the op mix: it delivers
+    no files and must be transparent to the file-delivery model; appends
+    after it carry the evolved shape."""
+    import copy
+
+    from iceberg_evolve_spark.schema import Schema
     from iceberg_evolve_spark.sources.snapshot_stream import _added_files
 
     tmp = tempfile.mkdtemp(prefix="ies-model-tail-")
     try:
         t = SnapshotTable(os.path.join(tmp, "t"))
-        t.write(spark.createDataFrame(list(_rows(0, 12).items()), "id long, g long"))
+        t.write(
+            spark.createDataFrame(
+                list(_rows(0, 12).items()), "id long, g long"
+            ),
+            track_schema=True,
+        )
         nxt = 100
         tagged = 0
+        n_evolved = 0
         for kind, p in ops:
             if kind == "append":
-                t.append(
-                    spark.createDataFrame(
-                        list(_rows(nxt, nxt + 4).items()), "id long, g long"
-                    )
+                df = spark.createDataFrame(
+                    list(_rows(nxt, nxt + 4).items()), "id long, g long"
                 )
+                for i in range(n_evolved):  # match the evolved shape
+                    df = df.withColumn(f"x{i}", F.lit(None).cast("string"))
+                t.append(df)
                 nxt += 4
             elif kind == "delete_pred":
                 t.delete_where(spark, F.col("id") % 11 == p % 11)
@@ -291,6 +304,18 @@ def test_stream_tail_delivery_is_exactly_once(spark, ops):
                 tagged += 1
             elif kind == "expire":
                 t.expire_snapshots(keep_last=1 + p % 3)
+            elif kind == "evolve":
+                j = copy.deepcopy(t.table_schema().to_json())
+                j["fields"].append(
+                    {
+                        "id": 1000 + n_evolved,
+                        "name": f"x{n_evolved}",
+                        "type": "string",
+                        "required": False,
+                    }
+                )
+                t.evolve_schema(Schema.from_json(j))
+                n_evolved += 1
         retained = [e["version"] for e in t.versions()]
         head = retained[-1]
         full = _added_files(t.path, 0, head, "skip")
