@@ -731,6 +731,17 @@ class SnapshotTable:
                 "lineage is not schema-tracked — bootstrap with "
                 "write(df, schema=...) or write(df, track_schema=True)"
             )
+        if match_by != "id":
+            # generation resolution at read time is BY FIELD ID; a
+            # name-matched evolution gives no id-continuity guarantee, so
+            # a "renamed" field whose id changed would read as drop+add
+            # and silently NULL historical data. Derive the new schema
+            # from table_schema().to_json() (ids preserved) instead.
+            raise NotImplementedError(
+                "evolve_schema resolves historical generations by field "
+                "id — match_by='name' cannot guarantee id continuity; "
+                "use match_by='id' with ids carried from table_schema()"
+            )
         diff = cur_schema.diff(new_schema, match_by=match_by)
         ops = diff.to_evolution_operations()
         if not ops:
@@ -753,6 +764,40 @@ class SnapshotTable:
                 + ", ".join(op.pretty() for op in breaking)
             )
         self._gate_schema_change(cur, ops)
+
+        def _ids(node) -> "list[int]":
+            # every field/element/key/value id in a schema JSON tree
+            out = []
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    if k in ("id", "element-id", "key-id", "value-id"):
+                        out.append(int(v))
+                    else:
+                        out.extend(_ids(v))
+            elif isinstance(node, list):
+                for v in node:
+                    out.extend(_ids(v))
+            return out
+
+        new_json = schema_to_json(new_schema.struct, 0)
+        new_ids = _ids(new_json)
+        if len(new_ids) != len(set(new_ids)):
+            raise ValueError("new schema reuses a field id within itself")
+        # Iceberg's no-id-reuse rule: an ADDED field must take a FRESH id —
+        # reusing a dropped field's id would resurrect that field's
+        # historical data under the new name at read time
+        cur_ids = set(_ids(schema_to_json(cur_schema.struct, 0)))
+        historical = set()
+        for sj in cur.get("schemas", {}).values():
+            historical.update(_ids(sj))
+        revived = (set(new_ids) - cur_ids) & historical
+        if revived:
+            raise ValueError(
+                f"new schema reuses retired field ids {sorted(revived)} — "
+                "added fields must take fresh ids (Iceberg's no-reuse "
+                "rule: a recycled id would resurrect the dropped field's "
+                "historical data)"
+            )
 
         def _build(fresh: list[dict]) -> dict:
             head = self._composable_head(fresh, cur, allow_fold=False)
@@ -1834,12 +1879,16 @@ class SnapshotTable:
         cur = entries[-1]
         spec = cur.get("partition_by")
         if scope == "all":
+            # a full rewrite materializes everything under the CURRENT
+            # schema — carry tracking so evolution keeps working on the
+            # fresh lineage (every file is the new generation id 0)
             return self.write(
                 self.read(spark),
                 note=note or "rewrite_data_files (full rewrite)",
                 ts=ts,
                 partition_by=spec,
                 sort_by=cur.get("sort_by"),
+                schema=self._entry_schema(cur),
             )
         if scope != "deletes":
             raise ValueError(f"unknown scope {scope!r} (deletes|all)")

@@ -674,3 +674,56 @@ class TestStreamTailSchemaDrift:
         )
         self._start(spark, t.path, out, ck, on_schema_change="project")
         assert spark.read.parquet(out).count() == 11
+
+
+class TestSchemaEvolutionGuards:
+    """Self-review pins (round 12): field-id discipline the read-side
+    generation resolution depends on."""
+
+    def test_match_by_name_refused(self, spark, tdir):
+        t = TestSchemaEvolutionCommit()._mk(spark, tdir)
+        new = TestSchemaEvolutionCommit._evolved(t)
+        with pytest.raises(NotImplementedError, match="field id"):
+            t.evolve_schema(new, match_by="name")
+
+    def test_retired_id_reuse_refused(self, spark, tdir):
+        """Adding a field under a dropped field's id would resurrect the
+        dropped field's historical data at read time — Iceberg's
+        no-id-reuse rule, enforced against EVERY retained generation."""
+        import copy
+
+        from iceberg_evolve_spark.schema import Schema
+
+        t = TestSchemaEvolutionCommit()._mk(spark, tdir)
+        j = copy.deepcopy(t.table_schema().to_json())
+        val_id = next(f["id"] for f in j["fields"] if f["name"] == "val")
+        j["fields"] = [f for f in j["fields"] if f["name"] != "val"]
+        t.evolve_schema(Schema.from_json(j), allow_breaking=True)  # drop
+        j2 = copy.deepcopy(t.table_schema().to_json())
+        j2["fields"].append(
+            {"id": val_id, "name": "fresh", "type": "int", "required": False}
+        )
+        with pytest.raises(ValueError, match="retired field id"):
+            t.evolve_schema(Schema.from_json(j2))
+        # a genuinely fresh id is fine
+        j2["fields"][-1]["id"] = 7777
+        assert t.evolve_schema(Schema.from_json(j2)) > 0
+
+    def test_full_rewrite_carries_tracking(self, spark, tdir):
+        t = TestSchemaEvolutionCommit()._mk(spark, tdir)
+        t.evolve_schema(TestSchemaEvolutionCommit._evolved(t))
+        t.rewrite_data_files(spark, scope="all")
+        s = t.table_schema()
+        assert s is not None
+        assert {f.name for f in s.fields} == {"k", "value", "note"}
+        # the fresh lineage is single-generation: evolution keeps working
+        import copy
+
+        from iceberg_evolve_spark.schema import Schema
+
+        j = copy.deepcopy(s.to_json())
+        j["fields"].append(
+            {"id": 555, "name": "tag", "type": "string", "required": False}
+        )
+        assert t.evolve_schema(Schema.from_json(j)) > 0
+        assert t.read(spark).count() == 20
