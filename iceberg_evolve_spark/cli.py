@@ -101,6 +101,45 @@ def _cmd_evolve(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_evolve_table(args: argparse.Namespace) -> int:
+    """Evolve a schema-tracked :class:`SnapshotTable` IN PLACE as one
+    metadata-only commit (round 12 — the reference's evolve flow,
+    schema.py:152-283, pointed at the engine's own storage layer instead
+    of an Iceberg catalog). Needs no Spark session: the diff, the gates,
+    and the commit are all metadata work."""
+    from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(args.table_dir, branch=args.branch)
+    cur = t.table_schema()
+    if cur is None:
+        print(
+            f"{args.table_dir} is not schema-tracked — bootstrap the "
+            "table with write(df, track_schema=True)",
+            file=sys.stderr,
+        )
+        return 2
+    new = Schema.from_file(args.schema_path)
+    diff = cur.diff(new)
+    ops = diff.to_evolution_operations()
+    if args.json:
+        print(json.dumps([op.to_dict() for op in ops], indent=2))
+    elif not args.quiet:
+        SchemaDiffRenderer(diff, use_color=not args.no_color).display()
+        EvolutionOperationsRenderer(ops, use_color=not args.no_color).display()
+    if args.dry_run:
+        return 0
+    head = t.versions()[-1]["version"]
+    v = t.evolve_schema(new, allow_breaking=args.allow_breaking)
+    if v == head:
+        print("no schema changes — nothing committed")
+    else:
+        print(
+            f"committed schema evolution as snapshot v{v} "
+            "(metadata-only; zero data files touched)"
+        )
+    return 0
+
+
 def _cmd_serialize(args: argparse.Namespace) -> int:
     from iceberg_evolve_spark.sources import get_session
 
@@ -142,6 +181,20 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--allow-breaking", action="store_true")
     e.add_argument("--return-applied-schema", action="store_true")
     e.set_defaults(func=_cmd_evolve)
+
+    et = sub.add_parser(
+        "evolve-table",
+        help="metadata-only schema evolution of a SnapshotTable dir",
+    )
+    et.add_argument("--table-dir", "-d", required=True)
+    et.add_argument("--schema-path", "-p", required=True, help="target schema JSON")
+    et.add_argument("--branch", help="evolve a branch instead of main")
+    et.add_argument("--dry-run", action="store_true")
+    et.add_argument("--allow-breaking", action="store_true")
+    et.add_argument("--json", action="store_true")
+    et.add_argument("--quiet", action="store_true")
+    et.add_argument("--no-color", action="store_true")
+    et.set_defaults(func=_cmd_evolve_table)
 
     s = sub.add_parser("serialize", help="snapshot a table/parquet schema to JSON")
     s.add_argument("--table", "-t")

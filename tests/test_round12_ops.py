@@ -727,3 +727,67 @@ class TestSchemaEvolutionGuards:
         )
         assert t.evolve_schema(Schema.from_json(j)) > 0
         assert t.read(spark).count() == 20
+
+
+class TestCliEvolveTable:
+    """Round-12 CLI composition: `evolve-table` points the parity evolve
+    flow (C2) at the engine's own storage layer — diff + gates + ONE
+    metadata commit, no Spark session needed for the commit itself."""
+
+    def _tracked_table(self, spark, tdir):
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(
+            spark.range(0, 8).select(
+                F.col("id").cast("int").alias("k"),
+                (F.col("id") * 2).cast("int").alias("val"),
+            ),
+            track_schema=True,
+        )
+        return t
+
+    def _target_json(self, t, tdir):
+        import copy
+
+        j = copy.deepcopy(t.table_schema().to_json())
+        for f in j["fields"]:
+            if f["name"] == "val":
+                f["name"] = "value"
+        path = os.path.join(tdir, "new.json")
+        with open(path, "w") as fh:
+            json.dump(j, fh)
+        return path
+
+    def test_dry_run_then_commit(self, spark, tdir, capsys):
+        from iceberg_evolve_spark.cli import main
+
+        t = self._tracked_table(spark, tdir)
+        target = self._target_json(t, tdir)
+        assert main(
+            ["evolve-table", "-d", t.path, "-p", target, "--dry-run",
+             "--json"]
+        ) == 0
+        ops = json.loads(capsys.readouterr().out)
+        assert [o["op"] for o in ops] == ["rename_column"]
+        assert [e["version"] for e in t.versions()] == [1]  # dry: no commit
+        assert main(
+            ["evolve-table", "-d", t.path, "-p", target, "--quiet"]
+        ) == 0
+        assert "metadata-only" in capsys.readouterr().out
+        assert t.versions()[-1]["schema_evolution"] == {"from": 0, "to": 1}
+        assert {f.name for f in t.table_schema().fields} == {"k", "value"}
+        # no-op re-run commits nothing
+        assert main(
+            ["evolve-table", "-d", t.path, "-p", target, "--quiet"]
+        ) == 0
+        assert "nothing committed" in capsys.readouterr().out
+
+    def test_untracked_table_errors(self, spark, tdir, capsys):
+        from iceberg_evolve_spark.cli import main
+
+        t = SnapshotTable(os.path.join(tdir, "u"))
+        t.write(spark.range(3))
+        target = os.path.join(tdir, "any.json")
+        with open(target, "w") as fh:
+            json.dump({"type": "struct", "fields": []}, fh)
+        assert main(["evolve-table", "-d", t.path, "-p", target]) == 2
+        assert "not schema-tracked" in capsys.readouterr().err
