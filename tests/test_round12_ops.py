@@ -791,3 +791,55 @@ class TestCliEvolveTable:
             json.dump({"type": "struct", "fields": []}, fh)
         assert main(["evolve-table", "-d", t.path, "-p", target]) == 2
         assert "not schema-tracked" in capsys.readouterr().err
+
+
+class TestCommitPlaneChaos:
+    """Mixed-op concurrency on the lock-free plane: appends and equality
+    deletes from racing threads all land, the log stays contiguous, and
+    the converged state is exact."""
+
+    def test_concurrent_mixed_ops_converge(self, spark, tdir):
+        import threading
+
+        path = os.path.join(tdir, "t")
+        SnapshotTable(path).write(spark.range(0, 100))
+        errs: list[Exception] = []
+        barrier = threading.Barrier(4)
+
+        def appender(base):
+            try:
+                barrier.wait()
+                for i in range(3):
+                    SnapshotTable(path).append(
+                        spark.range(base + i * 10, base + i * 10 + 10)
+                    )
+            except Exception as exc:  # noqa: BLE001
+                errs.append(exc)
+
+        def deleter():
+            try:
+                barrier.wait()
+                for k in (5, 6, 7):
+                    SnapshotTable(path).delete_by_key(
+                        spark.range(k, k + 1).select("id"), ["id"]
+                    )
+            except Exception as exc:  # noqa: BLE001
+                errs.append(exc)
+
+        threads = [
+            threading.Thread(target=appender, args=(b,))
+            for b in (1000, 2000, 3000)
+        ] + [threading.Thread(target=deleter)]
+        [th.start() for th in threads]
+        [th.join(300) for th in threads]
+        assert not errs, errs
+        t = SnapshotTable(path)
+        assert [e["version"] for e in t.versions()] == list(range(1, 14))
+        got = {r["id"] for r in t.read(spark).collect()}
+        expect = set(range(100)) - {5, 6, 7}
+        for b in (1000, 2000, 3000):
+            expect |= set(range(b, b + 30))
+        assert got == expect
+        # and retention folds the whole raced tail cleanly
+        t.expire_snapshots(keep_last=13)
+        assert {r["id"] for r in t.read(spark).collect()} == expect
