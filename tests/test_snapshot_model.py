@@ -336,3 +336,146 @@ def test_stream_tail_delivery_is_exactly_once(spark, ops):
             )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# -- schema-evolution delivery model (round 12, VERDICT r11 task 1) ---------
+
+_EVOLVE_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(["append", "rename", "add", "widen", "drop"]),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(ops=_EVOLVE_OPS)
+def test_schema_evolution_read_model(spark, ops):
+    """Random evolve/append chains against a pure-Python model: after every
+    step, the real generation-resolving read must equal the model's view —
+    rows keyed by FIELD ID, a field added later surfacing its
+    initial-default (or NULL) on pre-existing rows, renamed fields carrying
+    their values, widened fields keeping them, dropped fields vanishing.
+    This is the whole-feature invariant the per-case unit tests sample."""
+    import copy
+
+    from iceberg_evolve_spark.schema import Schema
+
+    tmp = tempfile.mkdtemp(prefix="ies-model-evolve-")
+    try:
+        t = SnapshotTable(os.path.join(tmp, "t"))
+        # model state ---------------------------------------------------
+        # fields: ordered [(fid, name, type)]; defaults: {fid: value-or-None
+        # for fields ADDED post-bootstrap}; rows: [{fid: value}]
+        fields = [(1, "a", "int"), (2, "b", "int")]
+        defaults: dict[int, object] = {}
+        rows: list[dict] = []
+        next_fid, n_added, n_renamed, appended = 3, 0, 0, 0
+
+        def schema_json():
+            return {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {
+                        "id": fid,
+                        "name": name,
+                        "type": typ,
+                        "required": False,
+                        **(
+                            {"initial-default": defaults[fid]}
+                            if defaults.get(fid) is not None
+                            else {}
+                        ),
+                    }
+                    for fid, name, typ in fields
+                ],
+            }
+
+        def batch(n):
+            """DataFrame under the CURRENT schema + its model rows, from
+            one shared value generator (value = row counter, strings
+            prefixed) — the model and the table can never disagree on
+            what was written."""
+            nonlocal appended
+            data, model_rows, start = [], [], appended
+            for i in range(n):
+                vals = {
+                    fid: (
+                        f"s{start + i}" if typ == "string" else start + i
+                    )
+                    for fid, _name, typ in fields
+                }
+                data.append(tuple(vals[fid] for fid, _n, _t in fields))
+                model_rows.append(vals)
+            appended += n
+            ddl = ", ".join(
+                f"{name} {'bigint' if typ == 'long' else typ}"
+                for _fid, name, typ in fields
+            )
+            df = spark.createDataFrame(data, ddl)
+            for _f, name, typ in fields:
+                if typ == "int":
+                    df = df.withColumn(name, F.col(name).cast("int"))
+            return df, model_rows
+
+        df0, rows0 = batch(3)
+        t.write(df0, schema=Schema.from_json(schema_json()))
+        rows.extend(rows0)
+
+        for kind, p in ops:
+            if kind == "append":
+                df, model_rows = batch(2)
+                t.append(df)
+                rows.extend(model_rows)
+            elif kind == "rename":
+                i = p % len(fields)
+                fid, _old, typ = fields[i]
+                fields[i] = (fid, f"r{n_renamed}", typ)
+                n_renamed += 1
+                t.evolve_schema(Schema.from_json(schema_json()))
+            elif kind == "add":
+                default = f"d{n_added}" if p % 2 else None
+                fields.append((next_fid, f"x{n_added}", "string"))
+                if default is not None:
+                    defaults[next_fid] = default
+                next_fid += 1
+                n_added += 1
+                t.evolve_schema(Schema.from_json(schema_json()))
+            elif kind == "widen":
+                ints = [i for i, f in enumerate(fields) if f[2] == "int"]
+                if not ints:
+                    continue
+                i = ints[p % len(ints)]
+                fields[i] = (fields[i][0], fields[i][1], "long")
+                t.evolve_schema(Schema.from_json(schema_json()))
+            elif kind == "drop":
+                if len(fields) <= 1:
+                    continue
+                i = p % len(fields)
+                dropped_fid = fields[i][0]
+                del fields[i]
+                defaults.pop(dropped_fid, None)
+                t.evolve_schema(
+                    Schema.from_json(schema_json()), allow_breaking=True
+                )
+        # final invariant: the real read == the model, by field id --------
+        got = {
+            tuple(r[name] for _f, name, _t in fields)
+            for r in t.read(spark).collect()
+        }
+        expect = {
+            tuple(row.get(fid, defaults.get(fid)) for fid, _n, _t in fields)
+            for row in rows
+        }
+        assert got == expect
+        # and the read schema is exactly the current tracked one
+        assert t.read(spark).columns == [name for _f, name, _t in fields]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
