@@ -662,19 +662,24 @@ class SnapshotTable:
         return spark.read.option("basePath", data_dir).parquet(*files)
 
     def _gate_schema_change(self, head: dict, ops: list) -> None:
-        """Storage-plane legality of an evolution against ``head``:
-        partition/sort columns and live equality-delete keys are bound to
-        their PHYSICAL names (directory layout, recorded key columns), so
-        renaming/dropping/retyping them cannot be a metadata-only change."""
+        """Storage-plane legality of an evolution against ``head``.
+        PARTITION columns are bound to the physical directory layout
+        (key=value path segments carry the NAME), so renaming, dropping,
+        or retyping one cannot be metadata-only. SORT columns are softer:
+        a rename just re-points the recorded sort order (the new entry
+        rewrites ``sort_by`` — see evolve_schema) and a widening keeps
+        footer-stats pruning valid, but DROPPING one would silently stop
+        clustering future appends — refused. Live equality-delete key
+        columns are bound to their recorded names until a compaction
+        folds the delete away."""
         from iceberg_evolve_spark.operators.evolution import (
             DropColumn,
             RenameColumn,
             UpdateColumn,
         )
 
-        bound = set(head.get("partition_by", [])) | set(
-            head.get("sort_by", [])
-        )
+        part = set(head.get("partition_by", []))
+        sort = set(head.get("sort_by", []))
         eq_cols = {
             c
             for d in head.get("deletes", [])
@@ -685,11 +690,19 @@ class SnapshotTable:
             if not isinstance(op, (RenameColumn, DropColumn, UpdateColumn)):
                 continue
             name = op.name.split(".", 1)[0]
-            if name in bound:
+            if name in part:
                 raise ValueError(
-                    f"column {name!r} is a partition/sort column of the "
-                    "current lineage — its physical layout is bound to "
-                    "the name; rewrite the table (write()) to change it"
+                    f"column {name!r} is a partition column of the "
+                    "current lineage — the key=value directory layout is "
+                    "bound to the name; rewrite the table (write()) to "
+                    "change it"
+                )
+            if name in sort and isinstance(op, DropColumn):
+                raise ValueError(
+                    f"column {name!r} is a sort column of the current "
+                    "lineage — dropping it would silently stop "
+                    "clustering appends; clear the sort order first "
+                    "(rewrite) or keep the column"
                 )
             if name in eq_cols:
                 raise CommitConflict(
@@ -840,6 +853,23 @@ class SnapshotTable:
                         if isinstance(head[prop], list)
                         else head[prop]
                     )
+            if entry.get("sort_by"):
+                # a renamed sort column re-points the recorded sort order
+                # (the physical clustering is untouched — footer stats
+                # live in the files, reached through the rename at plan
+                # time); partition columns can't get here (gated above)
+                from iceberg_evolve_spark.operators.evolution import (
+                    RenameColumn,
+                )
+
+                renames = {
+                    op.name: op.target
+                    for op in ops
+                    if isinstance(op, RenameColumn) and "." not in op.name
+                }
+                entry["sort_by"] = [
+                    renames.get(c, c) for c in entry["sort_by"]
+                ]
             if head.get("deletes"):
                 entry["deletes"] = list(head["deletes"])
             return entry
@@ -2669,11 +2699,20 @@ class SnapshotTable:
         files = (
             self._entry_abs_files(entry) if entry.get("manifests") else None
         )
+        rel_sids = (
+            self._rel_schema_map(entry)
+            if where and files is not None
+            else None
+        )
         if not where:
             kept = list(files) if files is not None else _files(data_path)
             total = len(kept)
-        else:
+        elif rel_sids is None:
             kept, total = prune_files_multi(data_path, where, files=files)
+        else:
+            kept, total = self._plan_scan_generations(
+                data_path, entry, files, rel_sids, where
+            )
         for col, value in (eq or {}).items():
             blob = self._bloom_blob(entry, col)
             if blob is None:
@@ -2708,6 +2747,76 @@ class SnapshotTable:
                 or _hit(os.path.relpath(f, data_path))
             ]
         return kept, total
+
+    def _plan_scan_generations(
+        self,
+        data_path: str,
+        entry: dict,
+        files: list[str],
+        rel_sids: "dict[str, int]",
+        where: dict,
+    ) -> tuple[list[str], int]:
+        """Footer pruning across schema generations: the caller's range
+        bounds name CURRENT columns, but an old generation's footers carry
+        the PHYSICAL names it was written with — so each generation's
+        bounds are translated through the FIELD ID before pruning (without
+        this, renaming a sort column would silently de-prune every
+        historical file). A generation that predates a bounded column
+        surfaces that column's initial-default (or NULL) on every row, so
+        the range evaluates on the constant: out-of-range (or NULL) prunes
+        the WHOLE generation, in-range just removes that column's pruning
+        power. Incomparable default/bound types keep the generation
+        (conservative, never wrong)."""
+        from iceberg_evolve_spark.sources.footer_stats import (
+            prune_files_multi,
+        )
+
+        cur_sid = int(entry["schema_id"])
+        cur_fields = {
+            f["name"]: f for f in entry["schemas"][str(cur_sid)]["fields"]
+        }
+        groups: dict[int, list[str]] = {}
+        for f in files:
+            rel = os.path.relpath(f, data_path)
+            groups.setdefault(rel_sids.get(rel, cur_sid), []).append(f)
+        kept: list[str] = []
+        total = 0
+        for sid in sorted(groups):
+            gfiles = groups[sid]
+            total += len(gfiles)
+            gen_by_id = {
+                f["id"]: f for f in entry["schemas"][str(sid)]["fields"]
+            }
+            ranges: dict[str, tuple[object, object]] = {}
+            group_dead = False
+            for col, (lo, hi) in where.items():
+                cf = cur_fields.get(col)
+                if cf is None:
+                    continue  # unknown column: no pruning power, keep
+                gf = gen_by_id.get(cf["id"])
+                if gf is None:
+                    default = cf.get("initial-default")
+                    if default is None:
+                        group_dead = True  # NULL never satisfies a range
+                        break
+                    try:
+                        if (lo is not None and default < lo) or (
+                            hi is not None and default > hi
+                        ):
+                            group_dead = True
+                            break
+                    except TypeError:
+                        pass  # incomparable: keep conservatively
+                    continue  # constant in range: column prunes nothing
+                ranges[gf["name"]] = (lo, hi)
+            if group_dead:
+                continue  # provably no matching rows in this generation
+            if ranges:
+                gk, _ = prune_files_multi(data_path, ranges, files=gfiles)
+                kept.extend(gk)
+            else:
+                kept.extend(gfiles)
+        return sorted(kept), total
 
     def read(
         self,

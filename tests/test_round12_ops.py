@@ -532,7 +532,7 @@ class TestSchemaEvolutionCommit:
         for f in j["fields"]:
             if f["name"] == "bucket":
                 f["name"] = "pt"
-        with pytest.raises(ValueError, match="partition/sort"):
+        with pytest.raises(ValueError, match="partition column"):
             t.evolve_schema(Schema.from_json(j))
         # live equality-delete key column
         t2 = self._mk(spark, tdir, "q")
@@ -843,3 +843,82 @@ class TestCommitPlaneChaos:
         # and retention folds the whole raced tail cleanly
         t.expire_snapshots(keep_last=13)
         assert {r["id"] for r in t.read(spark).collect()} == expect
+
+
+class TestGenerationAwarePruning:
+    """Round-12 follow-through: footer pruning translates range bounds to
+    each generation's PHYSICAL column names by field id (a renamed sort
+    column must not de-prune historical files), and a generation that
+    predates a bounded column prunes entirely when its default cannot
+    satisfy the range."""
+
+    def _evolved_sorted(self, spark, tdir):
+        import copy
+
+        from iceberg_evolve_spark.schema import Schema
+
+        t = SnapshotTable(os.path.join(tdir, "t"))
+        t.write(
+            spark.range(0, 50000).select(
+                F.col("id").cast("int").alias("k"),
+                (F.col("id") * 2).cast("int").alias("val"),
+            ),
+            track_schema=True,
+            sort_by=["k"],
+            sort_files=8,
+        )
+        j = copy.deepcopy(t.table_schema().to_json())
+        for f in j["fields"]:
+            if f["name"] == "val":
+                f["name"] = "value"
+            if f["name"] == "k":
+                f["type"] = "long"
+                f["name"] = "key"  # rename + widen the SORT column
+        j["fields"].append(
+            {
+                "id": 99,
+                "name": "score",
+                "type": "int",
+                "required": False,
+                "initial-default": 7,
+            }
+        )
+        t.evolve_schema(Schema.from_json(j))
+        t.append(
+            spark.range(100000, 150000).select(
+                F.col("id").alias("key"),
+                (F.col("id") * 2).cast("int").alias("value"),
+                F.lit(1).cast("int").alias("score"),
+            )
+        )
+        return t
+
+    def test_sort_column_rename_keeps_pruning(self, spark, tdir):
+        t = self._evolved_sorted(spark, tdir)
+        assert t.versions()[-1]["sort_by"] == ["key"]  # order re-pointed
+        kept, total = t.plan_scan(where={"key": (10, 20)})
+        assert total == 9 and len(kept) <= 2  # old gen pruned via 'k'
+        assert t.read(spark, where={"key": (10, 20)}).count() == 11
+        # and the residual predicate pushes through the rename projection
+        plan = (
+            t.read(spark, where={"key": (10, 20)})
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "GreaterThanOrEqual(k,10)" in plan  # pushed to the OLD name
+
+    def test_predating_generation_prunes_by_default(self, spark, tdir):
+        t = self._evolved_sorted(spark, tdir)
+        # old generation surfaces score=7 on every row: a (0, 5) range can
+        # provably match nothing there — the whole generation prunes
+        kept, total = t.plan_scan(where={"score": (0, 5)})
+        assert total == 9 and len(kept) == 1  # only the new-gen file
+        assert t.read(spark, where={"score": (0, 5)}).count() == 50000
+        # in-range default keeps the generation (no pruning power)
+        kept7, _ = t.plan_scan(where={"score": (6, 8)})
+        # old 8 kept (default in range); the new-gen file's own footer
+        # stats (score=1 everywhere) prune it — both rules compose
+        assert len(kept7) == 8
+        assert t.read(spark, where={"score": (6, 8)}).count() == 50000
