@@ -21,7 +21,7 @@ the DATA between snapshots — same loop, other half.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -45,11 +45,20 @@ def parse_cdc_envelopes(
     Unparseable rows yield NULL op and can be routed to a dead-letter sink
     (the ``read_json_quarantine`` discipline)."""
     env = F.from_json(F.col(json_col), cdc_envelope_schema(row_schema))
-    return raw.select(
-        env["op"].alias("op"),
-        env["ts_ms"].alias("ts_ms"),
-        env["before"].alias("before"),
-        env["after"].alias("after"),
+    # Parse ONCE behind its own projection: selecting the four fields straight
+    # off the ``from_json`` expression would let projection collapse inline a
+    # separate full parse per field (and predicate pushdown inline more copies
+    # into downstream filters — measured 7 parses per row in the CDC entry's
+    # executed plan). CollapseProject refuses to substitute a non-cheap
+    # expression referenced more than once, so the two-step select keeps
+    # exactly one JsonToStructs per row; the field accesses below are plain
+    # GetStructField over the parsed attribute.
+    parsed = raw.select(env.alias("_env"))
+    return parsed.select(
+        F.col("_env.op").alias("op"),
+        F.col("_env.ts_ms").alias("ts_ms"),
+        F.col("_env.before").alias("before"),
+        F.col("_env.after").alias("after"),
     )
 
 
@@ -65,32 +74,62 @@ def apply_cdc(
     ``ts_ms`` wins (ties: delete beats upsert — the conservative order,
     then larger op string for totality). c/u upsert ``after``; d deletes.
     Returns the post-change snapshot with the snapshot's schema."""
-    keyed = (
-        changes.select(
-            F.coalesce(F.col(f"after.{key}"), F.col(f"before.{key}")).alias("_k"),
-            "op",
-            "ts_ms",
-            "after",
-        )
-        .filter(F.col("op").isin("c", "u", "d"))
-        # a c/u envelope whose after payload failed to parse must not
-        # upsert a ghost row of NULLs — route it to dead-letter upstream
-        .filter((F.col("op") == "d") | F.col("after").isNotNull())
+    op = F.col("op")
+    # Envelope eligibility: a recognized op, and — for c/u — a parseable
+    # after payload (an envelope whose after failed to parse must not upsert
+    # a ghost row of NULLs; route it to dead-letter upstream). Folded into
+    # the argmax below as a WHEN → NULL (``max`` skips nulls) instead of a
+    # pre-aggregation filter: a filter here would be pushed below the parse
+    # projection and re-inline the full JSON parse once per predicate
+    # (measured 7 parses per row in the executed plan; now exactly 1).
+    eligible = op.isin("c", "u", "d") & ((op == "d") | F.col("after").isNotNull())
+    keyed = changes.select(
+        F.coalesce(F.col(f"after.{key}"), F.col(f"before.{key}")).alias("_k"),
+        F.when(
+            eligible,
+            # ordering fields first: per key the greatest (ts_ms, is-delete,
+            # op) wins — the exact ordering the previous window sorted by —
+            # with the payload riding along as the struct tail
+            F.struct(
+                F.col("ts_ms"),
+                (op == "d").cast("int").alias("_d"),
+                op,
+                F.col("after"),
+            ),
+        ).alias("_cand"),
     )
-    w = Window.partitionBy("_k").orderBy(
-        F.col("ts_ms").desc(),
-        (F.col("op") == "d").cast("int").desc(),
-        F.col("op").desc(),
-    )
+    # Last change per key as a MAP-SIDE-COMBINABLE argmax: partial
+    # aggregation ships one candidate per key per map task instead of
+    # shuffling + sorting every envelope, and — unlike the earlier window +
+    # anti-join + union shape, which referenced this subtree twice — the
+    # whole envelope pipeline (including its JSON parse) is evaluated
+    # exactly ONCE because the merge below is a single full-outer join.
+    # Keys whose envelopes were ALL ineligible aggregate to NULL and are
+    # dropped, matching the previous filter semantics.
     last = (
-        keyed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        keyed.groupBy("_k")
+        .agg(F.max("_cand").alias("_m"))
+        .filter(F.col("_m").isNotNull())
+        .select(
+            "_k",
+            F.struct(
+                F.col("_m.op").alias("op"), F.col("_m.after").alias("after")
+            ).alias("_ch"),
+        )
     )
     cols = snapshot.columns
-    upserts = last.filter(F.col("op") != "d").select(
-        *[F.col(f"after.{c}").alias(c) for c in cols]
+    # One key-partitioned full-outer merge: unmatched snapshot rows pass
+    # through, c/u changes take the after payload (whether or not the key
+    # existed), d drops the key. Row-for-row identical to the previous
+    # survivors ∪ upserts formulation.
+    merged = snapshot.join(last, snapshot[key] == last["_k"], "full_outer")
+    ch = last["_ch"]
+    changed = ch.isNotNull()
+    return merged.filter(~changed | (ch.getField("op") != "d")).select(
+        *[
+            F.when(changed, ch.getField("after").getField(c))
+            .otherwise(snapshot[c])
+            .alias(c)
+            for c in cols
+        ]
     )
-    touched = last.select(F.col("_k").alias(key))
-    survivors = snapshot.join(touched, key, "left_anti")
-    return survivors.unionByName(upserts)
