@@ -173,6 +173,32 @@ def _parquet_dir_rows(path: str) -> int:
     return n
 
 
+def _parquet_dir_null_counts(path: str, cols: "list[str]") -> "dict[str, int] | None":
+    """Per-column null counts of a written parquet dir from footer row-group
+    statistics only (no Spark job). Returns None when any row group lacks
+    null-count statistics for a requested column — callers fall back to a
+    data read then."""
+    import pyarrow.parquet as pq
+
+    nulls = {c: 0 for c in cols}
+    for root, _dirs, names in os.walk(path):
+        for fn in names:
+            if not fn.endswith(".parquet") or fn.startswith("_"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, fn)).metadata
+            name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for c in cols:
+                idx = name_to_idx.get(c)
+                if idx is None:
+                    return None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or st.null_count is None:
+                        return None
+                    nulls[c] += st.null_count
+    return nulls
+
+
 def _walk_rel_parquet(dirpath: str) -> list[str]:
     """Relative paths of all parquet part files under ``dirpath``."""
     out = []
@@ -1371,11 +1397,6 @@ class SnapshotTable:
             raise FileNotFoundError(f"no snapshots at {self.path}")
 
         key_rows = keys.select(*cols).distinct()
-        bad = key_rows.filter(
-            " OR ".join(f"({c} IS NULL)" for c in cols)
-        ).limit(1).count()
-        if bad:
-            raise ValueError(f"equality-delete keys contain NULLs in {cols}")
         dd = self._next_delete_dir(entries)
         # writer-unique scratch; the final name is claimed atomically after
         # the write (concurrent writers re-scan instead of sharing a dir)
@@ -1384,6 +1405,26 @@ class SnapshotTable:
         # post-shuffle partitioning — AQE-coalesced to few files when the key
         # set is small, parallel when a mass delete is genuinely large.
         key_rows.write.mode("overwrite").parquet(tmp)
+        # NULL-key gate from the written footers' per-row-group null counts —
+        # KB-scale driver reads instead of a second Spark pass over the
+        # distinct (the pre-write filter+count ran the whole distinct twice);
+        # a footer without null statistics (non-Spark writer) falls back to
+        # the data read. The scratch dir is removed on refusal, so the raise
+        # still leaves no orphan behind.
+        nulls = _parquet_dir_null_counts(tmp, list(cols))
+        if nulls is None:
+            bad = (
+                keys.sparkSession.read.parquet(tmp)
+                .filter(" OR ".join(f"({c} IS NULL)" for c in cols))
+                .limit(1)
+                .count()
+            )
+            nulls = {"_fallback": bad}
+        if any(v > 0 for v in nulls.values()):
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise ValueError(f"equality-delete keys contain NULLs in {cols}")
         if _parquet_dir_rows(tmp) == 0:
             import shutil
 
@@ -3261,12 +3302,20 @@ class SnapshotTable:
             # into dozens of near-empty part files whose per-file open
             # cost dwarfs the k row-group reads the probe pays for
             n_parts = max(1, min(32, (m_bits // WORD_BITS) // 8192))
-            (
-                words.repartitionByRange(n_parts, F.col("w"))
-                .sortWithinPartitions("w", "_file")
-                .write.mode("overwrite")
-                .parquet(words_dir)
-            )
+            # persist the aggregated words before the range repartition:
+            # repartitionByRange runs a SAMPLING job to pick bounds, which
+            # would otherwise recompute the whole scan→explode→bit_or
+            # subtree once for the sample and again for the write
+            words = words.persist()
+            try:
+                (
+                    words.repartitionByRange(n_parts, F.col("w"))
+                    .sortWithinPartitions("w", "_file")
+                    .write.mode("overwrite")
+                    .parquet(words_dir)
+                )
+            finally:
+                words.unpersist()
             blob = {
                 "m_bits": int(m_bits),
                 "k": int(k),

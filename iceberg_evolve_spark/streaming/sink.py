@@ -195,32 +195,44 @@ def mor_cdc_batch_writer(
             (F.col(op_col) == "d").cast("int").desc(),
             F.col(op_col).desc(),
         )
+        # Persist the per-key reduction: the has_upserts probe, the delete
+        # commit and the append commit each act on it, and without the cache
+        # every action re-runs the window over a re-read of the micro-batch
+        # source. Batch-sized state — the standard cache-per-micro-batch
+        # discipline for multi-action foreachBatch sinks.
         last = (
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
+            .persist()
         )
-        data_cols = [c for c in last.columns if c not in (op_col, order_col)]
-        upserts = last.filter(F.col(op_col) != "d").select(*data_cols)
-        has_upserts = upserts.limit(1).count() > 0
-        if not t.versions():
-            if not has_upserts:
-                return  # nothing to delete from an empty table
-            t.write(upserts, note=f"{stamp} bootstrap")
-            return
-        # delete-only batches: the delete IS the final commit, stamped with
-        # the full-batch token. Upsert batches stamp the delete commit with
-        # its own retire token so a crash-replay skips it (ADVICE r9).
-        if retire_stamp not in tokens:
-            t.delete_by_key(
-                last.select(key),
-                [key],
-                note=f"{stamp} retire"
-                if not has_upserts
-                else f"{retire_stamp} of batch {batch_id}",
-            )
-        if has_upserts:
-            t.append(upserts, note=f"{stamp} append")
+        try:
+            data_cols = [
+                c for c in last.columns if c not in (op_col, order_col)
+            ]
+            upserts = last.filter(F.col(op_col) != "d").select(*data_cols)
+            has_upserts = upserts.limit(1).count() > 0
+            if not t.versions():
+                if not has_upserts:
+                    return  # nothing to delete from an empty table
+                t.write(upserts, note=f"{stamp} bootstrap")
+                return
+            # delete-only batches: the delete IS the final commit, stamped
+            # with the full-batch token. Upsert batches stamp the delete
+            # commit with its own retire token so a crash-replay skips it
+            # (ADVICE r9).
+            if retire_stamp not in tokens:
+                t.delete_by_key(
+                    last.select(key),
+                    [key],
+                    note=f"{stamp} retire"
+                    if not has_upserts
+                    else f"{retire_stamp} of batch {batch_id}",
+                )
+            if has_upserts:
+                t.append(upserts, note=f"{stamp} append")
+        finally:
+            last.unpersist()
         if max_delete_files is not None:
             t.maintain(
                 spark,
