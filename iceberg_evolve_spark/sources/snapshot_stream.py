@@ -293,9 +293,19 @@ def _project_by_field_id(tbl, gen_json: dict, pinned_json: dict):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, sid: "int | None" = None):
+    def __init__(
+        self,
+        path: str,
+        sid: "int | None" = None,
+        gen_json: "dict | None" = None,
+    ):
         self.path = path
         self.sid = sid
+        # the generation's schema JSON rides on the partition for ids the
+        # reader's pinned map predates (a mid-stream evolve_schema commits
+        # a NEWER generation than any known at reader construction) — the
+        # partition is pickled per batch, so executors always see it
+        self.gen_json = gen_json
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
@@ -347,7 +357,26 @@ class SnapshotStreamReader(DataSourceStreamReader):
             self.on_change,
             with_schema=True,
         )
-        return [_FilePartition(p, sid) for p, sid in files]
+        # FORWARD drift (ADVICE r12): files committed under a schema id
+        # CREATED after reader construction are missing from the pinned
+        # map — refresh generation schemas driver-side from the live log
+        # head (which carries every generation a retained manifest needs)
+        # and attach the drifted file's generation JSON to its partition.
+        live: "dict | None" = None
+        parts = []
+        for p, sid in files:
+            gen_json = None
+            if sid is not None and sid != self._pinned_sid:
+                gen_json = self._schemas.get(str(sid))
+                if gen_json is None:
+                    if live is None:
+                        entries = _log(self.table_path)
+                        live = (
+                            entries[-1].get("schemas", {}) if entries else {}
+                        )
+                    gen_json = live.get(str(sid))
+            parts.append(_FilePartition(p, sid, gen_json))
+        return parts
 
     def read(self, partition: _FilePartition) -> Iterator:
         import pyarrow as pa
@@ -367,9 +396,19 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     "restart the stream to adopt the new schema, or set "
                     "on_schema_change='project'"
                 )
+            gen_json = partition.gen_json or self._schemas.get(
+                str(partition.sid)
+            )
+            if gen_json is None:  # pragma: no cover - log corruption
+                raise ValueError(
+                    f"file {partition.path} carries unknown schema id "
+                    f"{partition.sid} (not in the pinned map or the live "
+                    "log head) — the snapshot log is corrupt or the "
+                    "generation was expired mid-stream"
+                )
             tbl = _project_by_field_id(
                 tbl,
-                self._schemas[str(partition.sid)],
+                gen_json,
                 self._schemas[str(self._pinned_sid)],
             )
         # Cast every file to the stream's DECLARED schema: Spark's Arrow
