@@ -20,6 +20,7 @@ Float discipline (so value-hashes match across engines):
 
 from __future__ import annotations
 
+import functools
 import os
 from collections.abc import Callable
 
@@ -12592,15 +12593,34 @@ def orders_cdc_stream_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         ]
-        for i, wave in enumerate(waves):
-            stage = os.path.join(tmp, f"stage{i}")
-            wave.coalesce(1).write.mode("overwrite").parquet(stage)
-            part = next(
-                f for f in os.listdir(stage) if f.endswith(".parquet")
+        # All three waves land in ONE Spark job: union with a wave ordinal,
+        # hash-repartition on it (all rows of a wave share one task; the
+        # dynamic-partition writer opens exactly one file per _w value), and
+        # write partitioned by _w — the ordinal lives in the dir name, so
+        # each wave file carries exactly the envelope columns. Replaces
+        # three sequential coalesce(1) write jobs.
+        stage = os.path.join(tmp, "stage")
+        (
+            functools.reduce(
+                lambda a, b: a.unionByName(b),
+                [w.withColumn("_w", F.lit(i)) for i, w in enumerate(waves)],
             )
-            os.rename(
-                os.path.join(stage, part), os.path.join(src, f"w{i}.parquet")
-            )
+            .repartition(len(waves), "_w")
+            .write.mode("overwrite")
+            .partitionBy("_w")
+            .parquet(stage)
+        )
+        for i in range(len(waves)):
+            wdir = os.path.join(stage, f"_w={i}")
+            parts = [f for f in os.listdir(wdir) if f.endswith(".parquet")]
+            assert len(parts) == 1, parts
+            dst = os.path.join(src, f"w{i}.parquet")
+            os.rename(os.path.join(wdir, parts[0]), dst)
+            # The file stream source orders same-batch files by modification
+            # time; the single-job write gives all three one mtime, so stamp
+            # strictly increasing times to keep wave order deterministic
+            # (the sequential writes this replaces got that for free).
+            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
         table_path = os.path.join(tmp, "mor_table")
         stream = (
             spark.readStream.schema(env_cols)

@@ -151,8 +151,11 @@ def mor_cdc_batch_writer(
     1. ONE equality-delete commit (``SnapshotTable.delete_by_key``) retiring
        every changed key — delete envelopes AND the superseded versions of
        upserted rows; the data is never scanned, and
-    2. ONE fast-append commit (``SnapshotTable.append``) adding the new row
-       versions — data-sequence numbers keep them alive past the delete.
+    2. ONE fast-append commit (``SnapshotTable.publish(mode="append")`` of
+       the batch's pre-staged upsert files — the WAP ingest path, so the
+       has-upserts decision reads the staged footers driver-side instead of
+       running a probe job) adding the new row versions — data-sequence
+       numbers keep them alive past the delete.
 
     That is Iceberg's streaming-upsert shape: O(batch) work per batch
     regardless of table size, with compaction
@@ -178,7 +181,10 @@ def mor_cdc_batch_writer(
     reserving the data-file binpack for the manifest-count trigger; at
     streaming cadence on a large table this is the difference between a
     recurring metadata-sized job and a recurring file-rewrite job."""
-    from iceberg_evolve_spark.sources.snapshots import SnapshotTable
+    from iceberg_evolve_spark.sources.snapshots import (
+        SnapshotTable,
+        _parquet_dir_rows,
+    )
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         t = SnapshotTable(table_path)
@@ -195,11 +201,11 @@ def mor_cdc_batch_writer(
             (F.col(op_col) == "d").cast("int").desc(),
             F.col(op_col).desc(),
         )
-        # Persist the per-key reduction: the has_upserts probe, the delete
-        # commit and the append commit each act on it, and without the cache
-        # every action re-runs the window over a re-read of the micro-batch
-        # source. Batch-sized state — the standard cache-per-micro-batch
-        # discipline for multi-action foreachBatch sinks.
+        # Persist the per-key reduction: the staged upsert write and the
+        # delete commit both act on it, and without the cache every action
+        # re-runs the window over a re-read of the micro-batch source.
+        # Batch-sized state — the standard cache-per-micro-batch discipline
+        # for multi-action foreachBatch sinks.
         last = (
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -211,11 +217,22 @@ def mor_cdc_batch_writer(
                 c for c in last.columns if c not in (op_col, order_col)
             ]
             upserts = last.filter(F.col(op_col) != "d").select(*data_cols)
-            has_upserts = upserts.limit(1).count() > 0
+            # Stage the upserts FIRST (staged dirs are invisible to readers,
+            # so commit order is unchanged), then read has_upserts from the
+            # staged footers' row counts driver-side: one Spark job per
+            # batch replaces the old probe + append pair (the limit(1)
+            # probe was a full extra job per micro-batch). A replayed batch
+            # restages the same id, which replaces a crashed attempt.
+            sid = f"cdc_{batch_id}"
+            t.stage(upserts, sid)
+            has_upserts = (
+                _parquet_dir_rows(os.path.join(t.path, f"stage_{sid}")) > 0
+            )
             if not t.versions():
                 if not has_upserts:
+                    t.discard_staged(sid)
                     return  # nothing to delete from an empty table
-                t.write(upserts, note=f"{stamp} bootstrap")
+                t.publish(sid, note=f"{stamp} bootstrap")
                 return
             # delete-only batches: the delete IS the final commit, stamped
             # with the full-batch token. Upsert batches stamp the delete
@@ -230,7 +247,9 @@ def mor_cdc_batch_writer(
                     else f"{retire_stamp} of batch {batch_id}",
                 )
             if has_upserts:
-                t.append(upserts, note=f"{stamp} append")
+                t.publish(sid, mode="append", note=f"{stamp} append")
+            else:
+                t.discard_staged(sid)
         finally:
             last.unpersist()
         if max_delete_files is not None:
