@@ -3698,12 +3698,18 @@ def snapshot_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_docs = t.read(spark, version=2).join(
             v1.select("doc_id"), "doc_id", "left_anti"
         )
-        corpus_sig = minhash_signatures(
-            v1, "doc_id", num_hashes=MINHASH_N, k=SHINGLE_K
-        )
-        batch_sig = minhash_signatures(
-            new_docs, "doc_id", num_hashes=MINHASH_N, k=SHINGLE_K
-        )
+        # v2 is exactly v1 ∪ new docs (disjoint by doc_id), so ONE signature
+        # pass over v2 covers both probe sides; membership splits are
+        # doc_id-only semi/anti joins against the v1 snapshot — shingling and
+        # the 32-way minhash aggregation run once, not per side (guide §2.3:
+        # don't compute the expensive subtree twice).
+        all_sig = minhash_signatures(
+            t.read(spark, version=2), "doc_id",
+            num_hashes=MINHASH_N, k=SHINGLE_K,
+        ).persist()
+        v1_ids = v1.select("doc_id")
+        corpus_sig = all_sig.join(v1_ids, "doc_id", "semi")
+        batch_sig = all_sig.join(v1_ids, "doc_id", "left_anti")
         hits = minhash_lsh_probe(
             corpus_sig,
             batch_sig,
@@ -3733,6 +3739,7 @@ def snapshot_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
         unpersist_intermediates(hits)
+        all_sig.unpersist()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
@@ -4132,6 +4139,9 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     # repartition after the limit: a global top-N lands on ONE partition,
     # which would serialize the whole shingle/minhash pipeline downstream
+    # persisted: both the exact and the LSH pipeline consume the panel, and
+    # without the persist each one re-runs the documents scan + global
+    # top-N sort (§5: the panel is 2048 docs — KB-scale, trivially cached)
     panel = (
         docs.orderBy(
             hash60(F.col("doc_id").cast("string")).asc(),
@@ -4139,6 +4149,7 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(DOC_EVAL_PANEL)
         .repartition(16, F.col("doc_id"))
+        .persist()
     )
     exact = ngram_jaccard_pairs(
         panel, "doc_id", k=SHINGLE_K, threshold=JACCARD_T
@@ -4169,6 +4180,7 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0)).alias("recall"),
     )
     handles = (
+        panel,
         *getattr(exact, "_persisted_intermediates", ()),
         *getattr(lsh, "_persisted_intermediates", ()),
     )
@@ -10715,15 +10727,30 @@ def orders_wap_tagged_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         fresh_seq = bool(pub_files) and all(
             os.path.basename(p).startswith(f"s{v2:05d}-") for p in pub_files
         )
+        # One job for the three read surfaces (§2.6/§5: tag read, version
+        # read and current read were four sequential jobs — count ×3 and the
+        # price aggregate); a position-tagged union computes them together.
         ref_df = t.read_ref(spark, "release-1")
-        ref_n = ref_df.count()
-        ver_n = t.read(spark, version=v2).count()
-        ref_price = ref_df.agg(
-            F.sum(
-                F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)")
-            ).alias("p")
-        ).first()["p"]
-        cur_n = t.read(spark).count()
+        tagged_reads = None
+        for i, d in enumerate((ref_df, t.read(spark, version=v2), t.read(spark))):
+            part = d.select(
+                F.lit(i).alias("_i"),
+                F.round(F.col("o_totalprice"), 2)
+                .cast("decimal(28,2)")
+                .alias("_p2"),
+            )
+            tagged_reads = (
+                part if tagged_reads is None else tagged_reads.unionByName(part)
+            )
+        stats = tagged_reads.groupBy("_i").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("_i") == 0, F.col("_p2"))).alias("p"),
+        ).collect()
+        by_i = {r["_i"]: r for r in stats}
+        ref_n = int(by_i[0]["n"]) if 0 in by_i else 0
+        ver_n = int(by_i[1]["n"]) if 1 in by_i else 0
+        cur_n = int(by_i[2]["n"]) if 2 in by_i else 0
+        ref_price = by_i[0]["p"] if 0 in by_i else None
         tag_pinned = (tagged == v2) and (v2 not in expired)
         rows = [
             (
@@ -11374,19 +11401,41 @@ def orders_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(300)
 
     try:
+        from iceberg_evolve_spark.sources.snapshots import _parquet_dir_rows
+
         tbl = os.path.join(tmp, "orders_table")
         out = os.path.join(tmp, "out")
         ck = os.path.join(tmp, "ck")
         t = SnapshotTable(tbl)
-        t.write(orders.filter(F.col("o_orderkey") % 3 == 0), ts=1000.0)
-        t.append(orders.filter(F.col("o_orderkey") % 3 == 1), ts=2000.0)
+        # Stage all three key-residue commit waves in ONE partitioned write
+        # (guide §2.4: the three sequential filtered writes each rescanned
+        # orders), then promote each wave through the WAP stage/publish path
+        # — an O(files) commit that moves the already-written files, so the
+        # table's commit sequence (write + two fast-appends) is unchanged.
+        waves = os.path.join(tmp, "waves")
+        (
+            orders.withColumn(
+                "_res", (F.col("o_orderkey") % 3).cast("int")
+            )
+            .write.partitionBy("_res")
+            .parquet(waves)
+        )
+        for i in (0, 1, 2):
+            os.rename(
+                os.path.join(waves, f"_res={i}"),
+                os.path.join(tbl, f"stage_w{i}"),
+            )
+        n_slice3 = _parquet_dir_rows(os.path.join(tbl, "stage_w2"))
+        t.publish("w0", ts=1000.0, mode="overwrite")
+        t.publish("w1", ts=2000.0, mode="append")
         _run(tbl, out, ck)
-        n_run1 = spark.read.parquet(out).count()
-        t.append(orders.filter(F.col("o_orderkey") % 3 == 2), ts=3000.0)
+        # row counts of the sink output come from its parquet footers —
+        # KB-scale driver-side metadata instead of two count jobs (§5)
+        n_run1 = _parquet_dir_rows(out)
+        t.publish("w2", ts=3000.0, mode="append")
         _run(tbl, out, ck)
         tailed = spark.read.parquet(out)
-        n_slice3 = orders.filter(F.col("o_orderkey") % 3 == 2).count()
-        delta_only = (tailed.count() - n_run1) == n_slice3
+        delta_only = (_parquet_dir_rows(out) - n_run1) == n_slice3
         agg = tailed.groupBy("o_orderstatus").agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(
@@ -11785,22 +11834,25 @@ def orders_cbo_planned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, t_o, t_c, "o_custkey", "c_custkey"
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
-        actual = out.count()
-        planned_ok = (
-            decision["strategy"] == "broadcast"
-            and decision["build_side"] == "right"
-            and "BroadcastHashJoin" in plan
-            and abs(decision["est_rows"] - actual) <= 0.1 * actual
-        )
         agg = out.groupBy("c_mktsegment").agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(
                 F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)")
             ).alias("sp"),
         )
+        seg_rows = agg.collect()
+        # the joined row count is the sum of the per-segment counts — no
+        # separate count() job over the join (§5: one read, two answers)
+        actual = sum(int(r["n"]) for r in seg_rows)
+        planned_ok = (
+            decision["strategy"] == "broadcast"
+            and decision["build_side"] == "right"
+            and "BroadcastHashJoin" in plan
+            and abs(decision["est_rows"] - actual) <= 0.1 * actual
+        )
         rows = [
             (bool(planned_ok), r["c_mktsegment"], int(r["n"]), float(r["sp"]))
-            for r in agg.collect()
+            for r in seg_rows
         ]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -11880,16 +11932,27 @@ def orders_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         by_ver = {x["version"]: x for x in t.versions()}
         same_dir = by_ver[1]["data_dir"] == by_ver[v3]["data_dir"]
         v4_clean = not by_ver[v4].get("deletes")
-        counts = [int(t.read(spark, version=v).count()) for v in (1, v2, v3, v4)]
-        price = (
-            t.read(spark)
-            .agg(
-                F.sum(
-                    F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)")
-                ).alias("p")
+        # One Spark job for all five read surfaces (guide §2.6/§5: the four
+        # version counts and the price aggregate were five SEQUENTIAL jobs;
+        # a position-tagged union aggregates them in a single query — the
+        # tag is positional, not the version number, because no-op deletes
+        # can legally return a duplicate version at tiny SFs).
+        tagged = None
+        for i, v in enumerate((1, v2, v3, v4)):
+            part = t.read(spark, version=v).select(
+                F.lit(i).alias("_i"),
+                F.round(F.col("o_totalprice"), 2)
+                .cast("decimal(28,2)")
+                .alias("_p2"),
             )
-            .first()["p"]
-        )
+            tagged = part if tagged is None else tagged.unionByName(part)
+        stats = tagged.groupBy("_i").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("_i") == 3, F.col("_p2"))).alias("p"),
+        ).collect()
+        by_i = {r["_i"]: r for r in stats}
+        counts = [int(by_i[i]["n"]) if i in by_i else 0 for i in range(4)]
+        price = by_i[3]["p"]
         rows = [
             (
                 counts[0],
