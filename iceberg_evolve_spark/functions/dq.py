@@ -1,10 +1,11 @@
 """Declarative data-quality expectations — the Deequ idea (Schelter et al.,
 "Automating large-scale data quality verification", VLDB 2018) re-expressed
 as plain Catalyst aggregation: a check list compiles into ONE full-scan
-aggregation per table (every row-local predicate becomes a conditional-sum
-column in the same pass), plus one aggregation-free semi/anti join per
-referential check. No per-check scans, no driver-side row loops — 100 TB
-costs one scan regardless of how many expectations are attached.
+aggregation per table — every row-local predicate becomes a conditional-sum
+column in the same pass, and each referential check rides the same pass as
+a left-joined match-marker sum (the reference key set is distinct, so the
+join is row-preserving). No per-check scans, no driver-side row loops —
+100 TB costs one scan regardless of how many expectations are attached.
 
 Check vocabulary (all exact integer violation counts):
 
@@ -20,9 +21,9 @@ Check vocabulary (all exact integer violation counts):
 - ``matches(col, regex)`` — non-NULL rows not fully matching the pattern
   (portable Java∩RE2 subset, same discipline as redact_pii).
 - ``foreign_key(col, ref_df, ref_col)`` — rows whose non-NULL value has no
-  match in the reference column (left-anti count). Each FK check is its own
-  join (broadcast when the reference is dimension-sized), NOT part of the
-  single-pass aggregate.
+  match in the reference column. Folded into the single-pass aggregate via
+  a left join against the distinct reference keys (broadcast when the
+  reference is dimension-sized).
 
 ``run_checks`` returns one row per check: (check, column, n_rows,
 n_violations, passed) — exact integers, so the report is hash-gatable.
@@ -92,10 +93,9 @@ def _violations(c: Check) -> Column:
     return F.sum(bad.cast("long"))
 
 
-def local_check_aggregate(df: DataFrame, local: Sequence[Check]) -> DataFrame:
-    """The shared single-pass aggregate for all row-local checks: one
-    column per predicate sum, count/countDistinct pairs for uniqueness.
-    Exposed separately so the one-scan property is plan-assertable."""
+def _check_agg_columns(local: Sequence[Check]) -> list[Column]:
+    """Aggregate columns for the shared single-pass check aggregate: one
+    column per predicate sum, count/countDistinct pairs for uniqueness."""
     aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
     for i, c in enumerate(local):
         if c.kind == "unique":
@@ -103,19 +103,54 @@ def local_check_aggregate(df: DataFrame, local: Sequence[Check]) -> DataFrame:
             aggs.append(F.countDistinct(F.col(c.column)).alias(f"_dst{i}"))
         else:
             aggs.append(_violations(c).alias(f"_v{i}"))
-    return df.agg(*aggs)
+    return aggs
+
+
+def local_check_aggregate(df: DataFrame, local: Sequence[Check]) -> DataFrame:
+    """The shared single-pass aggregate for all row-local checks.
+    Exposed separately so the one-scan property is plan-assertable."""
+    return df.agg(*_check_agg_columns(local))
 
 
 def run_checks(df: DataFrame, checks: Sequence[Check]) -> list[tuple]:
     """Evaluate every check; returns ``[(check, column, n_rows,
     n_violations, passed), ...]`` driver-side (|checks| rows — bounded).
 
-    One aggregation pass covers all row-local checks and every ``unique``
-    (count/countDistinct pairs ride the same pass via multi-distinct);
-    each ``foreign_key`` adds one anti-join count. The input is scanned
-    ``1 + #fk_checks`` times total."""
+    One aggregation pass covers all row-local checks, every ``unique``
+    (count/countDistinct pairs ride the same pass via multi-distinct), and
+    every ``foreign_key`` (a left-joined match marker summed in the same
+    pass). The input is scanned ONCE regardless of the check list."""
     local = [c for c in checks if c.kind not in ("foreign_key",)]
-    row = local_check_aggregate(df, local).first()
+    fks = [c for c in checks if c.kind == "foreign_key"]
+    # Referential checks fold INTO the single-pass aggregate instead of a
+    # separate anti-join count per FK: each reference contributes a distinct
+    # key set left-joined as a match marker, and the violation is the
+    # conditional sum over (value non-NULL AND no match) — the checked table
+    # is scanned ONCE total, not 1 + #fk_checks times. No forced broadcast:
+    # the optimizer broadcasts dimension-sized references on its own, and a
+    # fact-sized reference falls back to a shuffle join (the distinct key
+    # set never multiplies rows, so the left join is row-preserving and the
+    # local sums are unchanged).
+    probe = df
+    fk_aggs: list[Column] = []
+    for j, c in enumerate(fks):
+        ref_df, ref_col = c.params
+        marker = f"_fk_match_{j}"
+        probe = probe.join(
+            ref_df.select(F.col(ref_col).alias(c.column))
+            .distinct()
+            .withColumn(marker, F.lit(True)),
+            c.column,
+            "left",
+        )
+        fk_aggs.append(
+            F.sum(
+                (F.col(c.column).isNotNull() & F.col(marker).isNull()).cast(
+                    "long"
+                )
+            ).alias(f"_fkv{j}")
+        )
+    row = probe.agg(*_check_agg_columns(local), *fk_aggs).first()
     n = int(row["_n"])
     out: list[tuple] = []
     for i, c in enumerate(local):
@@ -124,20 +159,7 @@ def run_checks(df: DataFrame, checks: Sequence[Check]) -> list[tuple]:
         else:
             v = int(row[f"_v{i}"] or 0)
         out.append((c.kind, c.column, n, v, v == 0))
-    for c in (c for c in checks if c.kind == "foreign_key"):
-        ref_df, ref_col = c.params
-        # no forced broadcast: the optimizer broadcasts dimension-sized
-        # references on its own, and a fact-sized reference must fall back
-        # to a shuffle anti-join instead of a driver-OOM broadcast
-        v = (
-            df.select(F.col(c.column))
-            .filter(F.col(c.column).isNotNull())
-            .join(
-                ref_df.select(F.col(ref_col).alias(c.column)).distinct(),
-                c.column,
-                "left_anti",
-            )
-            .count()
-        )
+    for j, c in enumerate(fks):
+        v = int(row[f"_fkv{j}"] or 0)
         out.append((c.kind, c.column, n, v, v == 0))
     return out

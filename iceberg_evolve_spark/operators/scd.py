@@ -132,32 +132,39 @@ def scd2_apply_changes(
     lead_noop = (
         (F.col(version) == 1) & F.col("_c_ver").isNotNull() & same_as_cur
     )
-    b = b.withColumn("_drop", lead_noop)
-    shift = b.groupBy(key).agg(F.max(F.col("_drop").cast("int")).alias("_shift"))
-    surv = (
-        b.filter(~F.col("_drop"))
-        .join(shift, key)
-        .select(
-            key,
-            *attrs,
-            valid_from,
-            valid_to,
-            (
-                F.col(version) - F.col("_shift") + F.coalesce(F.col("_c_ver"), F.lit(0))
-            ).cast("int").alias(version),
-        )
+    # The per-key shift (1 when the leading batch interval was a no-op) and
+    # the key's first surviving valid_from are WINDOWS over the join output,
+    # not groupBy+self-joins: the left join already clustered ``b`` by the
+    # key, so both aggregates reuse that partitioning in one pass and the
+    # batch pipeline (two interval windows + the join) is evaluated once
+    # instead of three times.
+    wk = Window.partitionBy(key)
+    b = b.withColumn("_drop", lead_noop).withColumn(
+        "_shift", F.max(lead_noop.cast("int")).over(wk)
     )
-    first_new = surv.groupBy(key).agg(F.min(valid_from).alias("_close_at"))
-    open_rows = (
-        dim.filter(F.col(valid_to).isNull())
-        .join(first_new, key, "left")
-        .select(
-            *[
-                F.col("_close_at").alias(valid_to) if c == valid_to else F.col(c)
-                for c in dim.columns
-            ]
-        )
+    surv = b.filter(~F.col("_drop")).select(
+        key,
+        *attrs,
+        valid_from,
+        valid_to,
+        (
+            F.col(version) - F.col("_shift") + F.coalesce(F.col("_c_ver"), F.lit(0))
+        ).cast("int").alias(version),
     )
-    return dim.filter(F.col(valid_to).isNotNull()).unionByName(open_rows).unionByName(
-        surv.select(*dim.columns)
+    first_new = b.groupBy(key).agg(
+        F.min(F.when(~F.col("_drop"), F.col(valid_from))).alias("_close_at")
     )
+    # ONE pass over the dimension for both history branches: closed rows
+    # keep their valid_to (coalesce short-circuits), open rows close at the
+    # key's first new interval (or stay open when the key is untouched) —
+    # previously the dim subtree was computed twice more here (a filtered
+    # open-rows join plus the closed-history filter).
+    kept = dim.join(first_new, key, "left").select(
+        *[
+            F.coalesce(F.col(valid_to), F.col("_close_at")).alias(valid_to)
+            if c == valid_to
+            else F.col(c)
+            for c in dim.columns
+        ]
+    )
+    return kept.unionByName(surv.select(*dim.columns))

@@ -163,14 +163,21 @@ def _dir_bytes(path: str) -> int:
 def _parquet_dir_rows(path: str) -> int:
     """Row count of a written parquet dir from footers only (no Spark job,
     no re-read): one KB-scale footer read per part file, driver-side."""
-    import pyarrow.parquet as pq
-
-    n = 0
+    files = []
     for root, _dirs, names in os.walk(path):
         for fn in names:
             if fn.endswith(".parquet") and not fn.startswith("_"):
-                n += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
-    return n
+                files.append(os.path.join(root, fn))
+    return _parquet_files_rows(files)
+
+
+def _parquet_files_rows(files: "list[str]") -> int:
+    """Row count of an explicit parquet file list from footers only —
+    the metadata-sized count for a planned scan (e.g. ``plan_scan()``'s
+    kept set on a delete-free snapshot)."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
 def _parquet_dir_null_counts(path: str, cols: "list[str]") -> "dict[str, int] | None":
