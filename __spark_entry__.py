@@ -2333,24 +2333,32 @@ def orders_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         t.write(orders, note="full backfill", ts=2000.0)
         t.rollback(1, ts=3000.0)
-        rows = []
-        for name, spec in [
+        # One Spark job for all four read surfaces (§2.6/§5: the four
+        # 1-row aggregates were four SEQUENTIAL jobs; a position-tagged
+        # union aggregates them together — same shape as the
+        # merge-on-read entry's consolidation)
+        specs = [
             ("asof_1500", dict(as_of=1500.0)),
             ("latest_after_rollback", dict()),
             ("v1_pinned", dict(version=1)),
             ("v2_pinned", dict(version=2)),
-        ]:
-            r = (
-                t.read(spark, **spec)
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.round(
-                        F.sum(_dec(F.col("o_totalprice"), 2)).cast("double"), 2
-                    ).alias("s"),
-                )
-                .first()
+        ]
+        tagged = None
+        for i, (_name, spec) in enumerate(specs):
+            part = t.read(spark, **spec).select(
+                F.lit(i).alias("_i"),
+                _dec(F.col("o_totalprice"), 2).alias("_p2"),
             )
-            rows.append((name, r["n"], r["s"]))
+            tagged = part if tagged is None else tagged.unionByName(part)
+        stats = tagged.groupBy("_i").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("_p2").cast("double"), 2).alias("s"),
+        ).collect()
+        by_i = {r["_i"]: r for r in stats}
+        rows = [
+            (name, by_i[i]["n"], by_i[i]["s"])
+            for i, (name, _spec) in enumerate(specs)
+        ]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
@@ -10938,6 +10946,11 @@ def orders_changelog_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ts=3000.0,
         )
         vN = t.versions()[-1]["version"]
+        # NOT persisted although merge_with_retractions consumes the
+        # changelog three times: each consumer prunes it to a different
+        # narrow column set, and an interleaved A/B showed caching the full
+        # width costs more than the three pruned evaluations save
+        # (old 6.42 s vs persisted 8.71 s median at sf0.1)
         log = _measured(t.changes_between(spark, v1, vN))
         refreshed = maintain_from_changelog(
             base,
@@ -11231,15 +11244,36 @@ def orders_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         t = SnapshotTable(os.path.join(tmp, "orders_table"))
         v1 = t.write(orders, ts=1000.0)
-        updates = orders.filter(F.col("o_orderstatus") == "P").withColumn(
-            "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+        # one orders scan feeds the merge source (§2.3: the update slice
+        # ('P') and the insert slice ('F' % 10) are disjoint by status, so
+        # the union of two filtered scans collapses into per-column CASEs)
+        src = orders.filter(
+            (F.col("o_orderstatus") == "P")
+            | (
+                (F.col("o_orderstatus") == "F")
+                & (F.col("o_orderkey") % 10 == 0)
+            )
+        ).select(
+            *[
+                F.when(
+                    F.col("o_orderstatus") == "F",
+                    F.col("o_orderkey") + F.lit(600000000),
+                )
+                .otherwise(F.col("o_orderkey"))
+                .alias("o_orderkey")
+                if c == "o_orderkey"
+                else F.when(
+                    F.col("o_orderstatus") == "P",
+                    F.col("o_totalprice") + F.lit(1000.0),
+                )
+                .otherwise(F.col("o_totalprice"))
+                .alias("o_totalprice")
+                if c == "o_totalprice"
+                else F.col(c)
+                for c in orders.columns
+            ]
         )
-        inserts = orders.filter(
-            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 10 == 0)
-        ).withColumn("o_orderkey", F.col("o_orderkey") + F.lit(600000000))
-        vN = merge_into(
-            spark, t, updates.unionByName(inserts), on="o_orderkey", ts=2000.0
-        )
+        vN = merge_into(spark, t, src, on="o_orderkey", ts=2000.0)
         entries = t.versions()
         mor_ok = vN == v1 + 2 and not any(e.get("rewrite") for e in entries)
         agg = t.read(spark).groupBy("o_orderstatus").agg(
@@ -11321,22 +11355,45 @@ def orders_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("pmin", int(probe_row["kp"])),
             ("absent", int(probe_row["kabs"])),
         ]
+        # plan each probe separately (the pruning witness is per-probe,
+        # driver-side KB metadata — no Spark job), but run ONE read over the
+        # UNION of the kept sets (§2.6/§5: three sequential point-lookup agg
+        # jobs become one). Safe because bloom pruning has no false
+        # negatives: every row matching probe k lives inside k's own kept
+        # set ⊆ the union; the residual isin + per-key grouping attributes
+        # rows exactly as the per-probe residual equality filters did.
         pruned = True
-        rows = []
-        for label, key in probes:
+        kept_union: dict[str, None] = {}
+        for _label, key in probes:
             kept, total = t.plan_scan(eq={"o_orderkey": key})
             pruned = pruned and len(kept) < total
-            got = t.read(spark, eq={"o_orderkey": key}).agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(
-                    F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)")
-                ).alias("sp"),
-            ).first()
+            for f in kept:
+                kept_union[f] = None
+        by_key: dict[int, object] = {}
+        if kept_union:
+            got = (
+                spark.read.parquet(*kept_union)
+                .filter(F.col("o_orderkey").isin([k for _, k in probes]))
+                .groupBy("o_orderkey")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        F.round(F.col("o_totalprice"), 2).cast("decimal(28,2)")
+                    ).alias("sp"),
+                )
+                .collect()
+            )
+            by_key = {int(r["o_orderkey"]): r for r in got}
+        rows = []
+        for label, key in probes:
+            r = by_key.get(key)
             rows.append(
                 (
                     label,
-                    int(got["n"]),
-                    float(got["sp"]) if got["sp"] is not None else 0.0,
+                    int(r["n"]) if r is not None else 0,
+                    float(r["sp"])
+                    if r is not None and r["sp"] is not None
+                    else 0.0,
                 )
             )
         out = [(bool(pruned), lbl, n, sp) for lbl, n, sp in rows]

@@ -327,6 +327,7 @@ def bpe_train_merges(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))), ' ')"
     )
     state = vocab.select("c", F.expr(seq).alias("s")).persist()
+    prev: DataFrame | None = None
     merges: list[tuple[int, str, str, int]] = []
     for r in range(1, rounds + 1):
         top = (
@@ -336,24 +337,32 @@ def bpe_train_merges(
             .orderBy(F.col("wgt").desc(), F.col("a").asc(), F.col("b").asc())
             .first()
         )
+        # The top-pair aggregate above is the materializing action for this
+        # round's state cache, so the PARENT round's cache (which this
+        # state's plan read from) can be released only now — deferring the
+        # unpersist one round removes the per-round count() job the old
+        # shape paid purely to materialize before releasing.
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if top is None:
             break
         merges.append((r, top["a"], top["b"], int(top["wgt"])))
-        nxt = state.withColumn(
-            "s",
-            F.replace(
-                F.col("s"),
-                F.lit(f" {top['a']} {top['b']} "),
-                F.lit(f" {top['a']}{top['b']} "),
-            ),
-        ).persist()
-        # Materialize the child BEFORE releasing the parent: unpersisting
-        # first would drop the cache the child's plan reads from, so every
-        # later round would recompute the whole vocab -> replace chain.
-        nxt.count()
-        state.unpersist()
-        state = nxt
+        if r < rounds:
+            # no child state after the FINAL round: the old shape built and
+            # materialized one more replace pass whose result was never read
+            nxt = state.withColumn(
+                "s",
+                F.replace(
+                    F.col("s"),
+                    F.lit(f" {top['a']} {top['b']} "),
+                    F.lit(f" {top['a']}{top['b']} "),
+                ),
+            ).persist()
+            prev, state = state, nxt
     state.unpersist()
+    if prev is not None:
+        prev.unpersist()
     return merges
 
 
