@@ -31,6 +31,7 @@ from __future__ import annotations
 import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -79,22 +80,27 @@ def _bmp_bytes(w: int, h: int, left: tuple[int, int, int], right: tuple[int, int
         0,
         0,
     )
+    # vectorized row assembly (§4.2: whole-image numpy ops instead of a
+    # per-pixel Python loop) — integer-exact, byte-identical to the loop:
+    # pixel x of storage row y is BGR ((c + y) % 256) with left/right by
+    # x < w//2, rows stored bottom-up, zero padding to the 4-byte stride
     half = w // 2
-    rows = []
-    pad = b"\x00" * (stride - 3 * w)
-    for y in range(h - 1, -1, -1):  # bottom-up storage order
-        row = bytearray()
-        for x in range(w):
-            r, g, b = left if x < half else right
-            row += bytes((((b + y) % 256), ((g + y) % 256), ((r + y) % 256)))  # BGR
-        rows.append(bytes(row) + pad)
-    return header + b"".join(rows)
+    xs = np.arange(w)
+    lmask = xs < half
+    base = np.empty(3 * w, np.int64)
+    base[0::3] = np.where(lmask, left[2], right[2])  # b
+    base[1::3] = np.where(lmask, left[1], right[1])  # g
+    base[2::3] = np.where(lmask, left[0], right[0])  # r
+    ys = np.arange(h - 1, -1, -1, dtype=np.int64)[:, None]  # bottom-up
+    buf = np.zeros((h, stride), np.uint8)
+    buf[:, : 3 * w] = ((base[None, :] + ys) % 256).astype(np.uint8)
+    return header + buf.tobytes()
 
 
 def _decode_pixels(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     """Parse a 24-bit uncompressed BMP to image-order (top-down) RGB rows —
-    the resizer's input side. Same header walk as :func:`decode_one_bmp`
-    (which stays the independent verification witness)."""
+    the readable per-pixel reference form (tests pin the hot numpy paths
+    against it). Same header walk as :func:`decode_one_bmp`."""
     magic, _fs, _, _, px_offset = struct.unpack_from("<2sIHHI", payload, 0)
     if magic != b"BM":
         raise ValueError("not a BMP payload")
@@ -148,12 +154,39 @@ def resize_one_bmp(payload: bytes, target_w: int, target_h: int) -> bytes:
     payloads have closed-form pixel witnesses for the oracle. This is the
     production body `multimodal.resize_images` promised: decode → resample
     → re-encode on the same Arrow batch shape."""
-    w, h, rows = _decode_pixels(payload)
-    resized = [
-        [rows[y * h // target_h][x * w // target_w] for x in range(target_w)]
-        for y in range(target_h)
-    ]
-    return _encode_bmp(target_w, target_h, resized)
+    # vectorized decode → fancy-index resample → re-encode (§4.2): the
+    # floor mapping (x·w div tw, y·h div th) becomes two integer index
+    # arrays; bytes stay BGR end to end, so output is byte-identical to
+    # the old per-pixel path
+    magic, _fs, _, _, px_offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    hdr_size, w, h, planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError("unsupported BMP variant")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (3 * w + 3) // 4 * 4
+    arr = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=px_offset
+    ).reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+    img = arr[::-1] if bottom_up else arr  # image (top-down) row order
+    sy = (np.arange(target_h, dtype=np.int64) * h) // target_h
+    sx = (np.arange(target_w, dtype=np.int64) * w) // target_w
+    res = img[sy][:, sx]  # (th, tw, 3) BGR
+    out_stride = (3 * target_w + 3) // 4 * 4
+    data_size = out_stride * target_h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + data_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII",
+        40, target_w, target_h, 1, 24, 0, data_size, 2835, 2835, 0, 0,
+    )
+    buf = np.zeros((target_h, out_stride), np.uint8)
+    buf[:, : 3 * target_w] = res[::-1].reshape(target_h, 3 * target_w)
+    return header + buf.tobytes()
 
 
 BMP_SCHEMA = T.StructType(
@@ -222,29 +255,27 @@ def decode_one_bmp(payload: bytes) -> dict:
     bottom_up = height > 0
     height = abs(height)
     stride = (3 * width + 3) // 4 * 4
-    sum_r = sum_g = sum_b = 0
-    first = (0, 0, 0)
-    for file_row in range(height):
-        # map the file's row index to the image's row index
-        y = (height - 1 - file_row) if bottom_up else file_row
-        base = px_offset + file_row * stride
-        for x in range(width):
-            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
-            sum_r += r
-            sum_g += g
-            sum_b += b
-            if y == 0 and x == 0:
-                first = (r, g, b)
+    # vectorized pixel walk (§4.2): one reshape exposes the padded BGR rows,
+    # channel sums are whole-array int64 reductions — the same exact
+    # integers the per-pixel loop produced, at numpy speed
+    arr = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=px_offset
+    ).reshape(height, stride)[:, : 3 * width].reshape(height, width, 3)
+    sums = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)  # file order: BGR
+    # image row 0 (the TOP row) is the LAST stored row when bottom-up —
+    # the row-order witness the docstring promises
+    first_row = height - 1 if bottom_up else 0
+    b0, g0, r0 = (int(v) for v in arr[first_row, 0])
     return {
         "width": width,
         "height": height,
         "byte_len": len(payload),
-        "sum_r": sum_r,
-        "sum_g": sum_g,
-        "sum_b": sum_b,
-        "first_px_r": first[0],
-        "first_px_g": first[1],
-        "first_px_b": first[2],
+        "sum_r": int(sums[2]),
+        "sum_g": int(sums[1]),
+        "sum_b": int(sums[0]),
+        "first_px_r": r0,
+        "first_px_g": g0,
+        "first_px_b": b0,
     }
 
 
@@ -313,25 +344,41 @@ def average_hash_one(payload: bytes, grid: int = AHASH_GRID) -> dict:
     cross-multiplied comparison ``cell_sum · n_pixels > total_sum ·
     cell_n`` — no float ever, so the hash is bit-reproducible and
     oracle-replayable. Bit order: ``gy·grid + gx``, LSB first."""
-    w, h, rows = _decode_pixels(payload)
-    cell_sum = [[0] * grid for _ in range(grid)]
-    cell_n = [[0] * grid for _ in range(grid)]
-    total = 0
-    for y in range(h):
-        gy = y * grid // h
-        for x in range(w):
-            gx = x * grid // w
-            r, g, b = rows[y][x]
-            gray = r + g + b
-            cell_sum[gy][gx] += gray
-            cell_n[gy][gx] += 1
-            total += gray
+    # vectorized (§4.2): gray = per-pixel channel sum as one int64 array
+    # reduction; cell binning via np.add.at on the exact nearest-rank
+    # indices — same integers, same bits as the per-pixel loop
+    magic, _fs, _, _, px_offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    hdr_size, w, h, planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError("unsupported BMP variant")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (3 * w + 3) // 4 * 4
+    arr = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=px_offset
+    ).reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+    img = arr[::-1] if bottom_up else arr  # image (top-down) row order
+    gray = img.sum(axis=2, dtype=np.int64)  # r+g+b per pixel
+    gy = (np.arange(h, dtype=np.int64) * grid) // h
+    gx = (np.arange(w, dtype=np.int64) * grid) // w
+    cell_sum = np.zeros((grid, grid), np.int64)
+    cell_n = np.zeros((grid, grid), np.int64)
+    gyy = np.broadcast_to(gy[:, None], (h, w))
+    gxx = np.broadcast_to(gx[None, :], (h, w))
+    np.add.at(cell_sum, (gyy, gxx), gray)
+    np.add.at(cell_n, (gyy, gxx), 1)
+    total = int(gray.sum())
     n_px = w * h
+    bits = (cell_sum * n_px) > (total * cell_n)
     ahash = 0
-    for gy in range(grid):
-        for gx in range(grid):
-            if cell_sum[gy][gx] * n_px > total * cell_n[gy][gx]:
-                ahash |= 1 << (gy * grid + gx)
+    for gy_i in range(grid):
+        for gx_i in range(grid):
+            if bits[gy_i, gx_i]:
+                ahash |= 1 << (gy_i * grid + gx_i)
     return {
         "width": w,
         "height": h,
