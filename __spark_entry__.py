@@ -3973,6 +3973,14 @@ def docs_domain_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", num_hashes=MINHASH_N, bands=LSH_BANDS, k=SHINGLE_K,
         threshold=JACCARD_T,
     )
+    # The pair list is read four times below (twice through the dup_docs
+    # union, once by the weights collect, once by the output join) and each
+    # evaluation re-runs the banded candidate join + Jaccard estimate over
+    # the persisted signatures. Persist the near-dup-sized pairs themselves
+    # (§5); the handle joins the pipeline's other released intermediates.
+    handles = getattr(pairs, "_persisted_intermediates", ())
+    pairs = pairs.persist()
+    pairs._persisted_intermediates = (*handles, pairs)
     src = docs.select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
     sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
@@ -10947,10 +10955,13 @@ def orders_changelog_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         vN = t.versions()[-1]["version"]
         # NOT persisted although merge_with_retractions consumes the
-        # changelog three times: each consumer prunes it to a different
-        # narrow column set, and an interleaved A/B showed caching the full
-        # width costs more than the three pruned evaluations save
-        # (old 6.42 s vs persisted 8.71 s median at sf0.1)
+        # changelog five times: each consumer prunes it to a different
+        # narrow column set, and interleaved A/Bs showed caching costs more
+        # than the pruned re-evaluations save — at FULL width (6.42 s vs
+        # 8.71 s median at sf0.1) and even pruned to the 4-column
+        # maintenance set (4.69 s vs 6.06 s, r13): the persist is a
+        # materialization barrier, while each pruned evaluation pushes its
+        # own column set into the scans.
         log = _measured(t.changes_between(spark, v1, vN))
         refreshed = maintain_from_changelog(
             base,

@@ -72,7 +72,19 @@ def main() -> None:
     def run(name: str) -> float:
         t0 = time.time()
         union_qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        return time.time() - t0
+        dt = time.time() - t0
+        # MEASUREMENT FIX (r13, outside the timed region): release every
+        # relation the entry left cached. Spark's CacheManager substitutes a
+        # cached plan into any semantically equal subtree, so without this a
+        # persisted intermediate (e.g. a dedup entry's MinHash signatures)
+        # is computed once in run 1 and silently REUSED by runs 2..N of the
+        # same entry — and by every later entry sharing the subplan — so
+        # medians measured warm cache, not computation from the parquet
+        # inputs, and the pinned blocks squeezed execution memory for the
+        # rest of the sweep. Old (pre-fix) numbers: BENCH_r12.json /
+        # BENCH_LOCAL_r12.json; see OPTIMIZATION_r13.md.
+        spark.catalog.clearCache()
+        return dt
 
     # warmup: touch all tables + codegen paths once; also fit a 3-row KMeans so
     # one-time MLlib class loading isn't billed anywhere it doesn't belong.

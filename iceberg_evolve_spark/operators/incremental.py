@@ -160,9 +160,14 @@ def merge_with_retractions(
         touched = deletes.select(
             *[F.col(k).alias(f"_t_{k}") for k in keys]
         ).distinct()
-        survivors = base_data.join(
+        # The repair only reads (row_key, keys, max sources): project both
+        # union sides to exactly those columns so the anti-join and repair
+        # aggregate shuffle the narrow tuple, never the full row width —
+        # and so callers may hand a changelog already pruned to this set.
+        need = list(dict.fromkeys([row_key, *keys, *max_cols.keys()]))
+        survivors = base_data.select(*need).join(
             deletes.select(row_key), row_key, "left_anti"
-        ).unionByName(ins)
+        ).unionByName(ins.select(*need))
         post = survivors.join(
             touched,
             [survivors[k].eqNullSafe(touched[f"_t_{k}"]) for k in keys],

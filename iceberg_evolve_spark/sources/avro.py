@@ -642,7 +642,12 @@ def encode_container(
             enc(block, row)
         payload = bytes(block)
         if codec == "deflate":
-            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            # level 1: the Avro spec fixes the FORMAT (raw DEFLATE), not the
+            # effort level — readers are level-agnostic, and the write path
+            # is encoder-CPU-bound, so the fast level trades a few percent
+            # of ratio for a several-fold cheaper compress step (§1.2
+            # per-task work).
+            co = zlib.compressobj(1, zlib.DEFLATED, -15)
             payload = co.compress(payload) + co.flush()
         blocks.append((len(chunk), payload))
     if sync is None:
