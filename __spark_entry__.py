@@ -12584,7 +12584,9 @@ def docs_train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame
         F.size(F.array_distinct(tk)).alias("f_vocab"),
         F.size(F.filter(tk, lambda w: w == "the")).alias("f_the"),
         (
-            F.aggregate(tk, F.lit(0), lambda a, w: a + F.length(w))
+            # Σ length(w) as length(concat_ws): codegen, not an interpreted
+            # per-element fold; bit-identical (non-null tokens, "" separator)
+            F.length(F.concat_ws("", tk))
             / F.lit(10)
         ).cast("long").alias("f_wlen"),
         F.size(F.filter(tk, lambda w: F.length(w) > 7)).alias("f_long"),

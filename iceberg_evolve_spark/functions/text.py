@@ -66,9 +66,13 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    # Σ length(token) as length(concat_ws("", toks)) — bit-identical (tokens
+    # are non-null, the separator is empty) but one codegen expression
+    # instead of an interpreted per-element fold (§4.1: higher-order
+    # lambdas evaluate interpreted per element).
     avg_tok = F.when(
         n_tokens > 0,
-        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n_tokens,
+        F.length(F.concat_ws("", toks)) / n_tokens,
     ).otherwise(F.lit(0.0))
     quality = (
         0.4 * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
@@ -220,7 +224,9 @@ def gopher_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     n, n_chars = F.col("_n"), F.col("_nc")
     mean_word_len = F.when(
         n > 0,
-        F.aggregate(F.col("_toks"), F.lit(0), lambda a, t: a + F.length(t)) / n,
+        # length(concat_ws) == Σ length(token): codegen, not a per-element
+        # interpreted fold (see add_text_stats)
+        F.length(F.concat_ws("", F.col("_toks"))) / n,
     ).otherwise(F.lit(0.0))
     frac_alpha = F.when(
         n > 0, F.size(F.filter(F.col("_toks"), lambda t: t.rlike("[a-z]"))) / n
