@@ -672,6 +672,249 @@ def encode_container(
 
 
 # --------------------------------------------------------------------------
+# columnar (vectorized) encode — byte-identical fast path for primitive rows
+# --------------------------------------------------------------------------
+
+
+def _vector_kinds(schema: Any) -> list[tuple[str, str, bool]] | None:
+    """(name, kind, nullable) per field when EVERY field is a primitive the
+    columnar encoder handles — long/int/double/float/string/bytes/boolean,
+    date, timestamp-micros — else ``None`` (caller falls back to the
+    row-at-a-time encoder: maps/arrays/enums/fixed/decimal/nested records)."""
+    if not (isinstance(schema, dict) and schema.get("type") == "record"):
+        return None
+    out: list[tuple[str, str, bool]] = []
+    for f in schema.get("fields", ()):
+        base, nullable = _strip_union(f["type"])
+        if isinstance(base, dict):
+            lt = base.get("logicalType")
+            if lt == "date" and base.get("type") == "int":
+                kind = "varint"  # days since epoch, zigzag varint
+            elif lt in ("timestamp-micros", "local-timestamp-micros") and base.get(
+                "type"
+            ) == "long":
+                kind = "varint"  # micros since epoch, zigzag varint
+            else:
+                return None
+        elif base in ("long", "int"):
+            kind = "varint"
+        elif base in ("double", "float"):
+            kind = base
+        elif base in ("string", "bytes"):
+            kind = "varlen"
+        elif base == "boolean":
+            kind = "boolean"
+        else:
+            return None
+        out.append((f["name"], kind, nullable))
+    return out
+
+
+def _varint_matrix(z: "Any") -> tuple["Any", "Any"]:
+    """Vectorized zigzag-varint: ``z`` (uint64 ndarray) → (flat uint8 buffer
+    of 10-byte-per-value rows, per-value byte lengths). The first ``len``
+    bytes of each 10-byte row are exactly what ``write_long`` emits."""
+    import numpy as np
+
+    n = len(z)
+    shifts = (np.arange(10, dtype=np.uint64) * np.uint64(7))[None, :]
+    b = ((z[:, None] >> shifts) & np.uint64(0x7F)).astype(np.uint8)
+    nb = np.ones(n, dtype=np.int64)
+    for i in range(1, 10):
+        nb[z >= (np.uint64(1) << np.uint64(7 * i))] = i + 1
+    cont = np.arange(10, dtype=np.int64)[None, :] < (nb[:, None] - 1)
+    b |= cont.astype(np.uint8) << 7
+    return np.ascontiguousarray(b).reshape(-1), nb
+
+
+def _zigzag_np(v: "Any") -> "Any":
+    """Signed int64 ndarray → unsigned zigzag space, elementwise."""
+    import numpy as np
+
+    u = v.astype(np.int64, copy=False)
+    return (u.astype(np.uint64) << np.uint64(1)) ^ (u >> np.int64(63)).astype(
+        np.uint64
+    )
+
+
+def _column_segments(arr: "Any", kind: str, nullable: bool, fname: str) -> list:
+    """Encode one Arrow column as byte SEGMENTS: a list of
+    ``(buf uint8[], starts int64[n], lens int64[n])`` — per row, the field's
+    binary encoding is the concatenation of its segments' slices. Nullable
+    fields lead with the union-branch byte and zero out value segments on
+    null rows, matching ``_encoder``'s output byte for byte."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(arr)
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    isnull = np.zeros(n, dtype=bool)
+    if arr.null_count:
+        if not nullable:
+            raise TypeError(
+                f"field {fname!r} is non-nullable in the Avro schema but the "
+                "column carries nulls"
+            )
+        isnull = np.asarray(arr.is_null())
+    segs: list = []
+    if nullable:
+        branch = np.where(isnull, 0x00, 0x02).astype(np.uint8)
+        segs.append((branch, np.arange(n, dtype=np.int64), np.ones(n, np.int64)))
+
+    if kind == "varint":
+        # date32 stores days, timestamps micros — both already the integers
+        # the spec encodes; surface them as int64 before the varint matrix
+        if pa.types.is_date32(arr.type):
+            arr = arr.cast(pa.int32())
+        elif pa.types.is_timestamp(arr.type):
+            # the schema says micros — normalize the unit BEFORE the raw cast
+            # (an ns-unit batch would otherwise encode nanos as micros)
+            arr = arr.cast(pa.timestamp("us", tz=arr.type.tz)).cast(pa.int64())
+        vals = np.asarray(pc.fill_null(arr.cast(pa.int64()), 0))
+        buf, lens = _varint_matrix(_zigzag_np(vals))
+        starts = np.arange(n, dtype=np.int64) * 10
+    elif kind in ("double", "float"):
+        width = 8 if kind == "double" else 4
+        fill = pa.scalar(0.0, type=pa.float64() if kind == "double" else pa.float32())
+        vals = np.ascontiguousarray(np.asarray(pc.fill_null(arr, fill)))
+        buf = vals.view(np.uint8)
+        starts = np.arange(n, dtype=np.int64) * width
+        lens = np.full(n, width, dtype=np.int64)
+    elif kind == "boolean":
+        vals = np.asarray(pc.fill_null(arr, False))
+        buf = vals.astype(np.uint8)
+        starts = np.arange(n, dtype=np.int64)
+        lens = np.ones(n, dtype=np.int64)
+    elif kind == "varlen":
+        if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+            off_dtype = np.int64
+        else:
+            off_dtype = np.int32
+        bufs = arr.buffers()
+        offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+            arr.offset : arr.offset + n + 1
+        ].astype(np.int64)
+        data = (
+            np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None
+            else np.zeros(0, dtype=np.uint8)
+        )
+        body_starts = offsets[:-1].copy()
+        body_lens = np.diff(offsets)
+        body_lens[isnull] = 0
+        # length-prefix varint, then the utf-8/raw bytes
+        pbuf, plens = _varint_matrix(_zigzag_np(body_lens))
+        plens = plens.copy()
+        plens[isnull] = 0
+        segs.append((pbuf, np.arange(n, dtype=np.int64) * 10, plens))
+        segs.append((data, body_starts, body_lens))
+        return segs
+    else:  # pragma: no cover — _vector_kinds gates the kinds
+        raise TypeError(f"unsupported columnar kind {kind!r}")
+
+    lens = lens.copy()
+    lens[isnull] = 0
+    segs.append((buf, starts, lens))
+    return segs
+
+
+def _flatten_segments(segs: list) -> tuple["Any", list]:
+    """Concatenate all segment buffers ONCE into a single source array and
+    rebase each segment's starts — done per table, not per block."""
+    import numpy as np
+
+    bufs = [s[0] for s in segs]
+    src_all = np.concatenate(bufs) if len(bufs) > 1 else bufs[0]
+    rebased = []
+    acc = 0
+    for (buf, starts, lens) in segs:
+        rebased.append((starts + acc, lens))
+        acc += len(buf)
+    return src_all, rebased
+
+
+def _gather_block(src_all: "Any", rebased: list, lo: int, hi: int) -> bytes:
+    """Assemble rows [lo, hi) into one record-major byte payload (the
+    uncompressed Avro block): for each row, each segment's slice in order —
+    a single vectorized ragged gather."""
+    import numpy as np
+
+    starts = np.stack([s[lo:hi] for s, _l in rebased], axis=1)
+    lens = np.stack([l[lo:hi] for _s, l in rebased], axis=1)
+    lens_flat = np.ascontiguousarray(lens).reshape(-1)
+    starts_flat = np.ascontiguousarray(starts).reshape(-1)
+    total = int(lens_flat.sum())
+    out_starts = np.zeros(len(lens_flat), dtype=np.int64)
+    np.cumsum(lens_flat[:-1], out=out_starts[1:])
+    idx = (
+        np.repeat(starts_flat, lens_flat)
+        + np.arange(total, dtype=np.int64)
+        - np.repeat(out_starts, lens_flat)
+    )
+    return src_all[idx].tobytes()
+
+
+def encode_container_arrow(
+    schema: Any,
+    table: "Any",
+    codec: str = "deflate",
+    sync: bytes | None = None,
+    records_per_block: int = 4096,
+) -> bytes | None:
+    """Columnar twin of :func:`encode_container`: encode a ``pyarrow.Table``
+    without materializing Python row objects (§4.2 — whole-column numpy ops
+    instead of per-row closures). Byte-identical output by construction
+    (test-pinned against the row path). Returns ``None`` when the schema has
+    fields the columnar path does not cover — callers fall back to rows."""
+    kinds = _vector_kinds(schema)
+    if kinds is None:
+        return None
+    if codec not in _CODECS:
+        raise ValueError(f"unsupported codec {codec!r} (supported: {_CODECS})")
+    names = [f["name"] for f in schema["fields"]]
+    if names != list(table.column_names):
+        raise ValueError(
+            f"avro_schema fields {names} must match table columns "
+            f"{list(table.column_names)} in order"
+        )
+    segs: list = []
+    for (fname, kind, nullable) in kinds:
+        segs.extend(
+            _column_segments(table.column(fname), kind, nullable, fname)
+        )
+    src_all, rebased = _flatten_segments(segs)
+    n = table.num_rows
+    blocks: list[tuple[int, bytes]] = []
+    for i in range(0, n, records_per_block):
+        j = min(i + records_per_block, n)
+        payload = _gather_block(src_all, rebased, i, j)
+        if codec == "deflate":
+            co = zlib.compressobj(1, zlib.DEFLATED, -15)
+            payload = co.compress(payload) + co.flush()
+        blocks.append((j - i, payload))
+    if sync is None:
+        import hashlib
+
+        h = hashlib.md5(json.dumps(schema).encode())
+        for count, payload in blocks:
+            frame = bytearray()
+            write_long(frame, count)
+            write_long(frame, len(payload))
+            h.update(bytes(frame))
+            h.update(payload)
+        sync = h.digest()
+    out = bytearray()
+    _write_header(out, json.dumps(schema), codec, sync)
+    for count, payload in blocks:
+        write_long(out, count)
+        write_long(out, len(payload))
+        out.extend(payload)
+        out.extend(sync)
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
 # sync-marker byte-range splits (one big container file → N parallel tasks)
 # --------------------------------------------------------------------------
 
@@ -850,29 +1093,48 @@ def write_avro(
         [("file", pa.string()), ("n_records", pa.int64()), ("n_bytes", pa.int64())]
     )
 
+    vectorizable = _vector_kinds(avro_schema) is not None
+
     def _write(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        rows: list[dict] = []
-        for batch in batches:
-            rows.extend(batch.to_pylist())
-        if rows:
-            # sync=None → encode_container derives the marker from the
-            # partition's own encoded bytes (content addressing); two
-            # partitions with identical content share a marker, which is
-            # harmless — they are separate files with separate headers
-            data = encode_container(
-                avro_schema, rows, codec=codec,
-                records_per_block=records_per_block,
-            )
+        data = None
+        n_rows = 0
+        if vectorizable:
+            # primitive-only schema: encode whole Arrow columns with numpy
+            # (§4.2) — byte-identical to the row path, no Python row objects
+            blist = list(batches)
+            if blist:
+                tbl = pa.Table.from_batches(blist)
+                n_rows = tbl.num_rows
+                if n_rows:
+                    data = encode_container_arrow(
+                        avro_schema, tbl, codec=codec,
+                        records_per_block=records_per_block,
+                    )
+        else:
+            rows: list[dict] = []
+            for batch in batches:
+                rows.extend(batch.to_pylist())
+            n_rows = len(rows)
+            if rows:
+                # sync=None → encode_container derives the marker from the
+                # partition's own encoded bytes (content addressing); two
+                # partitions with identical content share a marker, which is
+                # harmless — separate files with separate headers
+                data = encode_container(
+                    avro_schema, rows, codec=codec,
+                    records_per_block=records_per_block,
+                )
+        if data is not None:
             fname = os.path.join(path, f"part-{pid:05d}.avro")
             tmp = fname + ".tmp"
             with open(tmp, "wb") as fh:
                 fh.write(data)
             os.replace(tmp, fname)  # atomic publish, the snapshot-layer habit
             yield pa.RecordBatch.from_pylist(
-                [{"file": fname, "n_records": len(rows), "n_bytes": len(data)}],
+                [{"file": fname, "n_records": n_rows, "n_bytes": len(data)}],
                 schema=stats_arrow,
             )
 

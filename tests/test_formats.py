@@ -781,3 +781,159 @@ class TestAvroSplitProperties:
         assert marker(rows, records_per_block=1) != marker(
             rows, records_per_block=2
         )
+
+
+class TestAvroVectorizedEncoder:
+    """The columnar (numpy) encode fast path must be BYTE-IDENTICAL to the
+    row-at-a-time encoder — the row path stays as the reference
+    implementation and the fallback for complex types (r13 optimization)."""
+
+    def _tricky(self):
+        import datetime
+
+        import pyarrow as pa
+
+        schema = {
+            "type": "record",
+            "name": "t",
+            "fields": [
+                {"name": "a", "type": ["null", "long"], "default": None},
+                {"name": "b", "type": ["null", "string"], "default": None},
+                {"name": "c", "type": "double"},
+                {
+                    "name": "d",
+                    "type": [
+                        "null",
+                        {"type": "long", "logicalType": "timestamp-micros"},
+                    ],
+                    "default": None,
+                },
+                {
+                    "name": "g",
+                    "type": ["null", {"type": "int", "logicalType": "date"}],
+                    "default": None,
+                },
+                {"name": "h", "type": ["null", "bytes"], "default": None},
+                {"name": "i", "type": "boolean"},
+                {"name": "j", "type": ["null", "float"], "default": None},
+                {"name": "k", "type": "int"},
+            ],
+        }
+        base = [
+            # negatives, unicode, -0.0, epoch-adjacent stamps, empty payloads
+            (-5, "héllo", -0.0, -1, 3, b"\x00\xff", True, 1.5, -(2**31)),
+            (2**62, None, float("nan"), None, None, None, False, None,
+             2**31 - 1),
+            (None, "", 1e308, 1234567890123456, -719162, b"", True, -0.0, 0),
+            (0, "x" * 3000, 2.5, 0, 0, b"abc", False, 3.14, 7),
+        ] * 13  # 52 rows → multi-block at small records_per_block
+        tbl = pa.table(
+            {
+                "a": pa.array([r[0] for r in base], pa.int64()),
+                "b": pa.array([r[1] for r in base], pa.string()),
+                "c": pa.array([r[2] for r in base], pa.float64()),
+                "d": pa.array([r[3] for r in base], pa.timestamp("us")),
+                "g": pa.array(
+                    [
+                        datetime.date.fromordinal(r[4] + 719163)
+                        if r[4] is not None
+                        else None
+                        for r in base
+                    ],
+                    pa.date32(),
+                ),
+                "h": pa.array([r[5] for r in base], pa.binary()),
+                "i": pa.array([r[6] for r in base], pa.bool_()),
+                "j": pa.array([r[7] for r in base], pa.float32()),
+                "k": pa.array([r[8] for r in base], pa.int32()),
+            }
+        )
+        return schema, tbl
+
+    def test_byte_identical_to_row_encoder(self):
+        from iceberg_evolve_spark.sources.avro import (
+            encode_container, encode_container_arrow,
+        )
+
+        schema, tbl = self._tricky()
+        rows = tbl.to_pylist()
+        for codec in ("null", "deflate"):
+            for rpb in (5, 64, 4096):
+                b_row = encode_container(
+                    schema, rows, codec=codec, records_per_block=rpb
+                )
+                b_vec = encode_container_arrow(
+                    schema, tbl, codec=codec, records_per_block=rpb
+                )
+                assert b_vec is not None
+                assert b_vec == b_row, (codec, rpb)
+
+    def test_ns_timestamps_normalized_to_micros(self):
+        # a pandas-built table carries ns-unit stamps; the vector path must
+        # encode micros exactly like the row path does from datetimes
+        import pyarrow as pa
+
+        from iceberg_evolve_spark.sources.avro import (
+            decode_container, encode_container_arrow,
+        )
+
+        schema = {
+            "type": "record",
+            "name": "t",
+            "fields": [
+                {
+                    "name": "ts",
+                    "type": {
+                        "type": "long",
+                        "logicalType": "timestamp-micros",
+                    },
+                }
+            ],
+        }
+        tbl = pa.table(
+            {"ts": pa.array([1_700_000_000_123_456_000], pa.timestamp("ns"))}
+        )
+        data = encode_container_arrow(schema, tbl, codec="null")
+        _s, back = decode_container(data)
+        assert back[0]["ts"] == 1_700_000_000_123_456  # micros, not nanos
+
+    def test_complex_schemas_fall_back(self):
+        import pyarrow as pa
+
+        from iceberg_evolve_spark.sources.avro import encode_container_arrow
+
+        for t in (
+            {"type": "map", "values": "string"},
+            {"type": "enum", "name": "e", "symbols": ["A"]},
+            {"type": "fixed", "name": "f", "size": 2},
+            {"type": "array", "items": "long"},
+            {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": 10,
+                "scale": 2,
+            },
+        ):
+            schema = {
+                "type": "record",
+                "name": "t",
+                "fields": [{"name": "x", "type": t}],
+            }
+            assert (
+                encode_container_arrow(schema, pa.table({"x": [None]})) is None
+            )
+
+    def test_nulls_in_non_nullable_field_fail_loudly(self):
+        import pyarrow as pa
+        import pytest as _pytest
+
+        from iceberg_evolve_spark.sources.avro import encode_container_arrow
+
+        schema = {
+            "type": "record",
+            "name": "t",
+            "fields": [{"name": "x", "type": "long"}],
+        }
+        tbl = pa.table({"x": pa.array([1, None], pa.int64())})
+        with _pytest.raises(TypeError, match="non-nullable"):
+            encode_container_arrow(schema, tbl)
