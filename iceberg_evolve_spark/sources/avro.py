@@ -309,6 +309,15 @@ def _encoder_nonnull(s: Any) -> Callable[[bytearray, Any], None]:
             if isinstance(v, int):
                 write_long(out, v)
             else:  # datetime.datetime from Arrow to_pylist
+                if v.tzinfo is not None:
+                    # tz-aware values (Spark attaches the session tz to
+                    # TimestampType Arrow arrays) store UTC epoch micros per
+                    # the Avro spec — normalize BEFORE the component math, or
+                    # the stored value would depend on the session timezone
+                    # (and diverge from the columnar path, ADVICE r13)
+                    import datetime as _dt
+
+                    v = v.astimezone(_dt.timezone.utc)
                 epoch_days = v.toordinal() - 719163
                 micros = (
                     epoch_days * 86_400_000_000
@@ -769,15 +778,23 @@ def _column_segments(arr: "Any", kind: str, nullable: bool, fname: str) -> list:
             arr = arr.cast(pa.int32())
         elif pa.types.is_timestamp(arr.type):
             # the schema says micros — normalize the unit BEFORE the raw cast
-            # (an ns-unit batch would otherwise encode nanos as micros)
-            arr = arr.cast(pa.timestamp("us", tz=arr.type.tz)).cast(pa.int64())
+            # (an ns-unit batch would otherwise encode nanos as micros).
+            # safe=False: sub-microsecond ns values TRUNCATE, matching the
+            # row path (datetime carries only micros), instead of raising
+            arr = arr.cast(pa.timestamp("us", tz=arr.type.tz), safe=False).cast(
+                pa.int64()
+            )
         vals = np.asarray(pc.fill_null(arr.cast(pa.int64()), 0))
         buf, lens = _varint_matrix(_zigzag_np(vals))
         starts = np.arange(n, dtype=np.int64) * 10
     elif kind in ("double", "float"):
         width = 8 if kind == "double" else 4
         fill = pa.scalar(0.0, type=pa.float64() if kind == "double" else pa.float32())
-        vals = np.ascontiguousarray(np.asarray(pc.fill_null(arr, fill)))
+        # explicit little-endian before the byte view — the row path packs
+        # '<d'/'<f'; a native-endian view would emit swapped bytes on BE hosts
+        vals = np.ascontiguousarray(np.asarray(pc.fill_null(arr, fill))).astype(
+            "<f8" if kind == "double" else "<f4", copy=False
+        )
         buf = vals.view(np.uint8)
         starts = np.arange(n, dtype=np.int64) * width
         lens = np.full(n, width, dtype=np.int64)
@@ -915,6 +932,297 @@ def encode_container_arrow(
 
 
 # --------------------------------------------------------------------------
+# columnar (vectorized) decode — value-identical fast path for primitive rows
+# --------------------------------------------------------------------------
+
+
+class _NonMinimalBranch(Exception):
+    """A union branch varint was not the minimal single byte (0x00/0x02).
+    Our writer never emits that, but a foreign file legally could — the
+    columnar scanner bails and the caller falls back to the row decoder,
+    which accepts any varint form."""
+
+
+def _scanner_source(kinds: list) -> str:
+    """Generate the per-schema scanner source (§4.2: the byte-level varint
+    scan stays Python — varints are sequentially data-dependent — but every
+    byte is touched ONCE by one generated loop with no per-field closure
+    dispatch and no per-row dict). Per field it appends, to per-column
+    accumulators: decoded ints (varint kinds), value byte offsets
+    (fixed-width kinds, -1 = null), or (start, len) pairs (varlen kinds,
+    len -1 = null); numpy gathers materialize the columns afterwards."""
+    unpack: list[str] = []
+    for i, (_name, kind, _nul) in enumerate(kinds):
+        unpack.extend((f"a{i}s", f"a{i}l") if kind == "varlen" else (f"a{i}",))
+    lines = [
+        "def _scan(buf, pos, n, accs):",
+        f"    ({', '.join(unpack)},) = accs",
+        "    for _ in range(n):",
+    ]
+    # inline varint VALUE decode — only varlen lengths need the value during
+    # the scan (to advance past the body); other varints are decoded by the
+    # numpy post-pass from their recorded offsets
+    varlen_core = [
+        "b = buf[pos]; pos += 1",
+        "if b < 128:",
+        "    z = b",
+        "else:",
+        "    z = b & 127",
+        "    shift = 7",
+        "    while True:",
+        "        b = buf[pos]; pos += 1",
+        "        z |= (b & 127) << shift",
+        "        if b < 128:",
+        "            break",
+        "        shift += 7",
+        "        if shift > 70:",
+        "            raise ValueError("
+        "'varint longer than 10 bytes — corrupt stream')",
+    ]
+    for i, (_name, kind, nullable) in enumerate(kinds):
+        if kind == "varint":
+            # record the start offset, advance past the continuation bytes —
+            # no shifts, no int building: _varint_gather does that in numpy
+            val = [
+                f"a{i}(pos)",
+                "while buf[pos] > 127:",
+                "    pos += 1",
+                "pos += 1",
+            ]
+            null_stmt = [f"a{i}(-1)"]
+        elif kind in ("double", "float", "boolean"):
+            width = {"double": 8, "float": 4, "boolean": 1}[kind]
+            val = [f"a{i}(pos)", f"pos += {width}"]
+            null_stmt = [f"a{i}(-1)"]
+        else:  # varlen
+            val = [
+                *varlen_core,
+                "ln = (z >> 1) ^ -(z & 1)",
+                "if ln < 0:",
+                "    raise ValueError("
+                "'negative byte-length — corrupt stream')",
+                f"a{i}s(pos); a{i}l(ln)",
+                "pos += ln",
+            ]
+            null_stmt = [f"a{i}s(0); a{i}l(-1)"]
+        if nullable:
+            body = ["b = buf[pos]; pos += 1", "if b == 0:"]
+            body += ["    " + s for s in null_stmt]
+            body += ["elif b == 2:"]
+            body += ["    " + s for s in val]
+            body += ["else:", "    raise _NonMinimalBranch()"]
+        else:
+            body = val
+        lines.extend("        " + s for s in body)
+    lines.append("    return pos")
+    return "\n".join(lines)
+
+
+def _varint_gather(buf_np: "Any", offs: "Any") -> "Any":
+    """Vectorized zigzag-varint decode: value start offsets (into a buffer
+    padded with ≥10 trailing zero bytes) → int64 values. Active-set loop:
+    byte k is gathered only for the values still carrying a continuation
+    bit, so a column of 1-byte varints costs one 1-D gather and a column of
+    8-byte timestamps eight — never a dense n×10 matrix."""
+    import numpy as np
+
+    b = buf_np[offs]
+    z = (b & np.uint8(0x7F)).astype(np.uint64)
+    active = np.nonzero(b >= 128)[0]
+    step = 1
+    while len(active):
+        if step > 9:
+            raise ValueError("varint longer than 10 bytes — corrupt stream")
+        b = buf_np[offs[active] + step]
+        z[active] |= (b & np.uint8(0x7F)).astype(np.uint64) << np.uint64(
+            7 * step
+        )
+        active = active[b >= 128]
+        step += 1
+    return (
+        (z >> np.uint64(1)) ^ (np.uint64(0) - (z & np.uint64(1)))
+    ).view(np.int64)
+
+
+_SCANNER_CACHE: dict[str, Any] = {}
+
+
+def _decode_scanner(avro_schema: Any):
+    """(scan function, kinds) for a primitive-only record schema, compiled
+    once per schema per process (worker reuse keeps the cache warm across
+    tasks), or ``None`` when the schema needs the row decoder."""
+    kinds = _vector_kinds(avro_schema)
+    if kinds is None:
+        return None
+    key = json.dumps(kinds)
+    hit = _SCANNER_CACHE.get(key)
+    if hit is None:
+        ns: dict[str, Any] = {"_NonMinimalBranch": _NonMinimalBranch}
+        exec(compile(_scanner_source(kinds), "<avro-scanner>", "exec"), ns)
+        hit = (ns["_scan"], kinds)
+        _SCANNER_CACHE[key] = hit
+    return hit
+
+
+def _default_arrow_types(avro_schema: Any) -> dict:
+    """Field name → Arrow type straight from the Avro schema — used when the
+    caller has no Spark-derived schema (tests, standalone decodes)."""
+    import pyarrow as pa
+
+    out = {}
+    for f in avro_schema["fields"]:
+        base, _nul = _strip_union(f["type"])
+        if isinstance(base, dict):
+            lt = base.get("logicalType")
+            t = {
+                "date": pa.date32(),
+                "timestamp-micros": pa.timestamp("us", tz="UTC"),
+                "local-timestamp-micros": pa.timestamp("us"),
+            }[lt]
+        else:
+            t = {
+                "long": pa.int64(),
+                "int": pa.int32(),
+                "double": pa.float64(),
+                "float": pa.float32(),
+                "string": pa.string(),
+                "bytes": pa.binary(),
+                "boolean": pa.bool_(),
+            }[base]
+        out[f["name"]] = t
+    return out
+
+
+def _blocks_to_columns(
+    avro_schema: Any, blocks: list[tuple[int, bytes]], col_types: dict | None = None
+) -> list | None:
+    """Decode (count, decompressed payload) blocks into Arrow arrays, one per
+    field, in schema order — or ``None`` when the schema (or a non-minimal
+    branch varint) needs the row decoder. Value-identical to the row path by
+    construction (test-pinned). Payloads are concatenated once so records
+    are back-to-back and the numpy gathers run over a single buffer; the
+    per-block byte-consumption check is preserved at each block boundary."""
+    compiled = _decode_scanner(avro_schema)
+    if compiled is None:
+        return None
+    scan, kinds = compiled
+    import numpy as np
+    import pyarrow as pa
+
+    if col_types is None:
+        col_types = _default_arrow_types(avro_schema)
+    from array import array
+
+    # array('q') accumulators: append cost matches a list's, but the numpy
+    # view afterwards is a zero-copy frombuffer instead of a per-element scan
+    accs: list = []
+    appends: list = []
+    for _name, kind, _nul in kinds:
+        n_lists = 2 if kind == "varlen" else 1
+        for _ in range(n_lists):
+            acc = array("q")
+            accs.append(acc)
+            appends.append(acc.append)
+    full = b"".join(p for _c, p in blocks)
+    pos = 0
+    cum = 0
+    try:
+        for count, payload in blocks:
+            cum += len(payload)
+            prev = pos
+            pos = scan(full, pos, count, tuple(appends))
+            if pos != cum:
+                raise ValueError(
+                    f"block decoded {pos - prev} of {len(payload)} bytes — "
+                    "corrupt block"
+                )
+    except _NonMinimalBranch:
+        return None
+    # pad so the 10-byte varint gather window never reads past the end
+    buf_np = np.frombuffer(full + b"\x00" * 10, dtype=np.uint8)
+    arrays: list = []
+    ai = 0
+    for name, kind, _nul in kinds:
+        t = col_types[name]
+        if kind == "varint":
+            offs = np.frombuffer(accs[ai], dtype=np.int64)
+            ai += 1
+            mask = offs < 0
+            vals = _varint_gather(buf_np, np.where(mask, 0, offs))
+            arr = pa.array(
+                vals, type=pa.int64(), mask=mask if mask.any() else None
+            )
+            if pa.types.is_date32(t):
+                # no direct int64→date32 cast; hop through int32 (checked)
+                arr = arr.cast(pa.int32())
+            arrays.append(arr.cast(t) if arr.type != t else arr)
+        elif kind in ("double", "float", "boolean"):
+            offs = np.frombuffer(accs[ai], dtype=np.int64)
+            ai += 1
+            mask = offs < 0
+            safe = np.where(mask, 0, offs)
+            if kind == "boolean":
+                vals: Any = buf_np[safe] == 1
+            else:
+                width = 8 if kind == "double" else 4
+                dt = "<f8" if kind == "double" else "<f4"
+                idx = safe[:, None] + np.arange(width, dtype=np.int64)
+                vals = buf_np[idx].view(dt).ravel()
+            arrays.append(
+                pa.array(vals, type=t, mask=mask if mask.any() else None)
+            )
+        else:  # varlen
+            starts = np.frombuffer(accs[ai], dtype=np.int64)
+            lens = np.frombuffer(accs[ai + 1], dtype=np.int64)
+            ai += 2
+            mask = lens < 0
+            lens2 = np.where(mask, 0, lens)
+            n = len(lens2)
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens2, out=offsets[1:])
+            total = int(offsets[-1])
+            idx = (
+                np.repeat(starts, lens2)
+                + np.arange(total, dtype=np.int64)
+                - np.repeat(offsets[:-1], lens2)
+            )
+            validity = None
+            if mask.any():
+                validity = pa.array(~mask).buffers()[1]
+            arr = pa.Array.from_buffers(
+                pa.large_binary(),
+                n,
+                [
+                    validity,
+                    pa.py_buffer(offsets.tobytes()),
+                    pa.py_buffer(buf_np[idx].tobytes()),
+                ],
+            )
+            if pa.types.is_string(t) or pa.types.is_large_string(t):
+                # binary→string cast VALIDATES utf-8, matching the row
+                # path's bytes.decode('utf-8') failure mode
+                arr = arr.cast(pa.large_string())
+            arrays.append(arr.cast(t) if arr.type != t else arr)
+    return arrays
+
+
+def decode_container_arrow(
+    data: bytes, col_types: dict | None = None
+) -> tuple[Any, int, list] | None:
+    """Columnar twin of :func:`decode_container`: one whole container file →
+    (avro schema dict, n_rows, Arrow arrays in field order) WITHOUT
+    materializing Python row objects. ``None`` when the schema has fields
+    the columnar path does not cover (maps/arrays/enums/fixed/decimal/nested
+    records) — callers fall back to the row decoder."""
+    schema, codec, sync, pos = read_header(data)
+    blocks = list(_iter_blocks(data, pos, codec, sync))
+    cols = _blocks_to_columns(schema, blocks, col_types)
+    if cols is None:
+        return None
+    return schema, sum(c for c, _p in blocks), cols
+
+
+# --------------------------------------------------------------------------
 # sync-marker byte-range splits (one big container file → N parallel tasks)
 # --------------------------------------------------------------------------
 
@@ -948,6 +1256,26 @@ def read_container_range(path: str, lo: int, hi: int) -> tuple[Any, list[dict]]:
     past ``hi`` only to finish the last owned block. Splitting any byte
     partition of ``[header_end, filesize)`` across calls yields every record
     exactly once. Returns (avro schema dict, rows)."""
+    schema, blocks = _range_blocks(path, lo, hi)
+    dec = _decoder(schema)
+    rows: list[dict] = []
+    for _count, payload in blocks:
+        p = 0
+        for _ in range(_count):
+            row, p = dec(payload, p)
+            rows.append(row)
+        if p != len(payload):
+            raise ValueError(
+                f"block decoded {p} of {len(payload)} bytes — corrupt block"
+            )
+    return schema, rows
+
+
+def _range_blocks(path: str, lo: int, hi: int) -> tuple[Any, list[tuple[int, bytes]]]:
+    """Block walk behind :func:`read_container_range`: validate split
+    ownership and sync markers, decompress, and return the owned blocks as
+    (record_count, payload) WITHOUT decoding records — so the columnar and
+    the row decoders share one split reader."""
     with open(path, "rb") as fh:
         head = fh.read(1 << 20)
         schema, codec, sync, header_end = read_header(head)
@@ -992,8 +1320,7 @@ def read_container_range(path: str, lo: int, hi: int) -> tuple[Any, list[dict]]:
                     q = cand
                 else:
                     search = idx + 1
-        dec = _decoder(schema)
-        rows: list[dict] = []
+        blocks: list[tuple[int, bytes]] = []
         while q < hi and q < size:
             ensure(q + 24)
             off = q - base
@@ -1011,16 +1338,9 @@ def read_container_range(path: str, lo: int, hi: int) -> tuple[Any, list[dict]]:
                 )
             if codec == "deflate":
                 payload = zlib.decompress(payload, -15)
-            p = 0
-            for _ in range(count):
-                row, p = dec(payload, p)
-                rows.append(row)
-            if p != len(payload):
-                raise ValueError(
-                    f"block decoded {p} of {len(payload)} bytes — corrupt block"
-                )
+            blocks.append((count, payload))
             q = base + off + bsize + SYNC_SIZE
-        return schema, rows
+        return schema, blocks
 
 
 def plan_avro_splits(path: str, split_bytes: int) -> list[tuple[str, int, int]]:
@@ -1192,6 +1512,25 @@ def read_avro(
         ]
         return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
+    def _blocks_to_batch(schema: Any, blocks: list) -> "pa.RecordBatch":
+        # columnar scan first (§4.2 — no Python row objects); row decoder
+        # stays the fallback for complex types / non-minimal varints
+        cols = _blocks_to_columns(schema, blocks, col_types)
+        if cols is not None:
+            return pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
+        dec = _decoder(schema)
+        rows: list[dict] = []
+        for count, payload in blocks:
+            p = 0
+            for _ in range(count):
+                row, p = dec(payload, p)
+                rows.append(row)
+            if p != len(payload):
+                raise ValueError(
+                    f"block decoded {p} of {len(payload)} bytes — corrupt block"
+                )
+        return _to_batch(rows)
+
     if split_bytes is not None:
         splits = plan_avro_splits(path, split_bytes)
         if not splits:
@@ -1204,11 +1543,11 @@ def read_avro(
         ) -> Iterator["pa.RecordBatch"]:
             for batch in batches:
                 for r in batch.to_pylist():
-                    _schema, rows = read_container_range(
+                    schema_b, blocks = _range_blocks(
                         r["file"], r["lo"], r["hi"]
                     )
-                    if rows:
-                        yield _to_batch(rows)
+                    if blocks:
+                        yield _blocks_to_batch(schema_b, blocks)
 
         split_df = spark.createDataFrame(
             splits, "file string, lo bigint, hi bigint"
@@ -1218,8 +1557,10 @@ def read_avro(
     def _read(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         for batch in batches:
             for filerow in batch.to_pylist():
-                _schema, rows = decode_container(filerow["content"])
-                yield _to_batch(rows)
+                content = filerow["content"]
+                schema_b, codec, sync, pos = read_header(content)
+                blocks = list(_iter_blocks(content, pos, codec, sync))
+                yield _blocks_to_batch(schema_b, blocks)
 
     files = (
         spark.read.format("binaryFile")

@@ -817,6 +817,17 @@ class TestAvroVectorizedEncoder:
                 {"name": "i", "type": "boolean"},
                 {"name": "j", "type": ["null", "float"], "default": None},
                 {"name": "k", "type": "int"},
+                {
+                    # tz-AWARE stamps (Spark attaches the session tz to
+                    # TimestampType arrays): both paths must store UTC epoch
+                    # micros regardless of the attached zone (ADVICE r13)
+                    "name": "l",
+                    "type": [
+                        "null",
+                        {"type": "long", "logicalType": "timestamp-micros"},
+                    ],
+                    "default": None,
+                },
             ],
         }
         base = [
@@ -846,6 +857,10 @@ class TestAvroVectorizedEncoder:
                 "i": pa.array([r[6] for r in base], pa.bool_()),
                 "j": pa.array([r[7] for r in base], pa.float32()),
                 "k": pa.array([r[8] for r in base], pa.int32()),
+                "l": pa.array(
+                    [r[3] for r in base],
+                    pa.timestamp("us", tz="America/Los_Angeles"),
+                ),
             }
         )
         return schema, tbl
@@ -896,6 +911,14 @@ class TestAvroVectorizedEncoder:
         data = encode_container_arrow(schema, tbl, codec="null")
         _s, back = decode_container(data)
         assert back[0]["ts"] == 1_700_000_000_123_456  # micros, not nanos
+        # sub-microsecond ns precision TRUNCATES (matching the row path,
+        # where datetime carries only micros) instead of raising (ADVICE r13)
+        tbl2 = pa.table(
+            {"ts": pa.array([1_700_000_000_123_456_789], pa.timestamp("ns"))}
+        )
+        data2 = encode_container_arrow(schema, tbl2, codec="null")
+        _s2, back2 = decode_container(data2)
+        assert back2[0]["ts"] == 1_700_000_000_123_456
 
     def test_complex_schemas_fall_back(self):
         import pyarrow as pa
@@ -937,3 +960,234 @@ class TestAvroVectorizedEncoder:
         tbl = pa.table({"x": pa.array([1, None], pa.int64())})
         with _pytest.raises(TypeError, match="non-nullable"):
             encode_container_arrow(schema, tbl)
+
+
+class TestAvroVectorizedDecoder:
+    """The columnar decode fast path must be VALUE-IDENTICAL to the
+    row-at-a-time decoder — the row path stays as the reference
+    implementation and the fallback for complex types and non-minimal
+    union-branch varints (r14 optimization, VERDICT r13 task 1)."""
+
+    def _tricky(self):
+        # same value classes the encoder battery pins: negatives, unicode,
+        # NaN/-0.0, epoch-adjacent stamps, empty payloads, 2^62, nulls
+        schema = {
+            "type": "record",
+            "name": "t",
+            "fields": [
+                {"name": "a", "type": ["null", "long"], "default": None},
+                {"name": "b", "type": ["null", "string"], "default": None},
+                {"name": "c", "type": "double"},
+                {
+                    "name": "d",
+                    "type": [
+                        "null",
+                        {"type": "long", "logicalType": "timestamp-micros"},
+                    ],
+                    "default": None,
+                },
+                {
+                    "name": "g",
+                    "type": ["null", {"type": "int", "logicalType": "date"}],
+                    "default": None,
+                },
+                {"name": "h", "type": ["null", "bytes"], "default": None},
+                {"name": "i", "type": "boolean"},
+                {"name": "j", "type": ["null", "float"], "default": None},
+                {"name": "k", "type": "int"},
+            ],
+        }
+        base = [
+            (-5, "héllo", -0.0, -1, 3, b"\x00\xff", True, 1.5, -(2**31)),
+            (2**62, None, float("nan"), None, None, None, False, None,
+             2**31 - 1),
+            (None, "", 1e308, 1234567890123456, -719162, b"", True, -0.0, 0),
+            (0, "x" * 3000, 2.5, 0, 0, b"abc", False, 3.14159, 7),
+        ] * 13  # 52 rows → multi-block at small records_per_block
+        names = ["a", "b", "c", "d", "g", "h", "i", "j", "k"]
+        rows = [dict(zip(names, r)) for r in base]
+        return schema, rows
+
+    @staticmethod
+    def _float32(v):
+        import struct as _struct
+
+        return _struct.unpack("<f", _struct.pack("<f", v))[0]
+
+    def test_value_identical_to_row_decoder(self):
+        import math
+
+        import pyarrow as pa
+
+        from iceberg_evolve_spark.sources.avro import (
+            decode_container, decode_container_arrow, encode_container,
+        )
+
+        schema, rows = self._tricky()
+        for codec in ("null", "deflate"):
+            for rpb in (5, 64, 4096):
+                data = encode_container(
+                    schema, rows, codec=codec, records_per_block=rpb
+                )
+                _s, back_rows = decode_container(data)
+                out = decode_container_arrow(data)
+                assert out is not None, (codec, rpb)
+                _s2, n, cols = out
+                assert n == len(back_rows) == len(rows)
+                names = [f["name"] for f in schema["fields"]]
+                got = pa.table(dict(zip(names, cols))).to_pylist()
+                for g, r in zip(got, back_rows):
+                    for k in names:
+                        gv, rv = g[k], r[k]
+                        if k == "d" and gv is not None:
+                            gv = int(gv.timestamp() * 1e6)
+                        if k == "g" and gv is not None:
+                            gv = gv.toordinal() - 719163
+                        if isinstance(rv, float) and math.isnan(rv):
+                            assert math.isnan(gv), (codec, rpb, k)
+                        else:
+                            assert gv == rv, (codec, rpb, k, gv, rv)
+
+    def test_arrow_types_and_nulls(self):
+        import pyarrow as pa
+
+        from iceberg_evolve_spark.sources.avro import (
+            decode_container_arrow, encode_container,
+        )
+
+        schema, rows = self._tricky()
+        data = encode_container(schema, rows)
+        _s, _n, cols = decode_container_arrow(data)
+        types = [c.type for c in cols]
+        assert types == [
+            pa.int64(), pa.string(), pa.float64(),
+            pa.timestamp("us", tz="UTC"), pa.date32(), pa.binary(),
+            pa.bool_(), pa.float32(), pa.int32(),
+        ]
+        # nulls stay nulls (never NaN/zero-conflated)
+        assert cols[0].null_count == 13  # 'a' null in 1 of 4 row templates
+        assert cols[1].null_count == 13
+        assert cols[3].null_count == 13
+
+    def test_complex_schemas_fall_back(self):
+        from iceberg_evolve_spark.sources.avro import (
+            decode_container_arrow, encode_container,
+        )
+
+        cases = [
+            ({"type": "map", "values": "string"}, {"x": {"k": "v"}}),
+            ({"type": "enum", "name": "e", "symbols": ["A"]}, {"x": "A"}),
+            ({"type": "fixed", "name": "f", "size": 2}, {"x": b"ab"}),
+            ({"type": "array", "items": "long"}, {"x": [1, 2]}),
+            (
+                {
+                    "type": "bytes",
+                    "logicalType": "decimal",
+                    "precision": 10,
+                    "scale": 2,
+                },
+                {"x": __import__("decimal").Decimal("1.25")},
+            ),
+        ]
+        for t, row in cases:
+            schema = {
+                "type": "record",
+                "name": "t",
+                "fields": [{"name": "x", "type": t}],
+            }
+            data = encode_container(schema, [row])
+            assert decode_container_arrow(data) is None, t
+
+    def test_non_minimal_branch_varint_falls_back(self):
+        """A foreign writer may legally emit the union branch index as a
+        multi-byte varint; the scanner bails to the row decoder (returns
+        None) instead of mis-parsing."""
+        from iceberg_evolve_spark.sources.avro import (
+            decode_container, decode_container_arrow, encode_container,
+            read_header,
+        )
+
+        schema = {
+            "type": "record",
+            "name": "t",
+            "fields": [{"name": "x", "type": ["null", "long"], "default": None}],
+        }
+        data = encode_container(schema, [{"x": 7}], codec="null")
+        _s, _codec, sync, pos = read_header(data)
+        buf = bytearray(data)
+        # block layout after header: count varint, size varint, payload
+        from iceberg_evolve_spark.sources.avro import read_long
+
+        count, p = read_long(buf, pos)
+        size, p = read_long(buf, p)
+        assert buf[p] == 0x02  # branch=1 (value), minimal form
+        # rewrite branch as the NON-minimal 2-byte varint 0x82 0x00 and fix
+        # the block size; read_long accepts both forms
+        payload = bytes([0x82, 0x00]) + bytes(buf[p + 1 : p + size])
+        new = bytearray(data[:pos])
+        from iceberg_evolve_spark.sources.avro import write_long
+
+        write_long(new, count)
+        write_long(new, len(payload))
+        new += payload
+        new += sync
+        _s2, rows = decode_container(bytes(new))  # row path accepts it
+        assert rows == [{"x": 7}]
+        assert decode_container_arrow(bytes(new)) is None  # fast path bails
+
+    def test_empty_and_invalid_utf8(self):
+        import pyarrow as pa
+        import pytest as _pytest
+
+        from iceberg_evolve_spark.sources.avro import (
+            decode_container_arrow, encode_container,
+        )
+
+        schema = {
+            "type": "record",
+            "name": "t",
+            "fields": [{"name": "s", "type": "string"}],
+        }
+        # empty container → zero-length arrays, not None
+        _s, n, cols = decode_container_arrow(encode_container(schema, []))
+        assert n == 0 and len(cols[0]) == 0
+        # invalid utf-8 in a string field raises (row path raises too)
+        data = bytearray(encode_container(schema, [{"s": "AB"}], codec="null"))
+        idx = bytes(data).rfind(b"AB")
+        data[idx] = 0xFF
+        with _pytest.raises(pa.ArrowInvalid):
+            decode_container_arrow(bytes(data))
+
+    def test_split_range_blocks_feed_columnar(self, tmp_path):
+        """_range_blocks + _blocks_to_columns equals read_container_range."""
+        from iceberg_evolve_spark.sources.avro import (
+            _blocks_to_columns, _range_blocks, encode_container,
+            plan_avro_splits, read_container_range,
+        )
+
+        schema = {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "txt", "type": ["null", "string"], "default": None},
+            ],
+        }
+        rows = [
+            {"id": i, "txt": None if i % 7 == 0 else f"v{i}"}
+            for i in range(500)
+        ]
+        fp = tmp_path / "f.avro"
+        fp.write_bytes(encode_container(schema, rows, records_per_block=64))
+        got = []
+        for f, lo, hi in plan_avro_splits(str(fp), 2048):
+            sch, blocks = _range_blocks(f, lo, hi)
+            want = read_container_range(f, lo, hi)[1]
+            cols = _blocks_to_columns(sch, blocks)
+            assert cols is not None
+            import pyarrow as pa
+
+            part = pa.table({"id": cols[0], "txt": cols[1]}).to_pylist()
+            assert part == want
+            got.extend(part)
+        assert sorted(r["id"] for r in got) == [r["id"] for r in rows]
