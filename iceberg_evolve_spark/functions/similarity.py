@@ -83,6 +83,19 @@ def dot_unrolled(a: Column, b: Column, dims: int) -> Column:
     )
 
 
+def cosine_from_norms_unrolled(
+    a: Column, b: Column, na: Column, nb: Column, dims: int
+) -> Column:
+    """:func:`cosine_from_norms` with the pair dot unrolled for known-width
+    vectors — bit-identical values (same summation order, same division),
+    codegen-compiled where the fold stays interpreted. Same usage guidance
+    as :func:`dot_unrolled`: pair joins over two array COLUMNS only. With
+    ``dims`` < the array length this equals the fold over ``slice(·,1,dims)``
+    without materializing the slice per pair (element_at reads the prefix
+    in place)."""
+    return (dot_unrolled(a, b, dims) / (na * nb)).cast("double")
+
+
 def cosine_sim_unrolled(a: Column, b: Column, dims: int) -> Column:
     """Codegen-friendly twin of :func:`cosine_sim` for known-width vectors;
     bit-identical output (same fold order in dot and both norms)."""

@@ -85,9 +85,15 @@ def run_cms_stream(
     width: int = 1024,
 ):
     """Start the stream with the incremental-CMS sink; the checkpoint pins
-    batch_ids across restarts so the replay markers line up."""
+    batch_ids across restarts so the replay markers line up.
+
+    ``availableNow`` (the same catch-up-then-stop trigger the sibling
+    ``run_lsh_dedup_stream`` uses): the sink is idempotent and checkpointed,
+    so the deployment shape is repeated catch-up runs — and a test that
+    drives it terminates when the backlog is drained instead of burning its
+    whole awaitTermination timeout polling an idle source."""
     return (
-        stream.writeStream.foreachBatch(
+        stream.writeStream.trigger(availableNow=True).foreachBatch(
             cms_batch_writer(stream.sparkSession, target_path, key_col, depth, width)
         )
         .option("checkpointLocation", checkpoint)
@@ -155,9 +161,10 @@ def run_hll_stream(
     b: int = 8,
     group_cols: list[str] | None = None,
 ):
-    """Start the stream with the incremental-HLL sink."""
+    """Start the stream with the incremental-HLL sink (``availableNow``
+    catch-up-then-stop trigger — see :func:`run_cms_stream`)."""
     return (
-        stream.writeStream.foreachBatch(
+        stream.writeStream.trigger(availableNow=True).foreachBatch(
             hll_batch_writer(stream.sparkSession, target_path, key_col, b, group_cols)
         )
         .option("checkpointLocation", checkpoint)
