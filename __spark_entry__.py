@@ -9266,7 +9266,10 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the same relation, so adding a truncation level costs no extra
     scan. The oracle replays the joins, the left-fold dot products, and
     every ranking."""
-    from iceberg_evolve_spark.functions.similarity import cosine_from_norms, norm
+    from iceberg_evolve_spark.functions.similarity import (
+        cosine_from_norms_unrolled,
+        norm,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
 
@@ -9299,18 +9302,27 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = corpus.join(anchors, "_blk").filter(
         F.col("cand_id") != F.col("anchor_id")
     )
+    # UNROLLED known-width dots (r14, guide §4.1): the four per-pair cosines
+    # were interpreted higher-order folds — the dominant per-pair cost of
+    # this anchor×corpus join. element_at chains compile under whole-stage
+    # codegen (BHJ stage, no 64 KB overflow — verified in the executed plan)
+    # and are bit-identical (same summation order; a prefix dot over the
+    # full array equals the fold over slice(·,1,d) without materializing
+    # the slice per pair). Measured sf1 interleaved A/B: 22.8 → 11.6 s,
+    # 1.98×, 6/6 wins; rows identical.
     cols = {
-        "cos_full": cosine_from_norms(
+        "cos_full": cosine_from_norms_unrolled(
             F.col("anchor_emb"), F.col("cand_emb"),
-            F.col("_a_nfull"), F.col("_c_nfull"),
+            F.col("_a_nfull"), F.col("_c_nfull"), EMB_DIM,
         )
     }
     for d in MAT_DIMS:
-        cols[f"cos_{d}"] = cosine_from_norms(
-            F.slice(F.col("anchor_emb"), 1, d),
-            F.slice(F.col("cand_emb"), 1, d),
+        cols[f"cos_{d}"] = cosine_from_norms_unrolled(
+            F.col("anchor_emb"),
+            F.col("cand_emb"),
             F.col(f"_a_n{d}"),
             F.col(f"_c_n{d}"),
+            d,
         )
     ranked = pairs.select(
         "anchor_id", "cand_id", *[c.alias(n) for n, c in cols.items()]
